@@ -1,13 +1,63 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{GroupCounts, Grouper}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions)
+  * gets a named entry in [[queries]]; SQL-expressible ones also get a
+  * DuckDB oracle in [[oracleSql]]. Column names are aligned between the
+  * Spark result and the oracle SQL (the driver sorts columns by name
+  * before hashing).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
+    * Reference flagship trace: read -> key -> groupBy -> per-group stats
+    * (SURVEY.md §3.2). */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = Tables(spark, "/root/testdata/sf0.001", "lineitem")
+    GroupCounts(li, Grouper.byColumn("l_returnflag"))
+  }
+
+  // ---------------------------------------------------------------------
+  // DuckDB-SQL oracle helpers (kept tiny and readable; see
+  // graft.functions.{ByteSize,WordCount} for the Spark-side semantics)
+  // ---------------------------------------------------------------------
+
+  /** Reference word-count in DuckDB SQL: strip, split on single space,
+    * count tokens (empty tokens included). */
+  private def duckWords(c: String): String =
+    s"len(string_split(regexp_replace($c, '^\\s+|\\s+$$', '', 'g'), ' '))"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A3/A4 group-counts aggregation (SURVEY §2.3) over documents, keyed
+    // by lang — the reference's domain-partitioned counts pipeline shape.
+    "group_counts_documents" -> { (s, dir) =>
+      GroupCounts(Tables(s, dir, "documents"), Grouper.byColumn("lang"))
+    },
+    // Same operator over lineitem keyed by return flag (numeric-heavy
+    // schema exercises the fixed-width byte accounting).
+    "group_counts_lineitem" -> { (s, dir) =>
+      GroupCounts(Tables(s, dir, "lineitem"), Grouper.byColumn("l_returnflag"))
+    }
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "group_counts_documents" ->
+      s"""SELECT lang AS group_id,
+         |  count(*) AS num_examples,
+         |  CAST(sum(16 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) AS num_bytes,
+         |  CAST(sum(${duckWords("text")} + ${duckWords("lang")} + ${duckWords("source")}) AS BIGINT) AS num_words
+         |FROM documents GROUP BY lang""".stripMargin,
+    "group_counts_lineitem" ->
+      s"""SELECT l_returnflag AS group_id,
+         |  count(*) AS num_examples,
+         |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
+         |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+  )
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{ByteSize, WordCount}
+
+/** Per-group statistics — the reference's `compute_group_counts` pipeline
+  * (dataset_grouper/beam_transforms.py:112-131, count_utils.py:29-65),
+  * re-expressed as one declarative aggregation.
+  *
+  * Output schema: (group_id, num_examples, num_bytes, num_words).
+  *
+  * Scale notes: the reference shuffles every raw per-row triple through a
+  * plain GroupByKey with NO map-side combine (beam_transforms.py:124 —
+  * a perf bug at C4 scale). Here Catalyst plans partial+final
+  * HashAggregate automatically, so the shuffle carries one partial triple
+  * per (partition, group) instead of one per row — the 100 TB-safe shape.
+  * Byte sizes of fixed-width columns are schema-time constants, so the
+  * scan only reads the string columns it actually needs.
+  */
+object GroupCounts {
+
+  def apply(df: DataFrame, grouper: Grouper): DataFrame = {
+    val schema = df.schema // stats cover the original columns, not the key
+    grouper
+      .keyed(df)
+      .groupBy(col(grouper.name))
+      .agg(
+        count(lit(1)).as("num_examples"),
+        sum(ByteSize.exprFor(schema)).as("num_bytes"),
+        sum(WordCount.exprFor(schema)).as("num_words"))
+  }
+
+  /** Reference text-line output format (count_utils.py:50-58):
+    * `group_id<d>num_examples<d>num_bytes<d>num_words`. */
+  def formatted(counts: DataFrame, delimiter: String = ","): DataFrame =
+    counts.select(concat_ws(delimiter,
+      col(Grouper.GroupCol), col("num_examples"),
+      col("num_bytes"), col("num_words")).as("line"))
+}

@@ -1,0 +1,123 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keying API — the engine's equivalent of the reference's single user
+  * extension point `GetKeyFn: Example -> bytes`
+  * (dataset_grouper/types.py:31).
+  *
+  * The reference's shipped partitioners are all reproducible as pure
+  * Column expressions, which is the preferred form: a Column key stays
+  * inside Catalyst (codegen, pushdown, no serialization wall), while a
+  * function key degrades to a Scala UDF only when genuinely needed.
+  *
+  *  - feature keying (examples/datasets/group_by_feature.py:75-81)
+  *    -> [[Grouper.byColumn]]
+  *  - URL-host keying for C4 (examples/datasets/group_c4.py:79-83)
+  *    -> `byColumn(parse_url(col("url"), "HOST"))`
+  *  - uniform random partitioning (examples/datasets/group_randomly.py:75-79)
+  *    -> [[Grouper.byRandom]]
+  *  - Dirichlet-process label mixture
+  *    (examples/datasets/group_by_dirichlet_process.py:130-145)
+  *    -> [[Grouper.byDirichlet]]
+  */
+final case class Grouper(key: Column, name: String = Grouper.GroupCol) {
+  /** Attach the group id column (reference 'KeyExamples',
+    * beam_transforms.py:103). */
+  def keyed(df: DataFrame): DataFrame = df.withColumn(name, key)
+}
+
+object Grouper {
+  val GroupCol = "group_id"
+
+  /** Key by an arbitrary Column expression (preferred — stays in Catalyst). */
+  def byExpr(key: Column): Grouper = Grouper(key.cast("string"))
+
+  /** Key by an existing column, cast to string (the reference's
+    * group-by-feature partitioner casts every dtype to bytes —
+    * group_by_feature.py:75-81). */
+  def byColumn(colName: String): Grouper = Grouper(col(colName).cast("string"))
+
+  /** Uniform random assignment to `numGroups` synthetic groups with a fixed
+    * seed (group_randomly.py:75-79). Deterministic per (seed, row order is
+    * irrelevant — rand is per-row). */
+  def byRandom(numGroups: Int, seed: Long): Grouper =
+    Grouper(concat(lit("group_"),
+      floor(rand(seed) * numGroups).cast("long").cast("string")))
+
+  /** Deterministic random assignment derived from a hash of id columns —
+    * unlike [[byRandom]] this is reproducible independent of partitioning,
+    * which makes it oracle-checkable. */
+  def byHashMod(numGroups: Int, idCols: Column*): Grouper =
+    Grouper(concat(lit("group_"),
+      pmod(xxhash64(idCols: _*), lit(numGroups.toLong)).cast("string")))
+
+  /** Dirichlet-process-style group assignment: a label->group probability
+    * matrix is sampled ONCE at plan-construction time on the driver (the
+    * reference builds it with numpy at pipeline construction,
+    * group_by_dirichlet_process.py:130-143, and broadcasts it inside the
+    * key fn closure); each row then samples a group from its label's
+    * categorical distribution using a per-row uniform draw. Here the
+    * matrix becomes a broadcast-joinable literal CASE expression and the
+    * per-row draw is `rand(seed)` — all Catalyst, no UDF.
+    */
+  def byDirichlet(labelCol: Column, labels: Seq[Int], numGroups: Int,
+                  alpha: Double, seed: Long): Grouper = {
+    val rng = new java.util.Random(seed)
+    // Driver-side Dirichlet(alpha) sample per label via Gamma draws
+    // (Marsaglia-Tsang not needed for test-scale alpha; use the sum-of
+    // -exponentials trick for alpha==1, else gamma via Johnk/accept-reject).
+    def gamma(a: Double): Double = {
+      // Marsaglia–Tsang for a >= 1; boost trick for a < 1.
+      if (a < 1.0) {
+        val u = rng.nextDouble()
+        gamma(a + 1.0) * math.pow(u, 1.0 / a)
+      } else {
+        val d = a - 1.0 / 3.0
+        val c = 1.0 / math.sqrt(9.0 * d)
+        var res = 0.0
+        var done = false
+        while (!done) {
+          var x = 0.0; var v = 0.0
+          do { x = rng.nextGaussian(); v = 1.0 + c * x } while (v <= 0)
+          v = v * v * v
+          val u = rng.nextDouble()
+          if (u < 1 - 0.0331 * x * x * x * x ||
+              math.log(u) < 0.5 * x * x + d * (1 - v + math.log(v))) {
+            res = d * v; done = true
+          }
+        }
+        res
+      }
+    }
+    val probs: Map[Int, Array[Double]] = labels.map { l =>
+      val g = Array.fill(numGroups)(gamma(alpha))
+      val s = g.sum
+      l -> g.map(_ / s)
+    }.toMap
+    // Per label, cumulative probabilities -> pick smallest index whose
+    // cumsum exceeds the per-row uniform draw.
+    val u = rand(seed + 1)
+    val groupForLabel: Map[Int, Column] = probs.map { case (l, p) =>
+      val cum = p.scanLeft(0.0)(_ + _).tail
+      // nested CASE over cumulative thresholds
+      val c = cum.init.zipWithIndex.foldRight(lit(numGroups - 1)) {
+        case ((thr, idx), acc) => when(u < thr, idx).otherwise(acc)
+      }
+      l -> c
+    }
+    val assign = groupForLabel.foldLeft(lit(0)) { case (acc, (l, c)) =>
+      when(labelCol === l, c).otherwise(acc)
+    }
+    Grouper(concat(lit("group_"), assign.cast("string")))
+  }
+
+  /** Escape hatch mirroring the reference's arbitrary-Python keying: a
+    * Scala function over the whole row, lifted to a UDF. Slower than a
+    * Column key (breaks codegen) — prefer [[byExpr]]. */
+  def byUdf(spark: SparkSession, f: Row => String, inputCols: Seq[Column]): Grouper = {
+    val u = udf((r: Row) => f(r))
+    Grouper(u(struct(inputCols: _*)))
+  }
+}
