@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GroupCounts, Grouper}
+import graft.operators.{GroupCounts, Grouper, Pack}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -43,6 +43,32 @@ object SparkEntry {
     // schema exercises the fixed-width byte accounting).
     "group_counts_lineitem" -> { (s, dir) =>
       GroupCounts(Tables(s, dir, "lineitem"), Grouper.byColumn("l_returnflag"))
+    },
+    // A1/A2 capped partition-and-pack (SURVEY §2.3), deterministic
+    // variant: greedy pack in ascending (size, doc_id) order with a
+    // 10 KB cap so the cap actually binds on the test data. Output is a
+    // per-group summary + an order-sensitive digest of the packed texts.
+    "pack_capped_documents" -> { (s, dir) =>
+      val packed = Pack.packCappedDeterministic(
+        Tables(s, dir, "documents"), Grouper.byColumn("lang"),
+        col("text"), col("doc_id"), limit = 10000L)
+      packed.select(
+        col("group_id"),
+        col("num_examples"),
+        col("num_bytes"),
+        md5(concat_ws("",
+          transform(col("examples"), b => b.cast("string")))).as("digest"))
+    },
+    // Uncapped pack (reference fast path = collect_list), multiset
+    // digest via sorted payloads.
+    "pack_uncapped_documents" -> { (s, dir) =>
+      Pack.packUncapped(
+        Tables(s, dir, "documents"), Grouper.byColumn("source"), col("text"))
+        .select(
+          col("group_id"),
+          col("num_examples"),
+          md5(concat_ws("",
+            transform(col("examples"), b => b.cast("string")))).as("digest"))
     }
   )
 
@@ -58,6 +84,23 @@ object SparkEntry {
          |  count(*) AS num_examples,
          |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
          |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
-         |FROM lineitem GROUP BY l_returnflag""".stripMargin
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pack_capped_documents" ->
+      """WITH ranked AS (
+        |  SELECT lang, doc_id, text, strlen(text) AS len,
+        |    sum(strlen(text)) OVER (PARTITION BY lang
+        |      ORDER BY strlen(text), doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM documents)
+        |SELECT lang AS group_id,
+        |  count(*) FILTER (WHERE cum < 10000) AS num_examples,
+        |  CAST(coalesce(sum(len) FILTER (WHERE cum < 10000), 0) AS BIGINT) AS num_bytes,
+        |  md5(coalesce(string_agg(text, chr(1) ORDER BY len, doc_id)
+        |    FILTER (WHERE cum < 10000), '')) AS digest
+        |FROM ranked GROUP BY lang""".stripMargin,
+    "pack_uncapped_documents" ->
+      """SELECT source AS group_id, count(*) AS num_examples,
+        |  md5(string_agg(text, chr(1) ORDER BY text)) AS digest
+        |FROM documents GROUP BY source""".stripMargin
   )
 }

@@ -1,0 +1,121 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Grouper, Pack, PackBuffer, PackWithLimit}
+
+/** Golden values transferred from the reference's packer tests
+  * (beam_transforms_test.py:26-122) — FIXTURES.md §A3. */
+class PackSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def b(s: String) = s.getBytes("UTF-8")
+  private def strs(buf: Seq[Array[Byte]]) = buf.map(new String(_, "UTF-8"))
+
+  test("add_input under limit (beam_transforms_test.py:28-34)") {
+    val m = new PackWithLimit(12)
+    val out = m.reduce(PackBuffer(Vector(b("one"), b("two")), 6), b("three"))
+    strs(out.items) shouldBe Seq("one", "two", "three")
+    out.total shouldBe 11L
+  }
+
+  test("add_input over limit drops, keeps accumulator (…:36-41)") {
+    val m = new PackWithLimit(8)
+    val acc = PackBuffer(Vector(b("one"), b("two")), 6)
+    val out = m.reduce(acc, b("four"))
+    strs(out.items) shouldBe Seq("one", "two")
+    out.total shouldBe 6L
+  }
+
+  test("merge under limit concatenates (…:43-49)") {
+    val m = new PackWithLimit(20)
+    val out = m.merge(
+      PackBuffer(Vector(b("one"), b("two")), 6),
+      PackBuffer(Vector(b("three"), b("four")), 9))
+    strs(out.items) shouldBe Seq("one", "two", "three", "four")
+    out.total shouldBe 15L
+  }
+
+  test("merge over limit stops at first non-fitting element (…:51-58)") {
+    val m = new PackWithLimit(12)
+    val out = m.merge(
+      PackBuffer(Vector(b("one"), b("two")), 6),
+      PackBuffer(Vector(b("three"), b("four")), 9))
+    strs(out.items) shouldBe Seq("one", "two", "three")
+    out.total shouldBe 11L
+  }
+
+  test("three-accumulator fold matches reference merge (…:60-69)") {
+    val m = new PackWithLimit(20)
+    val a1 = PackBuffer(Vector(b("one"), b("two")), 6)
+    val a2 = PackBuffer(Vector(b("three"), b("four")), 9)
+    val a3 = PackBuffer(Vector(b("five"), b("six")), 7)
+    val out = m.merge(m.merge(a1, a2), a3)
+    strs(out.items) shouldBe Seq("one", "two", "three", "four", "five")
+    out.total shouldBe 19L
+  }
+
+  private val keyedExamples = Seq(
+    ("group1", "a"), ("group1", "b"), ("group1", "c"),
+    ("group2", "dd"), ("group2", "ee"))
+
+  test("engine pack, limit=5: no group capped (…:71-89)") {
+    val df = keyedExamples.toDF("k", "v")
+    val out = Pack.packGroups(df, Grouper.byColumn("k"), $"v", limit = 5)
+      .orderBy("group_id")
+      .select($"group_id", $"num_examples").as[(String, Long)].collect()
+    out.toSeq shouldBe Seq(("group1", 3L), ("group2", 2L))
+  }
+
+  test("engine pack, limit=4: group2 capped to one element (…:91-105)") {
+    val df = keyedExamples.toDF("k", "v").coalesce(1) // single partition => reference arrival order
+    val out = Pack.packGroups(df, Grouper.byColumn("k"), $"v", limit = 4)
+      .orderBy("group_id")
+      .select($"group_id", $"num_examples").as[(String, Long)].collect()
+    out.toSeq shouldBe Seq(("group1", 3L), ("group2", 1L))
+  }
+
+  test("engine pack, limit=3: all groups capped (…:107-122)") {
+    val df = keyedExamples.toDF("k", "v").coalesce(1)
+    val out = Pack.packGroups(df, Grouper.byColumn("k"), $"v", limit = 3)
+      .orderBy("group_id")
+      .select($"group_id", $"num_examples").as[(String, Long)].collect()
+    out.toSeq shouldBe Seq(("group1", 2L), ("group2", 1L))
+  }
+
+  test("deterministic capped pack: prefix-by-ascending-size semantics") {
+    val df = Seq(
+      ("g", 1L, "aaaa"), ("g", 2L, "bb"), ("g", 3L, "c"), ("g", 4L, "ddddd"))
+      .toDF("k", "id", "v")
+    // ascending (size, id): c(1) bb(2) aaaa(4) ddddd(5); limit 8 keeps
+    // cum 1,3,7 (<8) and drops ddddd (12>=8)
+    val out = Pack.packCappedDeterministic(
+      df, Grouper.byColumn("k"), $"v", $"id", limit = 8)
+    val r = out.head()
+    r.getAs[Long]("num_examples") shouldBe 3L
+    r.getAs[Long]("num_bytes") shouldBe 7L
+    r.getAs[Seq[Array[Byte]]]("examples").map(new String(_)) shouldBe Seq("c", "bb", "aaaa")
+  }
+
+  test("deterministic capped pack keeps empty groups (one row per group)") {
+    val df = Seq(("g1", 1L, "tiny"), ("g2", 2L, "enormous-payload")).toDF("k", "id", "v")
+    val out = Pack.packCappedDeterministic(
+      df, Grouper.byColumn("k"), $"v", $"id", limit = 5)
+      .orderBy("group_id")
+      .select($"group_id", $"num_examples").as[(String, Long)].collect()
+    // g2's only row (16 bytes) exceeds the cap: group survives, empty
+    out.toSeq shouldBe Seq(("g1", 1L), ("g2", 0L))
+  }
+
+  test("deterministic capped pack is partitioning-invariant") {
+    val base = (1 to 200).map(i => ("g" + (i % 3), i.toLong, "x" * (i % 17 + 1)))
+    val df1 = base.toDF("k", "id", "v").repartition(13)
+    val df2 = base.reverse.toDF("k", "id", "v").coalesce(1)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Pack.packCappedDeterministic(df, Grouper.byColumn("k"), $"v", $"id", limit = 300)
+        .orderBy("group_id")
+        .select($"group_id", $"num_examples", $"num_bytes")
+        .as[(String, Long, Long)].collect().toSeq
+    run(df1) shouldBe run(df2)
+  }
+}
