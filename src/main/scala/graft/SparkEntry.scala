@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GroupCounts, Grouper, Pack}
+import graft.operators.{GroupCounts, Grouper, Pack, PartitionedDataset}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -69,6 +69,21 @@ object SparkEntry {
           col("num_examples"),
           md5(concat_ws("",
             transform(col("examples"), b => b.cast("string")))).as("digest"))
+    },
+    // Full serialization loop (SURVEY §3.1+§3.3): key documents by lang,
+    // proto-serialize each row (tf.train.Example), pack per group, write
+    // TFRecords of SequenceExamples, read them back, decode — the result
+    // must be the original table. Exercises the whole wire-compat stack.
+    "roundtrip_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-roundtrip").toString
+      val packed = PartitionedDataset.packExamples(
+        docs, Grouper.byColumn("lang"))
+      PartitionedDataset.writeTFRecords(packed, tmp)
+      PartitionedDataset.decodeExamples(
+        PartitionedDataset.loadTFRecords(s, s"$tmp/groups.tfrecord-*"),
+        docs.schema)
     }
   )
 
@@ -101,6 +116,8 @@ object SparkEntry {
     "pack_uncapped_documents" ->
       """SELECT source AS group_id, count(*) AS num_examples,
         |  md5(string_agg(text, chr(1) ORDER BY text)) AS digest
-        |FROM documents GROUP BY source""".stripMargin
+        |FROM documents GROUP BY source""".stripMargin,
+    "roundtrip_documents" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents"
   )
 }

@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.serialization.TFRecordCodec
+
+/** TFRecord source/sink (SURVEY §2.1 S2/S5). TFRecord files are NOT
+  * splittable mid-file (no sync markers), so read parallelism is one
+  * partition per file — the same granularity Beam/tf.data get
+  * (data_loaders.py:116-122). Sharding on write is one file per Spark
+  * partition (`num_shards` = `repartition(n)` upstream, auto = leave the
+  * existing partitioning, mirroring tfds_pipelines.py:49-51).
+  */
+object TFRecordIO {
+
+  /** Write one binary column as TFRecord shard files
+    * `prefix-SSSSS-of-NNNNN<suffix>` (reference naming,
+    * integration_test.py:46). Returns the shard paths. */
+  def write(records: Dataset[Array[Byte]], dir: String,
+            prefix: String = "groups.tfrecord", suffix: String = ""): Seq[String] = {
+    val numShards = records.rdd.getNumPartitions
+    val written = records.rdd.mapPartitionsWithIndex { (idx, it) =>
+      val conf = new Configuration()
+      val shard = f"$prefix-$idx%05d-of-$numShards%05d$suffix"
+      val path = new Path(dir, shard)
+      val fs = path.getFileSystem(conf)
+      val out = fs.create(path, true)
+      try it.foreach(TFRecordCodec.writeRecord(out, _))
+      finally out.close()
+      Iterator.single(path.toString)
+    }.collect()
+    written.toSeq
+  }
+
+  /** Read TFRecord files matching `pattern` into a DataFrame of
+    * (file string, record binary), one read task per file. */
+  def read(spark: SparkSession, pattern: String): DataFrame = {
+    import spark.implicits._
+    val conf = new Configuration()
+    val globPath = new Path(pattern)
+    val fs = globPath.getFileSystem(conf)
+    val files = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+      .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    require(files.nonEmpty, s"TFRecordIO.read: no files match $pattern")
+    spark.sparkContext
+      .parallelize(files, files.length)
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        it.flatMap { f =>
+          val p = new Path(f)
+          val in = p.getFileSystem(conf).open(p)
+          // read eagerly so the stream closes deterministically per file
+          val recs = TFRecordCodec.readAll(in).toVector
+          in.close()
+          recs.iterator.map(r => (f, r))
+        }
+      }
+      .toDF("file", "record")
+  }
+}

@@ -1,0 +1,138 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream}
+import java.nio.file.Files
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Grouper, Pack, PartitionedDataset}
+import graft.serialization.{SequenceExampleCodec, TFExampleCodec, TFRecordCodec}
+import graft.sources.TFRecordIO
+
+class SerializationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tf.train.Example round trip: flat primitive schema") {
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("i", IntegerType),
+      StructField("l", LongType), StructField("f", FloatType),
+      StructField("bool", BooleanType), StructField("bin", BinaryType)))
+    val codec = new TFExampleCodec(schema)
+    val row = Row("héllo world", 42, 9876543210L, 2.5f, true,
+      Array[Byte](1, 2, 3))
+    val back = codec.decode(codec.encode(row))
+    back.getString(0) shouldBe "héllo world"
+    back.getInt(1) shouldBe 42
+    back.getLong(2) shouldBe 9876543210L
+    back.getFloat(3) shouldBe 2.5f
+    back.getBoolean(4) shouldBe true
+    back.getAs[Array[Byte]](5).toSeq shouldBe Seq[Byte](1, 2, 3)
+  }
+
+  test("tf.train.Example round trip: nested struct + arrays ('/'-flattened like TFDS)") {
+    val schema = StructType(Seq(
+      StructField("a", StructType(Seq(
+        StructField("a0", ArrayType(IntegerType)),
+        StructField("a1", ArrayType(FloatType))))),
+      StructField("b", StringType)))
+    val codec = new TFExampleCodec(schema)
+    val row = Row(Row(Seq(1, 2, 3), Seq(0.5f, -1.25f)), "four words right here")
+    val back = codec.decode(codec.encode(row))
+    back.getAs[Row](0).getAs[Seq[Int]](0) shouldBe Seq(1, 2, 3)
+    back.getAs[Row](0).getAs[Seq[Float]](1) shouldBe Seq(0.5f, -1.25f)
+    back.getString(1) shouldBe "four words right here"
+  }
+
+  test("schema mismatch raises with explanatory message (serialization.py:41-47)") {
+    val s1 = StructType(Seq(StructField("x", StringType)))
+    val s2 = StructType(Seq(StructField("y", StringType)))
+    val bytes = new TFExampleCodec(s1).encode(Row("v"))
+    val e = intercept[IllegalArgumentException] {
+      new TFExampleCodec(s2).decode(bytes)
+    }
+    e.getMessage should include("mismatch")
+  }
+
+  test("SequenceExample round trip incl. empty group (serialization_test.py:45-58)") {
+    val items = Seq("one".getBytes, "two two".getBytes, Array[Byte]())
+    SequenceExampleCodec.decode(SequenceExampleCodec.encode(items))
+      .map(new String(_)) shouldBe Seq("one", "two two", "")
+    // empty group: empty-but-present feature list
+    val empty = SequenceExampleCodec.encode(Seq.empty)
+    empty.length should be > 0
+    SequenceExampleCodec.decode(empty) shouldBe Seq.empty
+  }
+
+  test("TFRecord framing round trip with crc verification") {
+    val out = new ByteArrayOutputStream()
+    val payloads = Seq("alpha".getBytes("UTF-8"), Array[Byte](),
+      "gamma-γ".getBytes("UTF-8"))
+    payloads.foreach(TFRecordCodec.writeRecord(out, _))
+    val in = new DataInputStream(new ByteArrayInputStream(out.toByteArray))
+    val back = Iterator.continually(TFRecordCodec.readRecord(in))
+      .takeWhile(_.isDefined).map(_.get).toSeq
+    back.map(new String(_, "UTF-8")) shouldBe Seq("alpha", "", "gamma-γ")
+    // corrupt a payload byte => crc failure
+    val bytes = out.toByteArray
+    bytes(20) = (bytes(20) ^ 0xff).toByte
+    intercept[IllegalArgumentException] {
+      val din = new DataInputStream(new ByteArrayInputStream(bytes))
+      Iterator.continually(TFRecordCodec.readRecord(din))
+        .takeWhile(_.isDefined).foreach(_ => ())
+    }
+  }
+
+  test("TFRecord masked crc32c golden: known empty-record framing") {
+    // length=0: lenBytes are 8 zero bytes; crc32c of 8 zero bytes is
+    // 0x8c28b28a (JDK CRC32C, matches the crc32c reference vectors);
+    // masked per mask(crc) = ((crc>>15)|(crc<<17)) + 0xa282ead8
+    val lenBytes = new Array[Byte](8)
+    val crc = new java.util.zip.CRC32C
+    crc.update(lenBytes)
+    crc.getValue.toInt shouldBe 0x8c28b28a
+    TFRecordCodec.maskedCrc(lenBytes) shouldBe
+      ((0x8c28b28a >>> 15) | (0x8c28b28a << 17)) + 0xa282ead8
+  }
+
+  test("end-to-end: pack region -> TFRecords -> load -> decode == original rows (integration_test.py:24-59)") {
+    val dir = Files.createTempDirectory("graft-tfr").toString
+    val region = Tables(spark, sf0001, "region")
+    val packed = PartitionedDataset.packExamples(
+      region, Grouper.byColumn("r_regionkey"))
+    packed.count() shouldBe 5 // one row per group
+    PartitionedDataset.writeTFRecords(packed, dir)
+    val loaded = PartitionedDataset.loadTFRecords(spark, s"$dir/groups.tfrecord-*")
+    loaded.count() shouldBe 5
+    val decoded = PartitionedDataset.decodeExamples(loaded, region.schema)
+    decoded.schema shouldBe region.schema // round-trip schema invariant
+    val got = decoded.orderBy("r_regionkey").collect().toSeq
+    val want = region.orderBy("r_regionkey").collect().toSeq
+    got shouldBe want
+  }
+
+  test("engine-native parquet sink round trip keeps group ids") {
+    val dir = Files.createTempDirectory("graft-pq").toString
+    val nation = Tables(spark, sf0001, "nation")
+    val packed = PartitionedDataset.packExamples(
+      nation, Grouper.byColumn("n_regionkey"))
+    PartitionedDataset.writeParquet(packed, dir)
+    val loaded = spark.read.parquet(dir)
+    loaded.select("group_id").distinct().count() shouldBe 5
+    val decoded = PartitionedDataset.decodeExamples(loaded, nation.schema)
+    decoded.orderBy("n_nationkey").collect().toSeq shouldBe
+      nation.orderBy("n_nationkey").collect().toSeq
+  }
+
+  test("mapGroups: per-group consumption without driver collect") {
+    val nation = Tables(spark, sf0001, "nation")
+    val packed = PartitionedDataset.packExamples(
+      nation, Grouper.byColumn("n_regionkey"))
+    val sizes = PartitionedDataset.mapGroups(packed, nation.schema,
+      (gid: String, it: Iterator[Row]) => (gid, it.size))
+      .collect().toMap
+    sizes.values.sum shouldBe 25
+    sizes.keySet shouldBe Set("0", "1", "2", "3", "4")
+  }
+}
