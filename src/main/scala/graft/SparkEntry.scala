@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{GroupCounts, Grouper, Pack, PartitionedDataset}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, GroupCounts, Grouper, Pack, PartitionedDataset, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -84,6 +85,65 @@ object SparkEntry {
       PartitionedDataset.decodeExamples(
         PartitionedDataset.loadTFRecords(s, s"$tmp/groups.tfrecord-*"),
         docs.schema)
+    },
+
+    // ----------------------------------------------------- text analysis
+    "text_stats_documents" -> { (s, dir) =>
+      val t = col("text")
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
+        round(TextAnalysis.meanTokenLen(t), 6).as("mean_token_len"),
+        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.fingerprint(t).as("fingerprint"))
+    },
+
+    // -------------------------------------------------------------- dedup
+    "dedup_exact_documents" -> { (s, dir) =>
+      Dedup.exact(Tables(s, dir, "documents"), col("text"), col("doc_id"))
+    },
+    "dedup_ngram_documents" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+    },
+    // MinHash-LSH candidates verified by exact Jaccard: on this corpus
+    // the result equals the exact pairs (miss prob ~2e-4 per pair,
+    // asserted in TextDedupSpec), so it shares the exact oracle.
+    "dedup_minhash_documents" -> { (s, dir) =>
+      Dedup.minhashLshPairs(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), n = 3, k = 64, bands = 16,
+        threshold = 0.8, seed = 42L)
+    },
+    // SimHash (xxhash64-based — no DuckDB twin, rows-only check; exact
+    // pigeonhole recall asserted in TextDedupSpec).
+    "dedup_simhash_documents" -> { (s, dir) =>
+      Dedup.simhashPairs(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), maxHamming = 3)
+    },
+
+    // --------------------------------------------------------- similarity
+    "neardup_embeddings" -> { (s, dir) =>
+      Similarity.cosinePairs(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.45)
+    },
+    "similarity_topk_embeddings" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+    },
+    // LSH ANN (approximate — rows-only check; recall vs brute force
+    // asserted in SimilaritySpec).
+    "similarity_ann_embeddings" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.lshTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64, nBits = 8, probeHamming = 2, seed = 42L)
     }
   )
 
@@ -118,6 +178,78 @@ object SparkEntry {
         |  md5(string_agg(text, chr(1) ORDER BY text)) AS digest
         |FROM documents GROUP BY source""".stripMargin,
     "roundtrip_documents" ->
-      "SELECT doc_id, text, lang, source, n_chars FROM documents"
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "text_stats_documents" -> {
+      import TextAnalysis.Sql._
+      s"""SELECT doc_id,
+         |  ${tokenCount("text")} AS n_tokens,
+         |  ${bpeTokenCount("text")} AS n_bpe_tokens,
+         |  round(${meanTokenLen("text")}, 6) AS mean_token_len,
+         |  round(${punctRatio("text")}, 6) AS punct_ratio,
+         |  round(${stopwordRatio("text")}, 6) AS stopword_ratio,
+         |  ${qualityScore("text")} AS quality,
+         |  ${langId("text")} AS lang_pred,
+         |  ${fingerprint("text")} AS fingerprint
+         |FROM documents""".stripMargin
+    },
+    "dedup_exact_documents" ->
+      s"""SELECT md5(${TextAnalysis.Sql.normalized("text")}) AS fp,
+         |  min(doc_id) AS keeper_id, count(*) AS n_copies
+         |FROM documents GROUP BY 1""".stripMargin,
+    "dedup_ngram_documents" -> NgramJaccardOracle,
+    "dedup_minhash_documents" -> NgramJaccardOracle,
+    // both embedding oracles mirror the engine's arithmetic exactly:
+    // L2-normalize each vector (per-element divide by the double norm),
+    // then dot the normalized vectors — identical FP sequence both sides
+    "neardup_embeddings" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings)
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) AS cosine
+         |FROM v a JOIN v b ON a.vec_id < b.vec_id
+         |WHERE round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45""".stripMargin,
+    "similarity_topk_embeddings" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q.e[i] * c.e[i]
+         |      FOR i IN range(1, len(q.e) + 1)]), 6) AS score
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin
   )
+
+  /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact
+    * inverted-index query and the MinHash-LSH query (whose verified
+    * candidates equal the exact result on this corpus). */
+  private lazy val NgramJaccardOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+      |  FROM documents),
+      |sh AS (
+      |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+      |    FOR i IN range(1, len(t) - 1)]) AS s
+      |  FROM toks WHERE len(t) >= 3),
+      |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      |inter AS (
+      |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+      |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
+      |SELECT ida AS id_a, idb AS id_b,
+      |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |FROM inter
+      |JOIN sizes sa ON ida = sa.doc_id
+      |JOIN sizes sb ON idb = sb.doc_id
+      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8""".stripMargin
 }

@@ -1,0 +1,144 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis primitives for LLM-data pipelines (BASELINE.json north
+  * star): tokenization, token counting, quality scoring, language ID and
+  * document fingerprinting — all pure Column compositions (codegen'd,
+  * scan-stays-columnar), each with an exact DuckDB-SQL mirror so every
+  * operator is oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens, empties removed. */
+  def tokens(c: Column): Column =
+    filter(split(c, "\\s+"), t => t =!= "")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** BPE-ish subword segmentation count: a GPT-2-style pretokenizer
+    * pattern (letters / digits / punctuation runs with optional leading
+    * space, contractions) WITHOUT lookahead so the same pattern runs on
+    * Java regex (Spark) and RE2 (DuckDB). */
+  val BpePattern = "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  def bpeTokenCount(c: Column): Column =
+    regexp_count(c, lit(BpePattern)).cast("long")
+
+  /** Canonical text normalization for dedup/fingerprinting: lowercase,
+    * strip, collapse inner whitespace runs to single spaces. */
+  def normalized(c: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(c), "^\\s+|\\s+$", ""), "\\s+", " ")
+
+  /** Deterministic document fingerprint = md5 of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalized(c))
+
+  /** Rolling polynomial hash over whitespace tokens (shift-add over a
+    * 64-bit token hash, mod 2^61-1) — an order-sensitive fingerprint
+    * that, unlike [[fingerprint]], can be computed incrementally and
+    * compared per-prefix. Spark-only (xxhash64 has no DuckDB twin). */
+  def rollingHash(c: Column): Column =
+    aggregate(tokens(c), lit(0L),
+      (acc, t) => pmod(acc * 131L + pmod(xxhash64(t), lit(1000000007L)),
+        lit(2305843009213693951L)))
+
+  // ------------------------------------------------------------- quality
+
+  val Stopwords: Seq[String] = Seq(
+    "the", "a", "an", "and", "or", "of", "to", "in", "is", "are", "was",
+    "it", "that", "this", "for", "on", "with", "as", "at", "by")
+
+  def stopwordRatio(c: Column): Column = {
+    val t = tokens(c)
+    val stops = filter(t, x => x.isInCollection(Stopwords))
+    when(size(t) === 0, 0.0d)
+      .otherwise(size(stops).cast("double") / size(t).cast("double"))
+  }
+
+  def punctRatio(c: Column): Column = {
+    val n = octet_length(c)
+    val punct = n - octet_length(regexp_replace(c, "[^\\s\\p{L}\\p{N}]", ""))
+    when(n === 0, 0.0d).otherwise(punct.cast("double") / n.cast("double"))
+  }
+
+  def meanTokenLen(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) === 0, 0.0d).otherwise(
+      aggregate(t, lit(0L), (acc, x) => acc + octet_length(x))
+        .cast("double") / size(t).cast("double"))
+  }
+
+  /** Composite quality score in [0,1]-ish: rewards mid-length docs and
+    * natural stopword density, penalizes punctuation soup. The exact
+    * formula matters less than its determinism — it is mirrored 1:1 in
+    * SQL for the oracle. */
+  def qualityScore(c: Column): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatio(c) * 4.0, lit(1.0))
+    val punctPenalty = punctRatio(c)
+    round(lenScore * 0.5 + stopScore * 0.5 - punctPenalty * 0.25, 6)
+  }
+
+  // ------------------------------------------------------------- lang id
+
+  /** Marker stopword sets per language for the n-gram/stopword heuristic
+    * language identifier. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "ein", "zu"),
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "los", "se"),
+    "fr" -> Seq("le", "la", "les", "et", "des", "un", "une", "est"))
+
+  /** Heuristic language ID: count marker hits per language over the
+    * token set; argmax with deterministic first-wins tie-break in the
+    * fixed order de/en/es/fr; all-zero -> 'und'. */
+  def langId(c: Column): Column = {
+    val t = tokens(lower(c))
+    val scores = LangMarkers.map { case (code, markers) =>
+      code -> size(filter(t, x => x.isInCollection(markers)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
+      when(best > 0 && s === best, lit(code)).otherwise(acc)
+    }
+  }
+
+  /** The same heuristics as DuckDB SQL fragments (oracle mirrors). */
+  object Sql {
+    def tokens(c: String): String =
+      s"list_filter(string_split_regex($c, '\\s+'), x -> x <> '')"
+    def tokenCount(c: String): String = s"len(${tokens(c)})"
+    def bpeTokenCount(c: String): String =
+      s"len(regexp_extract_all($c, '${BpePattern.replace("'", "''")}'))"
+    def normalized(c: String): String =
+      s"regexp_replace(regexp_replace(lower($c), '^\\s+|\\s+$$', '', 'g'), '\\s+', ' ', 'g')"
+    def fingerprint(c: String): String = s"md5(${normalized(c)})"
+    def stopwordRatio(c: String): String = {
+      val set = Stopwords.map(s => s"'$s'").mkString("[", ",", "]")
+      s"(CASE WHEN ${tokenCount(c)} = 0 THEN 0.0 ELSE " +
+        s"len(list_filter(${tokens(c)}, x -> list_contains($set, x))) * 1.0 / ${tokenCount(c)} END)"
+    }
+    def punctRatio(c: String): String =
+      s"(CASE WHEN strlen($c) = 0 THEN 0.0 ELSE " +
+        s"(strlen($c) - strlen(regexp_replace($c, '[^\\s\\p{L}\\p{N}]', '', 'g'))) * 1.0 / strlen($c) END)"
+    def meanTokenLen(c: String): String =
+      s"(CASE WHEN ${tokenCount(c)} = 0 THEN 0.0 ELSE " +
+        s"list_sum(list_transform(${tokens(c)}, x -> strlen(x))) * 1.0 / ${tokenCount(c)} END)"
+    def qualityScore(c: String): String =
+      s"round(least(${tokenCount(c)} / 100.0, 1.0) * 0.5 + " +
+        s"least(${stopwordRatio(c)} * 4.0, 1.0) * 0.5 - ${punctRatio(c)} * 0.25, 6)"
+    def langId(c: String): String = {
+      val toks = tokens(s"lower($c)")
+      val scores = LangMarkers.map { case (code, markers) =>
+        val set = markers.map(s => s"'$s'").mkString("[", ",", "]")
+        code -> s"len(list_filter($toks, x -> list_contains($set, x)))"
+      }
+      val best = scores.map(_._2).mkString("greatest(", ", ", ")")
+      scores.foldRight("'und'") { case ((code, s), acc) =>
+        s"(CASE WHEN $best > 0 AND $s = $best THEN '$code' ELSE $acc END)"
+      }
+    }
+  }
+}

@@ -1,0 +1,199 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Deduplication suite for LLM-data pipelines (BASELINE.json north star):
+  * exact, n-gram Jaccard, MinHash-LSH, SimHash. All are declarative
+  * DataFrame pipelines — shuffles only on the join/group keys, no
+  * driver-side loops, no UDFs — so they scale with executors.
+  */
+object Dedup {
+
+  /** Exact dedup on normalized text: one row per distinct content with
+    * the surviving (minimum) id and the duplicate count. Plain
+    * hash-groupBy: one shuffle on the (high-cardinality) digest. */
+  def exact(df: DataFrame, textCol: Column, idCol: Column): DataFrame =
+    df.select(TextAnalysis.fingerprint(textCol).as("fp"), idCol.as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** Word n-gram shingle set (distinct, order-normalized). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val t = TextAnalysis.tokens(textCol)
+    array_distinct(
+      when(size(t) < n, array())
+        .otherwise(transform(sequence(lit(0), size(t) - n),
+          i => array_join(slice(t, i + 1, lit(n)), " "))))
+  }
+
+  /** Exact pairwise n-gram Jaccard similarity >= threshold, via an
+    * inverted-index self-join on shingles (the classic scalable shape:
+    * explode -> join on shingle -> count intersections -> Jaccard).
+    *
+    * Scale notes: the join key is a shingle string; ultra-frequent
+    * shingles create skew at corpus scale — `maxShingleFreq` drops
+    * shingles appearing in more than that many docs (standard prefix
+    * filtering; disabled by default so the oracle stays exact). */
+  def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
+                        n: Int, threshold: Double,
+                        maxShingleFreq: Option[Long] = None): DataFrame = {
+    // repartition barriers: materialize the HOF-heavy shingle projection
+    // once (ReuseExchange lets every join side read the same exchange
+    // instead of recomputing the expression subtree — measured 2-3x on
+    // these pipelines, see Similarity's perf note)
+    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("id"))
+    val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
+    val exploded0 = sets.select(col("id"), explode(col("sh")).as("g"))
+    val exploded = (maxShingleFreq match {
+      case Some(maxF) =>
+        val freq = exploded0.groupBy("g").count().filter(col("count") <= maxF)
+        exploded0.join(freq.select("g"), Seq("g"))
+      case None => exploded0
+    }).repartition(col("g"))
+    val inter = exploded.as("a")
+      .join(exploded.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("n_sh", "n_a"), "id_a")
+      .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("n_sh", "n_b"), "id_b")
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (col("n_a") + col("n_b") - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- MinHash
+
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+
+  /** k permutation coefficients (a, b), fixed by seed — driver-side
+    * constants, broadcast inside the plan as literals. */
+  private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(k)((math.abs(rng.nextLong()) % (MinhashPrime - 1) + 1,
+      math.abs(rng.nextLong()) % MinhashPrime))
+  }
+
+  /** MinHash signature (k minima over the shingle set, universal-hash
+    * family over a 64-bit base hash) as an array column — computed by the
+    * codegen'd [[graft.expressions.MinHashSignature]] (the k-pass HOF
+    * formulation below is kept for differential testing). All arithmetic
+    * stays below 2^63 (a,x < 2^31). */
+  def minhashSignature(shingleSet: Column, k: Int, seed: Long): Column =
+    graft.expressions.MinHashSignature(
+      transform(shingleSet, s => pmod(xxhash64(s), lit(MinhashPrime))), k, seed)
+
+  private[graft] def minhashSignatureHof(shingleSet: Column, k: Int, seed: Long): Column = {
+    val base = transform(shingleSet, s => pmod(xxhash64(s), lit(MinhashPrime)))
+    val sig = coeffs(k, seed).map { case (a, b) =>
+      array_min(transform(base, x => pmod(x * a + b, lit(MinhashPrime))))
+    }
+    array(sig: _*)
+  }
+
+  /** MinHash-LSH near-dup pairs: signature -> band buckets -> bucket
+    * self-join for candidates -> exact Jaccard verification on the
+    * candidate pairs only. With (k=64, bands=16, rows=4) the miss
+    * probability at J=0.8 is ~2e-4; candidates are verified exactly, so
+    * output ⊆ the exact result with near-certain equality.
+    *
+    * Scale shape: banding turns the quadratic all-pairs problem into a
+    * linear explode + equi-join on (band, bucket) — the standard 100 TB
+    * dedup topology. The exact verification joins shingle SETS (array
+    * intersection per candidate pair), not the full inverted index.
+    */
+  def minhashLshPairs(df: DataFrame, textCol: Column, idCol: Column,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val rows = k / bands
+    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .repartition(col("id")) // reused by banding + both verification joins
+    val signed = sets.withColumn("sig", minhashSignature(col("sh"), k, seed))
+    val banded = signed.select(col("id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+      .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
+      .repartition(col("band"), col("bucket")) // one banding pass, join co-partitioned
+    val candidates = banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("n_inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  // ------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over the whitespace-token multiset: per bit, sum
+    * +1/-1 contributions of each token's xxhash64 bit, then take signs —
+    * computed by the codegen'd [[graft.expressions.SimHash64]] (the HOF
+    * double-fold below is kept for differential testing). */
+  def simhash(textCol: Column): Column =
+    graft.expressions.SimHash64(
+      transform(TextAnalysis.tokens(textCol), t => xxhash64(t)))
+
+  private[graft] def simhashHof(textCol: Column): Column = {
+    val counts = aggregate(
+      TextAnalysis.tokens(textCol),
+      array_repeat(lit(0L), 64),
+      (acc, t) => zip_with(acc,
+        transform(sequence(lit(0), lit(63)),
+          j => call_function("shiftright", xxhash64(t), j).bitwiseAND(1L)),
+        (a, bit) => a + when(bit === 1L, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(counts, sequence(lit(0), lit(63)),
+        (cnt, j) => when(cnt > 0, call_function("shiftleft", lit(1L), j)).otherwise(0L)),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16),
+    * via segment pigeonhole: split the 64-bit hash into 4 16-bit
+    * segments; any pair within Hamming 3 must agree on >= 1 segment, so
+    * an equi-join per segment finds ALL such pairs (exact recall), then
+    * `bit_count(xor)` verifies. Same linear join topology as LSH. */
+  def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
+                   maxHamming: Int = 3): DataFrame = {
+    val hashed = df.select(idCol.as("id"), simhash(textCol).as("h"))
+    val segs = hashed.select(col("id"), col("h"),
+      posexplode(transform(sequence(lit(0), lit(3)),
+        s => call_function("shiftright", col("h"), s * lit(16)).bitwiseAND(0xffffL))))
+      .select(col("id"), col("h"), col("pos").as("seg"), col("col").as("segval"))
+      .repartition(col("seg"), col("segval")) // simhash fold computed once
+    segs.as("a")
+      .join(segs.as("b"),
+        col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Keep-first filter built on any pairs result: drops the higher id of
+    * every matched pair (connected-component-free greedy survivor rule,
+    * the common practical choice). */
+  def survivors(df: DataFrame, idCol: Column, pairs: DataFrame): DataFrame =
+    df.join(pairs.select(col("id_b").as("__drop")).distinct(),
+      idCol === col("__drop"), "left_anti")
+}

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** Similarity search over embedding columns (BASELINE.json north star).
+  *
+  * Two tiers, same output shape:
+  *  - [[bruteForceTopK]]: exact cosine top-k — broadcast the (small)
+  *    query set against the corpus; one pass over the corpus, no
+  *    corpus-side shuffle except the final per-query top-k.
+  *  - [[lshTopK]]: random-hyperplane LSH — corpus is bucketed by sign
+  *    bits once (linear), queries probe nearby buckets only; the 100 TB
+  *    path where the corpus cross-product is unpayable.
+  *
+  * Perf notes (measured in graft.tools.Profile): vectors are normalized
+  * ONCE per row and materialized behind a `repartition` barrier before
+  * any pairwise join. Without the barrier Catalyst collapses the
+  * normalization projection into the join, recomputing the O(dim)
+  * expression per PAIR instead of per row (11x slower at 2k vectors —
+  * and quadratically worse at scale). The barrier also lets both sides
+  * of self-joins reuse one exchange (ReuseExchange).
+  */
+object Similarity {
+
+  /** Rows with the vector replaced by its L2-normalized double form,
+    * materialized via an exchange so downstream joins reuse it. */
+  private def normalized(df: DataFrame, id: Column, vec: Column,
+                         idName: String, vecName: String): DataFrame =
+    df.select(id.as(idName),
+        transform(vec, x => x.cast("double") / Vectors.norm(vec)).as(vecName))
+      .repartition(col(idName))
+
+  /** Exact top-k neighbors per query row. `queries` must be small enough
+    * to broadcast (it is hinted); ranking is (cosine desc, neighbor id)
+    * for determinism. Cosine = dot of pre-normalized vectors. */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+                     qId: Column, qVec: Column, cId: Column, cVec: Column,
+                     excludeSelf: Boolean = true): DataFrame = {
+    val q = normalized(queries, qId, qVec, "query_id", "qv")
+    val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
+    val joined = c.crossJoin(broadcast(q))
+    val scored0 = joined.withColumn("score",
+      round(Vectors.dot(col("qv"), col("cv")), 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** All corpus pairs with cosine >= threshold (embedding near-dup
+    * detection). Quadratic — intended for verification/small corpora;
+    * the scale path is [[lshTopK]]-style bucketing. */
+  def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column,
+                  threshold: Double): DataFrame = {
+    val v = normalized(df, idCol, vecCol, "id", "vec")
+    v.as("a").join(v.as("b"), col("a.id") < col("b.id"))
+      .withColumn("cosine", round(Vectors.dot(col("a.vec"), col("b.vec")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("cosine"))
+  }
+
+  /** Random hyperplanes (driver-side seeded constants, embedded as plan
+    * literals). */
+  private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
+  }
+
+  private def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      val planeCol = array(p.map(lit): _*)
+      when(Vectors.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** Approximate top-k via sign-bucket LSH: corpus rows hash to one of
+    * 2^nBits buckets; each query probes buckets within Hamming distance
+    * <= probeHamming of its own (multi-probe improves recall at small
+    * fan-out cost). Output shape matches [[bruteForceTopK]]; recall is
+    * checked against it in SimilaritySpec. */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qId: Column, qVec: Column, cId: Column, cVec: Column,
+              dim: Int, nBits: Int = 8, probeHamming: Int = 2,
+              seed: Long = 42L, excludeSelf: Boolean = true): DataFrame = {
+    val planes = hyperplanes(nBits, dim, seed)
+    val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
+      .withColumn("bucket", bucketExpr(col("cv"), planes))
+      .repartition(col("bucket"))
+    val q = normalized(queries, qId, qVec, "query_id", "qv")
+      .withColumn("qbucket", bucketExpr(col("qv"), planes))
+    val joined = c.join(broadcast(q),
+      bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeHamming)
+    val scored0 = joined.withColumn("score",
+      round(Vectors.dot(col("qv"), col("cv")), 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+}

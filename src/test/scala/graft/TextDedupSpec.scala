@@ -1,0 +1,130 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, Similarity}
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("tokens / token count / bpe count") {
+    val df = Seq("the quick  brown fox", "", "  ", "a1b2").toDF("t")
+    df.select(TextAnalysis.tokenCount($"t")).as[Long].collect().toSeq shouldBe
+      Seq(4L, 0L, 0L, 1L)
+    // 'the quick  brown fox' -> the| quick|(double space)|brown| fox = 5
+    // (no lookahead in the pattern, so a whitespace run is its own token);
+    // 'a1b2' -> 'a','1','b','2' = 4 subtokens
+    df.select(TextAnalysis.bpeTokenCount($"t")).as[Long].collect().toSeq shouldBe
+      Seq(5L, 0L, 1L, 4L)
+  }
+
+  test("normalization + fingerprint: whitespace/case-insensitive identity") {
+    val df = Seq(("a", "Hello  World "), ("b", "hello world")).toDF("id", "t")
+    val fps = df.select(TextAnalysis.fingerprint($"t")).as[String].collect()
+    fps(0) shouldBe fps(1)
+  }
+
+  test("exact dedup groups duplicates under min id") {
+    val df = Seq((10L, "same Text"), (3L, "same  text"), (7L, "other")).toDF("doc_id", "text")
+    val r = Dedup.exact(df, $"text", $"doc_id")
+      .orderBy("keeper_id")
+      .select($"keeper_id", $"n_copies").as[(Long, Long)].collect()
+    r.toSeq shouldBe Seq((3L, 2L), (7L, 1L))
+  }
+
+  test("shingles: 3-grams of a 5-token doc") {
+    val df = Seq("a b c d e").toDF("t")
+    df.select(Dedup.shingles($"t", 3)).as[Seq[String]].head() shouldBe
+      Seq("a b c", "b c d", "c d e")
+    // under-length doc -> empty set
+    Seq("a b").toDF("t").select(Dedup.shingles($"t", 3))
+      .as[Seq[String]].head() shouldBe Seq.empty
+  }
+
+  test("ngram Jaccard pairs: hand-computed golden") {
+    // doc1/doc2 share 2 of (3 + 3 - 2) shingles -> J = 0.5
+    val df = Seq(
+      (1L, "a b c d e"),   // shingles: abc bcd cde
+      (2L, "x a b c d"),   // shingles: xab abc bcd
+      (3L, "q r s t u"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, $"text", $"doc_id", 3, 0.4)
+      .select($"id_a", $"id_b", $"jaccard").as[(Long, Long, Double)].collect()
+    pairs.toSeq shouldBe Seq((1L, 2L, 0.5))
+  }
+
+  test("minhash-LSH equals exact ngram pairs on driver corpus (sf0.001)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val exact = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.8)
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, $"text", $"doc_id")
+      .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+      .collect().toSet
+    exact should not be empty // the generator plants near-dups
+    lsh shouldBe exact
+  }
+
+  test("codegen sketches == HOF formulations (differential, driver corpus)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val sh = Dedup.shingles($"text", 3)
+    val diff = docs
+      .filter(org.apache.spark.sql.functions.size(sh) > 0)
+      .select(
+        (Dedup.minhashSignature(sh, 64, 42L) =!=
+          Dedup.minhashSignatureHof(sh, 64, 42L)).as("sigDiff"),
+        (Dedup.simhash($"text") =!= Dedup.simhashHof($"text")).as("shDiff"))
+      .filter($"sigDiff" || $"shDiff")
+      .count()
+    diff shouldBe 0L
+  }
+
+  test("simhash: identical texts collide, near-identical within hamming 3") {
+    val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.simhashPairs(df, $"text", $"doc_id")
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect()
+    pairs.toSeq shouldBe Seq((1L, 2L, 0L))
+  }
+
+  test("simhash pigeonhole finds all near pairs on driver corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    // ground truth by brute force over all simhash pairs
+    val hashed = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+    val truth = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.h".bitwiseXOR($"b.h")).as("d"))
+      .filter($"d" <= 3)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.simhashPairs(docs, $"text", $"doc_id")
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe truth
+  }
+
+  test("survivors drops the higher id of each matched pair") {
+    val df = Seq((1L, "a b c d e"), (2L, "a b c d e"), (3L, "z y x w v"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.ngramJaccardPairs(df, $"text", $"doc_id", 3, 0.9)
+    Dedup.survivors(df, $"doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
+  }
+
+  test("langId: marker-based argmax with deterministic tie-break") {
+    val df = Seq(
+      "the cat and the dog is here",
+      "el que la y en los",
+      "der und die das ist",
+      "zz qq ww").toDF("t")
+    df.select(TextAnalysis.langId($"t")).as[String].collect().toSeq shouldBe
+      Seq("en", "es", "de", "und")
+  }
+
+  test("quality score: longer natural text beats punctuation soup") {
+    val natural = "the cat sat on the mat and it was a good day " * 3
+    val soup = "@#$% ^&*( !!! ??? ::: ;;;"
+    val df = Seq(natural, soup).toDF("t")
+    val s = df.select(TextAnalysis.qualityScore($"t")).as[Double].collect()
+    s(0) should be > s(1)
+  }
+}
