@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GroupCounts, Grouper, Pack, PartitionedDataset, Similarity}
+import graft.operators.{Dedup, GroupCounts, Grouper, Pack, PartitionedDataset, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -144,7 +144,17 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), emb, k = 5,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         dim = 64, nBits = 8, probeHamming = 2, seed = 42L)
-    }
+    },
+
+    // ------------------------------------- relational coverage (§2.4)
+    "rel_revenue_by_region" -> Relational.revenueByRegion _,
+    "rel_pricing_summary" -> Relational.pricingSummary _,
+    "rel_top_customers" -> { (s, dir) => Relational.topCustomers(s, dir) },
+    "rel_semi_anti_customers" -> Relational.customerOrderCoverage _,
+    "rel_nation_setops" -> Relational.nationSetOps _,
+    "rel_supplier_running_revenue" -> Relational.supplierRunningRevenue _,
+    "events_tumbling_5min" -> Relational.eventsTumbling _,
+    "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -225,7 +235,94 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
-         |WHERE rank <= 5""".stripMargin
+         |WHERE rank <= 5""".stripMargin,
+
+    "rel_revenue_by_region" ->
+      """SELECT r_name AS region_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue,
+        |  count(*) AS n_lineitems,
+        |  count(DISTINCT o_orderkey) AS n_orders
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+    "rel_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  round(sum(l_quantity), 2) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_base_price,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS sum_disc_price,
+        |  round(avg(l_quantity), 6) AS avg_qty,
+        |  round(avg(l_discount), 6) AS avg_disc,
+        |  count(*) AS count_order,
+        |  count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "rel_top_customers" ->
+      """SELECT c_custkey AS custkey, c_name AS name, total_spent, n_orders
+        |FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS total_spent,
+        |        count(*) AS n_orders
+        |      FROM orders GROUP BY o_custkey)
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY total_spent DESC, custkey LIMIT 10""".stripMargin,
+    "rel_semi_anti_customers" ->
+      """SELECT n_name AS nation_name,
+        |  coalesce((SELECT count(*) FROM customer c
+        |    WHERE c.c_nationkey = n.n_nationkey
+        |      AND EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)), 0)
+        |    AS n_with_orders,
+        |  coalesce((SELECT count(*) FROM customer c
+        |    WHERE c.c_nationkey = n.n_nationkey
+        |      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)), 0)
+        |    AS n_without_orders
+        |FROM nation n""".stripMargin,
+    "rel_nation_setops" ->
+      """SELECT n_name AS nation_name, 'both' AS kind FROM (
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |  INTERSECT
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey)
+        |UNION ALL
+        |SELECT n_name AS nation_name, 'customer_only' AS kind FROM (
+        |  SELECT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+        |  EXCEPT
+        |  SELECT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey)""".stripMargin,
+    "rel_supplier_running_revenue" ->
+      """SELECT l_suppkey AS suppkey, l_orderkey AS orderkey,
+        |  l_linenumber AS linenumber,
+        |  row_number() OVER w AS ship_seq,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+        |      AS DECIMAL(18,4))) OVER (
+        |    PARTITION BY l_suppkey
+        |    ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) * 10000 AS BIGINT)
+        |    AS running_revenue_e4
+        |FROM lineitem WHERE l_suppkey < 3
+        |WINDOW w AS (PARTITION BY l_suppkey
+        |  ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "events_tumbling_5min" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  round(sum(value), 2) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_sessions_30min" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, value,
+        |    epoch_ns(ts) // 1000000000 AS tsec,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000000000) OVER w IS NULL THEN 1
+        |         WHEN epoch_ns(ts) // 1000000000
+        |              - lag(epoch_ns(ts) // 1000000000) OVER w > 1800 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000000000, event_id)),
+        |sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tsec, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT user_id, session_seq, count(*) AS n_events,
+        |  min(tsec) AS session_start, max(tsec) AS session_end,
+        |  round(sum(value), 2) AS session_value
+        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact

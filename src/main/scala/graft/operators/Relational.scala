@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Relational coverage queries (SURVEY §2.4): the reference has no
+  * joins/sorts/windows/set-ops, so these come from Spark built-ins at
+  * zero reimplementation cost — declared here so the engine demonstrably
+  * covers every category, each with an exact DuckDB oracle.
+  *
+  * Scale notes are per query; the common themes: dimension tables are
+  * explicitly `broadcast` (no shuffle of the fact table for dim joins),
+  * aggregations are partial+final automatically, windows co-partition
+  * with their groupBy so one exchange serves both.
+  */
+object Relational {
+
+  /** Multi-join revenue rollup: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈
+    * region, filtered to finished orders. Fact-to-fact joins shuffle on
+    * the join key; nation/region (and customer at these SFs) broadcast. */
+  def revenueByRegion(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem")
+    val o = Tables(s, dir, "orders").filter(col("o_orderstatus") === "F")
+    val c = Tables(s, dir, "customer")
+    val n = Tables(s, dir, "nation")
+    val r = Tables(s, dir, "region")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .join(c, o("o_custkey") === c("c_custkey"))
+      .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+      .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+      .groupBy(col("r_name").as("region_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_lineitems"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** TPC-H Q1-shaped pricing summary: wide aggregate over lineitem with
+    * distinct counts. Single shuffle, map-side partials. */
+  def pricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** Top-k with deterministic tie-break: 10 highest-value customers.
+    * groupBy + orderBy + limit — Catalyst plans TakeOrderedAndProject
+    * (no full sort of the aggregate output). */
+  def topCustomers(s: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val o = Tables(s, dir, "orders")
+    val c = Tables(s, dir, "customer")
+    o.groupBy(col("o_custkey"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total_spent"),
+        count(lit(1)).as("n_orders"))
+      .join(c, col("o_custkey") === c("c_custkey"))
+      .select(col("c_custkey").as("custkey"), col("c_name").as("name"),
+        col("total_spent"), col("n_orders"))
+      .orderBy(col("total_spent").desc, col("custkey"))
+      .limit(k)
+  }
+
+  /** Semi/anti join coverage: per nation, customers with vs without
+    * orders. Broadcast the distinct custkey set of orders?  No — it can
+    * be large; Catalyst picks the join side. */
+  def customerOrderCoverage(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables(s, dir, "customer")
+    val o = Tables(s, dir, "orders")
+    val n = Tables(s, dir, "nation")
+    val withOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_with_orders"))
+    val withoutOrders = c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_without_orders"))
+    broadcast(n)
+      .join(withOrders, n("n_nationkey") === withOrders("c_nationkey"), "left")
+      .drop("c_nationkey")
+      .join(withoutOrders, n("n_nationkey") === withoutOrders("c_nationkey"), "left")
+      .select(col("n_name").as("nation_name"),
+        coalesce(col("n_with_orders"), lit(0L)).as("n_with_orders"),
+        coalesce(col("n_without_orders"), lit(0L)).as("n_without_orders"))
+  }
+
+  /** Set-operation coverage: nations that have suppliers vs customers —
+    * intersect and except (both DISTINCT set semantics, same as SQL). */
+  def nationSetOps(s: SparkSession, dir: String): DataFrame = {
+    val n = Tables(s, dir, "nation")
+    val sup = Tables(s, dir, "supplier")
+    val c = Tables(s, dir, "customer")
+    val supplierNations = sup.join(broadcast(n),
+      sup("s_nationkey") === n("n_nationkey")).select(col("n_name"))
+    val customerNations = c.join(broadcast(n),
+      c("c_nationkey") === n("n_nationkey")).select(col("n_name"))
+    val both = supplierNations.intersect(customerNations)
+      .withColumn("kind", lit("both"))
+    val customerOnly = customerNations.except(supplierNations)
+      .withColumn("kind", lit("customer_only"))
+    both.unionByName(customerOnly)
+      .select(col("n_name").as("nation_name"), col("kind"))
+  }
+
+  /** Window-function coverage: per-supplier running revenue and rank
+    * over ship order. One shuffle on l_suppkey serves both window
+    * functions (same partitioning). */
+  def supplierRunningRevenue(s: SparkSession, dir: String): DataFrame = {
+    val li = Tables(s, dir, "lineitem").filter(col("l_suppkey") < 3)
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    val frame = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // running sums accumulate as exact decimals (per-item rounded to 4dp
+    // first): double accumulation is order-dependent and DuckDB's
+    // windowed sum uses a different order (segment tree), which flips
+    // cents at rounding boundaries
+    val itemRevenue = round(
+      col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+      .cast("decimal(18,4)")
+    li.select(
+      col("l_suppkey").as("suppkey"),
+      col("l_orderkey").as("orderkey"),
+      col("l_linenumber").as("linenumber"),
+      row_number().over(w).as("ship_seq"),
+      // exact scaled integer (1e-4 units): immune to FP accumulation
+      // order AND to double-cast rounding at the comparison boundary
+      (sum(itemRevenue).over(frame) * 10000).cast("long")
+        .as("running_revenue_e4"))
+  }
+
+  // ------------------------------------------------------------- events
+
+  /** Tumbling 5-minute windows over the event stream (epoch-nanos long
+    * `ts`): count + value rollup per (window, event_type). The batch
+    * twin of the Structured Streaming tumbling-window pipeline in
+    * graft.streaming. */
+  def eventsTumbling(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    // exact integer division (long ns -> floor seconds -> window start);
+    // a double-precision divide would round 2^63-scale nanos
+    val winStart = (expr("ts DIV 1000000000 DIV 300") * 300L).as("window_start")
+    e.groupBy(winStart, col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("total_value"))
+  }
+
+  /** Sessionization with a 30-minute inactivity gap (gaps-and-islands):
+    * lag + cumulative-sum window per user, then per-session rollup.
+    * Both windows and the final groupBy share the user_id partitioning.
+    * The streaming twin uses `session_window` in graft.streaming. */
+  def eventsSessions(s: SparkSession, dir: String,
+                     gapSeconds: Long = 1800L): DataFrame = {
+    val e = Tables(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("tsec"), col("value"))
+    val byUser = Window.partitionBy(col("user_id"))
+      .orderBy(col("tsec"), col("event_id"))
+    val marked = e.withColumn("new_session",
+      when(col("tsec") - lag(col("tsec"), 1).over(byUser) > gapSeconds, 1L)
+        .otherwise(when(lag(col("tsec"), 1).over(byUser).isNull, 1L).otherwise(0L)))
+    val sessioned = marked.withColumn("session_seq",
+      sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned.groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("tsec")).as("session_start"),
+        max(col("tsec")).as("session_end"),
+        round(sum(col("value")), 2).as("session_value"))
+  }
+}
