@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GroupCounts, Grouper, Pack, PartitionedDataset, Relational, Similarity}
+import graft.operators.{Dedup, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -154,7 +154,31 @@ object SparkEntry {
     "rel_nation_setops" -> Relational.nationSetOps _,
     "rel_supplier_running_revenue" -> Relational.supplierRunningRevenue _,
     "events_tumbling_5min" -> Relational.eventsTumbling _,
-    "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) }
+    "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
+
+    // ------------------------------------------------- multimodal columns
+    // Binary payload frame-sampling (video-frame topology) — documents'
+    // ASCII text stands in for the payload so the byte-addressed frame
+    // slicing has an exact VARCHAR oracle.
+    "multimodal_frames_documents" -> { (s, dir) =>
+      val payload = col("text").cast("binary")
+      val frames = Multimodal.sampleFrames(payload, frameSize = 64, stride = 4)
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        octet_length(payload).cast("long").as("n_bytes"),
+        ceil(octet_length(payload).cast("double") / 64).cast("long").as("n_frames"),
+        size(frames).cast("long").as("n_sampled"),
+        md5(array_join(transform(frames, f => f.cast("string")), ""))
+          .as("frames_digest"))
+    },
+    // Batch-shaped feature extraction over opaque media payloads (the
+    // decode itself is a deterministic stub — rows-only check; the
+    // plumbing invariants are pinned in MultimodalSpec).
+    "multimodal_decode_features" -> { (s, dir) =>
+      val media = Multimodal.syntheticMedia(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+      Multimodal.decodeFeatures(media.repartition(8), dim = 8).toDF()
+    }
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -322,7 +346,18 @@ object SparkEntry {
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(tsec) AS session_start, max(tsec) AS session_end,
         |  round(sum(value), 2) AS session_value
-        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin
+        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
+    // text is pure ASCII (verified strlen==length), so VARCHAR substr
+    // mirrors byte-addressed binary substring exactly
+    "multimodal_frames_documents" ->
+      """SELECT doc_id,
+        |  strlen(text) AS n_bytes,
+        |  CAST(ceil(strlen(text) / 64.0) AS BIGINT) AS n_frames,
+        |  len(range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 4)) AS n_sampled,
+        |  md5(array_to_string(list_transform(
+        |    range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 4),
+        |    i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64)), '')) AS frames_digest
+        |FROM documents""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact

@@ -1,0 +1,114 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+
+/** Structured Streaming pipelines driven through MemoryStream micro-
+  * batches with a memory sink — the streaming twins must agree with
+  * their batch counterparts on the same rows. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private val rows = Seq(
+    (ts(0), 1L, "click", 1.0),
+    (ts(1), 1L, "click", 2.0),
+    (ts(6), 2L, "view", 3.0),   // next 5-min window
+    (ts(7), 1L, "click", 4.0),
+    (ts(59), 2L, "view", 5.0))  // separate session for user 2
+
+  test("tumbling windows over a micro-batched stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.tumbling(events)
+      .writeStream.format("memory").queryName("tumbling_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("tumbling_out")
+        .orderBy("window_start", "event_type")
+        .select($"event_type", $"n_events", $"total_value")
+        .as[(String, Long, Double)].collect().toSeq
+      // windows: [10:00,10:05) clicks@0,1; [10:05,10:10) view@6 + click@7;
+      // [10:55,11:00) view@59
+      got shouldBe Seq(("click", 2L, 3.0), ("click", 1L, 4.0),
+        ("view", 1L, 3.0), ("view", 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("session windows (30-min gap) split user 2's events") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.sessions(events)
+      .writeStream.format("memory").queryName("sessions_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rows: _*)
+      q.processAllAvailable()
+      val got = spark.table("sessions_out")
+        .orderBy("user_id", "session_start")
+        .select($"user_id", $"n_events", $"session_value")
+        .as[(Long, Long, Double)].collect().toSeq
+      // user 1: one session (0,1,7 min); user 2: 6min and 59min apart > 30min
+      got shouldBe Seq((1L, 3L, 7.0), (2L, 1L, 3.0), (2L, 1L, 5.0))
+    } finally q.stop()
+  }
+
+  test("flatMapGroupsWithState carries per-user state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.runningTotals(events)
+      .writeStream.format("memory").queryName("running_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      mem.addData(rows.take(2): _*) // batch 1: user1 x2
+      q.processAllAvailable()
+      mem.addData(rows.drop(2): _*) // batch 2: user2 x2 + user1 x1
+      q.processAllAvailable()
+      // state survived across batches: user1 total 3 events / 7.0
+      spark.table("running_out").count() should be >= 3L
+      val u1 = spark.table("running_out").filter($"user_id" === 1L)
+        .orderBy($"n_events".desc).select($"n_events", $"total")
+        .as[(Long, Double)].head()
+      u1 shouldBe ((3L, 7.0))
+    } finally q.stop()
+  }
+
+  test("streaming tumbling == batch tumbling on the driver events table") {
+    implicit val sqlCtx = spark.sqlContext
+    // batch twin over real data, restricted to one hour for test speed
+    val e = Tables(spark, sf0001, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .filter($"event_id" < 200)
+      .select($"ts", $"user_id", $"event_type", $"value")
+    val batch = e.groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        round(sum($"value"), 2).as("total_value"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value")
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val rowsIn = e.as[(Timestamp, Long, String, Double)].collect().toSeq
+    val q = EventStream.tumbling(mem.toDF().toDF("ts", "user_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("twin_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rowsIn: _*)
+      q.processAllAvailable()
+      val stream = spark.table("twin_out")
+      val a = batch.orderBy("window_start", "event_type").collect().toSeq
+      val b = stream.orderBy("window_start", "event_type").collect().toSeq
+      b shouldBe a
+    } finally q.stop()
+  }
+}
