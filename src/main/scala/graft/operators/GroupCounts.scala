@@ -38,4 +38,22 @@ object GroupCounts {
     counts.select(concat_ws(delimiter,
       col(Grouper.GroupCol), col("num_examples"),
       col("num_bytes"), col("num_words")).as("line"))
+
+  /** Reference header line. Faithfully reproduces the reference's
+    * latent inconsistency: the header is ALWAYS comma-separated even
+    * when `delimiter` differs (tfds_pipelines.py:93-103,134-139 — noted
+    * in SURVEY §2.1 S3). */
+  val Header = "group_id,num_examples,num_bytes,num_words"
+
+  /** Text sink for formatted counts (reference WriteToText with header,
+    * tfds_pipelines.py:134-139): one header per shard, shards = input
+    * partitions. */
+  def writeFormatted(counts: DataFrame, dir: String,
+                     delimiter: String = ","): Unit = {
+    val spark = counts.sparkSession
+    import spark.implicits._
+    formatted(counts, delimiter).as[String]
+      .mapPartitions(it => Iterator.single(Header) ++ it)
+      .write.mode("overwrite").text(dir)
+  }
 }

@@ -35,14 +35,21 @@ object TFRecordIO {
   }
 
   /** Read TFRecord files matching `pattern` into a DataFrame of
-    * (file string, record binary), one read task per file. */
-  def read(spark: SparkSession, pattern: String): DataFrame = {
+    * (file string, record binary), one read task per file.
+    * `shuffleSeed` reproduces the loader's seeded file-order shuffle
+    * (tf.data list_files(shuffle, seed), data_loaders.py:98-100). */
+  def read(spark: SparkSession, pattern: String,
+           shuffleSeed: Option[Long] = None): DataFrame = {
     import spark.implicits._
     val conf = new Configuration()
     val globPath = new Path(pattern)
     val fs = globPath.getFileSystem(conf)
-    val files = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
+    val sortedFiles = Option(fs.globStatus(globPath)).getOrElse(Array.empty)
       .filter(_.isFile).map(_.getPath.toString).sorted.toSeq
+    val files = shuffleSeed match {
+      case Some(seed) => new scala.util.Random(seed).shuffle(sortedFiles)
+      case None => sortedFiles
+    }
     require(files.nonEmpty, s"TFRecordIO.read: no files match $pattern")
     spark.sparkContext
       .parallelize(files, files.length)

@@ -50,6 +50,41 @@ class GroupCountsSpec extends SparkSpec {
     lines.toSeq shouldBe Seq("x,1,12,3")
   }
 
+  test("writeFormatted: text shards with the reference's comma header quirk") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-counts").toString
+    val df = Seq(("x", "hello world"), ("y", "a b c")).toDF("k", "t")
+    val counts = GroupCounts(df, Grouper.byColumn("k")).coalesce(1)
+    GroupCounts.writeFormatted(counts, dir, delimiter = ";")
+    val lines = spark.read.text(dir).as[String].collect().toSeq
+    lines.head shouldBe "group_id,num_examples,num_bytes,num_words" // comma even for ';'
+    // stats cover ALL original columns: k contributes 1 byte + 1 word
+    lines.tail.toSet shouldBe Set("x;1;12;3", "y;1;6;4")
+  }
+
+  test("byDirichlet: deterministic per seed, respects group bound, label-conditional") {
+    val df = (0 until 2000).map(i => (i.toLong, i % 10)).toDF("id", "label")
+    val g = Grouper.byDirichlet($"label", labels = 0 until 10, numGroups = 7,
+      alpha = 0.5, seed = 7L)
+    val out1 = g.keyed(df).select("id", "group_id").as[(Long, String)].collect().toMap
+    val out2 = g.keyed(df).select("id", "group_id").as[(Long, String)].collect().toMap
+    out1 shouldBe out2 // deterministic
+    out1.values.toSet.size should be <= 7
+    out1.values.foreach(_ should startWith("group_"))
+    // with alpha=0.5 the per-label distributions are skewed: at least one
+    // label should NOT use all 7 groups (sanity that probs vary by label)
+    val byLabel = g.keyed(df).groupBy($"label")
+      .agg(countDistinct($"group_id").as("n")).as[(Int, Long)].collect().toMap
+    byLabel.values.max should be <= 7L
+  }
+
+  test("byUdf: arbitrary row function keying") {
+    val df = Seq((1L, "ab"), (2L, "xyz")).toDF("id", "s")
+    val g = Grouper.byUdf(spark,
+      r => s"len_${r.getAs[String]("s").length}", Seq($"id", $"s"))
+    g.keyed(df).select("group_id").as[String].collect().toSet shouldBe
+      Set("len_2", "len_3")
+  }
+
   test("byRandom / byHashMod produce bounded group ids") {
     val df = spark.range(1000).toDF("id")
     val g1 = Grouper.byRandom(7, seed = 42).keyed(df)
