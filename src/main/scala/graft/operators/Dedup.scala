@@ -45,9 +45,11 @@ object Dedup {
     // once (ReuseExchange lets every join side read the same exchange
     // instead of recomputing the expression subtree — measured 2-3x on
     // these pipelines, see Similarity's perf note)
+    // barrier BEFORE the filter: Filter(size(sh)>0) collapsed onto the
+    // projection would evaluate the shingle HOF twice per row
     val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
-      .filter(size(col("sh")) > 0)
       .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
     val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
     val exploded0 = sets.select(col("id"), explode(col("sh")).as("g"))
     val exploded = (maxShingleFreq match {
@@ -116,15 +118,20 @@ object Dedup {
                       threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
     require(k % bands == 0, "k must be divisible by bands")
     val rows = k / bands
+    // barrier before the filter (same CollapseProject hazard as ngram);
+    // the exchange output is reused by banding + both verification joins
     val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .repartition(col("id"))
       .filter(size(col("sh")) > 0)
-      .repartition(col("id")) // reused by banding + both verification joins
-    val signed = sets.withColumn("sig", minhashSignature(col("sh"), k, seed))
-    val banded = signed.select(col("id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => xxhash64(slice(col("sig"), b * rows + 1, lit(rows)), b))))
+    // one codegen pass per row straight to band buckets — slicing a sig
+    // column would re-evaluate the whole signature once per band after
+    // projection collapse
+    val banded = sets.select(col("id"),
+      posexplode(graft.expressions.MinHashBands(
+        transform(col("sh"), x => pmod(xxhash64(x), lit(MinhashPrime))),
+        k, bands, seed)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-      .repartition(col("band"), col("bucket")) // one banding pass, join co-partitioned
+      .repartition(col("band"), col("bucket")) // join co-partitioned
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&

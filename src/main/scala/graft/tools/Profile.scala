@@ -13,7 +13,7 @@ object Profile {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val spark = SparkSession.builder()
-      .master("local[32]")
+      .master(sys.env.getOrElse("PROFILE_MASTER", "local[32]"))
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -75,6 +75,31 @@ object Profile {
     time("full ngramJaccardPairs") {
       Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.8).count()
     }
+    // minhash stage breakdown
+    val sets2 = docs.select($"doc_id".as("id"), Dedup.shingles($"text", 3).as("sh"))
+      .filter(size($"sh") > 0).repartition($"id")
+    val signed2 = sets2.withColumn("sig", Dedup.minhashSignature($"sh", 64, 42L))
+    val banded2 = signed2.select($"id",
+      posexplode(transform(sequence(lit(0), lit(15)),
+        b => xxhash64(slice($"sig", b * 4 + 1, lit(4)), b))))
+      .select($"id", $"pos".as("band"), $"col".as("bucket"))
+      .repartition($"band", $"bucket")
+    time("mh: banded")(banded2.count())
+    val cand2 = banded2.as("a").join(banded2.as("b"),
+      $"a.band" === $"b.band" && $"a.bucket" === $"b.bucket" && $"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
+    time("mh: candidates")(cand2.count())
+    val withSets2 = cand2
+      .join(sets2.select($"id".as("id_a"), $"sh".as("sh_a")), "id_a")
+      .join(sets2.select($"id".as("id_b"), $"sh".as("sh_b")), "id_b")
+    time("mh: verified")(withSets2
+      .withColumn("n_inter", size(array_intersect($"sh_a", $"sh_b")).cast("long")).count())
+    // ngram breakdown
+    val ex2 = sets2.select($"id", explode($"sh").as("g")).repartition($"g")
+    time("ng: exploded")(ex2.count())
+    time("ng: inter pairs")(ex2.as("a").join(ex2.as("b"),
+      $"a.g" === $"b.g" && $"a.id" < $"b.id")
+      .groupBy($"a.id", $"b.id").count().count())
     spark.stop()
   }
 }
