@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity}
+import graft.operators.{Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -178,6 +178,13 @@ object SparkEntry {
       val media = Multimodal.syntheticMedia(
         Tables(s, dir, "documents"), col("doc_id"), col("text"))
       Multimodal.decodeFeatures(media.repartition(8), dim = 8).toDF()
+    },
+    // §2.6 consumer pipeline: per-group tokenize -> concat -> fixed
+    // 128-token blocks (the reference's training-data chunking).
+    "group_chunked_blocks" -> { (s, dir) =>
+      GroupConsumer.chunkedBlocks(
+        Tables(s, dir, "documents"), Grouper.byColumn("lang"),
+        col("text"), col("doc_id"), blockSize = 128)
     }
   )
 
@@ -357,7 +364,24 @@ object SparkEntry {
         |  md5(array_to_string(list_transform(
         |    range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 4),
         |    i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64)), '')) AS frames_digest
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+    "group_chunked_blocks" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |pos AS (
+        |  SELECT lang, doc_id, unnest([{'i': i, 'tok': t[i]}
+        |    FOR i IN range(1, len(t) + 1)]) AS u
+        |  FROM toks),
+        |seqd AS (
+        |  SELECT lang AS group_id, u.tok AS tok,
+        |    row_number() OVER (PARTITION BY lang ORDER BY doc_id, u.i) AS seq
+        |  FROM pos)
+        |SELECT group_id, (seq - 1) // 128 AS block_idx,
+        |  count(*) AS n_tokens,
+        |  md5(string_agg(tok, ' ' ORDER BY seq)) AS block_digest
+        |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact

@@ -1,0 +1,68 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** Consumer-side per-group preprocessing (SURVEY §2.6) — the reference's
+  * tokenize → concatenate → chunk-into-fixed-blocks pipeline
+  * (examples/dataset_utils.py:112-148, applied per group at
+  * train_jax.py:118-122), expressed relationally: explode tokens with
+  * positions, assign a global per-group sequence, bucket into blocks.
+  *
+  * Scale shape: one shuffle on the group key serves the sequence window
+  * AND the per-block aggregation; token explosion is linear and never
+  * collects a group in memory (unlike the tf.data original, which
+  * buffers per group).
+  */
+object GroupConsumer {
+
+  /** Fixed-size token blocks per group: (group_id, block_idx, n_tokens,
+    * block_digest). Order within a group is (orderCol, token position) —
+    * deterministic, so the digest is oracle-checkable. The final
+    * (ragged) block is kept iff `dropRemainder` is false (the reference
+    * batches with drop_remainder=True for train blocks). */
+  def chunkedBlocks(df: DataFrame, grouper: Grouper, textCol: Column,
+                    orderCol: Column, blockSize: Int,
+                    dropRemainder: Boolean = false): DataFrame = {
+    val keyed = grouper.keyed(df)
+      .select(col(grouper.name), orderCol.as("__ord"),
+        posexplode(TextAnalysis.tokens(textCol)).as(Seq("__pos", "__tok")))
+    val w = Window.partitionBy(col(grouper.name))
+      .orderBy(col("__ord"), col("__pos"))
+    val seqd = keyed
+      .withColumn("__seq", row_number().over(w))
+      .withColumn("block_idx", expr(s"CAST((__seq - 1) DIV $blockSize AS BIGINT)"))
+    val blocks = seqd
+      .groupBy(col(grouper.name), col("block_idx"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        md5(array_join(transform(
+          array_sort(collect_list(struct(col("__seq"), col("__tok")))),
+          x => x.getField("__tok")), " ")).as("block_digest"))
+    if (dropRemainder) blocks.filter(col("n_tokens") === blockSize) else blocks
+  }
+
+  /** Deterministic per-group example shuffle (dataset_utils.py:64-65
+    * runs tf.data shuffle per group): reorder each group's packed
+    * examples by a seeded hash of their content — reproducible across
+    * runs and partitionings, unlike engine-random shuffles. */
+  def shuffleExamples(packed: DataFrame, seed: Long): DataFrame =
+    packed.withColumn("examples",
+      transform(
+        array_sort(transform(col("examples"),
+          e => struct(xxhash64(e, lit(seed)).as("h"), e.as("e")))),
+        x => x.getField("e")))
+
+  /** Per-group repeat/take (dataset_utils.py:74-77): bounded sampling of
+    * each group's examples — `take` keeps the first n after the
+    * deterministic order, `repeat` tiles the array. */
+  def takeExamples(packed: DataFrame, n: Int): DataFrame =
+    packed.withColumn("examples", slice(col("examples"), 1, n))
+
+  def repeatExamples(packed: DataFrame, times: Int): DataFrame =
+    packed.withColumn("examples",
+      flatten(transform(sequence(lit(1), lit(times)), _ => col("examples"))))
+}
