@@ -185,6 +185,34 @@ object SparkEntry {
       GroupConsumer.chunkedBlocks(
         Tables(s, dir, "documents"), Grouper.byColumn("lang"),
         col("text"), col("doc_id"), blockSize = 128)
+    },
+    // Skew-resistant salted aggregation — identical semantics to
+    // group_counts_lineitem (shares its oracle), two-phase topology.
+    "group_counts_lineitem_salted" -> { (s, dir) =>
+      GroupCounts.salted(Tables(s, dir, "lineitem"),
+        Grouper.byColumn("l_returnflag"), saltBuckets = 8)
+    },
+    // Synthetic random partitioner (reference group_randomly) via the
+    // deterministic hash-mod keying; rows-only check (no xxhash64 in
+    // the oracle engine).
+    "group_counts_hash_partition" -> { (s, dir) =>
+      GroupCounts(Tables(s, dir, "lineitem"),
+        Grouper.byHashMod(10, col("l_orderkey"), col("l_linenumber")))
+    },
+    // Capped deterministic pack over the big fact table: payload built
+    // only from integer/string fields so the oracle's string rendering
+    // is byte-identical.
+    "pack_capped_lineitem" -> { (s, dir) =>
+      val payload = concat_ws("|",
+        col("l_orderkey"), col("l_linenumber"),
+        col("l_returnflag"), col("l_linestatus"))
+      val packed = Pack.packCappedDeterministic(
+        Tables(s, dir, "lineitem"), Grouper.byColumn("l_returnflag"),
+        payload, col("l_orderkey") * 10 + col("l_linenumber"),
+        limit = 100000L)
+      packed.select(col("group_id"), col("num_examples"), col("num_bytes"),
+        md5(array_join(transform(col("examples"), b => b.cast("string")), ""))
+          .as("digest"))
     }
   )
 
@@ -381,7 +409,32 @@ object SparkEntry {
         |SELECT group_id, (seq - 1) // 128 AS block_idx,
         |  count(*) AS n_tokens,
         |  md5(string_agg(tok, ' ' ORDER BY seq)) AS block_digest
-        |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin
+        |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin,
+    "group_counts_lineitem_salted" ->
+      s"""SELECT l_returnflag AS group_id,
+         |  count(*) AS num_examples,
+         |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
+         |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
+         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "pack_capped_lineitem" ->
+      """WITH rows_in AS (
+        |  SELECT l_returnflag AS g,
+        |    l_orderkey * 10 + l_linenumber AS tb,
+        |    l_orderkey || '|' || l_linenumber || '|' || l_returnflag
+        |      || '|' || l_linestatus AS payload
+        |  FROM lineitem),
+        |ranked AS (
+        |  SELECT g, tb, payload, strlen(payload) AS len,
+        |    sum(strlen(payload)) OVER (PARTITION BY g
+        |      ORDER BY strlen(payload), tb, payload
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM rows_in)
+        |SELECT g AS group_id,
+        |  count(*) FILTER (WHERE cum < 100000) AS num_examples,
+        |  CAST(coalesce(sum(len) FILTER (WHERE cum < 100000), 0) AS BIGINT) AS num_bytes,
+        |  md5(coalesce(string_agg(payload, '' ORDER BY len, tb, payload)
+        |    FILTER (WHERE cum < 100000), '')) AS digest
+        |FROM ranked GROUP BY g""".stripMargin
   )
 
   /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact

@@ -32,6 +32,30 @@ object GroupCounts {
         sum(WordCount.exprFor(schema)).as("num_words"))
   }
 
+  /** Skew-resistant two-phase variant: aggregate on (group, salt) first,
+    * then re-aggregate per group. Identical results to [[apply]] (both
+    * share the same DuckDB oracle); use when a handful of mega-groups
+    * (e.g. one domain owning 10% of a 100 TB corpus) would overload
+    * single reducers. Spark's partial aggregation already combats skew
+    * map-side, but a hot final reducer still bottlenecks — salting
+    * splits it across `saltBuckets` reducers at the cost of one extra
+    * (tiny, one-row-per-group-per-bucket) shuffle. */
+  def salted(df: DataFrame, grouper: Grouper, saltBuckets: Int): DataFrame = {
+    val schema = df.schema
+    grouper.keyed(df)
+      .withColumn("__salt", pmod(spark_partition_id() + monotonically_increasing_id(), lit(saltBuckets)))
+      .groupBy(col(grouper.name), col("__salt"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(ByteSize.exprFor(schema)).as("b"),
+        sum(WordCount.exprFor(schema)).as("w"))
+      .groupBy(col(grouper.name))
+      .agg(
+        sum(col("n")).as("num_examples"),
+        sum(col("b")).as("num_bytes"),
+        sum(col("w")).as("num_words"))
+  }
+
   /** Reference text-line output format (count_utils.py:50-58):
     * `group_id<d>num_examples<d>num_bytes<d>num_words`. */
   def formatted(counts: DataFrame, delimiter: String = ","): DataFrame =

@@ -121,8 +121,11 @@ object Pack {
       payload.cast("binary").as("__payload"),
       tiebreak.as("__tb"))
       .withColumn("__bytes", coalesce(octet_length(col("__payload")).cast("long"), lit(0L)))
+    // the payload itself is the final tie-break: the caller's tiebreak
+    // column may collide (duplicate ids in the wild), and the packed
+    // order must be total for the digest to be engine-independent
     val w = Window.partitionBy(col(grouper.name))
-      .orderBy(col("__bytes"), col("__tb"))
+      .orderBy(col("__bytes"), col("__tb"), col("__payload"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val kept = col("__cum") < limit
     keyed
