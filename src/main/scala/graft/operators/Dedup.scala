@@ -30,17 +30,65 @@ object Dedup {
           i => array_join(slice(t, i + 1, lit(n)), " "))))
   }
 
-  /** Exact pairwise n-gram Jaccard similarity >= threshold, via an
-    * inverted-index self-join on shingles (the classic scalable shape:
-    * explode -> join on shingle -> count intersections -> Jaccard).
+  /** Exact pairwise n-gram Jaccard similarity >= threshold.
     *
-    * Scale notes: the join key is a shingle string; ultra-frequent
-    * shingles create skew at corpus scale — `maxShingleFreq` drops
-    * shingles appearing in more than that many docs (standard prefix
-    * filtering; disabled by default so the oracle stays exact). */
+    * Default path is PPJoin-style PREFIX FILTERING, which is exact:
+    * order each doc's shingles by (global frequency asc, shingle) and
+    * index only the first floor((1-t)*|A|)+1 of them — any pair with
+    * J >= t must collide inside both prefixes under a shared total
+    * order, so candidates are complete; each candidate is then verified
+    * with a full set intersection. Hot (frequent) shingles sort LAST, so
+    * the quadratic blowup of the inverted-index join on them disappears
+    * — the difference between feasible and not at corpus scale.
+    * [[ngramJaccardPairsFullIndex]] keeps the naive full inverted-index
+    * join for differential testing. */
   def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
-                        n: Int, threshold: Double,
-                        maxShingleFreq: Option[Long] = None): DataFrame = {
+                        n: Int, threshold: Double): DataFrame = {
+    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+      .repartition(col("id"))
+      .filter(size(col("sh")) > 0)
+    // global shingle frequencies -> per-doc rarest-first ordering
+    val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    val ordered = exploded.join(freq, "g")
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("f"), col("g")))),
+        x => x.getField("g")).as("osh"))
+      .withColumn("n_sh", size(col("osh")).cast("long"))
+      // prefix length floor((1-t)*|A|) + 1
+      .withColumn("plen",
+        (floor(size(col("osh")) * lit(1.0 - threshold)) + 1).cast("int"))
+      .repartition(col("id"))
+    val prefixes = ordered.select(col("id"), col("n_sh"),
+      explode(slice(col("osh"), lit(1), col("plen"))).as("g"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
+          // exact size filter: J >= t forces t*|A| <= |B| <= |A|/t
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    val withSets = candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")), "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")), "id_b")
+    withSets
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** Naive full inverted-index variant (kept for differential testing —
+    * must produce exactly the same pairs as the prefix-filtered path). */
+  private[graft] def ngramJaccardPairsFullIndex(
+      df: DataFrame, textCol: Column, idCol: Column,
+      n: Int, threshold: Double,
+      maxShingleFreq: Option[Long] = None): DataFrame = {
     // repartition barriers: materialize the HOF-heavy shingle projection
     // once (ReuseExchange lets every join side read the same exchange
     // instead of recomputing the expression subtree — measured 2-3x on

@@ -54,6 +54,21 @@ class TextDedupSpec extends SparkSpec {
     pairs.toSeq shouldBe Seq((1L, 2L, 0.5))
   }
 
+  test("prefix-filtered ngram pairs == full-inverted-index pairs (exactness)") {
+    val docs = Tables(spark, sf0001, "documents")
+    def collectPairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b", "jaccard").as[(Long, Long, Double)]
+        .collect().toSet
+    val pf = collectPairs(Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.8))
+    val full = collectPairs(
+      Dedup.ngramJaccardPairsFullIndex(docs, $"text", $"doc_id", 3, 0.8))
+    pf should not be empty
+    pf shouldBe full
+    // lower threshold => larger prefix => still exact
+    collectPairs(Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.5)) shouldBe
+      collectPairs(Dedup.ngramJaccardPairsFullIndex(docs, $"text", $"doc_id", 3, 0.5))
+  }
+
   test("minhash-LSH equals exact ngram pairs on driver corpus (sf0.001)") {
     val docs = Tables(spark, sf0001, "documents")
     val exact = Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.8)
