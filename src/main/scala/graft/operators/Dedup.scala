@@ -56,18 +56,24 @@ object Dedup {
         array_sort(collect_list(struct(col("f"), col("g")))),
         x => x.getField("g")).as("osh"))
       .withColumn("n_sh", size(col("osh")).cast("long"))
-      // prefix length floor((1-t)*|A|) + 1
+      // prefix length floor((1-t)*|A|) + 1, with one extra slot of slack:
+      // t is not exactly representable in binary (e.g. 0.8), so the FP
+      // product can round the floor down at integer boundaries and lose
+      // a required candidate. Slack only adds candidates — the final
+      // intersection keeps the result exact. (A boundary pair at sf0.1,
+      // |B| = t*|A| exactly, caught this.)
       .withColumn("plen",
-        (floor(size(col("osh")) * lit(1.0 - threshold)) + 1).cast("int"))
+        (floor(size(col("osh")) * lit(1.0 - threshold) + lit(1e-9)) + 2).cast("int"))
       .repartition(col("id"))
     val prefixes = ordered.select(col("id"), col("n_sh"),
       explode(slice(col("osh"), lit(1), col("plen"))).as("g"))
     val candidates = prefixes.as("a")
       .join(prefixes.as("b"),
         col("a.g") === col("b.g") && col("a.id") < col("b.id") &&
-          // exact size filter: J >= t forces t*|A| <= |B| <= |A|/t
-          col("b.n_sh") * lit(threshold) <= col("a.n_sh") &&
-          col("a.n_sh") * lit(threshold) <= col("b.n_sh"))
+          // size filter: J >= t forces t*|A| <= |B| <= |A|/t; epsilon
+          // guards the exact-boundary case under FP threshold rounding
+          col("b.n_sh") * lit(threshold) <= col("a.n_sh") + lit(1e-6) &&
+          col("a.n_sh") * lit(threshold) <= col("b.n_sh") + lit(1e-6))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
     val withSets = candidates
