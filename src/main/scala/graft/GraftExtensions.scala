@@ -26,6 +26,16 @@ import graft.expressions.{DotProduct, MinHashBands, MinHashSignature, SimHash64}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
+  private def intArg(e: Expression, name: String): Int = {
+    require(e.foldable, s"argument '$name' must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  private def longArg(e: Expression, name: String): Long = {
+    require(e.foldable, s"argument '$name' must be a literal")
+    e.eval().asInstanceOf[Number].longValue()
+  }
+
   private def info(name: String, usage: String) =
     new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
@@ -44,14 +54,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature",
         "minhash_signature(hashes, k, seed) - k-lane minhash signature"),
       (args: Seq[Expression]) => MinHashSignature(args(0),
-        args(1).eval().asInstanceOf[Int], args(2).eval().asInstanceOf[Number].longValue())))
+        intArg(args(1), "k"), longArg(args(2), "seed"))))
     ext.injectFunction((
       FunctionIdentifier("minhash_bands"),
       info("minhash_bands",
         "minhash_bands(hashes, k, bands, seed) - LSH band buckets"),
       (args: Seq[Expression]) => MinHashBands(args(0),
-        args(1).eval().asInstanceOf[Int],
-        args(2).eval().asInstanceOf[Int],
-        args(3).eval().asInstanceOf[Number].longValue())))
+        intArg(args(1), "k"), intArg(args(2), "bands"),
+        longArg(args(3), "seed"))))
   }
 }

@@ -25,8 +25,7 @@ case class DotProduct(left: Expression, right: Expression)
 
   // callers cast to array<double> (Vectors.dot does); enforce here
   override def checkInputDataTypes(): TypeCheckResult =
-    if (Seq(left, right).forall(_.dataType == ArrayType(DoubleType)) ||
-        Seq(left, right).forall(e => e.dataType match {
+    if (Seq(left, right).forall(_.dataType match {
           case ArrayType(DoubleType, _) => true
           case _ => false
         }))

@@ -14,16 +14,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * Semantics identical to the HOF versions (asserted in TextDedupSpec).
   */
 
-/** MinHash signature: for base hashes x (already reduced mod p), emit
-  * sig[j] = min over x of (a_j * x + b_j) mod p, j < k. The (a, b)
-  * coefficient family is derived deterministically from `seed` exactly
-  * as graft.operators.Dedup.coeffs does. */
-case class MinHashSignature(child: Expression, k: Int, seed: Long)
-    extends UnaryExpression with Serializable {
-
-  private val P = 2147483647L // 2^31 - 1
-
-  @transient private lazy val (as, bs) = {
+/** The shared MinHash universal-hash coefficient family: ONE derivation
+  * used by MinHashSignature, MinHashBands and Dedup.coeffs — these must
+  * stay bit-identical or the differential tests and the LSH == exact
+  * Jaccard equivalence silently break. */
+object MinHashCoeffs {
+  val P: Long = 2147483647L // 2^31 - 1
+  def apply(k: Int, seed: Long): (Array[Long], Array[Long]) = {
     val rng = new java.util.Random(seed)
     val a = new Array[Long](k)
     val b = new Array[Long](k)
@@ -35,6 +32,18 @@ case class MinHashSignature(child: Expression, k: Int, seed: Long)
     }
     (a, b)
   }
+}
+
+/** MinHash signature: for base hashes x (already reduced mod p), emit
+  * sig[j] = min over x of (a_j * x + b_j) mod p, j < k. The (a, b)
+  * coefficient family is derived deterministically from `seed` exactly
+  * as graft.operators.Dedup.coeffs does. */
+case class MinHashSignature(child: Expression, k: Int, seed: Long)
+    extends UnaryExpression with Serializable {
+
+  private val P = MinHashCoeffs.P
+
+  @transient private lazy val (as, bs) = MinHashCoeffs(k, seed)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
@@ -106,21 +115,10 @@ case class MinHashBands(child: Expression, k: Int, bands: Int, seed: Long)
     extends UnaryExpression with Serializable {
 
   require(k % bands == 0, "k must be divisible by bands")
-  private val P = 2147483647L
+  private val P = MinHashCoeffs.P
   private val rowsPerBand = k / bands
 
-  @transient private lazy val (as, bs) = {
-    val rng = new java.util.Random(seed)
-    val a = new Array[Long](k)
-    val b = new Array[Long](k)
-    var i = 0
-    while (i < k) {
-      a(i) = math.abs(rng.nextLong()) % (P - 1) + 1
-      b(i) = math.abs(rng.nextLong()) % P
-      i += 1
-    }
-    (a, b)
-  }
+  @transient private lazy val (as, bs) = MinHashCoeffs(k, seed)
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess

@@ -36,13 +36,17 @@ object TextAnalysis {
   def fingerprint(c: Column): Column = md5(normalized(c))
 
   /** Rolling polynomial hash over whitespace tokens (shift-add over a
-    * 64-bit token hash, mod 2^61-1) — an order-sensitive fingerprint
+    * 64-bit token hash, mod 1e9+7) — an order-sensitive fingerprint
     * that, unlike [[fingerprint]], can be computed incrementally and
-    * compared per-prefix. Spark-only (xxhash64 has no DuckDB twin). */
-  def rollingHash(c: Column): Column =
+    * compared per-prefix. Spark-only (xxhash64 has no DuckDB twin).
+    * The accumulator stays < 1e9+7 so `acc * 131 + h` never exceeds
+    * ~1.3e11 — safe under ANSI overflow checking (a 2^61 modulus would
+    * overflow the multiply after ~6 tokens and throw). */
+  def rollingHash(c: Column): Column = {
+    val p = 1000000007L
     aggregate(tokens(c), lit(0L),
-      (acc, t) => pmod(acc * 131L + pmod(xxhash64(t), lit(1000000007L)),
-        lit(2305843009213693951L)))
+      (acc, t) => pmod(acc * 131L + pmod(xxhash64(t), lit(p)), lit(p)))
+  }
 
   // ------------------------------------------------------------- quality
 

@@ -131,12 +131,13 @@ object Dedup {
 
   private val MinhashPrime = 2147483647L // 2^31 - 1
 
-  /** k permutation coefficients (a, b), fixed by seed — driver-side
-    * constants, broadcast inside the plan as literals. */
+  /** k permutation coefficients (a, b), fixed by seed — the SINGLE
+    * derivation shared with the codegen expressions (they must stay
+    * bit-identical for the differential tests and the LSH == exact
+    * equivalence to hold). */
   private def coeffs(k: Int, seed: Long): Seq[(Long, Long)] = {
-    val rng = new java.util.Random(seed)
-    Seq.fill(k)((math.abs(rng.nextLong()) % (MinhashPrime - 1) + 1,
-      math.abs(rng.nextLong()) % MinhashPrime))
+    val (as, bs) = graft.expressions.MinHashCoeffs(k, seed)
+    as.toSeq.zip(bs.toSeq)
   }
 
   /** MinHash signature (k minima over the shingle set, universal-hash
@@ -228,17 +229,30 @@ object Dedup {
       lit(0L), (acc, v) => acc.bitwiseOR(v))
   }
 
-  /** SimHash near-dup pairs with Hamming distance <= maxHamming (< 16),
-    * via segment pigeonhole: split the 64-bit hash into 4 16-bit
-    * segments; any pair within Hamming 3 must agree on >= 1 segment, so
-    * an equi-join per segment finds ALL such pairs (exact recall), then
-    * `bit_count(xor)` verifies. Same linear join topology as LSH. */
+  /** SimHash near-dup pairs with Hamming distance <= maxHamming, via
+    * segment pigeonhole: split the 64-bit hash into maxHamming+1
+    * disjoint segments; a pair within the bound must agree on >= 1
+    * segment (it has at most maxHamming differing bits across
+    * maxHamming+1 segments), so an equi-join per segment finds ALL such
+    * pairs (exact recall), then `bit_count(xor)` verifies. Same linear
+    * join topology as LSH. More segments = smaller segments = more
+    * candidates, so keep maxHamming modest (<= 15). */
   def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
                    maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 15,
+      s"maxHamming must be in [0, 15], got $maxHamming")
+    val nSegs = maxHamming + 1
+    // segment j covers bits [starts(j), starts(j+1)) — widths differ by
+    // at most 1, every bit covered exactly once
+    val starts = (0 to nSegs).map(j => j * 64 / nSegs)
     val hashed = df.select(idCol.as("id"), simhash(textCol).as("h"))
+    val segExprs = (0 until nSegs).map { j =>
+      val width = starts(j + 1) - starts(j)
+      val mask = if (width == 64) -1L else (1L << width) - 1L
+      shiftright(col("h"), starts(j)).bitwiseAND(mask)
+    }
     val segs = hashed.select(col("id"), col("h"),
-      posexplode(transform(sequence(lit(0), lit(3)),
-        s => call_function("shiftright", col("h"), s * lit(16)).bitwiseAND(0xffffL))))
+      posexplode(array(segExprs: _*)))
       .select(col("id"), col("h"), col("pos").as("seg"), col("col").as("segval"))
       .repartition(col("seg"), col("segval")) // simhash fold computed once
     segs.as("a")

@@ -62,7 +62,15 @@ object GroupConsumer {
   def takeExamples(packed: DataFrame, n: Int): DataFrame =
     packed.withColumn("examples", slice(col("examples"), 1, n))
 
-  def repeatExamples(packed: DataFrame, times: Int): DataFrame =
-    packed.withColumn("examples",
-      flatten(transform(sequence(lit(1), lit(times)), _ => col("examples"))))
+  def repeatExamples(packed: DataFrame, times: Int): DataFrame = {
+    require(times >= 0, s"times must be >= 0, got $times")
+    if (times == 0)
+      // sequence(1, 0) would count DOWN ([1,0]) and double the data
+      packed.withColumn("examples",
+        array().cast(org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.BinaryType)))
+    else
+      packed.withColumn("examples",
+        flatten(transform(sequence(lit(1), lit(times)), _ => col("examples"))))
+  }
 }

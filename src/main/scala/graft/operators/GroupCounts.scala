@@ -58,9 +58,10 @@ object GroupCounts {
 
   /** Reference text-line output format (count_utils.py:50-58):
     * `group_id<d>num_examples<d>num_bytes<d>num_words`. */
-  def formatted(counts: DataFrame, delimiter: String = ","): DataFrame =
+  def formatted(counts: DataFrame, delimiter: String = ",",
+                groupCol: String = Grouper.GroupCol): DataFrame =
     counts.select(concat_ws(delimiter,
-      col(Grouper.GroupCol), col("num_examples"),
+      col(groupCol), col("num_examples"),
       col("num_bytes"), col("num_words")).as("line"))
 
   /** Reference header line. Faithfully reproduces the reference's
@@ -73,10 +74,11 @@ object GroupCounts {
     * tfds_pipelines.py:134-139): one header per shard, shards = input
     * partitions. */
   def writeFormatted(counts: DataFrame, dir: String,
-                     delimiter: String = ","): Unit = {
+                     delimiter: String = ",",
+                     groupCol: String = Grouper.GroupCol): Unit = {
     val spark = counts.sparkSession
     import spark.implicits._
-    formatted(counts, delimiter).as[String]
+    formatted(counts, delimiter, groupCol).as[String]
       .mapPartitions(it => Iterator.single(Header) ++ it)
       .write.mode("overwrite").text(dir)
   }

@@ -94,11 +94,12 @@ object PartitionedDataset {
     * dataset_utils.py:48-82). */
   def mapGroups[T: org.apache.spark.sql.Encoder](
       packed: DataFrame, schema: StructType,
-      f: (String, Iterator[Row]) => T): org.apache.spark.sql.Dataset[T] = {
+      f: (String, Iterator[Row]) => T,
+      groupCol: String = Grouper.GroupCol): org.apache.spark.sql.Dataset[T] = {
     val codec = new TFExampleCodec(schema)
     import packed.sparkSession.implicits._
     packed
-      .select(col("group_id").cast("string"), col("examples"))
+      .select(col(groupCol).cast("string"), col("examples"))
       .as[(String, Seq[Array[Byte]])]
       .map { case (gid, examples) => f(gid, examples.iterator.map(codec.decode)) }
   }

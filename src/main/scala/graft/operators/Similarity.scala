@@ -27,12 +27,21 @@ import graft.functions.Vectors
 object Similarity {
 
   /** Rows with the vector replaced by its L2-normalized double form,
-    * materialized via an exchange so downstream joins reuse it. */
+    * materialized via an exchange so downstream joins reuse it. The norm
+    * is projected into its own column first — referencing norm(vec)
+    * inside the per-element lambda would re-evaluate the O(dim) dot
+    * product per element (O(dim^2) per row; transform lambdas get no
+    * common-subexpression elimination). */
   private def normalized(df: DataFrame, id: Column, vec: Column,
                          idName: String, vecName: String): DataFrame =
-    df.select(id.as(idName),
-        transform(vec, x => x.cast("double") / Vectors.norm(vec)).as(vecName))
+    df.select(id.as(idName), vec.as("__v"))
+      .withColumn("__nrm", Vectors.norm(col("__v")))
+      // exchange BETWEEN norm and the division: post-shuffle the lambda
+      // reads __nrm as a materialized attribute (CollapseProject would
+      // otherwise inline the norm into the lambda body -> per-element)
       .repartition(col(idName))
+      .select(col(idName),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as(vecName))
 
   /** Exact top-k neighbors per query row. `queries` must be small enough
     * to broadcast (it is hinted); ranking is (cosine desc, neighbor id)

@@ -24,6 +24,12 @@ import ProtoWire.{Reader, Writer}
   * This codec is the ONLY row-shaped hot path in the engine, and it is
   * opt-in: the engine-native representation stays columnar Parquet
   * (SURVEY §1.3); protos exist for TFRecord wire compatibility.
+  *
+  * Null handling: tf.train.Example has no null — an absent value and an
+  * empty list are the same wire state. A null scalar decodes back to
+  * null (empty value list), but a null ARRAY coalesces to an empty
+  * array across the round trip; callers needing the distinction must
+  * encode presence explicitly (the reference has the same limitation).
   */
 final class TFExampleCodec(schema: StructType) extends Serializable {
 
@@ -216,6 +222,10 @@ final class TFExampleCodec(schema: StructType) extends Serializable {
     case TimestampType | TimestampNTZType =>
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000))
+    case other =>
+      throw new IllegalArgumentException(
+        s"Found a mismatch between the provided schema and an example:" +
+        s" int64 feature cannot decode to $other")
   }
 
   /** Deserialize `tf.train.Example` bytes back to a Row of [[schema]].

@@ -58,10 +58,25 @@ object TFRecordIO {
         it.flatMap { f =>
           val p = new Path(f)
           val in = p.getFileSystem(conf).open(p)
-          // read eagerly so the stream closes deterministically per file
-          val recs = TFRecordCodec.readAll(in).toVector
-          in.close()
-          recs.iterator.map(r => (f, r))
+          // lazy record iterator, one record in memory at a time (a
+          // record can be a ~2GB packed group — eager materialization
+          // would need the whole shard on heap); the stream closes on
+          // exhaustion
+          val din = new java.io.DataInputStream(in)
+          new Iterator[(String, Array[Byte])] {
+            private var nextRec = advance()
+            private def advance(): Option[Array[Byte]] = {
+              val r = TFRecordCodec.readRecord(din)
+              if (r.isEmpty) din.close()
+              r
+            }
+            override def hasNext: Boolean = nextRec.isDefined
+            override def next(): (String, Array[Byte]) = {
+              val r = nextRec.get
+              nextRec = advance()
+              (f, r)
+            }
+          }
         }
       }
       .toDF("file", "record")

@@ -67,5 +67,12 @@ class GroupConsumerSpec extends SparkSpec {
       .select(org.apache.spark.sql.functions.size($"examples")).as[Int]
       .collect()
     r.foreach(_ % 3 shouldBe 0)
+    // regression: times=0 must empty the arrays (sequence(1,0) counts
+    // DOWN and used to double them)
+    GroupConsumer.repeatExamples(packed, 0)
+      .select(org.apache.spark.sql.functions.size($"examples")).as[Int]
+      .collect().foreach(_ shouldBe 0)
+    an[IllegalArgumentException] should be thrownBy
+      GroupConsumer.repeatExamples(packed, -1)
   }
 }

@@ -125,6 +125,34 @@ class TextDedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet shouldBe Set(1L, 3L)
   }
 
+  test("rollingHash: bounded accumulator survives long texts under ANSI mode") {
+    // regression: the old 2^61 modulus overflowed acc*131 after ~6
+    // tokens and threw ARITHMETIC_OVERFLOW under default ANSI
+    val long = (1 to 200).map(i => s"tok$i").mkString(" ")
+    val df = Seq(long, "a b", "").toDF("t")
+    val hs = df.select(TextAnalysis.rollingHash($"t")).as[Long].collect()
+    hs.foreach { h => h should be >= 0L; h should be < 1000000007L }
+    hs(2) shouldBe 0L // empty text -> zero accumulator
+    // order-sensitive: permuted tokens hash differently
+    Seq("a b", "b a").toDF("t").select(TextAnalysis.rollingHash($"t"))
+      .as[Long].collect().toSet.size shouldBe 2
+  }
+
+  test("simhashPairs: maxHamming beyond 3 uses more segments, keeps exact recall") {
+    val docs = Tables(spark, sf0001, "documents")
+    val hashed = docs.select($"doc_id", Dedup.simhash($"text").as("h"))
+    val truth = hashed.as("a").join(hashed.as("b"), $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id",
+        bit_count($"a.h".bitwiseXOR($"b.h")).as("d"))
+      .filter($"d" <= 6)
+      .as[(Long, Long, Long)].collect().toSet
+    val got = Dedup.simhashPairs(docs, $"text", $"doc_id", maxHamming = 6)
+      .as[(Long, Long, Long)].collect().toSet
+    got shouldBe truth // 7-segment pigeonhole must find every pair
+    an[IllegalArgumentException] should be thrownBy
+      Dedup.simhashPairs(docs, $"text", $"doc_id", maxHamming = 16)
+  }
+
   test("langId: marker-based argmax with deterministic tie-break") {
     val df = Seq(
       "the cat and the dog is here",
