@@ -85,6 +85,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("watermark drops late data in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.tumbling(events, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wm_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1 advances the watermark to 10:20 (max 10:30 - 10m)
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(30), 1L, "click", 1.0))
+      q.processAllAvailable()
+      // batch 2: an event at 10:01 is behind the watermark -> dropped;
+      // 10:41 advances the watermark to 10:31, closing the 10:00 window
+      mem.addData((ts(1), 1L, "click", 99.0), (ts(41), 1L, "click", 1.0))
+      q.processAllAvailable()
+      mem.addData((ts(55), 1L, "click", 1.0)) // close remaining windows
+      q.processAllAvailable()
+      val w0 = spark.table("wm_out")
+        .filter($"window_start" === Timestamp.valueOf("2024-01-01 10:00:00"))
+        .select($"n_events", $"total_value").as[(Long, Double)].collect()
+      // the late 10:01 event (value 99.0) must NOT be in the closed window
+      w0.toSeq shouldBe Seq((1L, 1.0))
+    } finally q.stop()
+  }
+
   test("streaming tumbling == batch tumbling on the driver events table") {
     implicit val sqlCtx = spark.sqlContext
     // batch twin over real data, restricted to one hour for test speed
