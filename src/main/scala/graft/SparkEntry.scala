@@ -145,6 +145,22 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         dim = 64, nBits = 8, probeHamming = 2, seed = 42L)
     },
+    // IVF ANN: k-means cells + nProbe probing (approximate — rows-only;
+    // per-hit scores proven equal to brute force in SimilaritySpec).
+    "similarity_ivf_embeddings" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 10), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 16, nProbe = 4, seed = 42L)
+    },
+    // LSH-bucketed near-dup pairs (approximate scale path of
+    // neardup_embeddings — rows-only; subset-of-exact asserted in spec).
+    "neardup_embeddings_lsh" -> { (s, dir) =>
+      Similarity.cosinePairsLsh(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.45,
+        dim = 64, nBits = 6, nTables = 8, seed = 42L)
+    },
 
     // ------------------------------------- relational coverage (§2.4)
     "rel_revenue_by_region" -> Relational.revenueByRegion _,

@@ -90,6 +90,89 @@ object Similarity {
       when(Vectors.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** Approximate embedding NEAR-DUP pairs at scale: corpus rows bucket
+    * by hyperplane sign bits; only pairs sharing a bucket (multi-probe
+    * over band rotations) are scored — linear bucketing + within-bucket
+    * pairs instead of the quadratic [[cosinePairs]] cross-join. Using
+    * `nTables` independent hyperplane sets boosts recall (a pair is a
+    * candidate if ANY table buckets them together). Output ⊆ the exact
+    * result; recall is measured in SimilaritySpec. */
+  def cosinePairsLsh(df: DataFrame, idCol: Column, vecCol: Column,
+                     threshold: Double, dim: Int, nBits: Int = 8,
+                     nTables: Int = 4, seed: Long = 42L): DataFrame = {
+    val v = normalized(df, idCol, vecCol, "id", "vec")
+    val tables = (0 until nTables).map { t =>
+      val planes = hyperplanes(nBits, dim, seed + t)
+      v.select(col("id"), col("vec"),
+        bucketExpr(col("vec"), planes).as("bucket"), lit(t).as("tbl"))
+    }
+    val bucketed = tables.reduce(_ unionByName _)
+      .repartition(col("tbl"), col("bucket"))
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine", round(Vectors.dot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** IVF (inverted-file) approximate top-k: k-means centroids partition
+    * the corpus into cells; each query scores only the `nProbe` cells
+    * whose centroids are closest — the classic large-corpus ANN layout
+    * (centroids are tiny and broadcast; the corpus is scanned once to
+    * assign cells, then queries touch ~nProbe/nCells of it). Centroids
+    * come from MLlib KMeans on a sample, with a fixed seed. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qId: Column, qVec: Column, cId: Column, cVec: Column,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              excludeSelf: Boolean = true): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+      .setFeaturesCol("features")
+    val model = km.fit(c.select(array_to_vector(col("cv")).as("features")))
+    // centroids as plan literals (tiny). Cells ranked via ONE sorted
+    // struct array — a pairwise when/otherwise max-fold would duplicate
+    // its operand subtrees at every level (2^nCells expression nodes:
+    // OOMs the driver at analysis time).
+    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+    def cellsByAffinity(vec: Column): Column = {
+      val scored = array(cents.map { case (ctr, i) =>
+        struct((-Vectors.dot(vec, array(ctr.map(lit): _*))).as("negs"),
+          lit(i).as("cell"))
+      }: _*)
+      transform(array_sort(scored), x => x.getField("cell"))
+    }
+    def nearestCell(vec: Column): Column =
+      element_at(cellsByAffinity(vec), 1)
+    def probeCells(vec: Column): Column =
+      slice(cellsByAffinity(vec), 1, nProbe)
+    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+      .repartition(col("cell"))
+    val q = normalized(queries, qId, qVec, "query_id", "qv")
+      .withColumn("cells", probeCells(col("qv")))
+      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+    val scored0 = joined.withColumn("score",
+      round(Vectors.dot(col("qv"), col("cv")), 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** Approximate top-k via sign-bucket LSH: corpus rows hash to one of
     * 2^nBits buckets; each query probes buckets within Hamming distance
     * <= probeHamming of its own (multi-probe improves recall at small

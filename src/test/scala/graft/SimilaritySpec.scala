@@ -69,6 +69,52 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.3
   }
 
+  test("cosinePairsLsh: subset of exact pairs with decent recall") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val exact = Similarity.cosinePairs(emb, $"vec_id", $"embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // per-table collision prob at cos 0.4 (theta~66deg) is (1-theta/pi)^6
+    // ~ 0.06, so 8 tables give ~0.4 expected recall on these isotropic
+    // vectors; real near-dup thresholds (>=0.9) collide far more often
+    val approx = Similarity.cosinePairsLsh(emb, $"vec_id", $"embedding",
+      threshold = 0.4, dim = 64, nBits = 6, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    approx.subsetOf(exact) shouldBe true // verified candidates only
+    exact should not be empty
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    recall should be >= 0.25
+  }
+
+  test("IVF top-k: valid ranks, subset scoring matches brute force on hits") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopK(queries, emb, 5,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      nCells = 8, nProbe = 3)
+    val rows = ivf.collect()
+    rows.groupBy(_.getAs[Long]("query_id")).values.foreach { rs =>
+      rs.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe (1 to rs.length)
+    }
+    // every (query, neighbor) hit carries the same score brute force gives
+    val bf = Similarity.bruteForceTopK(queries, emb, 500,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map { case (q, n, s) => (q, n) -> s }.toMap
+    rows.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("neighbor_id"))
+      bf(key) shouldBe r.getAs[Double]("score")
+    }
+    // recall vs exact top-5 (probing 3/8 cells of structureless vectors)
+    val exactTop = Similarity.bruteForceTopK(queries, emb, 5,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val got = ivf.select("query_id", "neighbor_id")
+      .as[(Long, Long)].collect().toSet
+    val recall = (exactTop intersect got).size.toDouble / exactTop.size
+    recall should be >= 0.3
+  }
+
   test("cosinePairs threshold is inclusive and symmetric-free (a<b)") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
