@@ -142,7 +142,7 @@ object Similarity {
     // struct array — a pairwise when/otherwise max-fold would duplicate
     // its operand subtrees at every level (2^nCells expression nodes:
     // OOMs the driver at analysis time).
-    val cents = model.clusterCenters.map(_.toArray).zipWithIndex
+    val cents = model.clusterCenters.map(_.toArray.toIndexedSeq).zipWithIndex.toIndexedSeq
     def cellsByAffinity(vec: Column): Column = {
       val scored = array(cents.map { case (ctr, i) =>
         struct((-Vectors.dot(vec, array(ctr.map(lit): _*))).as("negs"),
