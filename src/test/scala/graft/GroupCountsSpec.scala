@@ -77,6 +77,23 @@ class GroupCountsSpec extends SparkSpec {
     byLabel.values.max should be <= 7L
   }
 
+  test("Splits: percent slices partition the table exactly and reproducibly") {
+    import graft.operators.Splits
+    val docs = Tables(spark, sf0001, "documents")
+    val (train, test) = Splits.trainTest(docs, 90, $"doc_id")
+    train.count() + test.count() shouldBe docs.count()
+    // disjoint
+    train.join(test, "doc_id").count() shouldBe 0L
+    // reproducible independent of partitioning
+    val (train2, _) = Splits.trainTest(docs.repartition(7), 90, $"doc_id")
+    train2.select("doc_id").as[Long].collect().sorted.toSeq shouldBe
+      train.select("doc_id").as[Long].collect().sorted.toSeq
+    // roughly proportional
+    train.count().toDouble / docs.count() shouldBe 0.9 +- 0.08
+    an[IllegalArgumentException] should be thrownBy
+      Splits.slice(docs, 50, 40, $"doc_id")
+  }
+
   test("byUdf: arbitrary row function keying") {
     val df = Seq((1L, "ab"), (2L, "xyz")).toDF("id", "s")
     val g = Grouper.byUdf(spark,
