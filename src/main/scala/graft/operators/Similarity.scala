@@ -135,7 +135,10 @@ object Similarity {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(10)
+    // random init + few iterations: cell quality barely moves recall,
+    // while k-means|| init costs several extra corpus passes
+    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
+      .setInitMode("random")
       .setFeaturesCol("features")
     val model = km.fit(c.select(array_to_vector(col("cv")).as("features")))
     // centroids as plan literals (tiny). Cells ranked via ONE sorted
