@@ -202,6 +202,38 @@ object SparkEntry {
         Tables(s, dir, "documents"), Grouper.byColumn("lang"),
         col("text"), col("doc_id"), blockSize = 128)
     },
+    // Composed LLM-corpus cleaning pipeline: quality-filter, then keep
+    // one document per distinct normalized text (min doc_id survivor),
+    // emitting the quality and predicted language of each survivor —
+    // the operators composing exactly as a user would chain them.
+    "corpus_clean_pipeline" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val t = col("text")
+      val scored = docs.select(
+        col("doc_id"), t.as("text"),
+        TextAnalysis.qualityScore(t).as("quality"),
+        TextAnalysis.langId(t).as("lang_pred"),
+        TextAnalysis.fingerprint(t).as("fp"))
+        .filter(col("quality") >= 0.3)
+      val keepers = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("doc_id"))
+      scored.join(keepers, Seq("fp", "doc_id"))
+        .select(col("doc_id"), col("lang_pred"), col("quality"))
+    },
+    // Built-in session_window in BATCH mode (streaming parity operator,
+    // distinct formulation from the gaps-and-islands query — both carry
+    // oracles).
+    "events_session_window_batch" -> { (s, dir) =>
+      val e = Tables(s, dir, "events")
+        .select(col("user_id"),
+          timestamp_micros(expr("ts DIV 1000")).as("tse"), col("value"))
+      e.groupBy(session_window(col("tse"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"),
+          round(sum(col("value")), 2).as("session_value"))
+        .select(
+          unix_timestamp(col("session_window.start")).as("session_start"),
+          col("user_id"), col("n_events"), col("session_value"))
+    },
     // Skew-resistant salted aggregation — identical semantics to
     // group_counts_lineitem (shares its oracle), two-phase topology.
     "group_counts_lineitem_salted" -> { (s, dir) =>
@@ -426,6 +458,40 @@ object SparkEntry {
         |  count(*) AS n_tokens,
         |  md5(string_agg(tok, ' ' ORDER BY seq)) AS block_digest
         |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin,
+    "corpus_clean_pipeline" -> {
+      import TextAnalysis.Sql._
+      s"""WITH scored AS (
+         |  SELECT doc_id, ${qualityScore("text")} AS quality,
+         |    ${langId("text")} AS lang_pred,
+         |    md5(${normalized("text")}) AS fp
+         |  FROM documents
+         |  WHERE ${qualityScore("text")} >= 0.3),
+         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
+         |SELECT s.doc_id, s.lang_pred, s.quality
+         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.doc_id""".stripMargin
+    },
+    // microsecond-granular gap logic: session membership must be decided
+    // at the same precision Spark's session_window sees (micros), not
+    // floored seconds — a 1799.7s gap is one session, 1800.0s is two
+    "events_session_window_batch" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, event_id,
+        |    epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL THEN 1
+        |         WHEN epoch_ns(ts) // 1000
+        |              - lag(epoch_ns(ts) // 1000) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+        |sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events,
+        |  round(sum(value), 2) AS session_value
+        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
     "group_counts_lineitem_salted" ->
       s"""SELECT l_returnflag AS group_id,
          |  count(*) AS num_examples,
