@@ -40,6 +40,15 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
 
+  /** Streaming exact dedup: drop events whose key columns repeat within
+    * the watermark horizon (bounded state — the streaming twin of
+    * Dedup.exact for at-least-once sources that can replay events). */
+  def dedupWithinWatermark(events: DataFrame, keyCols: Seq[String],
+                           watermark: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
   /** Arbitrary keyed state via flatMapGroupsWithState: per-user running

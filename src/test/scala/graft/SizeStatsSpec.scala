@@ -59,6 +59,18 @@ class SizeStatsSpec extends SparkSpec {
     df.select(WordCount.exprFor(schema).as("w")).as[Long].head() shouldBe 4L
   }
 
+  test("array<string> columns: byte sizes sum elements, word counts sum leaves") {
+    val df = Seq((Seq("ab", "c d e"), 7)).toDF("arr", "n")
+    df.select(ByteSize.exprFor(df.schema)).as[Long].head() shouldBe
+      (2L + 5L + 4L) // strings + int
+    df.select(WordCount.exprFor(df.schema)).as[Long].head() shouldBe
+      (1L + 3L) // "ab" + "c d e"
+    // empty and null arrays contribute zero
+    val empty = Seq((Seq.empty[String], Option.empty[Seq[String]])).toDF("a", "b")
+    empty.select(ByteSize.exprFor(empty.schema)).as[Long].head() shouldBe 0L
+    empty.select(WordCount.exprFor(empty.schema)).as[Long].head() shouldBe 0L
+  }
+
   test("scalar string group golden: 3 examples, 21 bytes, 6 words (beam_transforms_test.py:179-192)") {
     val df = Seq("foo", "bar bar", "baz baz baz").toDF("text")
     val r = df.agg(

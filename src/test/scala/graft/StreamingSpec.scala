@@ -110,6 +110,26 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming dedup drops replayed events within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupWithinWatermark(events, Seq("user_id", "event_type"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(1), 1L, "click", 2.0))
+      q.processAllAvailable()
+      // replay of (1, click) in a later batch is still within the
+      // watermark -> dropped; a new key passes
+      mem.addData((ts(2), 1L, "click", 3.0), (ts(3), 2L, "view", 4.0))
+      q.processAllAvailable()
+      val got = spark.table("dedup_out")
+        .select($"user_id", $"event_type").as[(Long, String)].collect().toSeq
+      got.sorted shouldBe Seq((1L, "click"), (2L, "view"))
+    } finally q.stop()
+  }
+
   test("streaming tumbling == batch tumbling on the driver events table") {
     implicit val sqlCtx = spark.sqlContext
     // batch twin over real data, restricted to one hour for test speed
