@@ -145,6 +145,12 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         dim = 64, nBits = 8, probeHamming = 2, seed = 42L)
     },
+    // Grouped vector aggregation: element-wise per-label centroids of
+    // the embedding column (exploded lane shape, exact oracle).
+    "embedding_centroids_by_label" -> { (s, dir) =>
+      graft.functions.VectorAgg.centroidLanes(
+        Tables(s, dir, "embeddings"), col("label"), col("embedding"))
+    },
     // IVF ANN: k-means cells + nProbe probing (approximate — rows-only;
     // per-hit scores proven equal to brute force in SimilaritySpec).
     "similarity_ivf_embeddings" -> { (s, dir) =>
@@ -458,6 +464,14 @@ object SparkEntry {
         |  count(*) AS n_tokens,
         |  md5(string_agg(tok, ' ' ORDER BY seq)) AS block_digest
         |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin,
+    "embedding_centroids_by_label" ->
+      """SELECT label AS group_id, u.i - 1 AS lane,
+        |  count(*) AS n,
+        |  round(avg(CAST(u.v AS DOUBLE)), 6) AS centroid_val
+        |FROM (SELECT label, unnest([{'i': i, 'v': embedding[i]}
+        |        FOR i IN range(1, len(embedding) + 1)]) AS u
+        |      FROM embeddings)
+        |GROUP BY label, u.i - 1""".stripMargin,
     "corpus_clean_pipeline" -> {
       import TextAnalysis.Sql._
       s"""WITH scored AS (
