@@ -175,6 +175,9 @@ object SparkEntry {
     "rel_semi_anti_customers" -> Relational.customerOrderCoverage _,
     "rel_nation_setops" -> Relational.nationSetOps _,
     "rel_supplier_running_revenue" -> Relational.supplierRunningRevenue _,
+    "rel_price_quantiles" -> Relational.priceQuantiles _,
+    "rel_pricing_rollup" -> Relational.pricingRollup _,
+    "rel_orders_pivot" -> Relational.ordersPivot _,
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
 
@@ -412,6 +415,24 @@ object SparkEntry {
         |FROM lineitem WHERE l_suppkey < 3
         |WINDOW w AS (PARTITION BY l_suppkey
         |  ORDER BY l_shipdate, l_orderkey, l_linenumber)""".stripMargin,
+    "rel_price_quantiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_price,
+        |  round(quantile_cont(l_quantity, 0.25), 4) AS q1_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "rel_pricing_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |  coalesce(l_linestatus, 'ALL') AS linestatus,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "rel_orders_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
     "events_tumbling_5min" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
         |  event_type, count(*) AS n_events,

@@ -134,6 +134,42 @@ object Relational {
         .as("running_revenue_e4"))
   }
 
+  /** Statistical aggregation coverage: exact continuous-interpolation
+    * percentiles (Spark `percentile` == DuckDB `quantile_cont`). */
+  def priceQuantiles(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
+        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+
+  /** Multi-level aggregation coverage: ROLLUP over (returnflag,
+    * linestatus) — subtotal and grand-total rows; null grouping keys are
+    * rendered as 'ALL' so the oracle's text shape matches exactly. */
+  def pricingRollup(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("n"), col("sum_qty"))
+
+  /** Pivot coverage: order counts per priority pivoted by status —
+    * expressed in the oracle as conditional aggregation (the portable
+    * SQL shape of PIVOT). */
+  def ordersPivot(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .withColumnRenamed("F", "n_f")
+      .withColumnRenamed("O", "n_o")
+      .withColumnRenamed("P", "n_p")
+
   // ------------------------------------------------------------- events
 
   /** Tumbling 5-minute windows over the event stream (epoch-nanos long
