@@ -179,6 +179,7 @@ object SparkEntry {
     "rel_pricing_rollup" -> Relational.pricingRollup _,
     "rel_orders_pivot" -> Relational.ordersPivot _,
     "events_tumbling_5min" -> Relational.eventsTumbling _,
+    "events_json_props" -> Relational.eventsJsonProps _,
     "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
 
     // ------------------------------------------------- multimodal columns
@@ -433,6 +434,12 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "events_json_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
     "events_tumbling_5min" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
         |  event_type, count(*) AS n_events,

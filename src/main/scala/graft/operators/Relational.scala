@@ -172,6 +172,18 @@ object Relational {
 
   // ------------------------------------------------------------- events
 
+  /** Semi-structured coverage: extract a typed field from the JSON
+    * `props` payload and aggregate it per event type (`get_json_object`
+    * — the schema-on-read path for property bags). */
+  def eventsJsonProps(s: SparkSession, dir: String): DataFrame =
+    Tables(s, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(col("k")).as("n_with_k"),
+        sum(col("k")).as("sum_k"),
+        max(col("k")).as("max_k"))
+
   /** Tumbling 5-minute windows over the event stream (epoch-nanos long
     * `ts`): count + value rollup per (window, event_type). The batch
     * twin of the Structured Streaming tumbling-window pipeline in
