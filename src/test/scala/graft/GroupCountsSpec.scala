@@ -43,11 +43,13 @@ class GroupCountsSpec extends SparkSpec {
     got.count() should be > 0L
   }
 
-  test("formatted output shape (count_utils.py:50-58)") {
+  test("formatted output shape incl. custom delimiter (count_utils_test.py:25-93)") {
     val df = Seq(("x", "hello world")).toDF("k", "t")
-    val lines = GroupCounts.formatted(
-      GroupCounts(df, Grouper.byColumn("k"))).as[String].collect()
-    lines.toSeq shouldBe Seq("x,1,12,3")
+    val counts = GroupCounts(df, Grouper.byColumn("k"))
+    GroupCounts.formatted(counts).as[String].collect().toSeq shouldBe
+      Seq("x,1,12,3")
+    GroupCounts.formatted(counts, delimiter = ";").as[String].collect().toSeq shouldBe
+      Seq("x;1;12;3")
   }
 
   test("writeFormatted: text shards with the reference's comma header quirk") {
