@@ -44,9 +44,17 @@ object Dedup {
     * join for differential testing. */
   def ngramJaccardPairs(df: DataFrame, textCol: Column, idCol: Column,
                         n: Int, threshold: Double): DataFrame = {
-    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    // shuffle the RAW rows first, then compute shingles post-exchange:
+    // a single-row-group parquet scan is ONE task, so computing the HOF
+    // in the scan stage serializes it; the exchange also doubles as the
+    // ReuseExchange barrier for every downstream join side
+    val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      .filter(size(col("sh")) > 0)
+      // pre-filter on the cheap token count BEFORE the shingle HOF: a
+      // post-projection filter on size(sh) would be collapsed onto the
+      // projection and evaluate the HOF twice per row
+      .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
+      .select(col("id"), shingles(col("__text"), n).as("sh"))
     // global shingle frequencies -> per-doc rarest-first ordering
     val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
@@ -101,9 +109,17 @@ object Dedup {
     // these pipelines, see Similarity's perf note)
     // barrier BEFORE the filter: Filter(size(sh)>0) collapsed onto the
     // projection would evaluate the shingle HOF twice per row
-    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    // shuffle the RAW rows first, then compute shingles post-exchange:
+    // a single-row-group parquet scan is ONE task, so computing the HOF
+    // in the scan stage serializes it; the exchange also doubles as the
+    // ReuseExchange barrier for every downstream join side
+    val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      .filter(size(col("sh")) > 0)
+      // pre-filter on the cheap token count BEFORE the shingle HOF: a
+      // post-projection filter on size(sh) would be collapsed onto the
+      // projection and evaluate the HOF twice per row
+      .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
+      .select(col("id"), shingles(col("__text"), n).as("sh"))
     val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
     val exploded0 = sets.select(col("id"), explode(col("sh")).as("g"))
     val exploded = (maxShingleFreq match {
@@ -175,9 +191,17 @@ object Dedup {
     val rows = k / bands
     // barrier before the filter (same CollapseProject hazard as ngram);
     // the exchange output is reused by banding + both verification joins
-    val sets = df.select(idCol.as("id"), shingles(textCol, n).as("sh"))
+    // shuffle the RAW rows first, then compute shingles post-exchange:
+    // a single-row-group parquet scan is ONE task, so computing the HOF
+    // in the scan stage serializes it; the exchange also doubles as the
+    // ReuseExchange barrier for every downstream join side
+    val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      .filter(size(col("sh")) > 0)
+      // pre-filter on the cheap token count BEFORE the shingle HOF: a
+      // post-projection filter on size(sh) would be collapsed onto the
+      // projection and evaluate the HOF twice per row
+      .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
+      .select(col("id"), shingles(col("__text"), n).as("sh"))
     // one codegen pass per row straight to band buckets — slicing a sig
     // column would re-evaluate the whole signature once per band after
     // projection collapse
@@ -245,7 +269,9 @@ object Dedup {
     // segment j covers bits [starts(j), starts(j+1)) — widths differ by
     // at most 1, every bit covered exactly once
     val starts = (0 to nSegs).map(j => j * 64 / nSegs)
-    val hashed = df.select(idCol.as("id"), simhash(textCol).as("h"))
+    val hashed = df.select(idCol.as("id"), textCol.as("__text"))
+      .repartition(col("id")) // parallelize the fold past the 1-task scan
+      .select(col("id"), simhash(col("__text")).as("h"))
     val segExprs = (0 until nSegs).map { j =>
       val width = starts(j + 1) - starts(j)
       val mask = if (width == 64) -1L else (1L << width) - 1L
