@@ -21,8 +21,13 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
-  /** Word n-gram shingle set (distinct, order-normalized). */
-  def shingles(textCol: Column, n: Int): Column = {
+  /** Word n-gram shingle set (distinct, first-occurrence order) — the
+    * native [[graft.expressions.WordShingles]] loop (the HOF chain below
+    * is kept for differential testing). */
+  def shingles(textCol: Column, n: Int): Column =
+    graft.expressions.WordShingles(TextAnalysis.tokens(textCol), n)
+
+  private[graft] def shinglesHof(textCol: Column, n: Int): Column = {
     val t = TextAnalysis.tokens(textCol)
     array_distinct(
       when(size(t) < n, array())
@@ -50,11 +55,15 @@ object Dedup {
     // ReuseExchange barrier for every downstream join side
     val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      // pre-filter on the cheap token count BEFORE the shingle HOF: a
-      // post-projection filter on size(sh) would be collapsed onto the
-      // projection and evaluate the HOF twice per row
+      // pre-filter on the cheap token count BEFORE the shingle expr: a
+      // post-projection size filter would collapse onto the projection
+      // and evaluate it twice per row
       .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
       .select(col("id"), shingles(col("__text"), n).as("sh"))
+      // second (tiny) exchange AFTER the computation: every downstream
+      // consumer (freq, inverted index, both verification joins) reuses
+      // the materialized arrays instead of re-running the expression
+      .repartition(col("id"))
     // global shingle frequencies -> per-doc rarest-first ordering
     val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
     val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
@@ -115,11 +124,15 @@ object Dedup {
     // ReuseExchange barrier for every downstream join side
     val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      // pre-filter on the cheap token count BEFORE the shingle HOF: a
-      // post-projection filter on size(sh) would be collapsed onto the
-      // projection and evaluate the HOF twice per row
+      // pre-filter on the cheap token count BEFORE the shingle expr: a
+      // post-projection size filter would collapse onto the projection
+      // and evaluate it twice per row
       .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
       .select(col("id"), shingles(col("__text"), n).as("sh"))
+      // second (tiny) exchange AFTER the computation: every downstream
+      // consumer (freq, inverted index, both verification joins) reuses
+      // the materialized arrays instead of re-running the expression
+      .repartition(col("id"))
     val sizes = sets.select(col("id"), size(col("sh")).cast("long").as("n_sh"))
     val exploded0 = sets.select(col("id"), explode(col("sh")).as("g"))
     val exploded = (maxShingleFreq match {
@@ -197,11 +210,15 @@ object Dedup {
     // ReuseExchange barrier for every downstream join side
     val sets = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      // pre-filter on the cheap token count BEFORE the shingle HOF: a
-      // post-projection filter on size(sh) would be collapsed onto the
-      // projection and evaluate the HOF twice per row
+      // pre-filter on the cheap token count BEFORE the shingle expr: a
+      // post-projection size filter would collapse onto the projection
+      // and evaluate it twice per row
       .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
       .select(col("id"), shingles(col("__text"), n).as("sh"))
+      // second (tiny) exchange AFTER the computation: every downstream
+      // consumer (freq, inverted index, both verification joins) reuses
+      // the materialized arrays instead of re-running the expression
+      .repartition(col("id"))
     // one codegen pass per row straight to band buckets — slicing a sig
     // column would re-evaluate the whole signature once per band after
     // projection collapse

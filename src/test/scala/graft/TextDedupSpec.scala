@@ -81,6 +81,14 @@ class TextDedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("native WordShingles == HOF shingles (differential, driver corpus)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val diff = docs.select(
+      (Dedup.shingles($"text", 3) =!= Dedup.shinglesHof($"text", 3)).as("d"))
+      .filter($"d").count()
+    diff shouldBe 0L
+  }
+
   test("codegen sketches == HOF formulations (differential, driver corpus)") {
     val docs = Tables(spark, sf0001, "documents")
     val sh = Dedup.shingles($"text", 3)
