@@ -27,13 +27,22 @@ object GroupConsumer {
   def chunkedBlocks(df: DataFrame, grouper: Grouper, textCol: Column,
                     orderCol: Column, blockSize: Int,
                     dropRemainder: Boolean = false): DataFrame = {
-    val keyed = grouper.keyed(df)
+    // global token sequence = per-DOC running offset + within-doc token
+    // position: the window sorts only the document rows, not the
+    // exploded tokens (15M-token stress case: the token-level
+    // row_number sort was the pipeline's dominant cost)
+    val docs = grouper.keyed(df)
       .select(col(grouper.name), orderCol.as("__ord"),
-        posexplode(TextAnalysis.tokens(textCol)).as(Seq("__pos", "__tok")))
-    val w = Window.partitionBy(col(grouper.name))
-      .orderBy(col("__ord"), col("__pos"))
-    val seqd = keyed
-      .withColumn("__seq", row_number().over(w))
+        TextAnalysis.tokens(textCol).as("__toks"))
+    val wDoc = Window.partitionBy(col(grouper.name))
+      .orderBy(col("__ord"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withOffset = docs.withColumn("__offset",
+      coalesce(sum(size(col("__toks"))).over(wDoc).cast("long"), lit(0L)))
+    val seqd = withOffset
+      .select(col(grouper.name), col("__offset"),
+        posexplode(col("__toks")).as(Seq("__pos", "__tok")))
+      .withColumn("__seq", col("__offset") + col("__pos") + 1)
       .withColumn("block_idx", expr(s"CAST((__seq - 1) DIV $blockSize AS BIGINT)"))
     val blocks = seqd
       .groupBy(col(grouper.name), col("block_idx"))
