@@ -126,8 +126,21 @@ object SparkEntry {
     },
 
     // --------------------------------------------------------- similarity
+    // PRIMARY near-dup entry = the LSH-bucketed linear path (the shape
+    // that survives 100 TB). Rows-only driver check; subset-of-exact and
+    // recall vs the exact path are asserted in SimilaritySpec.
     "neardup_embeddings" -> { (s, dir) =>
-      Similarity.cosinePairs(Tables(s, dir, "embeddings"),
+      Similarity.cosinePairsLsh(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.45,
+        dim = 64, nBits = 6, nTables = 8, seed = 42L)
+    },
+    // Exact-pairs VERIFICATION twin, explicitly bounded to a fixed-size
+    // corpus slice so the O(n^2) join can never be the scale path —
+    // exists to anchor the exact oracle that the LSH spec measures
+    // against.
+    "neardup_embeddings_exact" -> { (s, dir) =>
+      Similarity.cosinePairs(
+        Tables(s, dir, "embeddings").filter(col("vec_id") < 2000),
         col("vec_id"), col("embedding"), threshold = 0.45)
     },
     "similarity_topk_embeddings" -> { (s, dir) =>
@@ -160,13 +173,6 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4, seed = 42L)
     },
-    // LSH-bucketed near-dup pairs (approximate scale path of
-    // neardup_embeddings — rows-only; subset-of-exact asserted in spec).
-    "neardup_embeddings_lsh" -> { (s, dir) =>
-      Similarity.cosinePairsLsh(Tables(s, dir, "embeddings"),
-        col("vec_id"), col("embedding"), threshold = 0.45,
-        dim = 64, nBits = 6, nTables = 8, seed = 42L)
-    },
 
     // ------------------------------------- relational coverage (§2.4)
     "rel_revenue_by_region" -> Relational.revenueByRegion _,
@@ -198,12 +204,19 @@ object SparkEntry {
           .as("frames_digest"))
     },
     // Batch-shaped feature extraction over opaque media payloads (the
-    // decode itself is a deterministic stub — rows-only check; the
-    // plumbing invariants are pinned in MultimodalSpec).
+    // decode itself is a deterministic stub). The declared row emits
+    // scalar columns only — the driver's checker sorts rows by every
+    // column and cannot hash array cells — digesting the exact integer
+    // lane sums, which carry a full DuckDB oracle; the float `features`
+    // view stays in the library API (pinned in MultimodalSpec).
     "multimodal_decode_features" -> { (s, dir) =>
       val media = Multimodal.syntheticMedia(
         Tables(s, dir, "documents"), col("doc_id"), col("text"))
       Multimodal.decodeFeatures(media.repartition(8), dim = 8).toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"),
+          md5(concat_ws(",",
+            transform(col("lane_sums"), v => v.cast("string"))))
+            .as("lane_digest"))
     },
     // §2.6 consumer pipeline: per-group tokenize -> concat -> fixed
     // 128-token blocks (the reference's training-data chunking).
@@ -216,19 +229,32 @@ object SparkEntry {
     // one document per distinct normalized text (min doc_id survivor),
     // emitting the quality and predicted language of each survivor —
     // the operators composing exactly as a user would chain them.
+    // Plan shape: shuffle RAW rows (the one-task parquet scan must not
+    // run the regex battery), score once post-exchange, barrier the
+    // COMPUTED values behind a second cheap exchange (otherwise the
+    // quality filter collapses onto the projection and re-evaluates
+    // qualityScore — the repo's documented CollapseProject hazard), then
+    // a single min_by aggregation picks each fingerprint's survivor with
+    // no join-back at all.
     "corpus_clean_pipeline" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val t = col("text")
-      val scored = docs.select(
-        col("doc_id"), t.as("text"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.langId(t).as("lang_pred"),
-        TextAnalysis.fingerprint(t).as("fp"))
+      val scored = docs.select(col("doc_id"), t.as("text"))
+        .repartition(col("doc_id"))
+        .select(
+          col("doc_id"),
+          TextAnalysis.qualityScore(t).as("quality"),
+          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.fingerprint(t).as("fp"))
+        .repartition(col("doc_id"))
         .filter(col("quality") >= 0.3)
-      val keepers = scored.groupBy(col("fp"))
-        .agg(min(col("doc_id")).as("doc_id"))
-      scored.join(keepers, Seq("fp", "doc_id"))
-        .select(col("doc_id"), col("lang_pred"), col("quality"))
+      scored.groupBy(col("fp"))
+        .agg(min_by(
+          struct(col("doc_id"), col("lang_pred"), col("quality")),
+          col("doc_id")).as("w"))
+        .select(col("w.doc_id").as("doc_id"),
+          col("w.lang_pred").as("lang_pred"),
+          col("w.quality").as("quality"))
     },
     // Built-in session_window in BATCH mode (streaming parity operator,
     // distinct formulation from the gaps-and-islands query — both carry
@@ -239,10 +265,10 @@ object SparkEntry {
           timestamp_micros(expr("ts DIV 1000")).as("tse"), col("value"))
       e.groupBy(session_window(col("tse"), "30 minutes"), col("user_id"))
         .agg(count(lit(1)).as("n_events"),
-          round(sum(col("value")), 2).as("session_value"))
+          Relational.exactValueSumE4.as("session_value_e4"))
         .select(
           unix_timestamp(col("session_window.start")).as("session_start"),
-          col("user_id"), col("n_events"), col("session_value"))
+          col("user_id"), col("n_events"), col("session_value_e4"))
     },
     // Skew-resistant salted aggregation — identical semantics to
     // group_counts_lineitem (shares its oracle), two-phase topology.
@@ -251,11 +277,12 @@ object SparkEntry {
         Grouper.byColumn("l_returnflag"), saltBuckets = 8)
     },
     // Synthetic random partitioner (reference group_randomly) via the
-    // deterministic hash-mod keying; rows-only check (no xxhash64 in
-    // the oracle engine).
+    // deterministic md5-mod keying — md5 exists in both engines, so this
+    // carries an exact oracle (the faster xxhash64 twin byHashMod stays
+    // in the library API, spec-covered).
     "group_counts_hash_partition" -> { (s, dir) =>
       GroupCounts(Tables(s, dir, "lineitem"),
-        Grouper.byHashMod(10, col("l_orderkey"), col("l_linenumber")))
+        Grouper.byMd5Mod(10, col("l_orderkey"), col("l_linenumber")))
     },
     // Capped deterministic pack over the big fact table: payload built
     // only from integer/string fields so the oracle's string rendering
@@ -328,11 +355,11 @@ object SparkEntry {
     // both embedding oracles mirror the engine's arithmetic exactly:
     // L2-normalize each vector (per-element divide by the double norm),
     // then dot the normalized vectors — identical FP sequence both sides
-    "neardup_embeddings" ->
+    "neardup_embeddings_exact" ->
       s"""WITH v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
          |    FOR y IN embedding])) FOR x IN embedding] AS e
-         |  FROM embeddings)
+         |  FROM embeddings WHERE vec_id < 2000)
          |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
          |  round(list_sum([a.e[i] * b.e[i]
          |    FOR i IN range(1, len(a.e) + 1)]), 6) AS cosine
@@ -443,7 +470,8 @@ object SparkEntry {
     "events_tumbling_5min" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
         |  event_type, count(*) AS n_events,
-        |  round(sum(value), 2) AS total_value
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
     "events_sessions_30min" ->
       """WITH marked AS (
@@ -462,7 +490,8 @@ object SparkEntry {
         |  FROM marked)
         |SELECT user_id, session_seq, count(*) AS n_events,
         |  min(tsec) AS session_start, max(tsec) AS session_end,
-        |  round(sum(value), 2) AS session_value
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS session_value_e4
         |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
     // text is pure ASCII (verified strlen==length), so VARCHAR substr
     // mirrors byte-addressed binary substring exactly
@@ -474,6 +503,19 @@ object SparkEntry {
         |  md5(array_to_string(list_transform(
         |    range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 4),
         |    i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64)), '')) AS frames_digest
+        |FROM documents""".stripMargin,
+    // lane j (0-based, dim=8) sums bytes at 1-based positions j+1, j+9, …
+    // — exact integers, so the digest is engine-independent (text is
+    // pure ASCII: ord(char) == payload byte)
+    "multimodal_decode_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
+        |  strlen(text) AS n_bytes,
+        |  md5(array_to_string(list_transform(range(0, 8), j ->
+        |    CAST(coalesce(list_sum(list_transform(
+        |      range(1 + j, strlen(text) + 1, 8),
+        |      i -> ord(substr(text, CAST(i AS BIGINT), 1)))), 0) AS BIGINT)),
+        |    ',')) AS lane_digest
         |FROM documents""".stripMargin,
     "group_chunked_blocks" ->
       """WITH toks AS (
@@ -507,10 +549,11 @@ object SparkEntry {
          |    ${langId("text")} AS lang_pred,
          |    md5(${normalized("text")}) AS fp
          |  FROM documents
-         |  WHERE ${qualityScore("text")} >= 0.3),
-         |keepers AS (SELECT fp, min(doc_id) AS doc_id FROM scored GROUP BY fp)
-         |SELECT s.doc_id, s.lang_pred, s.quality
-         |FROM scored s JOIN keepers k ON s.fp = k.fp AND s.doc_id = k.doc_id""".stripMargin
+         |  WHERE ${qualityScore("text")} >= 0.3)
+         |SELECT min(doc_id) AS doc_id,
+         |  arg_min(lang_pred, doc_id) AS lang_pred,
+         |  arg_min(quality, doc_id) AS quality
+         |FROM scored GROUP BY fp""".stripMargin
     },
     // microsecond-granular gap logic: session membership must be decided
     // at the same precision Spark's session_window sees (micros), not
@@ -532,7 +575,8 @@ object SparkEntry {
         |  FROM marked)
         |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
         |  user_id, count(*) AS n_events,
-        |  round(sum(value), 2) AS session_value
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS session_value_e4
         |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
     "group_counts_lineitem_salted" ->
       s"""SELECT l_returnflag AS group_id,
@@ -540,6 +584,19 @@ object SparkEntry {
          |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
          |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    // bucket = first 8 md5 hex chars as unsigned int, mod 10 — exact in
+    // both engines ('0x…'::BIGINT in DuckDB, conv(…,16,10) in Spark)
+    "group_counts_hash_partition" ->
+      s"""WITH keyed AS (
+         |  SELECT *, 'group_' ||
+         |    CAST(CAST(('0x' || substr(md5(l_orderkey || '|' || l_linenumber),
+         |      1, 8)) AS BIGINT) % 10 AS VARCHAR) AS group_id
+         |  FROM lineitem)
+         |SELECT group_id,
+         |  count(*) AS num_examples,
+         |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
+         |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
+         |FROM keyed GROUP BY group_id""".stripMargin,
     "pack_capped_lineitem" ->
       """WITH rows_in AS (
         |  SELECT l_returnflag AS g,

@@ -1,0 +1,88 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** Bounded per-group top-k as a real AGGREGATE, not a window.
+  *
+  * `Window.partitionBy(query_id) + row_number + filter(rank <= k)` is the
+  * obvious formulation, but it shuffles EVERY scored candidate to one
+  * reducer per query and sorts |candidates| rows there — at 100 TB the
+  * per-query reducer sees the whole corpus. An Aggregator is planned as
+  * an ObjectHashAggregate with map-side partial aggregation: each input
+  * partition reduces its candidates to at most k locally, the shuffle
+  * carries one <=k-entry buffer per (partition, query), and the final
+  * merge is a k-way list merge — bounded state everywhere.
+  *
+  * Ordering contract (ties): score DESC, then neighbor_id ASC — identical
+  * to the window formulation it replaces, so results are deterministic
+  * and oracle-checkable.
+  */
+object TopK {
+
+  /** One scored candidate. */
+  final case class Entry(neighbor_id: Long, score: Double)
+
+  private val ord: Ordering[Entry] =
+    Ordering.by((e: Entry) => (-e.score, e.neighbor_id))
+
+  /** Size-k buffer aggregator. The buffer is kept UNSORTED between
+    * compactions and compacted (sort + truncate to k) only when it grows
+    * past 4k — amortized O(log k) per row without a per-row heap
+    * allocation, O(k) state at every stage. */
+  final class TopKAggregator(k: Int)
+      extends Aggregator[Entry, ArrayBuffer[Entry], Seq[Entry]] {
+    require(k > 0, "k must be positive")
+    private val cap = 4 * k
+
+    private def compact(b: ArrayBuffer[Entry]): ArrayBuffer[Entry] = {
+      if (b.length > k) {
+        val kept = b.sorted(ord).take(k)
+        b.clear()
+        b ++= kept
+      }
+      b
+    }
+
+    override def zero: ArrayBuffer[Entry] = ArrayBuffer.empty[Entry]
+
+    override def reduce(b: ArrayBuffer[Entry], e: Entry): ArrayBuffer[Entry] = {
+      b += e
+      if (b.length >= cap) compact(b) else b
+    }
+
+    override def merge(a: ArrayBuffer[Entry], b: ArrayBuffer[Entry]): ArrayBuffer[Entry] =
+      compact(a ++= b)
+
+    override def finish(b: ArrayBuffer[Entry]): Seq[Entry] =
+      b.sorted(ord).take(k).toSeq
+
+    override def bufferEncoder: Encoder[ArrayBuffer[Entry]] =
+      implicitly[Encoder[ArrayBuffer[Entry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      implicitly[Encoder[Seq[Entry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+  }
+
+  /** Rank `scored` (columns query_id, neighbor_id, score) down to the
+    * top k per query_id, emitting (query_id, neighbor_id, rank, score)
+    * with rank 1..k by (score desc, neighbor_id) — drop-in for the
+    * window+row_number formulation with map-side partials. */
+  def perQuery(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopKAggregator(k))
+    scored
+      .groupBy(col("query_id"))
+      .agg(agg(col("neighbor_id"), col("score")).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(
+        col("query_id"),
+        col("col.neighbor_id").as("neighbor_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("score"))
+  }
+}

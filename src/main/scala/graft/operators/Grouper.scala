@@ -53,17 +53,37 @@ object Grouper {
     Grouper(concat(lit("group_"),
       pmod(xxhash64(idCols: _*), lit(numGroups.toLong)).cast("string")))
 
+  /** [[byHashMod]] twin whose hash is md5 (first 8 hex chars parsed as an
+    * unsigned integer) instead of xxhash64 — marginally slower, but md5
+    * exists in every SQL engine, so the assignment has an EXACT
+    * cross-engine oracle (xxhash64 has no DuckDB twin). Id columns are
+    * rendered to strings and joined with '|' before hashing; use it when
+    * reproducibility outside Spark matters more than hash throughput. */
+  def byMd5Mod(numGroups: Int, idCols: Column*): Grouper = {
+    val rendered = concat_ws("|", idCols.map(_.cast("string")): _*)
+    val bucket = pmod(
+      conv(substring(md5(rendered), 1, 8), 16, 10).cast("long"),
+      lit(numGroups.toLong))
+    Grouper(concat(lit("group_"), bucket.cast("string")))
+  }
+
   /** Dirichlet-process-style group assignment: a label->group probability
     * matrix is sampled ONCE at plan-construction time on the driver (the
     * reference builds it with numpy at pipeline construction,
     * group_by_dirichlet_process.py:130-143, and broadcasts it inside the
     * key fn closure); each row then samples a group from its label's
     * categorical distribution using a per-row uniform draw. Here the
-    * matrix becomes a broadcast-joinable literal CASE expression and the
-    * per-row draw is `rand(seed)` — all Catalyst, no UDF.
-    */
-  def byDirichlet(labelCol: Column, labels: Seq[Int], numGroups: Int,
-                  alpha: Double, seed: Long): Grouper = {
+    * matrix becomes a broadcast-joinable literal CASE expression.
+    *
+    * The per-row uniform draw is derived from xxhash64(idCols, seed) —
+    * NOT `rand`: the draw is referenced once per CASE branch, and Rand
+    * is nondeterministic, so each branch would see a FRESH value,
+    * giving P(group i) = prod_{j<i}(1-c_j)*c_i instead of p_i. A hash
+    * draw evaluates to the same value everywhere (matching the
+    * reference's single rng.choice(p=pvals) per example) and is
+    * reproducible independent of partitioning. */
+  def byDirichlet(labelCol: Column, idCols: Seq[Column], labels: Seq[Int],
+                  numGroups: Int, alpha: Double, seed: Long): Grouper = {
     val rng = new java.util.Random(seed)
     // Driver-side Dirichlet(alpha) sample per label via Gamma draws
     // (Marsaglia-Tsang not needed for test-scale alpha; use the sum-of
@@ -97,8 +117,10 @@ object Grouper {
       l -> g.map(_ / s)
     }.toMap
     // Per label, cumulative probabilities -> pick smallest index whose
-    // cumsum exceeds the per-row uniform draw.
-    val u = rand(seed + 1)
+    // cumsum exceeds the per-row uniform draw (40-bit hash resolution).
+    val uScale = 1L << 40
+    val u = pmod(xxhash64((idCols :+ lit(seed)): _*), lit(uScale))
+      .cast("double") / lit(uScale.toDouble)
     val groupForLabel: Map[Int, Column] = probs.map { case (l, p) =>
       val cum = p.scanLeft(0.0)(_ + _).tail
       // nested CASE over cumulative thresholds

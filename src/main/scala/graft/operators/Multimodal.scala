@@ -19,7 +19,8 @@ object Multimodal {
       width: Int, height: Int, format: String)
 
   final case class MediaFeatures(
-      media_id: Long, kind: String, n_bytes: Long, features: Array[Float])
+      media_id: Long, kind: String, n_bytes: Long,
+      lane_sums: Array[Long], features: Array[Float])
 
   /** Media metadata as a typed struct column (what a real ingest would
     * parse from container headers). */
@@ -48,21 +49,24 @@ object Multimodal {
     * memory). Partition count = parallelism; repartition by media_id
     * upstream for balance.
     *
-    * STUB DECODER: features are a deterministic fold of payload bytes
-    * (dim lanes). A real implementation replaces `decodeOne` only —
-    * signature, batching and schema stay. */
+    * STUB DECODER: `lane_sums` are the exact integer byte sums of each
+    * of the `dim` interleaved lanes (order-independent, so they carry an
+    * exact cross-engine oracle), and `features` is the single-division
+    * float view `lane_sums / 255f`. A real implementation replaces
+    * `decodeOne` only — signature, batching and schema stay. */
   def decodeFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
       // per-partition init happens HERE in a real decoder (codec context)
       def decodeOne(m: Media): MediaFeatures = {
-        val f = new Array[Float](dim)
+        val sums = new Array[Long](dim)
         var i = 0
         while (i < m.payload.length) {
-          f(i % dim) += (m.payload(i) & 0xff) / 255.0f
+          sums(i % dim) += (m.payload(i) & 0xff)
           i += 1
         }
-        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, f)
+        val f = Array.tabulate(dim)(j => sums(j) / 255.0f)
+        MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, sums, f)
       }
       it.map(decodeOne)
     }

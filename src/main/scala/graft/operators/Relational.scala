@@ -195,8 +195,19 @@ object Relational {
     val winStart = (expr("ts DIV 1000000000 DIV 300") * 300L).as("window_start")
     e.groupBy(winStart, col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        exactValueSumE4.as("total_value_e4"))
   }
+
+  /** Exact order-independent sum of the events `value` column, emitted as
+    * a scaled integer (1e-4 units). `round(sum(double), 2)` is a latent
+    * hash-FAIL: Spark's partial aggregation and DuckDB add in different
+    * orders, which flips the rounded cent in final-ulp cases (this is
+    * exactly what sank events_sessions_30min in round 1). Per-item round
+    * to 4dp -> exact DECIMAL accumulation -> scaled long is immune to
+    * both accumulation order and double-render differences; the same
+    * pattern already passes the driver hash in supplierRunningRevenue. */
+  private[graft] def exactValueSumE4 =
+    (sum(round(col("value"), 4).cast("decimal(18,4)")) * 10000).cast("long")
 
   /** Sessionization with a 30-minute inactivity gap (gaps-and-islands):
     * lag + cumulative-sum window per user, then per-session rollup.
@@ -219,6 +230,6 @@ object Relational {
       .agg(count(lit(1)).as("n_events"),
         min(col("tsec")).as("session_start"),
         max(col("tsec")).as("session_end"),
-        round(sum(col("value")), 2).as("session_value"))
+        exactValueSumE4.as("session_value_e4"))
   }
 }

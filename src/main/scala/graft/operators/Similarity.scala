@@ -1,10 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
+import graft.functions.{TopK, Vectors}
 
 /** Similarity search over embedding columns (BASELINE.json north star).
   *
@@ -57,17 +56,19 @@ object Similarity {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k AGGREGATE, not a window: map-side partials reduce
+    // each partition to <=k rows per query before the shuffle (a
+    // row_number window would drag every scored candidate onto one
+    // reducer per query — |corpus| rows on a single task at scale)
+    TopK.perQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
   /** All corpus pairs with cosine >= threshold (embedding near-dup
-    * detection). Quadratic — intended for verification/small corpora;
-    * the scale path is [[lshTopK]]-style bucketing. */
+    * detection). Quadratic — VERIFICATION-ONLY: bound the input (the
+    * declared driver query slices the corpus) and use [[cosinePairsLsh]]
+    * as the scale path; this one exists to anchor the exact oracle and
+    * measure LSH recall. */
   def cosinePairs(df: DataFrame, idCol: Column, vecCol: Column,
                   threshold: Double): DataFrame = {
     val v = normalized(df, idCol, vecCol, "id", "vec")
@@ -131,7 +132,8 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               qId: Column, qVec: Column, cId: Column, cVec: Column,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              excludeSelf: Boolean = true): DataFrame = {
+              excludeSelf: Boolean = true,
+              maxTrainRows: Int = 4096): DataFrame = {
     import org.apache.spark.ml.clustering.KMeans
     import org.apache.spark.ml.functions.array_to_vector
     val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
@@ -140,7 +142,15 @@ object Similarity {
     val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
       .setInitMode("random")
       .setFeaturesCol("features")
-    val model = km.fit(c.select(array_to_vector(col("cv")).as("features")))
+    // fit on a DRIVER-BOUNDED training set: each KMeans iteration is a
+    // full pass over its input, so fitting the whole corpus costs
+    // maxIter corpus scans — a non-starter at 100 TB, and cell quality
+    // saturates long before a few hundred samples per cell anyway.
+    // limit() short-circuits the scan (LocalLimit per partition, tiny
+    // GlobalLimit gather), keeping the fit cost constant in corpus size.
+    val train = c.select(array_to_vector(col("cv")).as("features"))
+      .limit(math.max(maxTrainRows, nCells * 4))
+    val model = km.fit(train)
     // centroids as plan literals (tiny). Cells ranked via ONE sorted
     // struct array — a pairwise when/otherwise max-fold would duplicate
     // its operand subtrees at every level (2^nCells expression nodes:
@@ -168,11 +178,8 @@ object Similarity {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k aggregate (see bruteForceTopK note)
+    TopK.perQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
@@ -198,11 +205,8 @@ object Similarity {
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
       else scored0
-    val w = Window.partitionBy(col("query_id"))
-      .orderBy(col("score").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    // bounded top-k aggregate (see bruteForceTopK note)
+    TopK.perQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 }

@@ -219,9 +219,17 @@ final class TFExampleCodec(schema: StructType) extends Serializable {
     case IntegerType => l.toInt
     case LongType    => l
     case BooleanType => l != 0L
-    case TimestampType | TimestampNTZType =>
+    case TimestampType =>
       java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
         Math.floorDiv(l, 1000000L), Math.floorMod(l, 1000000L) * 1000))
+    case TimestampNTZType =>
+      // Spark's external row type for TimestampNTZ is LocalDateTime,
+      // not java.sql.Timestamp — returning Timestamp here would make
+      // createDataFrame on an NTZ schema fail / misconvert
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(l, 1000000L),
+        (Math.floorMod(l, 1000000L) * 1000).toInt,
+        java.time.ZoneOffset.UTC)
     case other =>
       throw new IllegalArgumentException(
         s"Found a mismatch between the provided schema and an example:" +

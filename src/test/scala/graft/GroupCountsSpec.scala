@@ -65,18 +65,42 @@ class GroupCountsSpec extends SparkSpec {
 
   test("byDirichlet: deterministic per seed, respects group bound, label-conditional") {
     val df = (0 until 2000).map(i => (i.toLong, i % 10)).toDF("id", "label")
-    val g = Grouper.byDirichlet($"label", labels = 0 until 10, numGroups = 7,
-      alpha = 0.5, seed = 7L)
+    val g = Grouper.byDirichlet($"label", Seq($"id"), labels = 0 until 10,
+      numGroups = 7, alpha = 0.5, seed = 7L)
     val out1 = g.keyed(df).select("id", "group_id").as[(Long, String)].collect().toMap
     val out2 = g.keyed(df).select("id", "group_id").as[(Long, String)].collect().toMap
     out1 shouldBe out2 // deterministic
     out1.values.toSet.size should be <= 7
     out1.values.foreach(_ should startWith("group_"))
+    // hash-based draw: reproducible independent of partitioning (a rand
+    // draw would reshuffle assignments with the rows)
+    val out3 = g.keyed(df.repartition(13)).select("id", "group_id")
+      .as[(Long, String)].collect().toMap
+    out3 shouldBe out1
     // with alpha=0.5 the per-label distributions are skewed: at least one
     // label should NOT use all 7 groups (sanity that probs vary by label)
     val byLabel = g.keyed(df).groupBy($"label")
       .agg(countDistinct($"group_id").as("n")).as[(Int, Long)].collect().toMap
     byLabel.values.max should be <= 7L
+  }
+
+  test("byDirichlet: empirical group frequencies match the sampled p_i") {
+    // one label, many rows: the single-draw CASE must realize P(group i)
+    // = p_i (the multi-evaluation rand bug skewed this toward
+    // prod(1-c_j)*c_i — early groups overweighted)
+    val n = 20000
+    val df = (0 until n).map(i => (i.toLong, 0)).toDF("id", "label")
+    val g = Grouper.byDirichlet($"label", Seq($"id"), labels = Seq(0),
+      numGroups = 4, alpha = 100.0, seed = 11L) // alpha>>1 -> p_i ~ 1/4 each
+    val freq = g.keyed(df).groupBy($"group_id").count()
+      .as[(String, Long)].collect().toMap
+    freq.values.sum shouldBe n.toLong
+    // with alpha=100 every p_i is within a few percent of 0.25; allow a
+    // generous band that the biased scheme (p_0 -> ~0.25 but later
+    // groups progressively underweighted multiplicatively) still fails
+    freq.values.foreach { c =>
+      c.toDouble / n shouldBe 0.25 +- 0.05
+    }
   }
 
   test("Splits: percent slices partition the table exactly and reproducibly") {

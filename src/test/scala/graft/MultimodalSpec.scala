@@ -30,6 +30,19 @@ class MultimodalSpec extends SparkSpec {
     nb shouldBe media.filter($"media_id" === 0L).head().payload.length.toLong
   }
 
+  test("decodeFeatures: lane_sums are the exact byte sums; features = sums/255") {
+    val m = media.filter($"media_id" === 1L).head()
+    val f = Multimodal.decodeFeatures(media.filter($"media_id" === 1L), dim = 8)
+      .head()
+    val expected = new Array[Long](8)
+    m.payload.zipWithIndex.foreach { case (b, i) =>
+      expected(i % 8) += (b & 0xff)
+    }
+    f.lane_sums.toSeq shouldBe expected.toSeq
+    f.lane_sums.sum shouldBe m.payload.map(_ & 0xff).map(_.toLong).sum
+    f.features.toSeq shouldBe expected.map(_ / 255.0f).toSeq
+  }
+
   test("sampleFrames: byte-addressed frames, stride sampling") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "t")
       .select($"id", $"t".cast("binary").as("payload"))

@@ -45,6 +45,28 @@ class SerializationSpec extends SparkSpec {
     back.getString(1) shouldBe "four words right here"
   }
 
+  test("tf.train.Example round trip: timestamp types (TZ and NTZ)") {
+    val schema = StructType(Seq(
+      StructField("ts", TimestampType), StructField("ntz", TimestampNTZType)))
+    val codec = new TFExampleCodec(schema)
+    val inst = java.time.Instant.parse("2024-03-07T08:09:10.123456Z")
+    val ldt = java.time.LocalDateTime.of(2024, 3, 7, 8, 9, 10, 123456000)
+    val back = codec.decode(codec.encode(
+      Row(java.sql.Timestamp.from(inst), ldt)))
+    back.getAs[java.sql.Timestamp](0).toInstant shouldBe inst
+    // NTZ must come back as LocalDateTime (Spark's external NTZ type) —
+    // a Timestamp here breaks createDataFrame on NTZ schemas
+    back.getAs[java.time.LocalDateTime](1) shouldBe ldt
+    // and the pair survives createDataFrame with the declared schema
+    val df = spark.createDataFrame(
+      java.util.List.of(back), schema)
+    df.collect().head.getAs[java.time.LocalDateTime]("ntz") shouldBe ldt
+    // negative-epoch NTZ (pre-1970) exercises floorDiv/floorMod rounding
+    val old = java.time.LocalDateTime.of(1955, 11, 5, 6, 7, 8, 500000000)
+    codec.decode(codec.encode(Row(java.sql.Timestamp.from(inst), old)))
+      .getAs[java.time.LocalDateTime](1) shouldBe old
+  }
+
   test("schema mismatch raises with explanatory message (serialization.py:41-47)") {
     val s1 = StructType(Seq(StructField("x", StringType)))
     val s2 = StructType(Seq(StructField("y", StringType)))

@@ -115,6 +115,31 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.3
   }
 
+  test("TopK.perQuery == window row_number formulation (and bounds state)") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TopK
+    // adversarial scored set: duplicate scores (tie-break on neighbor_id),
+    // queries with fewer than k candidates, many partitions
+    val scored = (0 until 7).flatMap { q =>
+      (0 until (q * 13 + 1)).map { n =>
+        (q.toLong, n.toLong, (n * 31 % 10) / 10.0)
+      }
+    }.toDF("query_id", "neighbor_id", "score").repartition(11)
+    val viaAgg = TopK.perQuery(scored, k = 5)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val w = Window.partitionBy($"query_id")
+      .orderBy($"score".desc, $"neighbor_id")
+    val viaWindow = scored.withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"neighbor_id", $"rank", $"score")
+      .as[(Long, Long, Int, Double)].collect().toSet
+    viaAgg shouldBe viaWindow
+    // the plan must carry a partial aggregate before the exchange
+    // (map-side top-k), not a window sort after it
+    val plan = TopK.perQuery(scored, 5).queryExecution.executedPlan.toString
+    plan should not include "Window"
+  }
+
   test("cosinePairs threshold is inclusive and symmetric-free (a<b)") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))

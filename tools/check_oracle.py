@@ -7,11 +7,36 @@ name and rows by all columns, and diffs values. Mirrors (our best guess
 of) the driver's compare so oracle mistakes surface before round end.
 
 Usage: python3 tools/check_oracle.py /root/testdata/sf0.01 /tmp/verify_r1
+       python3 tools/check_oracle.py --selftest   # ulp-sensitivity check
 """
 import json, math, sys
 import duckdb
 import pyarrow.parquet as pq
 import pathlib
+
+
+def _selftest():
+    """The comparator must flag a 1-ulp float difference (driver parity)."""
+    import pyarrow as pa
+    a, b = 0.1 + 0.2, 0.3  # differ by 1 ulp; equal after round(..., 6)
+    assert a != b
+    ta = pa.table({"x": [a]})
+    tb = pa.table({"x": [b]})
+
+    def render(tbl):
+        out = []
+        for row in tbl.to_pylist():
+            v = row["x"]
+            out.append(repr(v) if not math.isnan(v) else "NaN")
+        return out
+
+    assert render(ta) != render(tb), "ulp perturbation NOT detected"
+    print("OK selftest: 1-ulp float difference detected")
+
+
+if sys.argv[1] == "--selftest":
+    _selftest()
+    sys.exit(0)
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
 con = duckdb.connect()
@@ -36,13 +61,22 @@ for name, sql in sorted(oracle.items()):
     if dcols != scols:
         print(f"FAIL {name}: columns differ duck={dcols} spark={scols}"); fail += 1; continue
     def norm(tbl):
+        # EXACT value compare — the driver hashes exact rendered values,
+        # so any local rounding here is weaker than the gate (round 1:
+        # events_sessions_30min passed locally at round-6 but failed the
+        # driver on a final-ulp double-sum difference). repr() of a float
+        # is shortest-roundtrip: two floats render equal iff bit-equal
+        # (modulo -0.0/NaN, which we normalize).
         rows = []
         for row in tbl.select(dcols).to_pylist():
             vals = []
             for c in dcols:
                 v = row[c]
                 if isinstance(v, float):
-                    v = round(v, 6)
+                    if math.isnan(v):
+                        v = "NaN"
+                    else:
+                        v = repr(v + 0.0 if v != 0.0 else 0.0)
                 vals.append(str(v))
             rows.append("|".join(vals))
         return sorted(rows)
