@@ -4,7 +4,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity}
+import graft.operators.{Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
+import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -187,6 +188,34 @@ object SparkEntry {
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_json_props" -> Relational.eventsJsonProps _,
     "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
+    // STREAMING declared query: the identical tumbling aggregation run
+    // as a real micro-batch streaming plan (file source, watermark,
+    // stateful agg, Trigger.AvailableNow, memory sink) — shares
+    // events_tumbling_5min's exact oracle, so streaming execution gets a
+    // driver CORRECTNESS row instead of spec-only coverage.
+    "events_tumbling_5min_stream" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      // glob form: the file stream source rejects a single-file basePath
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val qn = "tumbling_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      EventStream.runToCompletion(EventStream.tumbling(events), qn)
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("event_type"), col("n_events"), col("total_value_e4"))
+    },
+    // Reference-exact TFDS positional split semantics (`train[:90%]`
+    // slices contiguously by POSITION): first 90% of documents in
+    // doc_id order — the hash-bucket Splits.slice twin stays the default
+    // for stable membership splits.
+    "split_positional_documents" -> { (s, dir) =>
+      Splits.sliceByPosition(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        0, 90, col("doc_id"))
+    },
 
     // ------------------------------------------------- multimodal columns
     // Binary payload frame-sampling (video-frame topology) — documents'
@@ -473,6 +502,22 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // streaming twin computes the identical aggregation -> same oracle
+    "events_tumbling_5min_stream" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
+        |  event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS total_value_e4
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // positional boundaries at floor(pct * n / 100), 0-based ranks
+    "split_positional_documents" ->
+      """WITH ranked AS (
+        |  SELECT doc_id, lang, source,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS idx,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT doc_id, lang, source FROM ranked
+        |WHERE idx >= (0 * n) // 100 AND idx < (90 * n) // 100""".stripMargin,
     "events_sessions_30min" ->
       """WITH marked AS (
         |  SELECT user_id, event_id, value,

@@ -20,10 +20,13 @@ import graft.functions.TextAnalysis
 object GroupConsumer {
 
   /** Fixed-size token blocks per group: (group_id, block_idx, n_tokens,
-    * block_digest). Order within a group is (orderCol, token position) —
-    * deterministic, so the digest is oracle-checkable. The final
-    * (ragged) block is kept iff `dropRemainder` is false (the reference
-    * batches with drop_remainder=True for train blocks). */
+    * block_digest). Order within a group is (orderCol, content hash,
+    * token position) — the content-hash tiebreak makes offsets (and
+    * hence digests) deterministic even when orderCol has duplicates
+    * within a group; rows identical in BOTH are interchangeable, so the
+    * result is always oracle-checkable. The final (ragged) block is kept
+    * iff `dropRemainder` is false (the reference batches with
+    * drop_remainder=True for train blocks). */
   def chunkedBlocks(df: DataFrame, grouper: Grouper, textCol: Column,
                     orderCol: Column, blockSize: Int,
                     dropRemainder: Boolean = false): DataFrame = {
@@ -34,8 +37,13 @@ object GroupConsumer {
     val docs = grouper.keyed(df)
       .select(col(grouper.name), orderCol.as("__ord"),
         TextAnalysis.tokens(textCol).as("__toks"))
+    // xxhash64 of the token array breaks orderCol ties deterministically:
+    // without it the running-sum offsets below would depend on the
+    // engine's tie order (nondeterministic digests). Two rows tying on
+    // BOTH columns carry identical token lists, so their order is
+    // immaterial.
     val wDoc = Window.partitionBy(col(grouper.name))
-      .orderBy(col("__ord"))
+      .orderBy(col("__ord"), xxhash64(col("__toks")))
       .rowsBetween(Window.unboundedPreceding, -1)
     val withOffset = docs.withColumn("__offset",
       coalesce(sum(size(col("__toks"))).over(wDoc).cast("long"), lit(0L)))

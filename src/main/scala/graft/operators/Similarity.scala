@@ -123,39 +123,89 @@ object Similarity {
       .select(col("id_a"), col("id_b"), col("cosine"))
   }
 
+  /** Seeded Lloyd's k-means over a driver-held sample (euclidean
+    * assignment — equivalent to cosine ranking on L2-normalized input).
+    * Empty cells keep their previous centroid. Pure driver CPU: at the
+    * bounded sample size (thousands of rows x small dim) this is
+    * microseconds-to-milliseconds, vs ~1 scheduler round-trip per
+    * iteration for a distributed fit. */
+  private def localKMeans(xs: Array[Array[Double]], k: Int, iters: Int,
+                          seed: Long): IndexedSeq[IndexedSeq[Double]] = {
+    require(xs.nonEmpty, "k-means training sample is empty")
+    val rng = new java.util.Random(seed)
+    val n = xs.length
+    val dim = xs(0).length
+    // random init: k distinct sample points (cycled if n < k)
+    val order = rng.ints(0, n).distinct().limit(math.min(k, n).toLong)
+      .toArray
+    val cents = Array.tabulate(k)(i => xs(order(i % order.length)).clone())
+    val assign = new Array[Int](n)
+    (0 until iters).foreach { _ =>
+      var i = 0
+      while (i < n) {
+        var best = 0; var bestD = Double.MaxValue; var c = 0
+        while (c < k) {
+          var d = 0.0; var j = 0
+          while (j < dim) {
+            val t = xs(i)(j) - cents(c)(j); d += t * t; j += 1
+          }
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        assign(i) = best
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Int](k)
+      i = 0
+      while (i < n) {
+        val a = assign(i); counts(a) += 1
+        var j = 0
+        while (j < dim) { sums(a)(j) += xs(i)(j); j += 1 }
+        i += 1
+      }
+      var c = 0
+      while (c < k) {
+        if (counts(c) > 0) {
+          var j = 0
+          while (j < dim) { cents(c)(j) = sums(c)(j) / counts(c); j += 1 }
+        }
+        c += 1
+      }
+    }
+    cents.map(_.toIndexedSeq).toIndexedSeq
+  }
+
   /** IVF (inverted-file) approximate top-k: k-means centroids partition
     * the corpus into cells; each query scores only the `nProbe` cells
     * whose centroids are closest — the classic large-corpus ANN layout
     * (centroids are tiny and broadcast; the corpus is scanned once to
-    * assign cells, then queries touch ~nProbe/nCells of it). Centroids
-    * come from MLlib KMeans on a sample, with a fixed seed. */
+    * assign cells, then queries touch ~nProbe/nCells of it). */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               qId: Column, qVec: Column, cId: Column, cVec: Column,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               excludeSelf: Boolean = true,
               maxTrainRows: Int = 4096): DataFrame = {
-    import org.apache.spark.ml.clustering.KMeans
-    import org.apache.spark.ml.functions.array_to_vector
     val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
-    // random init + few iterations: cell quality barely moves recall,
-    // while k-means|| init costs several extra corpus passes
-    val km = new KMeans().setK(nCells).setSeed(seed).setMaxIter(5)
-      .setInitMode("random")
-      .setFeaturesCol("features")
-    // fit on a DRIVER-BOUNDED training set: each KMeans iteration is a
-    // full pass over its input, so fitting the whole corpus costs
-    // maxIter corpus scans — a non-starter at 100 TB, and cell quality
-    // saturates long before a few hundred samples per cell anyway.
-    // limit() short-circuits the scan (LocalLimit per partition, tiny
-    // GlobalLimit gather), keeping the fit cost constant in corpus size.
-    val train = c.select(array_to_vector(col("cv")).as("features"))
+    // fit on a DRIVER-BOUNDED training set: a distributed fit pays a
+    // full corpus pass per iteration — a non-starter at 100 TB — and
+    // cell quality saturates long before a few hundred samples per cell
+    // anyway (coarse-quantizer training on a bounded sample is standard
+    // IVF practice). limit() short-circuits the scan (LocalLimit per
+    // partition, tiny GlobalLimit gather); collect() then holds only the
+    // bounded sample, independent of corpus size, and the local Lloyd's
+    // fit replaces ~iters scheduler round-trips of an MLlib fit with
+    // driver-side arithmetic (measured: the MLlib fit dominated this
+    // operator's bench line).
+    val train = c.select(col("cv"))
       .limit(math.max(maxTrainRows, nCells * 4))
-    val model = km.fit(train)
+      .collect()
+      .map(_.getSeq[Double](0).toArray)
     // centroids as plan literals (tiny). Cells ranked via ONE sorted
     // struct array — a pairwise when/otherwise max-fold would duplicate
     // its operand subtrees at every level (2^nCells expression nodes:
     // OOMs the driver at analysis time).
-    val cents = model.clusterCenters.map(_.toArray.toIndexedSeq).zipWithIndex.toIndexedSeq
+    val cents = localKMeans(train, nCells, iters = 5, seed).zipWithIndex
     def cellsByAffinity(vec: Column): Column = {
       val scored = array(cents.map { case (ctr, i) =>
         struct((-Vectors.dot(vec, array(ctr.map(lit): _*))).as("negs"),

@@ -5,11 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** TFDS-style percent split slicing (SURVEY §2.1 S1: the reference
   * passes splits like `train[:90%]` straight to TFDS —
-  * examples/datasets/group_by_feature.py:57-64). Spark reading Parquet
-  * has no named splits, so slices are defined deterministically by
-  * hashing id columns into 100 buckets: `slice(df, 0, 90, id)` and
-  * `slice(df, 90, 100, id)` partition the table exactly, reproducibly,
-  * and independently of row order or partitioning.
+  * examples/datasets/group_by_feature.py:57-64).
+  *
+  * Two semantics, pick per use case:
+  *  - [[slice]] — HASH-BUCKET membership: rows are assigned to one of
+  *    100 buckets by hashing id columns. Deterministic, order- and
+  *    partitioning-independent, single-pass. NOTE this selects
+  *    DIFFERENT rows than TFDS would: TFDS slices *contiguously by
+  *    position* in the dataset's stored order. Use when any stable
+  *    partition of the table will do (the common case).
+  *  - [[sliceByPosition]] — POSITIONAL: contiguous [lo%, hi%) of the
+  *    table in the total order of explicit order columns, matching the
+  *    reference's TFDS slicing semantics (boundaries at floor(pct*n/100),
+  *    like tfds's percent boundaries). Costs two passes; use when
+  *    reproducing a position-defined split exactly.
   */
 object Splits {
 
@@ -30,4 +39,45 @@ object Splits {
                 seedCols: Column*): (DataFrame, DataFrame) =
     (slice(df, 0, trainPercent, seedCols: _*),
       slice(df, trainPercent, 100, seedCols: _*))
+
+  /** Contiguous positional slice: rows whose 0-based global rank in the
+    * total order of `orderCols` falls in [floor(lo*n/100), floor(hi*n/100)).
+    *
+    * Scale shape — positional semantics need a global rank, but NOT a
+    * global sort onto one reducer: the table is range-partitioned and
+    * sorted within partitions (so partition i holds ranks below
+    * partition i+1), per-partition counts are collected (ONE long per
+    * partition) and cumulative offsets broadcast back; each partition
+    * then numbers its own rows. Two distributed passes, driver state
+    * O(partitions).
+    *
+    * `orderCols` must be a total order (no duplicate keys) — ties would
+    * make ranks, and therefore slice membership, nondeterministic.
+    * Each call recomputes the range partition; persist upstream if
+    * slicing the same table repeatedly. */
+  def sliceByPosition(df: DataFrame, loPercent: Int, hiPercent: Int,
+                      orderCols: Column*): DataFrame = {
+    require(0 <= loPercent && loPercent < hiPercent && hiPercent <= 100,
+      s"invalid slice [$loPercent%, $hiPercent%)")
+    val spark = df.sparkSession
+    val parts = df.repartitionByRange(orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val counts = parts.rdd
+      .mapPartitionsWithIndex { (i, it) => Iterator.single(i -> it.size.toLong) }
+      .collect().sortBy(_._1).map(_._2)
+    val n = counts.sum
+    val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = ranks before partition i
+    val lo = loPercent * n / 100
+    val hi = hiPercent * n / 100
+    val schema = df.schema
+    val sliced = parts.rdd.mapPartitionsWithIndex { (i, it) =>
+      val off = offsets(i)
+      // skip whole partitions outside the band without iterating them
+      if (off + counts(i) <= lo || off >= hi) Iterator.empty
+      else it.zipWithIndex.collect {
+        case (r, j) if off + j >= lo && off + j < hi => r
+      }
+    }
+    spark.createDataFrame(sliced, schema)
+  }
 }

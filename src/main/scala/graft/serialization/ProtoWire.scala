@@ -68,11 +68,21 @@ object ProtoWire {
 
     def hasNext: Boolean = pos < end
 
+    private def fail(msg: String): Nothing =
+      throw new IllegalArgumentException(s"malformed proto at $pos: $msg")
+
     def readVarint(): Long = {
       var shift = 0
       var result = 0L
       var b = 0
       do {
+        // bounds-check against THIS message's end, not the whole buffer:
+        // a truncated varint must be a clean parse error, never an
+        // ArrayIndexOutOfBounds or a read into sibling data
+        if (pos >= end) fail("truncated varint")
+        // canonical varints are <= 10 bytes (64 bits / 7); a longer run
+        // would shift past 63 and silently wrap
+        if (shift > 63) fail("varint exceeds 10 bytes")
         b = buf(pos) & 0xff
         pos += 1
         result |= (b & 0x7fL) << shift
@@ -88,7 +98,12 @@ object ProtoWire {
     }
 
     def readLenDelim(): (Int, Int) = { // (offset, length) into buf
-      val len = readVarint().toInt
+      val len64 = readVarint()
+      // a corrupt length must not let the cursor escape the enclosing
+      // submessage (reading sibling fields as if they were payload)
+      if (len64 < 0 || len64 > (end - pos).toLong)
+        fail(s"length $len64 exceeds remaining ${end - pos} bytes")
+      val len = len64.toInt
       val off = pos
       pos += len
       (off, len)
@@ -105,12 +120,14 @@ object ProtoWire {
     }
 
     def readFixed32(): Int = {
+      if (end - pos < 4) fail("truncated fixed32")
       val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       pos += 4
       v
     }
 
     def readFixed64(): Long = {
+      if (end - pos < 8) fail("truncated fixed64")
       val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
       pos += 8
       v
@@ -118,9 +135,9 @@ object ProtoWire {
 
     def skip(wireType: Int): Unit = wireType match {
       case WtVarint   => readVarint(); ()
-      case WtFixed64  => pos += 8
+      case WtFixed64  => if (end - pos < 8) fail("truncated fixed64"); pos += 8
       case WtLenDelim => val (_, len) = readLenDelim(); ()
-      case WtFixed32  => pos += 4
+      case WtFixed32  => if (end - pos < 4) fail("truncated fixed32"); pos += 4
       case other => throw new IllegalArgumentException(s"wire type $other")
     }
   }

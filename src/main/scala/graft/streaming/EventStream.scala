@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Encoders}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+import graft.operators.Relational
 
 /** Structured Streaming twins of the batch event-time operators in
   * graft.operators.Relational (SURVEY §2.4: streaming comes from Spark
@@ -14,7 +16,11 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 object EventStream {
 
   /** Tumbling 5-minute windows with a 10-minute watermark — the
-    * streaming twin of Relational.eventsTumbling. */
+    * streaming twin of Relational.eventsTumbling. Values accumulate as
+    * DECIMAL and emit as scaled integers (1e-4 units) for the same
+    * reason as the batch twin: double partial sums are addition-order
+    * dependent, so a double output would differ run-to-run and
+    * engine-to-engine in final-ulp cases. */
   def tumbling(events: DataFrame,
                windowDuration: String = "5 minutes",
                watermark: String = "10 minutes"): DataFrame =
@@ -22,9 +28,9 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), windowDuration), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("total_value"))
+        Relational.exactValueSumE4.as("total_value_e4"))
       .select(col("window.start").as("window_start"),
-        col("event_type"), col("n_events"), col("total_value"))
+        col("event_type"), col("n_events"), col("total_value_e4"))
 
   /** Session windows with a 30-minute inactivity gap — the built-in
     * `session_window` twin of Relational.eventsSessions. */
@@ -35,10 +41,10 @@ object EventStream {
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
       .agg(count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("session_value"))
+        Relational.exactValueSumE4.as("session_value_e4"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"),
-        col("user_id"), col("n_events"), col("session_value"))
+        col("user_id"), col("n_events"), col("session_value_e4"))
 
   /** Streaming exact dedup: drop events whose key columns repeat within
     * the watermark horizon (bounded state — the streaming twin of
@@ -48,6 +54,27 @@ object EventStream {
     events
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Drive a streaming transform over its bounded source to completion
+    * (Trigger.AvailableNow + a memory sink) and return the final table —
+    * the harness that lets a streaming pipeline be a DECLARED,
+    * oracle-checked query: the plan executed is the real micro-batch
+    * streaming plan (stateful aggregation, watermarks), only the sink is
+    * swapped for an in-memory table. Production replaces the sink, not
+    * the transform. The memory sink materializes results on the driver —
+    * fine for aggregated outputs; never point it at an unaggregated
+    * 100 TB stream. */
+  def runToCompletion(out: DataFrame, queryName: String,
+                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+    val spark = out.sparkSession
+    val q = out.writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
 
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 

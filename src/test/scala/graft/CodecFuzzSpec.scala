@@ -87,6 +87,35 @@ class CodecFuzzSpec extends AnyFunSuite with Matchers {
     }
   }
 
+  test("fuzz: mutated/truncated bytes fail cleanly, never escape bounds") {
+    // corrupting any byte of a valid message must either decode to SOME
+    // row or raise a clean IllegalArgumentException — never a raw
+    // ArrayIndexOutOfBounds / NegativeArraySize from a length running
+    // past the buffer, and never an infinite varint loop
+    val schema = StructType(Seq(
+      StructField("s", StringType), StructField("xs", ArrayType(LongType)),
+      StructField("f", FloatType)))
+    val codec = new TFExampleCodec(schema)
+    val mrng = new scala.util.Random(77L)
+    (1 to 200).foreach { i =>
+      val valid = codec.encode(Row(
+        mrng.alphanumeric.take(6).mkString,
+        Seq.fill(3)(mrng.nextLong()), mrng.nextFloat()))
+      val mutated = valid.clone()
+      val flips = mrng.nextInt(3) + 1
+      (0 until flips).foreach { _ =>
+        mutated(mrng.nextInt(mutated.length)) = mrng.nextInt().toByte
+      }
+      val truncated = valid.take(mrng.nextInt(valid.length))
+      Seq(mutated, truncated).foreach { bytes =>
+        withClue(s"case $i bytes=${bytes.toSeq}:") {
+          try { codec.decode(bytes); () }
+          catch { case _: IllegalArgumentException => () }
+        }
+      }
+    }
+  }
+
   test("fuzz: extreme int64 values survive varint encoding") {
     val schema = StructType(Seq(StructField("l", LongType)))
     val codec = new TFExampleCodec(schema)

@@ -120,6 +120,30 @@ class GroupCountsSpec extends SparkSpec {
       Splits.slice(docs, 50, 40, $"doc_id")
   }
 
+  test("Splits: positional slices are contiguous, exact and partition-invariant") {
+    import graft.operators.Splits
+    val docs = Tables(spark, sf0001, "documents")
+    val n = docs.count()
+    val ids = docs.select("doc_id").as[Long].collect().sorted.toSeq
+    // TFDS semantics: [0,90%) = EXACTLY the first floor(0.9 n) ids in
+    // doc_id order (positional, not hash membership)
+    val train = Splits.sliceByPosition(docs, 0, 90, $"doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    train shouldBe ids.take((90 * n / 100).toInt)
+    // complementary slice picks up exactly the rest; a middle band is
+    // the contiguous run between both boundaries
+    val test = Splits.sliceByPosition(docs, 90, 100, $"doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    test shouldBe ids.drop((90 * n / 100).toInt)
+    val mid = Splits.sliceByPosition(docs, 40, 60, $"doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    mid shouldBe ids.slice((40 * n / 100).toInt, (60 * n / 100).toInt)
+    // invariant to input partitioning (the range partition defines order)
+    val train2 = Splits.sliceByPosition(docs.repartition(13), 0, 90, $"doc_id")
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    train2 shouldBe train
+  }
+
   test("byUdf: arbitrary row function keying") {
     val df = Seq((1L, "ab"), (2L, "xyz")).toDF("id", "s")
     val g = Grouper.byUdf(spark,

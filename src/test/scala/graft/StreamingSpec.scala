@@ -36,12 +36,12 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("tumbling_out")
         .orderBy("window_start", "event_type")
-        .select($"event_type", $"n_events", $"total_value")
-        .as[(String, Long, Double)].collect().toSeq
+        .select($"event_type", $"n_events", $"total_value_e4")
+        .as[(String, Long, Long)].collect().toSeq
       // windows: [10:00,10:05) clicks@0,1; [10:05,10:10) view@6 + click@7;
-      // [10:55,11:00) view@59
-      got shouldBe Seq(("click", 2L, 3.0), ("click", 1L, 4.0),
-        ("view", 1L, 3.0), ("view", 1L, 5.0))
+      // [10:55,11:00) view@59 — values are exact 1e-4-scaled integers
+      got shouldBe Seq(("click", 2L, 30000L), ("click", 1L, 40000L),
+        ("view", 1L, 30000L), ("view", 1L, 50000L))
     } finally q.stop()
   }
 
@@ -57,10 +57,10 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val got = spark.table("sessions_out")
         .orderBy("user_id", "session_start")
-        .select($"user_id", $"n_events", $"session_value")
-        .as[(Long, Long, Double)].collect().toSeq
+        .select($"user_id", $"n_events", $"session_value_e4")
+        .as[(Long, Long, Long)].collect().toSeq
       // user 1: one session (0,1,7 min); user 2: 6min and 59min apart > 30min
-      got shouldBe Seq((1L, 3L, 7.0), (2L, 1L, 3.0), (2L, 1L, 5.0))
+      got shouldBe Seq((1L, 3L, 70000L), (2L, 1L, 30000L), (2L, 1L, 50000L))
     } finally q.stop()
   }
 
@@ -104,9 +104,9 @@ class StreamingSpec extends SparkSpec {
       q.processAllAvailable()
       val w0 = spark.table("wm_out")
         .filter($"window_start" === Timestamp.valueOf("2024-01-01 10:00:00"))
-        .select($"n_events", $"total_value").as[(Long, Double)].collect()
+        .select($"n_events", $"total_value_e4").as[(Long, Long)].collect()
       // the late 10:01 event (value 99.0) must NOT be in the closed window
-      w0.toSeq shouldBe Seq((1L, 1.0))
+      w0.toSeq shouldBe Seq((1L, 10000L))
     } finally q.stop()
   }
 
@@ -130,6 +130,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("runToCompletion: file-source streaming tumbling == batch on full sf0.001") {
+    // the declared-query harness: real file-source micro-batch execution
+    // driven to completion, compared against the batch plan on all rows
+    val batchE = Tables(spark, sf0001, "events") // sets nanosAsLong
+    // glob, not the bare file path: the file stream source rejects a
+    // single-file basePath
+    val src = spark.readStream.schema(batchE.schema)
+      .parquet(s"$sf0001/events.*")
+    def shape(df: org.apache.spark.sql.DataFrame) = df.select(
+      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+      $"user_id", $"event_type", $"value")
+    val got = EventStream.runToCompletion(
+        EventStream.tumbling(shape(src)), "file_tumbling_out")
+      .orderBy("window_start", "event_type").collect().toSeq
+    val want = shape(batchE)
+      .groupBy(window($"ts", "5 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.exactValueSumE4.as("total_value_e4"))
+      .select($"window.start".as("window_start"), $"event_type",
+        $"n_events", $"total_value_e4")
+      .orderBy("window_start", "event_type").collect().toSeq
+    got shouldBe want
+  }
+
   test("streaming tumbling == batch tumbling on the driver events table") {
     implicit val sqlCtx = spark.sqlContext
     // batch twin over real data, restricted to one hour for test speed
@@ -139,9 +163,9 @@ class StreamingSpec extends SparkSpec {
       .select($"ts", $"user_id", $"event_type", $"value")
     val batch = e.groupBy(window($"ts", "5 minutes"), $"event_type")
       .agg(count(lit(1)).as("n_events"),
-        round(sum($"value"), 2).as("total_value"))
+        graft.operators.Relational.exactValueSumE4.as("total_value_e4"))
       .select($"window.start".as("window_start"), $"event_type",
-        $"n_events", $"total_value")
+        $"n_events", $"total_value_e4")
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
     val rowsIn = e.as[(Timestamp, Long, String, Double)].collect().toSeq
     val q = EventStream.tumbling(mem.toDF().toDF("ts", "user_id", "event_type", "value"))
