@@ -46,6 +46,20 @@ object SparkEntry {
     "group_counts_lineitem" -> { (s, dir) =>
       GroupCounts(Tables(s, dir, "lineitem"), Grouper.byColumn("l_returnflag"))
     },
+    // S3/P6 round trip through the TEXT SINK (reference FormatGroupCount
+    // + WriteToText): counts -> delimiter-formatted lines -> text shards
+    // with per-shard header -> read back. The non-header lines must
+    // render exactly as SQL string-concatenation does; the
+    // always-comma header quirk itself is golden-pinned in spec.
+    "group_counts_text_sink" -> { (s, dir) =>
+      val counts =
+        GroupCounts(Tables(s, dir, "documents"), Grouper.byColumn("lang"))
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-textsink").toString
+      GroupCounts.writeFormatted(counts, tmp, delimiter = "|")
+      s.read.text(tmp).select(col("value").as("line"))
+        .filter(col("line") =!= GroupCounts.Header)
+    },
     // A1/A2 capped partition-and-pack (SURVEY §2.3), deterministic
     // variant: greedy pack in ascending (size, doc_id) order with a
     // 10 KB cap so the cap actually binds on the test data. Output is a
@@ -343,6 +357,11 @@ object SparkEntry {
          |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
          |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "group_counts_text_sink" ->
+      s"""SELECT lang || '|' || count(*) || '|' ||
+         |  CAST(sum(16 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) || '|' ||
+         |  CAST(sum(${duckWords("text")} + ${duckWords("lang")} + ${duckWords("source")}) AS BIGINT) AS line
+         |FROM documents GROUP BY lang""".stripMargin,
     "pack_capped_documents" ->
       """WITH ranked AS (
         |  SELECT lang, doc_id, text, strlen(text) AS len,
