@@ -30,11 +30,18 @@ object Bench {
       // force FULL materialization of every output column: a bare
       // .count() lets Catalyst prune unused projections, so projection-
       // heavy queries would time little more than the parquet scan.
-      // xxhash64 over all columns consumes each value produced.
+      // xxhash64 over all columns consumes each value produced. The
+      // digest sums as DECIMAL(38,0): summing raw longs overflows under
+      // ANSI after ~2 random hashes, aborting the job MID-MATERIALIZATION
+      // and silently under-reporting the query (the catch below ate it).
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*))).collect()
-      } catch { case _: Throwable => () }
+        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+          .collect()
+      } catch {
+        case t: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

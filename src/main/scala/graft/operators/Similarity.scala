@@ -91,7 +91,12 @@ object Similarity {
 
   private def bucketExpr(vec: Column, planes: Seq[Seq[Double]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      val planeCol = array(p.map(lit): _*)
+      // ONE Literal node per plane (typedLit of the whole array), not
+      // dim `lit` nodes: per-element literals blow the expression tree
+      // up 64x (dim x planes x tables nodes), and analysis + Janino
+      // compilation of that tree — not the data — dominated every
+      // embedding query at driver scale
+      val planeCol = typedLit(p)
       when(Vectors.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
@@ -184,48 +189,74 @@ object Similarity {
     * the corpus into cells; each query scores only the `nProbe` cells
     * whose centroids are closest — the classic large-corpus ANN layout
     * (centroids are tiny and broadcast; the corpus is scanned once to
-    * assign cells, then queries touch ~nProbe/nCells of it). */
+    * assign cells, then queries touch ~nProbe/nCells of it).
+    *
+    * Plan-shape notes (each was a measured multi-second trap at driver
+    * scale and a corpus-pass multiplier at 100 TB):
+    *  - Cells are ranked from the RAW vector: argsort of dot(v, c) equals
+    *    argsort of cosine (||v|| is a positive per-row constant), so the
+    *    normalization lambda stays OUT of the cell expression. With
+    *    normalized input, the join's inferred isnotnull(cell) predicate
+    *    was pushed into the parquet scan with the whole expression
+    *    inlined — including the norm re-expanded PER ELEMENT of the
+    *    divide lambda (dim^2 * nCells multiplies per row, interpreted).
+    *  - The join key is wrapped non-nullable (coalesce) so no isnotnull
+    *    filter is inferred at all.
+    *  - One corpus exchange total: assignment happens scan-side (nCells
+    *    cheap codegen dots), the shuffle is on cell, and the normalized
+    *    vector is materialized post-exchange where the norm is a plain
+    *    attribute. */
   def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               qId: Column, qVec: Column, cId: Column, cVec: Column,
               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
               excludeSelf: Boolean = true,
               maxTrainRows: Int = 4096): DataFrame = {
-    val c = normalized(corpus, cId, cVec, "neighbor_id", "cv")
     // fit on a DRIVER-BOUNDED training set: a distributed fit pays a
     // full corpus pass per iteration — a non-starter at 100 TB — and
     // cell quality saturates long before a few hundred samples per cell
     // anyway (coarse-quantizer training on a bounded sample is standard
-    // IVF practice). limit() short-circuits the scan (LocalLimit per
-    // partition, tiny GlobalLimit gather); collect() then holds only the
-    // bounded sample, independent of corpus size, and the local Lloyd's
-    // fit replaces ~iters scheduler round-trips of an MLlib fit with
-    // driver-side arithmetic (measured: the MLlib fit dominated this
-    // operator's bench line).
-    val train = c.select(col("cv"))
+    // IVF practice). The sample is RAW rows (limit short-circuits the
+    // scan; no corpus exchange just to sample) normalized on the driver.
+    val train = corpus.select(cVec.cast("array<double>").as("__v"))
       .limit(math.max(maxTrainRows, nCells * 4))
       .collect()
-      .map(_.getSeq[Double](0).toArray)
-    // centroids as plan literals (tiny). Cells ranked via ONE sorted
-    // struct array — a pairwise when/otherwise max-fold would duplicate
-    // its operand subtrees at every level (2^nCells expression nodes:
-    // OOMs the driver at analysis time).
+      .map { r =>
+        val v = r.getSeq[Double](0).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        if (n == 0.0) v else v.map(_ / n)
+      }
+    // centroids as plan literals (tiny; ONE Literal node per centroid).
+    // Cells ranked via ONE sorted struct array — a pairwise
+    // when/otherwise max-fold would duplicate its operand subtrees at
+    // every level (2^nCells expression nodes: OOMs the driver at
+    // analysis time).
     val cents = localKMeans(train, nCells, iters = 5, seed).zipWithIndex
     def cellsByAffinity(vec: Column): Column = {
       val scored = array(cents.map { case (ctr, i) =>
-        struct((-Vectors.dot(vec, array(ctr.map(lit): _*))).as("negs"),
+        struct((-Vectors.dot(vec, typedLit(ctr))).as("negs"),
           lit(i).as("cell"))
       }: _*)
       transform(array_sort(scored), x => x.getField("cell"))
     }
-    def nearestCell(vec: Column): Column =
-      element_at(cellsByAffinity(vec), 1)
-    def probeCells(vec: Column): Column =
-      slice(cellsByAffinity(vec), 1, nProbe)
-    val assigned = c.withColumn("cell", nearestCell(col("cv")))
+    val assigned = corpus
+      .select(cId.as("neighbor_id"), cVec.as("__v"),
+        Vectors.norm(cVec).as("__nrm"),
+        coalesce(element_at(cellsByAffinity(cVec), 1), lit(-1)).as("cell"))
       .repartition(col("cell"))
-    val q = normalized(queries, qId, qVec, "query_id", "qv")
-      .withColumn("cells", probeCells(col("qv")))
-      .select(col("query_id"), col("qv"), explode(col("cells")).as("cell"))
+      .select(col("cell"), col("neighbor_id"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
+    val q = queries
+      .select(qId.as("query_id"), qVec.as("__v"),
+        Vectors.norm(qVec).as("__nrm"),
+        slice(cellsByAffinity(qVec), 1, nProbe).as("cells"))
+      // exchange barrier: without it the two projections collapse and
+      // the norm re-inlines per element of the divide lambda
+      .repartition(col("query_id"))
+      .select(col("query_id"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("qv"),
+        explode(col("cells")).as("cell"))
+      .select(col("query_id"), col("qv"),
+        coalesce(col("cell"), lit(-2)).as("cell"))
     val joined = assigned.join(broadcast(q), Seq("cell"))
     val scored0 = joined.withColumn("score",
       round(Vectors.dot(col("qv"), col("cv")), 6))
