@@ -33,12 +33,16 @@ object NgramProfile {
       .withColumn("plen", (floor(size($"osh") * lit(0.2) + lit(1e-9)) + 2).cast("int"))
       .repartition($"id")
     time("ordered+prefixlen")(ordered.count())
-    val prefixes = ordered.select($"id", $"n_sh", explode(slice($"osh", lit(1), $"plen")).as("g"))
+    val prefixes = ordered.select($"id", $"n_sh",
+      posexplode(slice($"osh", lit(1), $"plen")).as(Seq("p0", "g")))
+      .withColumn("p", ($"p0" + 1).cast("long")).drop("p0")
     time("prefixes")(prefixes.count())
     val candidates = prefixes.as("a").join(prefixes.as("b"),
       $"a.g" === $"b.g" && $"a.id" < $"b.id" &&
       $"b.n_sh" * lit(0.8) <= $"a.n_sh" + lit(1e-6) &&
-      $"a.n_sh" * lit(0.8) <= $"b.n_sh" + lit(1e-6))
+      $"a.n_sh" * lit(0.8) <= $"b.n_sh" + lit(1e-6) &&
+      least($"a.n_sh" - $"a.p", $"b.n_sh" - $"b.p") + 1 >=
+        ($"a.n_sh" + $"b.n_sh") * lit(0.8 / 1.8) - lit(1e-6))
       .select($"a.id".as("id_a"), $"b.id".as("id_b")).distinct()
     time("candidates")(candidates.count())
     val withSets = candidates
