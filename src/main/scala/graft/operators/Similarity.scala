@@ -106,18 +106,44 @@ object Similarity {
     * pairs instead of the quadratic [[cosinePairs]] cross-join. Using
     * `nTables` independent hyperplane sets boosts recall (a pair is a
     * candidate if ANY table buckets them together). Output ⊆ the exact
-    * result; recall is measured in SimilaritySpec. */
+    * result; recall is measured in SimilaritySpec.
+    *
+    * `maxBucketSize` bounds the quadratic within-bucket pairing: a
+    * bucket of B rows emits B^2/2 candidates, so ONE hot bucket (a dense
+    * cluster, or hyperplanes that fail to split the data) turns the
+    * linear plan quadratic — measured: a 31k-row bucket at 1M vectors
+    * OOM'd the join. Hot buckets are removed by a broadcast ANTI-join
+    * against the oversized-bucket list, which is GUARANTEED tiny by
+    * pigeonhole (at most rows*tables/cap entries) — no window sort over
+    * the full bucketed stream, and the size aggregation reuses the
+    * (tbl,bucket) exchange map-side. Output stays a verified subset of
+    * the exact result; what's traded is recall inside mega-clusters —
+    * pairs there are usually re-caught by another table whose planes do
+    * split the cluster. Size it to what one task can pair. */
   def cosinePairsLsh(df: DataFrame, idCol: Column, vecCol: Column,
                      threshold: Double, dim: Int, nBits: Int = 8,
-                     nTables: Int = 4, seed: Long = 42L): DataFrame = {
+                     nTables: Int = 4, seed: Long = 42L,
+                     maxBucketSize: Int = 100000): DataFrame = {
     val v = normalized(df, idCol, vecCol, "id", "vec")
-    val tables = (0 until nTables).map { t =>
-      val planes = hyperplanes(nBits, dim, seed + t)
-      v.select(col("id"), col("vec"),
-        bucketExpr(col("vec"), planes).as("bucket"), lit(t).as("tbl"))
-    }
-    val bucketed = tables.reduce(_ unionByName _)
+    // single-pass bucketing: ONE projection computes all nTables bucket
+    // ids and posexplode emits (tbl, bucket) rows — an nTables-way union
+    // would re-read the normalized exchange once per branch and add a
+    // stage per table. Only (id, tbl, bucket) reaches the shuffle: the
+    // vector itself is dead weight here (candidates are verified by
+    // re-joining v), and dropping it slims the exchange by ~dim doubles
+    // per emitted row.
+    val bucketArr = array((0 until nTables).map { t =>
+      bucketExpr(col("vec"), hyperplanes(nBits, dim, seed + t))
+    }: _*)
+    val bucketedRaw = v
+      .select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
+    val hot = bucketedRaw.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val bucketed = bucketedRaw
+      .join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
     val candidates = bucketed.as("a")
       .join(bucketed.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
@@ -206,11 +232,35 @@ object Similarity {
     *    cheap codegen dots), the shuffle is on cell, and the normalized
     *    vector is materialized post-exchange where the norm is a plain
     *    attribute. */
-  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
-              qId: Column, qVec: Column, cId: Column, cVec: Column,
-              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
-              excludeSelf: Boolean = true,
-              maxTrainRows: Int = 4096): DataFrame = {
+  /** A built IVF index: the cell-partitioned normalized corpus plus the
+    * centroids that define the cells. `assigned` has columns
+    * (cell, neighbor_id, cv) and is partitioned by cell — persist it
+    * (or write it out partitioned by cell) and amortize the build
+    * across many query batches; the per-call corpus pass is exactly
+    * what makes one-shot IVF no cheaper than brute force. */
+  final case class IvfIndex(assigned: DataFrame,
+                            centroids: IndexedSeq[IndexedSeq[Double]],
+                            nProbe: Int)
+
+  /** Cells ranked by affinity to `vec`, nearest first — ONE sorted
+    * struct array (a pairwise when/otherwise max-fold would duplicate
+    * its operand subtrees at every level: 2^nCells expression nodes,
+    * OOMs the driver at analysis time). One Literal node per centroid. */
+  private def cellsByAffinity(cents: IndexedSeq[IndexedSeq[Double]],
+                              vec: Column): Column = {
+    val scored = array(cents.zipWithIndex.map { case (ctr, i) =>
+      struct((-Vectors.dot(vec, typedLit(ctr))).as("negs"),
+        lit(i).as("cell"))
+    }: _*)
+    transform(array_sort(scored), x => x.getField("cell"))
+  }
+
+  /** Build the IVF index: fit centroids on a driver-bounded sample and
+    * assign every corpus row to its nearest cell (see [[ivfTopK]] for
+    * the plan-shape rationale). One corpus pass + one shuffle on cell. */
+  def ivfIndex(corpus: DataFrame, cId: Column, cVec: Column,
+               nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+               maxTrainRows: Int = 4096): IvfIndex = {
     // fit on a DRIVER-BOUNDED training set: a distributed fit pays a
     // full corpus pass per iteration — a non-starter at 100 TB — and
     // cell quality saturates long before a few hundred samples per cell
@@ -225,30 +275,29 @@ object Similarity {
         val n = math.sqrt(v.map(x => x * x).sum)
         if (n == 0.0) v else v.map(_ / n)
       }
-    // centroids as plan literals (tiny; ONE Literal node per centroid).
-    // Cells ranked via ONE sorted struct array — a pairwise
-    // when/otherwise max-fold would duplicate its operand subtrees at
-    // every level (2^nCells expression nodes: OOMs the driver at
-    // analysis time).
-    val cents = localKMeans(train, nCells, iters = 5, seed).zipWithIndex
-    def cellsByAffinity(vec: Column): Column = {
-      val scored = array(cents.map { case (ctr, i) =>
-        struct((-Vectors.dot(vec, typedLit(ctr))).as("negs"),
-          lit(i).as("cell"))
-      }: _*)
-      transform(array_sort(scored), x => x.getField("cell"))
-    }
+    val cents = localKMeans(train, nCells, iters = 5, seed)
     val assigned = corpus
       .select(cId.as("neighbor_id"), cVec.as("__v"),
         Vectors.norm(cVec).as("__nrm"),
-        coalesce(element_at(cellsByAffinity(cVec), 1), lit(-1)).as("cell"))
+        coalesce(element_at(cellsByAffinity(cents, cVec), 1), lit(-1))
+          .as("cell"))
       .repartition(col("cell"))
       .select(col("cell"), col("neighbor_id"),
         transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
+    IvfIndex(assigned, cents, nProbe)
+  }
+
+  /** Query a built [[IvfIndex]]: each query scores only its nProbe
+    * nearest cells. Queries are broadcast; the (persisted) index is
+    * touched only on the probed cells. */
+  def ivfQuery(index: IvfIndex, queries: DataFrame, k: Int,
+               qId: Column, qVec: Column,
+               excludeSelf: Boolean = true): DataFrame = {
     val q = queries
       .select(qId.as("query_id"), qVec.as("__v"),
         Vectors.norm(qVec).as("__nrm"),
-        slice(cellsByAffinity(qVec), 1, nProbe).as("cells"))
+        slice(cellsByAffinity(index.centroids, qVec), 1, index.nProbe)
+          .as("cells"))
       // exchange barrier: without it the two projections collapse and
       // the norm re-inlines per element of the divide lambda
       .repartition(col("query_id"))
@@ -257,7 +306,7 @@ object Similarity {
         explode(col("cells")).as("cell"))
       .select(col("query_id"), col("qv"),
         coalesce(col("cell"), lit(-2)).as("cell"))
-    val joined = assigned.join(broadcast(q), Seq("cell"))
+    val joined = index.assigned.join(broadcast(q), Seq("cell"))
     val scored0 = joined.withColumn("score",
       round(Vectors.dot(col("qv"), col("cv")), 6))
     val scored =
@@ -267,6 +316,19 @@ object Similarity {
     TopK.perQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
+
+  /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated
+    * query batches build the index once and persist `assigned` instead:
+    * the per-call corpus pass here costs about as much as brute force
+    * (measured at 1M vectors) — IVF pays off when the build amortizes. */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, k: Int,
+              qId: Column, qVec: Column, cId: Column, cVec: Column,
+              nCells: Int = 16, nProbe: Int = 4, seed: Long = 42L,
+              excludeSelf: Boolean = true,
+              maxTrainRows: Int = 4096): DataFrame =
+    ivfQuery(
+      ivfIndex(corpus, cId, cVec, nCells, nProbe, seed, maxTrainRows),
+      queries, k, qId, qVec, excludeSelf)
 
   /** Approximate top-k via sign-bucket LSH: corpus rows hash to one of
     * 2^nBits buckets; each query probes buckets within Hamming distance

@@ -67,6 +67,65 @@ object ScaleStress {
       GroupConsumer.chunkedBlocks(docs.limit(1000000),
         Grouper.byColumn("key"), col("text"), col("id"), 512).count()
     }
+
+    // embedding stress: synthetic 64-dim float vectors. Clusters of 32
+    // consecutive ids share a strong common component (intra-cluster
+    // cosine ~0.93, inter ~0) — the realistic near-dup shape: MANY SMALL
+    // duplicate groups. (A first attempt used 32 clusters x 31k members;
+    // that makes the TRUE near-pair set itself quadratic — ~15G pairs —
+    // which no candidate scheme can enumerate. Near-dup pair listing is
+    // output-bound; mega-cluster corpora need survivor-style dedup, not
+    // pair enumeration.)
+    val vecRows = math.min(rows, 1000000L)
+    val vdir = "/tmp/graft-stress-vec"
+    time(s"generate $vecRows vectors (31k clusters of 32)") {
+      spark.range(vecRows)
+        .select(col("id").as("vec_id"),
+          transform(sequence(lit(0), lit(63)), j =>
+            ((pmod(xxhash64(col("id"), j), lit(1000)).cast("double") / 500.0
+              - 1.0)
+              + (pmod(xxhash64(expr("id DIV 32"), j), lit(1000))
+                  .cast("double") / 137.0 - 3.65))
+              .cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(vdir)
+    }
+    val vecs = spark.read.parquet(vdir)
+    val queries = vecs.filter(col("vec_id") < 100)
+    time("ANN brute-force top-10 (100 queries, bounded-topk agg)") {
+      Similarity.bruteForceTopK(queries, vecs, 10,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+        .count()
+    }
+    time("ANN LSH top-10 (100 queries)") {
+      Similarity.lshTopK(queries, vecs, 10,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64).count()
+    }
+    time("ANN IVF one-shot top-10 (100 queries, 64 cells probe 8)") {
+      Similarity.ivfTopK(queries, vecs, 10,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 64, nProbe = 8).count()
+    }
+    // the deployment shape: build + persist the index ONCE, then the
+    // per-batch query cost is the probed fraction of the corpus
+    val idx = Similarity.ivfIndex(vecs, col("vec_id"), col("embedding"),
+      nCells = 64, nProbe = 8)
+    val cached = idx.copy(assigned = idx.assigned.persist())
+    time("IVF index build (persisted)")(cached.assigned.count())
+    time("IVF query batch vs persisted index") {
+      Similarity.ivfQuery(cached, queries, 10,
+        col("vec_id"), col("embedding")).count()
+    }
+    cached.assigned.unpersist()
+    // 16 bits so a bucket holds ~a handful of clusters; the cap bounds
+    // any residual hot bucket. Expected pairs ~ clusters * 32^2/2.
+    time("LSH near-dup pairs (250k vecs, threshold .9, 4 tables, capped)") {
+      val n = Similarity.cosinePairsLsh(vecs.filter(col("vec_id") < 250000),
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, dim = 64, nBits = 16, nTables = 4,
+        maxBucketSize = 2000).count()
+      println(s"[stress]   near-dup pairs found: $n")
+    }
     spark.stop()
   }
 }

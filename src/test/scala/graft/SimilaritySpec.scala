@@ -107,6 +107,24 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.25
   }
 
+  test("cosinePairsLsh bucket cap: output stays a verified subset, cap only prunes") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val exact = Similarity.cosinePairs(emb, $"vec_id", $"embedding", 0.4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    def lsh(cap: Int) = Similarity.cosinePairsLsh(emb, $"vec_id", $"embedding",
+      threshold = 0.4, dim = 64, nBits = 4, nTables = 4, seed = 42L,
+      maxBucketSize = cap)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // nBits=4 -> 16 buckets over 500 rows: every bucket way above a cap
+    // of 8, so a tight cap must prune hard; a loose cap must be a no-op
+    val loose = lsh(1000000)
+    val tight = lsh(8)
+    loose.subsetOf(exact) shouldBe true
+    tight.subsetOf(loose) shouldBe true
+    tight.size should be < loose.size
+    loose should not be empty
+  }
+
   test("IVF top-k: valid ranks, subset scoring matches brute force on hits") {
     val emb = Tables(spark, sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
