@@ -18,6 +18,11 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // audit-only: AQE wraps the plan in AdaptiveSparkPlan whose
+      // toString hides WholeStageCodegen spans until execution — turn it
+      // off HERE so the static plan shows codegen coverage (production
+      // sessions keep AQE on)
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1)
@@ -30,7 +35,10 @@ object ExplainAudit {
             .findAllIn(plan).size
           val broadcasts = "BroadcastExchange".r.findAllIn(plan).size
           val scans = "Scan parquet|FileScan".r.findAllIn(plan).size
-          val codegen = "WholeStageCodegen".r.findAllIn(plan).size
+          // executedPlan.toString marks codegen'd operators as "*(id) Op"
+          // — count DISTINCT ids (one id = one fused codegen span)
+          val codegen = "\\*\\((\\d+)\\)".r.findAllMatchIn(plan)
+            .map(_.group(1)).toSet.size
           val readSchemas = "ReadSchema: [^\\n]+".r.findAllIn(plan).toSeq
           val pushed = "PushedFilters: [^\\n]+".r.findAllIn(plan).toSeq
           println(s"== $name: shuffles=$exchanges broadcasts=$broadcasts " +
