@@ -313,6 +313,21 @@ object SparkEntry {
           unix_timestamp(col("session_window.start")).as("session_start"),
           col("user_id"), col("n_events"), col("session_value_e4"))
     },
+    // STREAMING session windows driven to completion — the stateful
+    // session-merge plan (not the batch rewrite) computing the same
+    // result; shares events_session_window_batch's oracle.
+    "events_session_window_stream" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val qn = "sessions_stream_" +
+        java.util.UUID.randomUUID().toString.replace("-", "")
+      EventStream.runToCompletion(EventStream.sessions(events), qn)
+        .select(unix_timestamp(col("session_start")).as("session_start"),
+          col("user_id"), col("n_events"), col("session_value_e4"))
+    },
     // Skew-resistant salted aggregation — identical semantics to
     // group_counts_lineitem (shares its oracle), two-phase topology.
     "group_counts_lineitem_salted" -> { (s, dir) =>
@@ -623,6 +638,27 @@ object SparkEntry {
     // at the same precision Spark's session_window sees (micros), not
     // floored seconds — a 1799.7s gap is one session, 1800.0s is two
     "events_session_window_batch" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, event_id,
+        |    epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL THEN 1
+        |         WHEN epoch_ns(ts) // 1000
+        |              - lag(epoch_ns(ts) // 1000) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+        |sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS session_value_e4
+        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
+    // streaming session_window twin computes the identical sessions
+    "events_session_window_stream" ->
       """WITH marked AS (
         |  SELECT user_id, value, event_id,
         |    epoch_ns(ts) // 1000 AS tus,
