@@ -25,6 +25,7 @@ object Bench {
         .count().count()
       Tables(spark, sfDir, "region").count()
     } catch { case _: Throwable => () }
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // force FULL materialization of every output column: a bare
@@ -40,6 +41,9 @@ object Bench {
           .collect()
       } catch {
         case t: Throwable =>
+          // record the failure IN the artifact: a time-to-failure summed
+          // into the total would read as a plausible fast success
+          failed += name
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
@@ -47,8 +51,9 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), line + "\n")
     println(line)
     spark.stop()

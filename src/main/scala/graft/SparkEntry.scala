@@ -214,9 +214,11 @@ object SparkEntry {
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
-      val qn = "tumbling_stream_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      EventStream.runToCompletion(EventStream.tumbling(events), qn)
+      // stable sink name: repeated invocations in one session REPLACE
+      // the memory table (a per-call unique name would pin every past
+      // result set on the driver for the session lifetime)
+      EventStream.runToCompletion(
+          EventStream.tumbling(events), "tumbling_stream_out")
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("total_value_e4"))
     },
@@ -322,9 +324,9 @@ object SparkEntry {
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
-      val qn = "sessions_stream_" +
-        java.util.UUID.randomUUID().toString.replace("-", "")
-      EventStream.runToCompletion(EventStream.sessions(events), qn)
+      // stable sink name — see events_tumbling_5min_stream
+      EventStream.runToCompletion(
+          EventStream.sessions(events), "sessions_stream_out")
         .select(unix_timestamp(col("session_start")).as("session_start"),
           col("user_id"), col("n_events"), col("session_value_e4"))
     },

@@ -205,7 +205,14 @@ object Relational {
     * exactly what sank events_sessions_30min in round 1). Per-item round
     * to 4dp -> exact DECIMAL accumulation -> scaled long is immune to
     * both accumulation order and double-render differences; the same
-    * pattern already passes the driver hash in supplierRunningRevenue. */
+    * pattern already passes the driver hash in supplierRunningRevenue.
+    *
+    * Precondition for cross-engine exactness: values carry at most 4
+    * decimal digits (true of the driver events table), so the per-item
+    * round is the identity. For inputs with longer mantissas near a
+    * .xxxx5 tie, Spark rounds HALF_UP on the shortest-decimal rendering
+    * while DuckDB rounds the binary double — pick the scale below the
+    * data's actual precision if reusing this pattern elsewhere. */
   private[graft] def exactValueSumE4 =
     (sum(round(col("value"), 4).cast("decimal(18,4)")) * 10000).cast("long")
 

@@ -63,7 +63,13 @@ object Splits {
     val parts = df.repartitionByRange(orderCols: _*)
       .sortWithinPartitions(orderCols: _*)
     val counts = parts.rdd
-      .mapPartitionsWithIndex { (i, it) => Iterator.single(i -> it.size.toLong) }
+      .mapPartitionsWithIndex { (i, it) =>
+        // count with a Long loop — Iterator.size returns Int and would
+        // silently wrap past 2^31 rows in one partition
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        Iterator.single(i -> n)
+      }
       .collect().sortBy(_._1).map(_._2)
     val n = counts.sum
     val offsets = counts.scanLeft(0L)(_ + _) // offsets(i) = ranks before partition i
@@ -74,8 +80,10 @@ object Splits {
       val off = offsets(i)
       // skip whole partitions outside the band without iterating them
       if (off + counts(i) <= lo || off >= hi) Iterator.empty
-      else it.zipWithIndex.collect {
-        case (r, j) if off + j >= lo && off + j < hi => r
+      else {
+        // Long rank tracking (zipWithIndex is Int and wraps past 2^31)
+        var rank = off - 1
+        it.filter { _ => rank += 1; rank >= lo && rank < hi }
       }
     }
     spark.createDataFrame(sliced, schema)

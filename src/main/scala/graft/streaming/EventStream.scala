@@ -63,7 +63,10 @@ object EventStream {
     * swapped for an in-memory table. Production replaces the sink, not
     * the transform. The memory sink materializes results on the driver —
     * fine for aggregated outputs; never point it at an unaggregated
-    * 100 TB stream. */
+    * 100 TB stream. Use a STABLE queryName per call site: the sink's
+    * table lives for the session, so a fresh name per call accumulates
+    * full result sets on the driver, while restarting under the same
+    * name replaces the table. */
   def runToCompletion(out: DataFrame, queryName: String,
                       mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = out.sparkSession

@@ -84,7 +84,8 @@ object IvfProfile {
       .select(col("id"),
         transform(col("__v"), x => x.cast("double") / col("__nrm")).as("vec"))
     time("normalized materialize")(v0.count())
-    val planes = Seq.fill(16)(Seq.fill(64)(new java.util.Random(1).nextGaussian()))
+    val prng = new java.util.Random(1)
+    val planes = Seq.fill(16)(Seq.fill(64)(prng.nextGaussian()))
     val scoredCells = {
       val s = array(planes.zipWithIndex.map { case (p, i) =>
         struct((-Vectors.dot(col("vec"), typedLit(p))).as("negs"),
