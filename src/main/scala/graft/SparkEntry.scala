@@ -139,6 +139,21 @@ object SparkEntry {
       Dedup.simhashPairs(Tables(s, dir, "documents"),
         col("text"), col("doc_id"), maxHamming = 3)
     },
+    // Connected-component clustering over the exact n-gram Jaccard pair
+    // graph: every doc gets (cluster_id = min reachable id, cluster
+    // size). Distributed pointer-jump label propagation; oracle is a
+    // DuckDB recursive-CTE transitive closure over the same pairs.
+    "dedup_clusters_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      val asg = Dedup.clusters(docs, col("doc_id"), pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"))
+      val sizes = asg.groupBy("cluster_id")
+        .agg(count(lit(1)).as("cluster_size"))
+      asg.join(sizes, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    },
 
     // --------------------------------------------------------- similarity
     // PRIMARY near-dup entry = the LSH-bucketed linear path (the shape
@@ -417,6 +432,7 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
+    "dedup_clusters_documents" -> NgramClustersOracle,
     // both embedding oracles mirror the engine's arithmetic exactly:
     // L2-normalize each vector (per-element divide by the double norm),
     // then dot the normalized vectors — identical FP sequence both sides
@@ -720,11 +736,11 @@ object SparkEntry {
         |FROM ranked GROUP BY g""".stripMargin
   )
 
-  /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact
-    * inverted-index query and the MinHash-LSH query (whose verified
-    * candidates equal the exact result on this corpus). */
-  private lazy val NgramJaccardOracle: String =
-    """WITH toks AS (
+  /** Shared CTE chain producing the exact word-3-gram Jaccard pairs
+    * >= 0.8 as a `pairs` relation (no leading WITH, so callers can
+    * prepend RECURSIVE and append closure CTEs). */
+  private lazy val NgramPairsCtes: String =
+    """toks AS (
       |  SELECT doc_id,
       |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
       |  FROM documents),
@@ -737,11 +753,39 @@ object SparkEntry {
       |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
       |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, len(s) AS n FROM sh)
-      |SELECT ida AS id_a, idb AS id_b,
-      |  round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
-      |FROM inter
-      |JOIN sizes sa ON ida = sa.doc_id
-      |JOIN sizes sb ON idb = sb.doc_id
-      |WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8""".stripMargin
+      |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+      |pairs AS (
+      |  SELECT ida AS id_a, idb AS id_b,
+      |    round(i * 1.0 / (sa.n + sb.n - i), 6) AS jaccard
+      |  FROM inter
+      |  JOIN sizes sa ON ida = sa.doc_id
+      |  JOIN sizes sb ON idb = sb.doc_id
+      |  WHERE round(i * 1.0 / (sa.n + sb.n - i), 6) >= 0.8)""".stripMargin
+
+  /** Exact word-3-gram Jaccard pairs >= 0.8 — oracle for both the exact
+    * inverted-index query and the MinHash-LSH query (whose verified
+    * candidates equal the exact result on this corpus). */
+  private lazy val NgramJaccardOracle: String =
+    s"WITH $NgramPairsCtes\nSELECT id_a, id_b, jaccard FROM pairs"
+
+  /** Connected components over the same pair graph: recursive-CTE
+    * transitive closure, label = min reachable id, singletons map to
+    * themselves. */
+  private lazy val NgramClustersOracle: String =
+    s"""WITH RECURSIVE $NgramPairsCtes,
+      |edges AS (
+      |  SELECT id_a AS u, id_b AS v FROM pairs
+      |  UNION SELECT id_b, id_a FROM pairs),
+      |reach AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+      |  WHERE e.v <> r.u),
+      |lbl AS (SELECT u, least(u, min(v)) AS l FROM reach GROUP BY u),
+      |asg AS (
+      |  SELECT d.doc_id, coalesce(l.l, d.doc_id) AS cluster_id
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.u)
+      |SELECT doc_id, cluster_id,
+      |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+      |FROM asg""".stripMargin
 }

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import scala.util.Random
+
+import graft.operators.Dedup
+
+/** Connected-component dedup clustering: chains, isolated pairs,
+  * convergence on deep paths (pointer-jump acceleration), and a seeded
+  * randomized differential test against driver-side union-find. */
+class ClusterSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pairsDf(ps: Seq[(Long, Long)]) =
+    ps.toDF("id_a", "id_b")
+
+  test("chain collapses to one cluster; separate pair stays separate") {
+    // 1-2-3-4 is a non-transitive near-dup chain; 10-11 is independent
+    val pairs = pairsDf(Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)))
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    cc shouldBe Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L)
+  }
+
+  test("clusters() assigns singletons their own id") {
+    val docs = Seq(1L, 2L, 3L, 99L).toDF("doc_id")
+    val pairs = pairsDf(Seq((1L, 3L)))
+    val r = Dedup.clusters(docs, $"doc_id", pairs)
+      .as[(Long, Long)].collect().toMap
+    r shouldBe Map(1L -> 1L, 3L -> 1L, 2L -> 2L, 99L -> 99L)
+  }
+
+  test("deep path (depth 64) converges well under the iteration cap") {
+    // a pure path graph is the worst case for plain propagation
+    // (O(diameter) rounds); pointer jumping must crush it
+    val pairs = pairsDf((1L until 64L).map(i => (i, i + 1)))
+    val cc = Dedup.connectedComponents(pairs, maxIter = 12)
+      .as[(Long, Long)].collect()
+    cc.length shouldBe 64
+    all(cc.map(_._2)) shouldBe 1L
+  }
+
+  test("randomized graphs match driver-side union-find") {
+    val rnd = new Random(7)
+    for (trial <- 1 to 3) {
+      val n = 60
+      val ps = Seq.fill(50) {
+        val a = rnd.nextInt(n).toLong; val b = rnd.nextInt(n).toLong
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      // reference: union-find on the driver
+      val parent = Array.tabulate(n)(identity)
+      def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+      ps.foreach { case (a, b) =>
+        val (ra, rb) = (find(a.toInt), find(b.toInt))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = ps.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> {
+          // canonical label = min id in component
+          val root = find(v.toInt)
+          (0 until n).filter(u => find(u) == root).min.toLong
+        }).toMap
+      val got = Dedup.connectedComponents(pairsDf(ps))
+        .as[(Long, Long)].collect().toMap
+      withClue(s"trial $trial: ") { got shouldBe expected }
+    }
+  }
+}
