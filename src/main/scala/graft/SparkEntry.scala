@@ -216,6 +216,28 @@ object SparkEntry {
     "rel_orders_pivot" -> Relational.ordersPivot _,
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_json_props" -> Relational.eventsJsonProps _,
+    // As-of join: each purchase gets the user's most recent click at or
+    // before it. Spark lacks a native as-of join; this is the linear
+    // tag+union+running-window shape (one exchange on user_id), oracled
+    // against DuckDB's native ASOF LEFT JOIN. Clicks are pre-aggregated
+    // to (user, ts) grain so the match is deterministic; nulls from
+    // unmatched purchases are coalesced to -1 on both sides.
+    "events_asof_clicks" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("t_us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("t_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(Relational.exactValueSumE4.as("click_value_e4"))
+      Relational.asofJoin(purchases, clicks, Seq("user_id"), "t_us")
+        .select(col("event_id"), col("user_id"),
+          col("t_us").as("purchase_ts_us"),
+          coalesce(col("asof.t_us"), lit(-1L)).as("click_ts_us"),
+          coalesce(col("t_us") - col("asof.t_us"), lit(-1L)).as("wait_us"),
+          coalesce(col("asof.click_value_e4"), lit(-1L)).as("click_value_e4"))
+    },
     "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
     // STREAMING declared query: the identical tumbling aggregation run
     // as a real micro-batch streaming plan (file source, watermark,
@@ -554,6 +576,24 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_asof_clicks" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t_us, value
+        |  FROM events),
+        |p AS (SELECT event_id, user_id, t_us FROM ev
+        |      WHERE event_type = 'purchase'),
+        |c AS (
+        |  SELECT user_id, t_us,
+        |    CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |      AS click_value_e4
+        |  FROM ev WHERE event_type = 'click' GROUP BY 1, 2)
+        |SELECT p.event_id, p.user_id, p.t_us AS purchase_ts_us,
+        |  coalesce(c.t_us, -1) AS click_ts_us,
+        |  coalesce(p.t_us - c.t_us, -1) AS wait_us,
+        |  coalesce(c.click_value_e4, -1) AS click_value_e4
+        |FROM p ASOF LEFT JOIN c
+        |  ON p.user_id = c.user_id AND p.t_us >= c.t_us""".stripMargin,
     // streaming twin computes the identical aggregation -> same oracle
     "events_tumbling_5min_stream" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,

@@ -239,4 +239,45 @@ object Relational {
         max(col("tsec")).as("session_end"),
         exactValueSumE4.as("session_value_e4"))
   }
+
+  /** As-of (backward) join — for each left row, attach the payload of
+    * the LATEST right row with the same key and right.time <= left.time
+    * (strictly < when `strict`). Spark has no native as-of join; the
+    * range-join formulation (join on key + inequality, then keep max)
+    * explodes quadratically per key. This is the linear shape instead:
+    * tag both sides, union, and run ONE running-`last(ignoreNulls)`
+    * window over (key, time) — a single exchange + sort on the key, the
+    * same plan a sessionization pays. That survives 100 TB: the shuffle
+    * is |left| + |right| rows, state per task is one payload struct.
+    *
+    * Returns every left row plus a nullable `asof` struct holding ALL
+    * non-key right columns (time included); no match => null. Tie rule:
+    * at equal time the right row is visible unless `strict`.
+    * Precondition: at most one right row per (keys, time) — otherwise
+    * which same-timestamp payload wins is tie-order-dependent;
+    * pre-aggregate the right side to that grain first. */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               time: String, strict: Boolean = false): DataFrame = {
+    val payloadCols = right.columns.filterNot(keys.contains).toSeq
+    // inclusive: right sorts BEFORE left at equal time (visible);
+    // strict: right sorts AFTER left (invisible)
+    val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
+    val l = left.select(
+      keys.map(col) ++ Seq(col(time).as("__t"), lit(leftTag).as("__side"),
+        struct(left.columns.map(col): _*).as("__l"),
+        lit(null).cast(org.apache.spark.sql.types.StructType(
+          payloadCols.map(c => org.apache.spark.sql.types.StructField(
+            c, right.schema(c).dataType)))).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++ Seq(col(time).as("__t"), lit(rightTag).as("__side"),
+        lit(null).cast(l.schema("__l").dataType).as("__l"),
+        struct(payloadCols.map(col): _*).as("__r")): _*)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r)
+      .withColumn("asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === leftTag)
+      .select(col("__l.*"), col("asof"))
+  }
 }

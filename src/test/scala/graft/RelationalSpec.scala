@@ -50,4 +50,45 @@ class RelationalSpec extends SparkSpec {
     Relational.eventsTumbling(spark, sf0001)
       .agg(sum($"n_events")).as[Long].head() shouldBe e.count()
   }
+
+  test("asofJoin: backward match, equal-ts tie, strict mode, no-match null") {
+    val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
+      .toDF("k", "t", "name")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (3L, 1L, 999.0))
+      .toDF("k", "t", "v")
+    val inc = Relational.asofJoin(left, right, Seq("k"), "t")
+      .select($"name", $"asof.t", $"asof.v")
+      .collect().map(r => r.getString(0) -> (Option(r.get(1)), Option(r.get(2)))).toMap
+    // p1 at t=10 sees the equal-ts right row; p2 sees the later t=15;
+    // p3 (k=2) has no right rows at all
+    inc("p1") shouldBe (Some(10L), Some(100.0))
+    inc("p2") shouldBe (Some(15L), Some(150.0))
+    inc("p3") shouldBe (None, None)
+    val st = Relational.asofJoin(left, right, Seq("k"), "t", strict = true)
+      .select($"name", $"asof.t")
+      .collect().map(r => r.getString(0) -> Option(r.get(1))).toMap
+    // strict: the equal-ts row is no longer visible for p1
+    st("p1") shouldBe None
+    st("p2") shouldBe Some(15L)
+  }
+
+  test("asofJoin matches the naive per-row max formulation on events") {
+    val ev = Tables(spark, sf0001, "events")
+      .select($"event_id", $"user_id", $"event_type",
+        expr("ts DIV 1000").as("t_us"))
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id", $"user_id", $"t_us")
+    val r = ev.filter($"event_type" === "click")
+      .select($"user_id", $"t_us", $"event_id".as("click_id"))
+    val fast = Relational.asofJoin(l, r, Seq("user_id"), "t_us")
+      .select($"event_id", $"asof.click_id".as("click_id"))
+    // naive oracle: range join + keep latest (latest = max t then max id)
+    val naive = l.as("a").join(r.as("b"),
+        $"a.user_id" === $"b.user_id" && $"b.t_us" <= $"a.t_us", "left")
+      .groupBy($"a.event_id".as("event_id"))
+      .agg(max(struct($"b.t_us", $"b.click_id")).as("m"))
+      .select($"event_id", $"m.click_id".as("click_id"))
+    fast.exceptAll(naive).count() shouldBe 0L
+    naive.exceptAll(fast).count() shouldBe 0L
+  }
 }
