@@ -133,11 +133,14 @@ object SparkEntry {
         col("text"), col("doc_id"), n = 3, k = 64, bands = 16,
         threshold = 0.8, seed = 42L)
     },
-    // SimHash (xxhash64-based — no DuckDB twin, rows-only check; exact
-    // pigeonhole recall asserted in TextDedupSpec).
+    // SimHash pairs, md5-anchored token hashes so the DuckDB oracle can
+    // recompute the hash bit-for-bit (the xxhash64 default stays the
+    // library fast path; pigeonhole recall asserted in TextDedupSpec
+    // covers both — the segment join is hash-agnostic).
     "dedup_simhash_documents" -> { (s, dir) =>
       Dedup.simhashPairs(Tables(s, dir, "documents"),
-        col("text"), col("doc_id"), maxHamming = 3)
+        col("text"), col("doc_id"), maxHamming = 3,
+        hashFn = Dedup.simhashMd5)
     },
     // Connected-component clustering over the exact n-gram Jaccard pair
     // graph: every doc gets (cluster_id = min reachable id, cluster
@@ -455,6 +458,33 @@ object SparkEntry {
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    // bit-for-bit md5-simhash recomputation: 60-bit token hash = top 15
+    // md5 hex chars; per-bit +-1 vote; pairs at hamming <= 3
+    "dedup_simhash_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_sum([((strpos('0123456789abcdef', md5(tok)[i]) - 1)::BIGINT
+        |               << ((15 - i) * 4)) FOR i IN range(1, 16)]) AS h
+        |  FROM (SELECT doc_id, unnest(t) AS tok FROM toks)),
+        |bits AS (
+        |  SELECT doc_id, b,
+        |    CASE WHEN sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) > 0
+        |         THEN 1::BIGINT << b ELSE 0::BIGINT END AS bv
+        |  FROM th, (SELECT unnest(range(0, 60)) AS b) bs
+        |  GROUP BY doc_id, b),
+        |sh AS (SELECT doc_id, CAST(sum(bv) AS BIGINT) AS h FROM bits
+        |       GROUP BY doc_id),
+        |allh AS (
+        |  SELECT d.doc_id, coalesce(s.h, 0) AS h
+        |  FROM documents d LEFT JOIN sh s USING (doc_id))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM allh a JOIN allh b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 3""".stripMargin,
     // both embedding oracles mirror the engine's arithmetic exactly:
     // L2-normalize each vector (per-element divide by the double norm),
     // then dot the normalized vectors — identical FP sequence both sides

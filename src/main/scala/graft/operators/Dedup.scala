@@ -268,6 +268,17 @@ object Dedup {
     graft.expressions.SimHash64(
       transform(TextAnalysis.tokens(textCol), t => xxhash64(t)))
 
+  /** md5-anchored SimHash variant: token hash = top 60 bits of md5
+    * (15 hex chars, so it stays in a signed long). Slower than xxhash64
+    * but replicable bit-for-bit in any engine with md5 — the DuckDB
+    * oracle recomputes it exactly. Output bits 60..63 are always 0
+    * (the per-bit vote over those dead input bits is -n), which only
+    * shrinks the effective hash width. */
+  def simhashMd5(textCol: Column): Column =
+    graft.expressions.SimHash64(
+      transform(TextAnalysis.tokens(textCol),
+        t => conv(substr(md5(t), lit(1), lit(15)), 16, 10).cast("long")))
+
   private[graft] def simhashHof(textCol: Column): Column = {
     val counts = aggregate(
       TextAnalysis.tokens(textCol),
@@ -291,7 +302,8 @@ object Dedup {
     * join topology as LSH. More segments = smaller segments = more
     * candidates, so keep maxHamming modest (<= 15). */
   def simhashPairs(df: DataFrame, textCol: Column, idCol: Column,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   hashFn: Column => Column = simhash): DataFrame = {
     require(maxHamming >= 0 && maxHamming <= 15,
       s"maxHamming must be in [0, 15], got $maxHamming")
     val nSegs = maxHamming + 1
@@ -302,7 +314,7 @@ object Dedup {
     // already materializes it once for both join sides, and an extra
     // raw-text shuffle measurably hurts well-partitioned corpora
     // (2x slower at the 1M-doc stress scale) for little gain here
-    val hashed = df.select(idCol.as("id"), simhash(textCol).as("h"))
+    val hashed = df.select(idCol.as("id"), hashFn(textCol).as("h"))
     val segExprs = (0 until nSegs).map { j =>
       val width = starts(j + 1) - starts(j)
       val mask = if (width == 64) -1L else (1L << width) - 1L
@@ -317,7 +329,7 @@ object Dedup {
         col("a.seg") === col("b.seg") && col("a.segval") === col("b.segval") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
-        bit_count(col("a.h").bitwiseXOR(col("b.h"))).as("hamming"))
+        bit_count(col("a.h").bitwiseXOR(col("b.h"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

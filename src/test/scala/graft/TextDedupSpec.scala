@@ -103,6 +103,21 @@ class TextDedupSpec extends SparkSpec {
     diff shouldBe 0L
   }
 
+  test("simhashMd5: top 4 bits dead, identical texts collide") {
+    val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta  gamma"),
+      (3L, "totally different words entirely")).toDF("doc_id", "text")
+    val hs = df.select($"doc_id", Dedup.simhashMd5($"text").as("h"))
+      .as[(Long, Long)].collect().toMap
+    // 60-bit token hashes -> output bits 60..63 always vote negative
+    all(hs.values.map(_ >>> 60)) shouldBe 0L
+    hs(1L) shouldBe hs(2L) // whitespace-only difference, same token multiset
+    hs(1L) should not be hs(3L)
+    val pairs = Dedup.simhashPairs(df, $"text", $"doc_id",
+        maxHamming = 3, hashFn = Dedup.simhashMd5)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    pairs should contain((1L, 2L))
+  }
+
   test("simhash: identical texts collide, near-identical within hamming 3") {
     val df = Seq((1L, "w1 w2 w3 w4 w5 w6 w7 w8"), (2L, "w1 w2 w3 w4 w5 w6 w7 w8"))
       .toDF("doc_id", "text")
