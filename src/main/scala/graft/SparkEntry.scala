@@ -117,6 +117,15 @@ object SparkEntry {
         TextAnalysis.fingerprint(t).as("fingerprint"))
     },
 
+    // Per-language distinctive terms by log-free tf-idf (tf/df — one
+    // IEEE division of two exact integers, bit-identical in DuckDB) with
+    // the bounded top-k aggregate, not a window.
+    "text_tfidf_by_lang" -> { (s, dir) =>
+      graft.functions.TfIdf.topTerms(Tables(s, dir, "documents"),
+        col("lang"), col("text"), col("doc_id"), k = 10)
+        .withColumnRenamed("group", "lang")
+    },
+
     // -------------------------------------------------------------- dedup
     "dedup_exact_documents" -> { (s, dir) =>
       Dedup.exact(Tables(s, dir, "documents"), col("text"), col("doc_id"))
@@ -451,6 +460,26 @@ object SparkEntry {
          |  ${fingerprint("text")} AS fingerprint
          |FROM documents""".stripMargin
     },
+    "text_tfidf_by_lang" ->
+      """WITH toks AS (
+        |  SELECT lang, doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '')) AS term
+        |  FROM documents),
+        |ft AS (SELECT * FROM toks WHERE length(term) >= 3),
+        |tf AS (SELECT lang, term, count(*) AS tf FROM ft GROUP BY 1, 2),
+        |dfq AS (SELECT term, count(DISTINCT doc_id) AS df FROM ft
+        |        GROUP BY 1),
+        |scored AS (
+        |  SELECT lang, term, tf, df, tf * 1.0 / df AS score
+        |  FROM tf JOIN dfq USING (term)),
+        |ranked AS (
+        |  SELECT lang, term, tf, df, score,
+        |    CAST(row_number() OVER (
+        |      PARTITION BY lang ORDER BY score DESC, term) AS INT) AS rank
+        |  FROM scored)
+        |SELECT lang, term, rank, score, tf, df
+        |FROM ranked WHERE rank <= 10""".stripMargin,
     "dedup_exact_documents" ->
       s"""SELECT md5(${TextAnalysis.Sql.normalized("text")}) AS fp,
          |  min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -69,6 +69,60 @@ object TopK {
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
   }
 
+  /** String-keyed twin of [[TopKAggregator]] (terms instead of neighbor
+    * ids) — same compaction discipline, ties by key ASC. */
+  final case class TermEntry(term: String, score: Double)
+
+  private val termOrd: Ordering[TermEntry] =
+    Ordering.by((e: TermEntry) => (-e.score, e.term))
+
+  final class TopTermsAggregator(k: Int)
+      extends Aggregator[TermEntry, ArrayBuffer[TermEntry], Seq[TermEntry]] {
+    require(k > 0, "k must be positive")
+    private val cap = 4 * k
+
+    private def compact(b: ArrayBuffer[TermEntry]): ArrayBuffer[TermEntry] = {
+      if (b.length > k) {
+        val kept = b.sorted(termOrd).take(k)
+        b.clear()
+        b ++= kept
+      }
+      b
+    }
+
+    override def zero: ArrayBuffer[TermEntry] = ArrayBuffer.empty[TermEntry]
+    override def reduce(b: ArrayBuffer[TermEntry], e: TermEntry): ArrayBuffer[TermEntry] = {
+      b += e
+      if (b.length >= cap) compact(b) else b
+    }
+    override def merge(a: ArrayBuffer[TermEntry], b: ArrayBuffer[TermEntry]): ArrayBuffer[TermEntry] =
+      compact(a ++= b)
+    override def finish(b: ArrayBuffer[TermEntry]): Seq[TermEntry] =
+      b.sorted(termOrd).take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[TermEntry]] =
+      implicitly[Encoder[ArrayBuffer[TermEntry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+    override def outputEncoder: Encoder[Seq[TermEntry]] =
+      implicitly[Encoder[Seq[TermEntry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+  }
+
+  /** Top-k (term, score) rows per group with map-side partials — same
+    * shape as [[perQuery]] for string-keyed payloads. Input columns:
+    * group, term, score; output (group, term, rank, score). */
+  def perGroupTerms(scored: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new TopTermsAggregator(k))
+    scored
+      .groupBy(col("group"))
+      .agg(agg(col("term"), col("score")).as("top"))
+      .select(col("group"), posexplode(col("top")))
+      .select(
+        col("group"),
+        col("col.term").as("term"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("col.score").as("score"))
+  }
+
   /** Rank `scored` (columns query_id, neighbor_id, score) down to the
     * top k per query_id, emitting (query_id, neighbor_id, rank, score)
     * with rank 1..k by (score desc, neighbor_id) — drop-in for the

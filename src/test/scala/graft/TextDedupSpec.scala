@@ -103,6 +103,46 @@ class TextDedupSpec extends SparkSpec {
     diff shouldBe 0L
   }
 
+  test("tfidf topTerms: exact scores on a toy corpus; ties by term asc") {
+    val docs = Seq(
+      (1L, "en", "apple apple banana"),
+      (2L, "en", "apple cherry"),
+      (3L, "fr", "banana banana cherry")).toDF("doc_id", "lang", "text")
+    val r = graft.functions.TfIdf.topTerms(docs, $"lang", $"text", $"doc_id",
+        k = 2, minTermLen = 3)
+      .collect().map(x => (x.getString(0), x.getString(1), x.getInt(2),
+        x.getDouble(3), x.getLong(4), x.getLong(5)))
+    val en = r.filter(_._1 == "en").sortBy(_._3)
+    // en: apple tf=3 df=2 -> 1.5; banana tf=1 df=2 -> 0.5;
+    //     cherry tf=1 df=2 -> 0.5 — banana wins rank 2 on term asc
+    en(0) shouldBe ("en", "apple", 1, 1.5, 3L, 2L)
+    en(1) shouldBe ("en", "banana", 2, 0.5, 1L, 2L)
+    val fr = r.filter(_._1 == "fr").sortBy(_._3)
+    fr(0) shouldBe ("fr", "banana", 1, 1.0, 2L, 2L)
+    fr(1) shouldBe ("fr", "cherry", 2, 0.5, 1L, 2L)
+  }
+
+  test("tfidf topTerms matches the window formulation on the driver corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    val fast = graft.functions.TfIdf.topTerms(docs, $"lang", $"text",
+      $"doc_id", k = 10)
+    val toks = docs.select($"lang", $"doc_id",
+        explode(TextAnalysis.tokens(lower($"text"))).as("term"))
+      .filter(org.apache.spark.sql.functions.length($"term") >= 3)
+    val tf = toks.groupBy($"lang", $"term").agg(count(lit(1)).as("tf"))
+    val dfq = toks.select($"doc_id", $"term").distinct()
+      .groupBy($"term").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"lang")
+      .orderBy(($"tf".cast("double") / $"df").desc, $"term")
+    val naive = tf.join(dfq, "term")
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter($"rank" <= 10)
+      .select($"lang".as("group"), $"term", $"rank",
+        ($"tf".cast("double") / $"df").as("score"), $"tf", $"df")
+    fast.exceptAll(naive).count() shouldBe 0L
+    naive.exceptAll(fast).count() shouldBe 0L
+  }
+
   test("simhashMd5: top 4 bits dead, identical texts collide") {
     val df = Seq((1L, "alpha beta gamma"), (2L, "alpha beta  gamma"),
       (3L, "totally different words entirely")).toDF("doc_id", "text")
