@@ -29,11 +29,30 @@ object TfIdf {
                idCol: Column, k: Int, minTermLen: Int = 3): DataFrame = {
     val toks = df.select(groupCol.as("group"), idCol.as("doc_id"),
         explode(TextAnalysis.tokens(lower(textCol))).as("term"))
-      .filter(length(col("term")) >= minTermLen)
-    val tf = toks.groupBy(col("group"), col("term"))
-      .agg(count(lit(1)).as("tf"))
-    val dfreq = toks.select(col("doc_id"), col("term")).distinct()
-      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+      // the isNotNull conjuncts are semantically no-ops (explode output
+      // and a grouping attribute), but making them EXPLICIT stops the
+      // downstream join-backs from inferring asymmetric isnotnull
+      // filters into only one of the two aggregate branches, which
+      // would defeat ReuseExchange and re-scan the corpus
+      .filter(col("term").isNotNull && col("group").isNotNull &&
+        length(col("term")) >= minTermLen)
+    // collapse to per-(doc, term) counts FIRST: the only full-width
+    // shuffle carries map-side-combined (doc, term) partials, not raw
+    // tokens. The count table is then MATERIALIZED once: its four
+    // consumers (tf, df, and the two join-backs) prune different
+    // columns, so exchange reuse can't unify them and each would
+    // otherwise re-scan and re-tokenize the whole corpus. This is the
+    // batch equivalent of writing the doc-term matrix; on a real
+    // cluster swap localCheckpoint for a reliable checkpoint/parquet
+    // write — the table is compact (distinct doc-term pairs), the
+    // corpus is not.
+    val dtc = toks.groupBy(col("doc_id"), col("group"), col("term"))
+      .agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val tf = dtc.groupBy(col("group"), col("term"))
+      .agg(sum(col("cnt")).as("tf"))
+    // df = distinct docs containing the term = one dtc row per (doc, term)
+    val dfreq = dtc.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val scored = tf.join(dfreq, "term")
       .select(col("group"), col("term"),
         (col("tf").cast("double") / col("df")).as("score"))
