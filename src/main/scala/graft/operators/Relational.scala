@@ -136,13 +136,30 @@ object Relational {
 
   /** Statistical aggregation coverage: exact continuous-interpolation
     * percentiles (Spark `percentile` == DuckDB `quantile_cont`). */
+  /** Exact interpolated percentiles, computed scale-safely: a direct
+    * `percentile(col, p)` buffers EVERY row's value in the aggregation
+    * state (per-group memory = group size — a 100 TB OOM). Instead,
+    * melt the two measures and reduce to a (flag, measure, value) ->
+    * count HISTOGRAM first — a normal hash aggregate with map-side
+    * combine whose cardinality is bounded by the VALUE DOMAIN (money
+    * cents / integer quantities), not the row count — then feed the
+    * counts to `percentile(value, p, freq)`. Spark's percentile buffer
+    * is a value->count map either way, so the result is bit-identical
+    * to the direct formulation; only the state bound changes. */
   def priceQuantiles(s: SparkSession, dir: String): DataFrame =
     Tables(s, dir, "lineitem")
+      .select(col("l_returnflag"), posexplode(array(
+        col("l_extendedprice"), col("l_quantity"))).as(Seq("m", "v")))
+      .groupBy(col("l_returnflag"), col("m"), col("v"))
+      .agg(count(lit(1)).as("cnt"))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
-        round(expr("percentile(l_extendedprice, 0.95)"), 4).as("p95_price"),
-        round(expr("percentile(l_quantity, 0.25)"), 4).as("q1_qty"))
+        round(expr("percentile(if(m = 0, v, null), 0.5, cnt)"), 4)
+          .as("median_price"),
+        round(expr("percentile(if(m = 0, v, null), 0.95, cnt)"), 4)
+          .as("p95_price"),
+        round(expr("percentile(if(m = 1, v, null), 0.25, cnt)"), 4)
+          .as("q1_qty"))
 
   /** Multi-level aggregation coverage: ROLLUP over (returnflag,
     * linestatus) — subtotal and grand-total rows; null grouping keys are
