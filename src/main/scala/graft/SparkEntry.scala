@@ -226,6 +226,30 @@ object SparkEntry {
     "rel_price_quantiles" -> Relational.priceQuantiles _,
     "rel_pricing_rollup" -> Relational.pricingRollup _,
     "rel_orders_pivot" -> Relational.ordersPivot _,
+    // Bucketed co-located join: both fact tables are written bucketed +
+    // sorted by the join key ONCE (external parquet under /tmp), then
+    // the join plans with ZERO pre-join exchanges — the write-time
+    // shuffle is amortized over every later join. hint("merge") keeps
+    // the plan on the bucket-aware sort-merge path even when one side
+    // is broadcast-sized at test SF. Values use the per-item-round ->
+    // DECIMAL -> scaled-long pattern for cross-engine exactness.
+    "rel_bucketed_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      val ord = Tables(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      graft.sources.Bucketed.write(li, "graft_li_b",
+        "/tmp/graft_bucketed/lineitem", "l_orderkey", 8)
+      graft.sources.Bucketed.write(ord, "graft_ord_b",
+        "/tmp/graft_bucketed/orders", "o_orderkey", 8)
+      graft.sources.Bucketed.read(s, "graft_li_b").hint("merge")
+        .join(graft.sources.Bucketed.read(s, "graft_ord_b").hint("merge"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+            .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+    },
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_json_props" -> Relational.eventsJsonProps _,
     // As-of join: each purchase gets the user's most recent click at or
@@ -635,6 +659,12 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "rel_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)
+        |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
     "events_asof_clicks" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

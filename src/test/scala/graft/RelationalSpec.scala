@@ -51,6 +51,26 @@ class RelationalSpec extends SparkSpec {
       .agg(sum($"n_events")).as[Long].head() shouldBe e.count()
   }
 
+  test("bucketed join: no pre-join exchange, same result as plain join") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_orderkey", $"l_quantity")
+    val ord = Tables(spark, sf0001, "orders")
+      .select($"o_orderkey", $"o_orderstatus")
+    graft.sources.Bucketed.write(li, "spec_li_b",
+      "/tmp/graft_spec_bucketed/li", "l_orderkey", 4)
+    graft.sources.Bucketed.write(ord, "spec_ord_b",
+      "/tmp/graft_spec_bucketed/ord", "o_orderkey", 4)
+    val joined = graft.sources.Bucketed.read(spark, "spec_li_b").hint("merge")
+      .join(graft.sources.Bucketed.read(spark, "spec_ord_b").hint("merge"),
+        $"l_orderkey" === $"o_orderkey")
+    val plan = joined.queryExecution.executedPlan.toString()
+    plan should include("SortMergeJoin")
+    plan should not include "Exchange hashpartitioning"
+    val expected = li.join(ord, $"l_orderkey" === $"o_orderkey")
+    joined.exceptAll(expected).count() shouldBe 0L
+    expected.exceptAll(joined).count() shouldBe 0L
+  }
+
   test("asofJoin: backward match, equal-ts tie, strict mode, no-match null") {
     val left = Seq((1L, 10L, "p1"), (1L, 20L, "p2"), (2L, 5L, "p3"))
       .toDF("k", "t", "name")
