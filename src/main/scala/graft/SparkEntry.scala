@@ -233,6 +233,21 @@ object SparkEntry {
     // the plan on the bucket-aware sort-merge path even when one side
     // is broadcast-sized at test SF. Values use the per-item-round ->
     // DECIMAL -> scaled-long pattern for cross-engine exactness.
+    // Partition-pruned scan: documents re-laid-out as lang=<v>/ dirs,
+    // then a two-language query plans with PartitionFilters — excluded
+    // languages are never listed or read. Planning-time pruning over a
+    // coarse layout column is the first-order 100 TB lever.
+    "source_partition_pruning" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.sources.Bucketed.writePartitioned(docs,
+        "/tmp/graft_partitioned/documents", "lang")
+      graft.sources.Bucketed
+        .readPartitioned(s, "/tmp/graft_partitioned/documents")
+        .filter(col("lang").isin("en", "fr"))
+        .groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("n_chars"))
+    },
     "rel_bucketed_join" -> { (s, dir) =>
       val li = Tables(s, dir, "lineitem")
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
@@ -659,6 +674,11 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "source_partition_pruning" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS n_chars
+        |FROM documents WHERE lang IN ('en', 'fr')
+        |GROUP BY lang, source""".stripMargin,
     "rel_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n_items,
         |  CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount), 4)

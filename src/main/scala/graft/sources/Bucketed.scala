@@ -37,4 +37,23 @@ object Bucketed {
 
   def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
+
+  /** Hive-style partitioned layout: one directory per value of
+    * `partitionCol` (`path/col=value/...`). A filter on the partition
+    * column then prunes whole directories at PLANNING time — the scan
+    * never lists, opens, or reads excluded partitions (shows as
+    * `PartitionFilters` in the plan). THE first-order lever at 100 TB:
+    * partition by coarse selectors (date, language, source), bucket by
+    * join keys, sort within buckets. Keep partition cardinality modest
+    * (thousands, not millions) or the file listing itself becomes the
+    * bottleneck. */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCol: String): Unit =
+    df.write
+      .mode(SaveMode.Overwrite)
+      .partitionBy(partitionCol)
+      .parquet(path)
+
+  def readPartitioned(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }
