@@ -310,6 +310,25 @@ object SparkEntry {
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("total_value_e4"))
     },
+    // Stream-stream interval join executed as a real micro-batch plan:
+    // purchases x same-user clicks in the prior 30 minutes, watermarks
+    // on both sides bounding the buffered state to the lookback
+    // horizon. Append-mode memory sink; oracle is the equivalent batch
+    // range join in DuckDB.
+    "events_stream_interval_join" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      EventStream.runToCompletion(
+          EventStream.purchaseClickJoin(events), "stream_join_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"),
+          col("click_value_e4"))
+    },
     // Reference-exact TFDS positional split semantics (`train[:90%]`
     // slices contiguously by POSITION): first 90% of documents in
     // doc_id order — the hash-bucket Splits.slice twin stays the default
@@ -685,6 +704,21 @@ object SparkEntry {
         |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "events_stream_interval_join" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t_us, value
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, t_us AS p_ts_us
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t_us AS c_ts_us,
+        |        CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000
+        |          AS BIGINT) AS click_value_e4
+        |      FROM ev WHERE event_type = 'click')
+        |SELECT purchase_id, p.user_id, p_ts_us, c_ts_us, click_value_e4
+        |FROM p JOIN c ON p.user_id = c.user_id
+        |  AND c_ts_us <= p_ts_us
+        |  AND c_ts_us >= p_ts_us - 1800000000""".stripMargin,
     "events_asof_clicks" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

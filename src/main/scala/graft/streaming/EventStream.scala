@@ -55,6 +55,36 @@ object EventStream {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** Stream-stream INTERVAL join: every purchase paired with the same
+    * user's clicks from the preceding `lookbackSeconds`. Both inputs
+    * carry watermarks and the join condition bounds click time from
+    * BOTH ends relative to purchase time — that pair is what lets the
+    * join state evict: a buffered click older than
+    * watermark + lookback can never match a future purchase and is
+    * dropped, so state stays proportional to the lookback horizon, not
+    * the stream history. Append-mode only (rows emit once both
+    * watermarks pass). Input columns: (ts, event_id, user_id,
+    * event_type, value). */
+  def purchaseClickJoin(events: DataFrame,
+                        lookbackSeconds: Long = 1800L,
+                        watermark: String = "1 hour"): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        (round(col("value"), 4).cast("decimal(18,4)") * 10000)
+          .cast("long").as("click_value_e4"))
+      .withWatermark("c_ts", watermark)
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", watermark)
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("c_ts") <= col("p_ts") &&
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+      .select(col("purchase_id"), col("p_user").as("user_id"),
+        col("p_ts"), col("c_ts"), col("click_value_e4"))
+  }
+
   /** Drive a streaming transform over its bounded source to completion
     * (Trigger.AvailableNow + a memory sink) and return the final table —
     * the harness that lets a streaming pipeline be a DECLARED,

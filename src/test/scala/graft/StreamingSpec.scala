@@ -130,6 +130,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join == batch range join on sf0.001") {
+    val schema = Tables(spark, sf0001, "events").schema
+    val src = spark.readStream.schema(schema).parquet(s"$sf0001/events.*")
+    val events = src.select(
+      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val got = EventStream.runToCompletion(
+      EventStream.purchaseClickJoin(events), "spec_stream_join",
+      OutputMode.Append())
+    val ev = Tables(spark, sf0001, "events").select(
+      timestamp_micros(expr("ts DIV 1000")).as("ts"),
+      col("event_id"), col("user_id"), col("event_type"), col("value"))
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("purchase_id"), $"user_id".as("p_user"),
+        $"ts".as("p_ts"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id".as("c_user"), $"ts".as("c_ts"),
+        (round($"value", 4).cast("decimal(18,4)") * 10000)
+          .cast("long").as("click_value_e4"))
+    val want = p.join(c, $"p_user" === $"c_user" &&
+        $"c_ts" <= $"p_ts" &&
+        $"c_ts" >= $"p_ts" - expr("INTERVAL 1800 SECONDS"))
+      .select($"purchase_id", $"p_user".as("user_id"), $"p_ts", $"c_ts",
+        $"click_value_e4")
+    got.count() should be > 0L
+    got.exceptAll(want).count() shouldBe 0L
+    want.exceptAll(got).count() shouldBe 0L
+  }
+
   test("runToCompletion: file-source streaming tumbling == batch on full sf0.001") {
     // the declared-query harness: real file-source micro-batch execution
     // driven to completion, compared against the batch plan on all rows
