@@ -206,6 +206,13 @@ object SparkEntry {
       graft.functions.VectorAgg.centroidLanes(
         Tables(s, dir, "embeddings"), col("label"), col("embedding"))
     },
+    // Per-lane int8 quantization (4x vector memory cut for ANN): floor
+    // mapping with explicit double widening keeps codes bit-identical
+    // cross-engine; exact integer sum + code digest per vector.
+    "embedding_quantize_int8" -> { (s, dir) =>
+      graft.functions.Quantize.int8(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"))
+    },
     // IVF ANN: k-means cells + nProbe probing (approximate — rows-only;
     // per-hit scores proven equal to brute force in SimilaritySpec).
     "similarity_ivf_embeddings" -> { (s, dir) =>
@@ -264,6 +271,21 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_items"),
           (sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
             .cast("decimal(18,4)")) * 10000).cast("long").as("revenue_e4"))
+    },
+    // Salted skew join: big side salted deterministically, small side
+    // replicated per salt bucket — one hot key spreads over `buckets`
+    // reducers; result identical to the plain join (its oracle).
+    "rel_salted_join" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem").select(col("l_suppkey"),
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val sup = Tables(s, dir, "supplier")
+        .select(col("s_suppkey").as("l_suppkey"), col("s_nationkey"))
+      Relational.saltedJoin(li, sup, "l_suppkey",
+          Seq(col("l_orderkey"), col("l_linenumber")))
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          (sum(round(col("l_quantity"), 4).cast("decimal(18,4)")) * 10000)
+            .cast("long").as("qty_e4"))
     },
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_json_props" -> Relational.eventsJsonProps _,
@@ -704,6 +726,31 @@ object SparkEntry {
         |    AS DECIMAL(18,4))) * 10000 AS BIGINT) AS revenue_e4
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority""".stripMargin,
+    "embedding_quantize_int8" ->
+      """WITH ex AS (
+        |  SELECT vec_id,
+        |    unnest([{'i': i, 'v': embedding[i]}
+        |            FOR i IN range(1, len(embedding) + 1)]) AS s
+        |  FROM embeddings),
+        |lanes AS (
+        |  SELECT s.i AS i, min(s.v) AS mn, max(s.v) AS mx
+        |  FROM ex GROUP BY 1),
+        |q AS (
+        |  SELECT vec_id, s.i AS i,
+        |    CASE WHEN l.mx = l.mn THEN 0
+        |         ELSE least(CAST(floor((s.v::DOUBLE - l.mn::DOUBLE) * 255.0
+        |                / (l.mx::DOUBLE - l.mn::DOUBLE)) AS BIGINT), 255)
+        |    END AS qv
+        |  FROM ex JOIN lanes l ON s.i = l.i)
+        |SELECT vec_id, CAST(sum(qv) AS BIGINT) AS q_sum,
+        |  md5(string_agg(qv::VARCHAR, ',' ORDER BY i)) AS q_digest
+        |FROM q GROUP BY vec_id""".stripMargin,
+    "rel_salted_join" ->
+      """SELECT s_nationkey, count(*) AS n_items,
+        |  CAST(sum(CAST(round(l_quantity, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS qty_e4
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey""".stripMargin,
     "events_stream_interval_join" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

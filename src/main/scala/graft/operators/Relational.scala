@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -255,6 +255,26 @@ object Relational {
         min(col("tsec")).as("session_start"),
         max(col("tsec")).as("session_end"),
         exactValueSumE4.as("session_value_e4"))
+  }
+
+  /** Salted equi-join for skewed keys: the big side gets a
+    * deterministic salt in [0, buckets) hashed from its OTHER columns
+    * (so one hot key's rows spread over `buckets` reducers), and the
+    * small side is replicated once per bucket — the join key becomes
+    * (key, salt), turning one hot reducer into `buckets` even ones.
+    * Result is exactly the plain join. AQE's skew-join split handles
+    * the sort-merge case at runtime; explicit salting remains the tool
+    * when the skew sits in a hash aggregate above the join or AQE's
+    * post-shuffle stats miss it (brief-listed 100 TB technique, same
+    * family as GroupCounts.salted). Salt derives from xxhash64 of
+    * `saltCols`, so plans stay deterministic — no rand(). */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+                 saltCols: Seq[Column], buckets: Int = 8): DataFrame = {
+    val salted = big.withColumn("__salt",
+      pmod(xxhash64(saltCols: _*), lit(buckets.toLong)))
+    val replicated = small.withColumn("__salt",
+      explode(sequence(lit(0L), lit(buckets.toLong - 1))))
+    salted.join(replicated, Seq(key, "__salt")).drop("__salt")
   }
 
   /** As-of (backward) join — for each left row, attach the payload of

@@ -51,6 +51,25 @@ class RelationalSpec extends SparkSpec {
       .agg(sum($"n_events")).as[Long].head() shouldBe e.count()
   }
 
+  test("saltedJoin == plain join, and the salt actually spreads rows") {
+    val li = Tables(spark, sf0001, "lineitem")
+      .select($"l_suppkey", $"l_orderkey", $"l_linenumber", $"l_quantity")
+    val sup = Tables(spark, sf0001, "supplier")
+      .select($"s_suppkey".as("l_suppkey"), $"s_nationkey")
+    val fast = Relational.saltedJoin(li, sup, "l_suppkey",
+      Seq($"l_orderkey", $"l_linenumber"))
+    val plain = li.join(sup, "l_suppkey")
+    fast.exceptAll(plain).count() shouldBe 0L
+    plain.exceptAll(fast).count() shouldBe 0L
+    // every salt bucket is hit for the biggest supplier
+    val spread = li
+      .withColumn("salt", pmod(xxhash64($"l_orderkey", $"l_linenumber"), lit(8L)))
+      .groupBy($"l_suppkey").agg(countDistinct($"salt").as("nsalts"),
+        count(lit(1)).as("n"))
+      .orderBy($"n".desc).select($"nsalts").as[Long].head()
+    spread shouldBe 8L
+  }
+
   test("bucketed join: no pre-join exchange, same result as plain join") {
     val li = Tables(spark, sf0001, "lineitem")
       .select($"l_orderkey", $"l_quantity")

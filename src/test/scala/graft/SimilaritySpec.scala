@@ -180,6 +180,29 @@ class SimilaritySpec extends SparkSpec {
     plan should not include "Window"
   }
 
+  test("int8 quantization: codes in range, order-preserving, extrema map to 0/255") {
+    val df = Seq(
+      (1L, Seq(0.0f, -2.0f)), (2L, Seq(5.0f, 0.0f)),
+      (3L, Seq(10.0f, 2.0f)), (4L, Seq(7.5f, 7.0f))).toDF("vec_id", "embedding")
+    val codes = df.select($"vec_id",
+        graft.functions.Quantize.int8Codes(df, $"embedding").as("q"))
+      .as[(Long, Seq[Long])].collect().toMap
+    all(codes.values.flatten) should (be >= 0L and be <= 255L)
+    // lane 0 spans [0,10]: 0 -> 0, 10 -> 255, 5 -> floor(127.5) = 127
+    codes(1L)(0) shouldBe 0L
+    codes(3L)(0) shouldBe 255L
+    codes(2L)(0) shouldBe 127L
+    // order within a lane is preserved
+    codes(4L)(0) should be > codes(2L)(0)
+    // lane 1 spans [-2,7]: min -> 0, max -> 255
+    codes(1L)(1) shouldBe 0L
+    codes(4L)(1) shouldBe 255L
+    // digest query emits one scalar row per vector
+    val r = graft.functions.Quantize.int8(df, $"vec_id", $"embedding")
+    r.count() shouldBe 4L
+    r.schema.fieldNames.toSeq shouldBe Seq("vec_id", "q_sum", "q_digest")
+  }
+
   test("cosinePairs threshold is inclusive and symmetric-free (a<b)") {
     val df = Seq(
       (1L, Seq(1.0f, 0.0f)), (2L, Seq(1.0f, 0.0f)), (3L, Seq(0.0f, 1.0f)))
