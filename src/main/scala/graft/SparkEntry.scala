@@ -117,6 +117,14 @@ object SparkEntry {
         TextAnalysis.fingerprint(t).as("fingerprint"))
     },
 
+    // Gopher repetition/quality rules (arXiv:2112.11446): one
+    // projection pass, per-row sorted-run mode for the top-2-gram —
+    // no explode/shuffle; every ratio one int/int IEEE division.
+    "text_quality_gopher" -> { (s, dir) =>
+      graft.functions.Gopher.stats(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+    },
+
     // Per-language distinctive terms by log-free tf-idf (tf/df — one
     // IEEE division of two exact integers, bit-identical in DuckDB) with
     // the bounded top-k aggregate, not a window.
@@ -540,6 +548,7 @@ object SparkEntry {
          |  ${fingerprint("text")} AS fingerprint
          |FROM documents""".stripMargin
     },
+    "text_quality_gopher" -> graft.functions.Gopher.Sql.query,
     "text_tfidf_by_lang" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,
