@@ -11,6 +11,13 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forward the forked program's stdout VERBATIM instead of routing it
+// through sbt's logger: the `[info] ` prefix on every line broke the
+// driver's bench-JSON extraction in rounds 1 AND 2 (BENCH_r0{1,2}
+// "parsed": null). With StdoutOutput the JSON result line reaches the
+// driver bare.
+run / outputStrategy := Some(StdoutOutput)
+Compile / run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -824,7 +824,8 @@ object SparkEntry {
         |    ORDER BY tsec, event_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
         |  FROM marked)
-        |SELECT user_id, session_seq, count(*) AS n_events,
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |  count(*) AS n_events,
         |  min(tsec) AS session_start, max(tsec) AS session_end,
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS session_value_e4

@@ -60,6 +60,25 @@ for name, sql in sorted(oracle.items()):
     dcols, scols = sorted(duck.column_names), sorted(spark.column_names)
     if dcols != scols:
         print(f"FAIL {name}: columns differ duck={dcols} spark={scols}"); fail += 1; continue
+    # Type-CLASS parity: the driver hashes python-native values, which
+    # normalizes int widths (int32 vs int64 rows passed r01/r02) but NOT
+    # numeric classes — a DuckDB HUGEINT/DECIMAL (e.g. any un-CAST
+    # windowed/plain sum) arrives as Decimal('3') vs Spark's 3 and
+    # hash-fails even though str() renders both as "3" (this sank
+    # events_sessions_30min.session_seq in round 2). Flag class drift.
+    def tclass(t):
+        s = str(t)
+        for k in ("int", "float", "double", "decimal", "string", "large_string",
+                  "bool", "binary", "timestamp", "date", "list"):
+            if s.startswith(k):
+                return {"double": "float", "large_string": "string"}.get(k, k)
+        return s
+    dtypes = {f.name: tclass(f.type) for f in duck.schema}
+    stypes = {f.name: tclass(f.type) for f in spark.schema}
+    drift = {c: (dtypes[c], stypes[c]) for c in dcols if dtypes[c] != stypes[c]}
+    if drift:
+        print(f"FAIL {name}: type-class drift (decimal/float vs int hashes differ in the driver): {drift}")
+        fail += 1; continue
     def norm(tbl):
         # EXACT value compare — the driver hashes exact rendered values,
         # so any local rounding here is weaker than the gate (round 1:
