@@ -100,6 +100,89 @@ object Similarity {
       when(Vectors.dot(vec, planeCol) >= 0, shiftleft(lit(1L), i)).otherwise(0L)
     }.reduce((a, b) => a.bitwiseOR(b))
 
+  /** md5 of a short ASCII key, lowercase hex — byte-identical to SQL
+    * engines' md5() on the same string. */
+  private def md5Hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+
+  /** Deterministic ±1 (Rademacher) hyperplanes derived from md5: the
+    * sign for (table, bit, element i) is the parity of hex digit
+    * (i mod 32) of md5("table:bit:(i/32)"). Random sign projections are
+    * a standard angular-LSH family (same sign-test guarantee as
+    * Gaussian hyperplanes), and any SQL engine recomputes these planes
+    * bit-for-bit — which is what makes the anchored LSH queries fully
+    * oracle-checkable instead of rows-only. */
+  def md5SignPlanes(nBits: Int, dim: Int, table: Int): Seq[Seq[Double]] =
+    Seq.tabulate(nBits) { b =>
+      Seq.tabulate(dim) { i =>
+        val hex = md5Hex(s"$table:$b:${i / 32}")
+        if ((Character.digit(hex.charAt(i % 32), 16) & 1) == 1) 1.0 else -1.0
+      }
+    }
+
+  /** Integer-quantized copy of the raw vector — floor(x * 2^20), held
+    * as exact integer-valued doubles. Sign tests against ±1 planes over
+    * it are pure integer arithmetic (values ≤ 2^27 — exactly
+    * representable), immune to FP addition order, hence identical in
+    * any engine. Bucketing from the RAW vector is sound because the
+    * norm is a positive per-row constant (sign(dot(v,h)) ==
+    * sign(dot(v/|v|,h))), and the <2^-20 quantization perturbation only
+    * nudges near-zero sign tests — candidates are verified by exact
+    * cosine regardless. */
+  private def quantized(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1048576.0)).cast("double"))
+
+  /** Shared tail of the LSH pair topology: `v` is the normalized corpus
+    * (id, vec); `bucketedRaw` is (id, tbl, bucket) already partitioned
+    * by (tbl, bucket). Hot buckets are dropped (see [[cosinePairsLsh]]),
+    * within-bucket pairs deduped across tables, and every candidate is
+    * verified by exact cosine. */
+  private def pairsFromBuckets(v: DataFrame, bucketedRaw: DataFrame,
+                               threshold: Double,
+                               maxBucketSize: Int): DataFrame = {
+    val hot = bucketedRaw.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val bucketed = bucketedRaw
+      .join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+    val candidates = bucketed.as("a")
+      .join(bucketed.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine", round(Vectors.dot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
+  /** [[cosinePairsLsh]] with md5-anchored sign planes and integer
+    * quantization: the same bucketed linear topology, but every step —
+    * plane derivation, sign test, bucket membership, final cosine — is
+    * engine-independent, so the whole approximate query carries an
+    * exact DuckDB oracle (the Gaussian-plane twin stays the library
+    * default and is spec-covered). */
+  def cosinePairsLshAnchored(df: DataFrame, idCol: Column, vecCol: Column,
+                             threshold: Double, dim: Int, nBits: Int = 6,
+                             nTables: Int = 8,
+                             maxBucketSize: Int = 100000): DataFrame = {
+    val v = normalized(df, idCol, vecCol, "id", "vec")
+    val bucketArr = array((0 until nTables).map { t =>
+      bucketExpr(col("__q"), md5SignPlanes(nBits, dim, t))
+    }: _*)
+    val bucketedRaw = df
+      .select(idCol.as("id"), quantized(vecCol).as("__q"))
+      .select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+    pairsFromBuckets(v, bucketedRaw, threshold, maxBucketSize)
+  }
+
   /** Approximate embedding NEAR-DUP pairs at scale: corpus rows bucket
     * by hyperplane sign bits; only pairs sharing a bucket (multi-probe
     * over band rotations) are scored — linear bucketing + within-bucket
@@ -138,24 +221,7 @@ object Similarity {
     val bucketedRaw = v
       .select(col("id"), posexplode(bucketArr).as(Seq("tbl", "bucket")))
       .repartition(col("tbl"), col("bucket"))
-    val hot = bucketedRaw.groupBy(col("tbl"), col("bucket"))
-      .agg(count(lit(1)).as("__bsz"))
-      .filter(col("__bsz") > maxBucketSize)
-      .select(col("tbl"), col("bucket"))
-    val bucketed = bucketedRaw
-      .join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
-    val candidates = bucketed.as("a")
-      .join(bucketed.as("b"),
-        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
-    candidates
-      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
-      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
-      .withColumn("cosine", round(Vectors.dot(col("va"), col("vb")), 6))
-      .filter(col("cosine") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cosine"))
+    pairsFromBuckets(v, bucketedRaw, threshold, maxBucketSize)
   }
 
   /** Seeded Lloyd's k-means over a driver-held sample (euclidean
@@ -335,6 +401,44 @@ object Similarity {
     * <= probeHamming of its own (multi-probe improves recall at small
     * fan-out cost). Output shape matches [[bruteForceTopK]]; recall is
     * checked against it in SimilaritySpec. */
+  /** [[lshTopK]] with md5-anchored sign planes: buckets come from an
+    * integer sign test over the QUANTIZED raw vector (computed
+    * scan-side, before the one exchange — the ivfIndex pattern), so the
+    * probe set, candidate set, and ranked result are all
+    * engine-independent and the query carries an exact DuckDB oracle. */
+  def lshTopKAnchored(queries: DataFrame, corpus: DataFrame, k: Int,
+                      qId: Column, qVec: Column, cId: Column, cVec: Column,
+                      dim: Int, nBits: Int = 8, probeHamming: Int = 2,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val planes = md5SignPlanes(nBits, dim, table = 0)
+    // bucket + norm projected scan-side from the raw vector; the
+    // exchange barrier keeps the divide lambda reading __nrm as a
+    // materialized attribute (see normalized())
+    val c = corpus
+      .select(cId.as("neighbor_id"), cVec.as("__v"),
+        Vectors.norm(cVec).as("__nrm"),
+        bucketExpr(quantized(cVec), planes).as("bucket"))
+      .repartition(col("bucket"))
+      .select(col("neighbor_id"), col("bucket"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
+    val q = queries
+      .select(qId.as("query_id"), qVec.as("__v"),
+        Vectors.norm(qVec).as("__nrm"),
+        bucketExpr(quantized(qVec), planes).as("qbucket"))
+      .repartition(col("query_id"))
+      .select(col("query_id"), col("qbucket"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("qv"))
+    val joined = c.join(broadcast(q),
+      bit_count(col("bucket").bitwiseXOR(col("qbucket"))) <= probeHamming)
+    val scored0 = joined.withColumn("score",
+      round(Vectors.dot(col("qv"), col("cv")), 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   def lshTopK(queries: DataFrame, corpus: DataFrame, k: Int,
               qId: Column, qVec: Column, cId: Column, cVec: Column,
               dim: Int, nBits: Int = 8, probeHamming: Int = 2,
