@@ -3,8 +3,8 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.TextAnalysis
-import graft.operators.{Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
+import graft.functions.{Redact, TextAnalysis}
+import graft.operators.{Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -175,14 +175,60 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
 
+    // Benchmark decontamination: corpus docs sharing any word 4-gram
+    // with the "benchmark" slice (doc_id % 97 == 0 stands in for an
+    // eval set). The eval side's distinct shingles broadcast — the
+    // corpus never shuffles before the per-doc overlap aggregation.
+    // (Production n is 8-13; 4 binds on this synthetic vocabulary.)
+    "decontaminate_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Decontaminate.ngramOverlap(
+        docs.filter(col("doc_id") % 97 =!= 0),
+        docs.filter(col("doc_id") % 97 === 0),
+        col("text"), col("doc_id"), col("text"), col("doc_id"), n = 4)
+    },
+    // Deterministic hash-stratified sampling: per-language keep rates
+    // decided by an md5-derived uniform of doc_id — stable under
+    // repartitioning, monotone in the rate, exact cross-engine oracle.
+    "sample_stratified_documents" -> { (s, dir) =>
+      Splits.stratifiedSample(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.5, "fr" -> 0.25), defaultRate = 0.1)
+    },
+    // PII scrub: detect + redact emails/phones/IPs. The corpus text has
+    // no PII, so a deterministic per-doc contact line is appended
+    // in-query and the operator must find and replace exactly those —
+    // counts + a digest of the redacted text, both oracle-exact.
+    "text_pii_redact" -> { (s, dir) =>
+      val aug = concat(col("text"),
+        lit(" Contact user"), col("doc_id").cast("string"),
+        lit("@example.com or call 555-123-"),
+        lpad(pmod(col("doc_id"), lit(10000)).cast("string"), 4, "0"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit(" from 10.0."),
+            pmod(col("doc_id"), lit(256)).cast("string"), lit(".1")))
+          .otherwise(lit("")))
+      Tables(s, dir, "documents").select(
+        col("doc_id"),
+        Redact.countMatches(aug, Redact.EmailPattern).cast("long").as("n_emails"),
+        Redact.countMatches(aug, Redact.PhonePattern).cast("long").as("n_phones"),
+        Redact.countMatches(aug, Redact.Ipv4Pattern).cast("long").as("n_ips"),
+        md5(Redact.redact(aug)).as("redacted_digest"))
+    },
+
     // --------------------------------------------------------- similarity
     // PRIMARY near-dup entry = the LSH-bucketed linear path (the shape
-    // that survives 100 TB). Rows-only driver check; subset-of-exact and
-    // recall vs the exact path are asserted in SimilaritySpec.
+    // that survives 100 TB), md5-ANCHORED: sign planes derive from md5
+    // and the sign test runs over integer-quantized vectors, so DuckDB
+    // recomputes the buckets bit-for-bit and the whole approximate
+    // query carries an EXACT oracle. The Gaussian-plane twin
+    // (cosinePairsLsh) stays the library default, spec-covered.
     "neardup_embeddings" -> { (s, dir) =>
-      Similarity.cosinePairsLsh(Tables(s, dir, "embeddings"),
+      Similarity.cosinePairsLshAnchored(Tables(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), threshold = 0.45,
-        dim = 64, nBits = 6, nTables = 8, seed = 42L)
+        dim = 64, nBits = 6, nTables = 8)
     },
     // Exact-pairs VERIFICATION twin, explicitly bounded to a fixed-size
     // corpus slice so the O(n^2) join can never be the scale path —
@@ -199,14 +245,15 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), emb, k = 5,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
     },
-    // LSH ANN (approximate — rows-only check; recall vs brute force
-    // asserted in SimilaritySpec).
+    // LSH ANN, md5-anchored (see neardup_embeddings): the probe set and
+    // ranked result are engine-independent -> exact oracle. Recall vs
+    // brute force asserted in SimilaritySpec for both plane families.
     "similarity_ann_embeddings" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
-      Similarity.lshTopK(
+      Similarity.lshTopKAnchored(
         emb.filter(col("vec_id") < 10), emb, k = 5,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        dim = 64, nBits = 8, probeHamming = 2, seed = 42L)
+        dim = 64, nBits = 8, probeHamming = 2)
     },
     // Grouped vector aggregation: element-wise per-label centroids of
     // the embedding column (exploded lane shape, exact oracle).
@@ -229,6 +276,33 @@ object SparkEntry {
         emb.filter(col("vec_id") < 10), emb, k = 5,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4, seed = 42L)
+    },
+
+    // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
+    // over the embedding corpus, then the tiny hit set BROADCASTS into
+    // the documents join to fetch payloads — the corpus-sized tables
+    // are never shuffled for the join-back. Exact oracle end to end
+    // (anchored LSH + deterministic join).
+    "rag_retrieval_pipeline" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val docs = Tables(s, dir, "documents")
+      val hits = Similarity.lshTopKAnchored(
+        emb.filter(col("vec_id") < 5), emb, k = 3,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64, nBits = 8, probeHamming = 2)
+      docs.select(col("doc_id").as("neighbor_id"), col("lang"),
+          md5(col("text")).as("text_digest"))
+        .join(broadcast(hits), "neighbor_id")
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          col("score"), col("lang"), col("text_digest"))
+    },
+    // Column-level corpus profiling: null counts, exact cardinalities,
+    // rendered ranges — ONE pass (multi-distinct via Expand), narrow
+    // (column, stats) output.
+    "profile_lineitem" -> { (s, dir) =>
+      graft.functions.Profiler.profile(Tables(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_returnflag", "l_linestatus"))
     },
 
     // ------------------------------------- relational coverage (§2.4)
@@ -467,6 +541,53 @@ object SparkEntry {
         .select(unix_timestamp(col("session_start")).as("session_start"),
           col("user_id"), col("n_events"), col("session_value_e4"))
     },
+    // Exactly-once STREAMING FILE SINK: the events stream written to
+    // parquet through a checkpointed micro-batch query (the
+    // produce-training-shards-continuously topology), then read back
+    // and aggregated — the read-back equals the batch result iff the
+    // sink committed each batch exactly once. Oracle is the plain
+    // batch aggregation.
+    "events_stream_parquet_sink" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-streamsink").toString
+      val cp = java.nio.file.Files
+        .createTempDirectory("graft-streamsink-cp").toString
+      val q = src.select(col("event_id"), col("user_id"),
+          col("event_type"), expr("ts DIV 1000").as("t_us"), col("value"))
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", cp)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"),
+          Relational.exactValueSumE4.as("total_value_e4"))
+    },
+    // Sessionization via ARBITRARY KEYED STATE (flatMapGroupsWithState,
+    // streaming): the custom-state twin of events_session_window_* —
+    // session merge/close logic in user code with one open session per
+    // user in the state store. A time-shifted "__flush" copy of the
+    // source is unioned in so every session closes before the bounded
+    // stream ends (see EventStream.sessionsCustomState); shares the
+    // batch session oracle.
+    "events_sessions_custom_state" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"), col("value"))
+      val flush = events.select(
+        (col("ts") + expr("INTERVAL 100 DAYS")).as("ts"),
+        col("user_id"), lit("__flush").as("event_type"),
+        lit(0.0).as("value"))
+      EventStream.runToCompletion(
+        EventStream.sessionsCustomState(events.unionByName(flush)),
+        "sessions_custom_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    },
     // Skew-resistant salted aggregation — identical semantics to
     // group_counts_lineitem (shares its oracle), two-phase topology.
     "group_counts_lineitem_salted" -> { (s, dir) =>
@@ -617,6 +738,167 @@ object SparkEntry {
          |FROM v a JOIN v b ON a.vec_id < b.vec_id
          |WHERE round(list_sum([a.e[i] * b.e[i]
          |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45""".stripMargin,
+    "rag_retrieval_pipeline" ->
+      s"""WITH ${AnchoredSigCtes(nTables = 1, nBits = 8)},
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([a.e[i] * b.e[i]
+         |      FOR i IN range(1, len(a.e) + 1)]), 6) AS score
+         |  FROM sigs q
+         |  JOIN sigs c ON q.vec_id < 5 AND q.vec_id <> c.vec_id
+         |    AND CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) <= 2
+         |  JOIN v a ON a.vec_id = q.vec_id
+         |  JOIN v b ON b.vec_id = c.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS rank, score
+         |  FROM scored)
+         |SELECT r.query_id, r.rank, r.neighbor_id, r.score,
+         |  d.lang, md5(d.text) AS text_digest
+         |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
+         |WHERE r.rank <= 3""".stripMargin,
+    "profile_lineitem" -> {
+      def intCol(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |FROM lineitem""".stripMargin
+      def dblCol(c: String) =
+        s"""SELECT '$c' AS col_name,
+           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  min(CAST(round($c, 4) AS DECIMAL(18,4)))::VARCHAR AS min_val,
+           |  max(CAST(round($c, 4) AS DECIMAL(18,4)))::VARCHAR AS max_val
+           |FROM lineitem""".stripMargin
+      Seq(intCol("l_orderkey"), intCol("l_suppkey"), intCol("l_linenumber"),
+        dblCol("l_quantity"), dblCol("l_extendedprice"),
+        intCol("l_returnflag"), intCol("l_linestatus"))
+        .mkString("\nUNION ALL\n")
+    },
+    "events_stream_parquet_sink" ->
+      """SELECT event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS total_value_e4
+        |FROM events GROUP BY event_type""".stripMargin,
+    "decontaminate_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' '
+        |    || t[i+2] || ' ' || t[i+3] FOR i IN range(1, len(t) - 2)]) AS s
+        |  FROM toks WHERE len(t) >= 4),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |ce AS (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0),
+        |ee AS (SELECT doc_id AS eval_id, g FROM ex WHERE doc_id % 97 = 0)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shared,
+        |  count(DISTINCT e.eval_id) AS n_eval_hit
+        |FROM ce c JOIN ee e ON c.g = e.g
+        |GROUP BY c.doc_id""".stripMargin,
+    "sample_stratified_documents" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+        |      / 4294967296.0
+        |    < CASE WHEN lang = 'en' THEN 0.5
+        |           WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    "text_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      s"""WITH aug AS (
+         |  SELECT doc_id,
+         |    text || ' Contact user' || doc_id::VARCHAR
+         |      || '@example.com or call 555-123-'
+         |      || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |      || CASE WHEN doc_id % 2 = 0
+         |           THEN ' from 10.0.' || (doc_id % 256)::VARCHAR || '.1'
+         |           ELSE '' END AS a
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(a, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(a, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(a, '$ip')) AS BIGINT) AS n_ips,
+         |  md5(regexp_replace(regexp_replace(regexp_replace(a,
+         |    '$email', '<EMAIL>', 'g'),
+         |    '$phone', '<PHONE>', 'g'),
+         |    '$ip', '<IP>', 'g')) AS redacted_digest
+         |FROM aug""".stripMargin
+    },
+    // custom-state sessionization computes the identical sessions as
+    // the built-in session_window twins -> same oracle
+    "events_sessions_custom_state" ->
+      """WITH marked AS (
+        |  SELECT user_id, value, event_id,
+        |    epoch_ns(ts) // 1000 AS tus,
+        |    CASE WHEN lag(epoch_ns(ts) // 1000) OVER w IS NULL THEN 1
+        |         WHEN epoch_ns(ts) // 1000
+        |              - lag(epoch_ns(ts) // 1000) OVER w >= 1800000000 THEN 1
+        |         ELSE 0 END AS new_session
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id)),
+        |sessioned AS (
+        |  SELECT *, sum(new_session) OVER (PARTITION BY user_id
+        |    ORDER BY tus, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+        |  FROM marked)
+        |SELECT CAST(min(tus) // 1000000 AS BIGINT) AS session_start,
+        |  user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS session_value_e4
+        |FROM sessioned GROUP BY user_id, session_seq""".stripMargin,
+    // bit-for-bit LSH recomputation (see Similarity.md5SignPlanes /
+    // .quantized): planes from md5 hex-digit parity, sign test over
+    // floor(x*2^20) integers — engine-independent, so the approximate
+    // query has an exact oracle. Topology mirror: per-table signatures,
+    // hot-bucket cap, distinct within-bucket pairs, exact-cosine verify.
+    "neardup_embeddings" ->
+      s"""WITH ${AnchoredSigCtes(nTables = 8, nBits = 6)},
+         |ok AS (
+         |  SELECT t, sig FROM sigs GROUP BY 1, 2 HAVING count(*) <= 100000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a
+         |  JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.t = a.t AND ok.sig = a.sig),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings)
+         |SELECT c.id_a, c.id_b,
+         |  round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) AS cosine
+         |FROM cand c
+         |JOIN v a ON c.id_a = a.vec_id
+         |JOIN v b ON c.id_b = b.vec_id
+         |WHERE round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45""".stripMargin,
+    "similarity_ann_embeddings" ->
+      s"""WITH ${AnchoredSigCtes(nTables = 1, nBits = 8)},
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([a.e[i] * b.e[i]
+         |      FOR i IN range(1, len(a.e) + 1)]), 6) AS score
+         |  FROM sigs q
+         |  JOIN sigs c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |    AND CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) <= 2
+         |  JOIN v a ON a.vec_id = q.vec_id
+         |  JOIN v b ON b.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     "similarity_topk_embeddings" ->
       s"""WITH v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
@@ -975,6 +1257,36 @@ object SparkEntry {
         |    FILTER (WHERE cum < 100000), '')) AS digest
         |FROM ranked GROUP BY g""".stripMargin
   )
+
+  /** CTE chain recomputing the md5-anchored LSH signatures (no leading
+    * WITH): `hp` = ±1 sign planes from md5 hex-digit parity, `qv` =
+    * floor(x*2^20) integer-quantized vectors, `sigs` = per-(vec, table)
+    * sign-bit signatures — the exact integer arithmetic twin of
+    * Similarity.{md5SignPlanes,quantized,bucketExpr}. */
+  private def AnchoredSigCtes(nTables: Int, nBits: Int): String =
+    // NOTE: this text is re-interpolated into strings that apply their
+    // own stripMargin — no line here may start with (whitespace +) '|',
+    // or the outer stripMargin eats one bar of a '||' concat operator
+    s"""hp AS (
+       |  SELECT t, b,
+       |    [CASE WHEN (strpos('0123456789abcdef',
+       |        md5(t::VARCHAR || ':' || b::VARCHAR || ':' ||
+       |            ((i - 1) // 32)::VARCHAR)[1 + ((i - 1) % 32)]) - 1)
+       |        % 2 = 1
+       |      THEN 1 ELSE -1 END FOR i IN range(1, 65)] AS s
+       |  FROM range(0, $nTables) tt(t), range(0, $nBits) bb(b)),
+       |qv AS (
+       |  SELECT vec_id,
+       |    [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
+       |     FOR x IN embedding] AS q
+       |  FROM embeddings),
+       |sigs AS (
+       |  SELECT qv.vec_id, hp.t,
+       |    CAST(sum(CASE WHEN list_sum([hp.s[i] * qv.q[i]
+       |        FOR i IN range(1, 65)]) >= 0
+       |      THEN 1::BIGINT << hp.b ELSE 0 END) AS BIGINT) AS sig
+       |  FROM qv CROSS JOIN hp
+       |  GROUP BY 1, 2)""".stripMargin
 
   /** Shared CTE chain producing the exact word-3-gram Jaccard pairs
     * >= 0.8 as a `pairs` relation (no leading WITH, so callers can

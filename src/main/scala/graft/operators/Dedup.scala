@@ -363,7 +363,46 @@ object Dedup {
     * Returns (`id`, `cluster_id`) for every node that appears in a
     * pair; use [[clusters]] to extend the assignment to a whole corpus
     * (unmatched docs become singleton clusters of themselves). */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 50,
+                          localEdgeThreshold: Long = 500000L): DataFrame = {
+    // SMALL-GRAPH FINISH: a near-dup pair graph is a vanishing fraction
+    // of its corpus (it holds only matched docs). When the EDGE LIST —
+    // never corpus rows — fits on the driver, union-find locally: one
+    // job + one tiny result instead of 2 joins × O(log n) rounds of
+    // scheduler latency. ONE limit(k+1) evaluation both proves the
+    // bound and yields the edges (pairs is typically an expensive
+    // upstream join — probing its size separately would pay it twice);
+    // the distributed pointer-jump path below stays the scale path
+    // (CcStress: 2M-node worst case) and the two are differentially
+    // tested against each other in ClusterSpec.
+    val probe: Array[(Long, Long)] =
+      if (localEdgeThreshold > 0 && localEdgeThreshold < Int.MaxValue - 1)
+        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
+          .limit((localEdgeThreshold + 1).toInt)
+          .collect().map(r => (r.getLong(0), r.getLong(1)))
+      else null
+    if (probe != null && probe.length <= localEdgeThreshold) {
+      val spark = pairs.sparkSession
+      val edges = probe
+      val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x: Long): Long = {
+        var r = x
+        while (parent.getOrElse(r, r) != r) r = parent(r)
+        var c = x // path compression
+        while (parent.getOrElse(c, c) != r) { val nx = parent(c); parent(c) = r; c = nx }
+        r
+      }
+      edges.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        // attach the LARGER root under the smaller: the root stays the
+        // component minimum, which is the published cluster_id contract
+        if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      }
+      val nodes = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      import spark.implicits._
+      return nodes.map(v => (v, find(v))).toSeq
+        .toDF("id", "cluster_id")
+    }
     val sym = pairs
       .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
       .union(pairs

@@ -40,6 +40,26 @@ object Splits {
     (slice(df, 0, trainPercent, seedCols: _*),
       slice(df, trainPercent, 100, seedCols: _*))
 
+  /** Deterministic stratified sampling: keep a row iff the md5-derived
+    * uniform of its id is below its stratum's rate. Membership depends
+    * only on (id, rate) — stable under repartitioning and retries,
+    * monotone in the rate (raising a stratum's rate only ADDS rows — a
+    * sample at rate r is a superset of one at r' < r, so samples are
+    * refinable without resampling), and exactly reproducible in any
+    * engine with md5 (oracle-checkable) — all properties rand()-based
+    * sampling lacks. The uniform is the first 8 md5 hex chars of the
+    * rendered id as an unsigned 32-bit fraction. */
+  def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
+                       rates: Map[String, Double],
+                       defaultRate: Double): DataFrame = {
+    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
+      when(strataCol === lit(k), lit(v)).otherwise(acc)
+    }
+    df.filter(u < rate)
+  }
+
   /** Contiguous positional slice: rows whose 0-based global rank in the
     * total order of `orderCols` falls in [floor(lo*n/100), floor(hi*n/100)).
     *

@@ -98,15 +98,97 @@ object EventStream {
     * full result sets on the driver, while restarting under the same
     * name replaces the table. */
   def runToCompletion(out: DataFrame, queryName: String,
-                      mode: OutputMode = OutputMode.Complete()): DataFrame = {
+                      mode: OutputMode = OutputMode.Complete(),
+                      statePartitions: Int = 8): DataFrame = {
     val spark = out.sparkSession
-    val q = out.writeStream
-      .format("memory").queryName(queryName)
-      .outputMode(mode)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    // The state-store partition count is fixed from the session's
+    // shuffle-partition conf when the stream FIRST starts, and every
+    // micro-batch pays a per-partition open/commit regardless of state
+    // volume — at 32 session partitions these bounded replays spend
+    // more on state-store bookkeeping than on data. Pin stateful
+    // exchanges to a bounded count for the declared queries; a real
+    // deployment sizes this to state volume, not core count.
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      math.min(statePartitions, prev.toInt))
+    val q =
+      try out.writeStream
+        .format("memory").queryName(queryName)
+        .outputMode(mode)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
     q.awaitTermination()
     spark.table(queryName)
+  }
+
+  /** Open-session accumulator held in [[GroupState]] between batches. */
+  final case class OpenSession(start_us: Long, end_us: Long,
+                               n: Long, value_e4: Long)
+
+  /** A closed session, in the batch twin's output shape. */
+  final case class SessionOut(session_start: Long, user_id: Long,
+                              n_events: Long, session_value_e4: Long)
+
+  /** 30-minute-gap sessionization via ARBITRARY KEYED STATE
+    * (flatMapGroupsWithState) — the custom-state twin of [[sessions]]:
+    * same result, but session merge/close logic lives in user code with
+    * an explicit per-user state value instead of the built-in
+    * session_window operator. The state is one open session per user
+    * (bounded); sessions emit when an event lands >= gap after the open
+    * session's end. A session still open when the stream ends emits
+    * only on a flush marker (event_type == "__flush", any row with ts
+    * past every real event) — the declared query unions a time-shifted
+    * flush copy of the source so every session closes; production
+    * replays rely on the watermark horizon instead.
+    *
+    * Rows inside one micro-batch are buffered and sorted per user
+    * before the walk (the group iterator has shuffle order, not time
+    * order) — per-user-per-batch volume is watermark-bounded in a real
+    * deployment. Values accumulate as exact 1e-4-scaled longs
+    * (cross-engine-stable, like every money sum in this repo). */
+  def sessionsCustomState(events: DataFrame,
+                          gapSeconds: Long = 1800L): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    implicit val stateEnc = Encoders.product[OpenSession]
+    implicit val outEnc = Encoders.product[SessionOut]
+    val gapUs = gapSeconds * 1000000L
+    events
+      .select(col("user_id"), unix_micros(col("ts")).as("t_us"),
+        (round(col("value"), 4).cast("decimal(18,4)") * 10000)
+          .cast("long").as("value_e4"),
+        (col("event_type") === "__flush").as("is_flush"))
+      .as[(Long, Long, Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[(Long, Long, Long, Boolean)],
+         state: GroupState[OpenSession]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._4))
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+          var open = state.getOption
+          def close(): Unit = open.foreach { s =>
+            out += SessionOut(s.start_us / 1000000L, uid, s.n, s.value_e4)
+            open = None
+          }
+          sorted.foreach { case (_, t, v, isFlush) =>
+            if (isFlush) close()
+            else open match {
+              case Some(s) if t - s.end_us < gapUs =>
+                open = Some(OpenSession(s.start_us, t, s.n + 1, s.value_e4 + v))
+              case _ =>
+                close()
+                open = Some(OpenSession(t, t, 1L, v))
+            }
+          }
+          open match {
+            case Some(s) => state.update(s)
+            case None    => if (state.exists) state.remove()
+          }
+          out.iterator
+      }
+      .toDF()
   }
 
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)

@@ -35,10 +35,24 @@ class ClusterSpec extends SparkSpec {
     // a pure path graph is the worst case for plain propagation
     // (O(diameter) rounds); pointer jumping must crush it
     val pairs = pairsDf((1L until 64L).map(i => (i, i + 1)))
-    val cc = Dedup.connectedComponents(pairs, maxIter = 12)
+    val cc = Dedup.connectedComponents(pairs, maxIter = 12,
+      localEdgeThreshold = 0) // force the distributed pointer-jump path
       .as[(Long, Long)].collect()
     cc.length shouldBe 64
     all(cc.map(_._2)) shouldBe 1L
+  }
+
+  test("local union-find finish == distributed pointer jumping") {
+    val rnd = new Random(13)
+    val ps = Seq.fill(120) {
+      val a = rnd.nextInt(80).toLong; val b = rnd.nextInt(80).toLong
+      (math.min(a, b), math.max(a, b))
+    }.filter(p => p._1 != p._2).distinct
+    val local = Dedup.connectedComponents(pairsDf(ps))
+      .as[(Long, Long)].collect().toMap // default threshold -> local path
+    val dist = Dedup.connectedComponents(pairsDf(ps), localEdgeThreshold = 0)
+      .as[(Long, Long)].collect().toMap
+    local shouldBe dist
   }
 
   test("randomized graphs match driver-side union-find") {
@@ -62,7 +76,8 @@ class ClusterSpec extends SparkSpec {
           val root = find(v.toInt)
           (0 until n).filter(u => find(u) == root).min.toLong
         }).toMap
-      val got = Dedup.connectedComponents(pairsDf(ps))
+      val got = Dedup.connectedComponents(pairsDf(ps),
+        localEdgeThreshold = 0) // force the distributed path
         .as[(Long, Long)].collect().toMap
       withClue(s"trial $trial: ") { got shouldBe expected }
     }

@@ -1,0 +1,94 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Redact
+import graft.operators.{Decontaminate, Dedup, Splits}
+
+/** LLM-pipeline hygiene operators: decontamination, deterministic
+  * stratified sampling, PII redaction. */
+class PipelineOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("decontamination: overlap stats match a driver-side recompute") {
+    val docs = Tables(spark, sf0001, "documents")
+    val corpus = docs.filter($"doc_id" % 97 =!= 0)
+    val evalSet = docs.filter($"doc_id" % 97 === 0)
+    val got = Decontaminate.ngramOverlap(corpus, evalSet,
+      $"text", $"doc_id", $"text", $"doc_id", n = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    // reference recompute: shingle both sides on the driver
+    def shingleMap(rows: Array[(Long, String)]): Map[Long, Set[String]] =
+      rows.map { case (id, t) =>
+        val toks = t.trim.split("\\s+").filter(_.nonEmpty)
+        id -> toks.sliding(4).filter(_.length == 4).map(_.mkString(" ")).toSet
+      }.toMap
+    val cs = shingleMap(corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect())
+    val es = shingleMap(evalSet.select($"doc_id", $"text")
+      .as[(Long, String)].collect())
+    val expected = cs.flatMap { case (id, grams) =>
+      val hits = es.filter { case (_, eg) => (grams & eg).nonEmpty }
+      if (hits.isEmpty) None
+      else {
+        val shared = grams & hits.values.flatten.toSet
+        Some((id, shared.size.toLong, hits.size.toLong))
+      }
+    }.toSet
+    got shouldBe expected
+    got should not be empty // the synthetic corpus has planted near-dups
+  }
+
+  test("decontamination: eval shingles broadcast (no corpus-side shuffle join)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val plan = Decontaminate.ngramOverlap(
+      docs.filter($"doc_id" % 97 =!= 0), docs.filter($"doc_id" % 97 === 0),
+      $"text", $"doc_id", $"text", $"doc_id", n = 4)
+      .queryExecution.executedPlan.toString
+    plan should include("BroadcastHashJoin")
+  }
+
+  test("stratified sample: membership is exactly the md5 rule, rates honored") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"source")
+    val rates = Map("en" -> 0.5, "fr" -> 0.25)
+    val got = Splits.stratifiedSample(docs, $"doc_id", $"lang", rates, 0.1)
+      .select($"doc_id").as[Long].collect().toSet
+
+    val all = docs.select($"doc_id", $"lang").as[(Long, String)].collect()
+    val expected = all.filter { case (id, lang) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      val u = java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0
+      u < rates.getOrElse(lang, 0.1)
+    }.map(_._1).toSet
+    got shouldBe expected
+
+    // sampling is monotone: raising every rate only adds rows
+    val bigger = Splits.stratifiedSample(docs, $"doc_id", $"lang",
+      rates.view.mapValues(_ * 1.5).toMap, 0.2)
+      .select($"doc_id").as[Long].collect().toSet
+    got.subsetOf(bigger) shouldBe true
+  }
+
+  test("redact: typed placeholders replace every match, counts agree") {
+    val df = Seq(
+      (1L, "mail a@b.co and c.d-e@f.org now"),
+      (2L, "call 555-123-4567 or 555-000-1111 from 10.0.0.1"),
+      (3L, "no pii here at all"),
+      (4L, "x 1.2.3.4 y 255.255.255.255 z")).toDF("id", "t")
+    val out = df.select($"id",
+      Redact.countMatches($"t", Redact.EmailPattern).as("e"),
+      Redact.countMatches($"t", Redact.PhonePattern).as("p"),
+      Redact.countMatches($"t", Redact.Ipv4Pattern).as("i"),
+      Redact.redact($"t").as("r"))
+      .collect().map(r => (r.getLong(0),
+        (r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))).toMap
+    out(1L) shouldBe ((2, 0, 0, "mail <EMAIL> and <EMAIL> now"))
+    out(2L) shouldBe ((0, 2, 1, "call <PHONE> or <PHONE> from <IP>"))
+    out(3L) shouldBe ((0, 0, 0, "no pii here at all"))
+    out(4L) shouldBe ((0, 0, 2, "x <IP> y <IP> z"))
+  }
+}

@@ -107,6 +107,44 @@ class SimilaritySpec extends SparkSpec {
     recall should be >= 0.25
   }
 
+  test("anchored LSH (md5 sign planes): subset of exact + recall, both paths") {
+    val emb = Tables(spark, sf001, "embeddings")
+    // near-dup pairs at the DECLARED parameters
+    val exact = Similarity.cosinePairs(emb, $"vec_id", $"embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val anchored = Similarity.cosinePairsLshAnchored(emb, $"vec_id",
+      $"embedding", threshold = 0.45, dim = 64, nBits = 6, nTables = 8)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    exact should not be empty
+    anchored.subsetOf(exact) shouldBe true
+    val recall = (exact intersect anchored).size.toDouble / exact.size
+    recall should be >= 0.25 // +-1 planes carry the same sign-test guarantee
+
+    // ANN at the DECLARED parameters
+    val queries = emb.filter($"vec_id" < 50)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val brute = pairs(Similarity.bruteForceTopK(
+      queries, emb, 5, $"vec_id", $"embedding", $"vec_id", $"embedding"))
+    val ann = pairs(Similarity.lshTopKAnchored(
+      queries, emb, 5, $"vec_id", $"embedding", $"vec_id", $"embedding",
+      dim = 64, nBits = 8, probeHamming = 2))
+    val annRecall = (brute intersect ann).size.toDouble / brute.size
+    annRecall should be >= 0.3
+  }
+
+  test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
+    val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
+    val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
+    val p1 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 1)
+    p0 shouldBe p0again
+    p0 should not be p1
+    p0.flatten.foreach(v => math.abs(v) shouldBe 1.0)
+    // md5 parity is balanced: each plane's sign sum stays well inside
+    // the binomial envelope (|sum| < 4*sqrt(dim) = 32 at dim 64)
+    p0.foreach(plane => math.abs(plane.sum) should be < 32.0)
+  }
+
   test("cosinePairsLsh bucket cap: output stays a verified subset, cap only prunes") {
     val emb = Tables(spark, sf0001, "embeddings")
     val exact = Similarity.cosinePairs(emb, $"vec_id", $"embedding", 0.4)

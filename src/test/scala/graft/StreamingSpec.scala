@@ -110,6 +110,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("custom-state sessionization: state merges sessions across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Timestamp, Long, String, Double)]
+    val events = mem.toDF().toDF("ts", "user_id", "event_type", "value")
+    val q = EventStream.sessionsCustomState(events)
+      .writeStream.format("memory").queryName("custom_sessions_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a session (events at 10:00, 10:05)
+      mem.addData((ts(0), 1L, "click", 1.0), (ts(5), 1L, "click", 2.0))
+      q.processAllAvailable()
+      spark.table("custom_sessions_out").count() shouldBe 0L // still open
+      // batch 2: 10:20 EXTENDS the open session (gap 15 min < 30);
+      // 11:30 is > 30 min later -> closes it and opens a new one
+      mem.addData((ts(20), 1L, "click", 4.0), (ts(90), 1L, "click", 8.0))
+      q.processAllAvailable()
+      val closed = spark.table("custom_sessions_out")
+        .select($"session_start", $"user_id", $"n_events", $"session_value_e4")
+        .as[(Long, Long, Long, Long)].collect().toSeq
+      // the merged 3-event session (value 1+2+4) emitted once
+      closed shouldBe Seq((ts(0).getTime / 1000, 1L, 3L, 70000L))
+      // flush marker closes the remaining open session
+      mem.addData((ts(200), 1L, "__flush", 0.0))
+      q.processAllAvailable()
+      val all = spark.table("custom_sessions_out")
+        .select($"session_start", $"n_events", $"session_value_e4")
+        .as[(Long, Long, Long)].collect().toSeq.sorted
+      all shouldBe Seq(
+        (ts(0).getTime / 1000, 3L, 70000L),
+        (ts(90).getTime / 1000, 1L, 80000L))
+    } finally q.stop()
+  }
+
   test("streaming dedup drops replayed events within the watermark") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(Timestamp, Long, String, Double)]
