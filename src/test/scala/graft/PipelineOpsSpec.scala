@@ -73,6 +73,19 @@ class PipelineOpsSpec extends SparkSpec {
     got.subsetOf(bigger) shouldBe true
   }
 
+  test("profiler: nulls, cardinality, rendered ranges (one row per column)") {
+    val df = Seq(
+      (Some(1L), Some(2.5), Some("a")),
+      (Some(2L), None, Some("b")),
+      (None, Some(1.25), Some("a"))).toDF("k", "v", "s")
+    val got = graft.functions.Profiler.profile(df, Seq("k", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
+    got("k") shouldBe ((1L, 2L, "1", "2"))
+    got("v") shouldBe ((1L, 2L, "1.2500", "2.5000"))
+    got("s") shouldBe ((0L, 2L, "a", "b"))
+  }
+
   test("redact: typed placeholders replace every match, counts agree") {
     val df = Seq(
       (1L, "mail a@b.co and c.d-e@f.org now"),
