@@ -277,6 +277,17 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4, seed = 42L)
     },
+    // IVF with the deterministic seed-vector quantizer: the same
+    // cell-probe topology with every step SQL-reproducible — the IVF
+    // family's exact-oracle instance (the k-means twin above keeps the
+    // quality crown and its score-parity spec).
+    "similarity_ivf_anchored" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopKAnchored(
+        emb.filter(col("vec_id") < 10), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 16, nProbe = 4)
+    },
 
     // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
     // over the embedding corpus, then the tiny hit set BROADCASTS into
@@ -895,6 +906,39 @@ object SparkEntry {
          |    AND CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) <= 2
          |  JOIN v a ON a.vec_id = q.vec_id
          |  JOIN v b ON b.vec_id = c.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    // deterministic seed-vector IVF, recomputed step for step: cells =
+    // first 16 ids normalized; cell rank = RAW-vector dot (desc, cell
+    // asc); corpus assigned to rank-1 cell, queries probe rank<=4;
+    // candidates scored on normalized vectors, ranked (score desc, id)
+    "similarity_ivf_anchored" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+         |cellrank AS (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE) * c.e[i]
+         |        FOR i IN range(1, len(c.e) + 1)]) DESC, c.cell) AS rnk
+         |  FROM embeddings q CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |probes AS (SELECT vec_id, cell FROM cellrank
+         |           WHERE rnk <= 4 AND vec_id < 10),
+         |scored AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round(list_sum([qe.e[i] * ce.e[i]
+         |      FOR i IN range(1, len(qe.e) + 1)]), 6) AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+         |  JOIN v qe ON qe.vec_id = p.vec_id
+         |  JOIN v ce ON ce.vec_id = a.vec_id)
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)

@@ -342,15 +342,7 @@ object Similarity {
         if (n == 0.0) v else v.map(_ / n)
       }
     val cents = localKMeans(train, nCells, iters = 5, seed)
-    val assigned = corpus
-      .select(cId.as("neighbor_id"), cVec.as("__v"),
-        Vectors.norm(cVec).as("__nrm"),
-        coalesce(element_at(cellsByAffinity(cents, cVec), 1), lit(-1))
-          .as("cell"))
-      .repartition(col("cell"))
-      .select(col("cell"), col("neighbor_id"),
-        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
-    IvfIndex(assigned, cents, nProbe)
+    IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
   }
 
   /** Query a built [[IvfIndex]]: each query scores only its nProbe
@@ -381,6 +373,47 @@ object Similarity {
     // bounded top-k aggregate (see bruteForceTopK note)
     TopK.perQuery(scored, k)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
+  /** Cell assignment shared by the k-means and anchored index builds:
+    * one corpus pass, cells ranked from the RAW vector (see [[ivfTopK]]
+    * plan notes), one shuffle on cell, normalization post-exchange. */
+  private def assignCells(corpus: DataFrame, cId: Column, cVec: Column,
+                          cents: IndexedSeq[IndexedSeq[Double]]): DataFrame =
+    corpus
+      .select(cId.as("neighbor_id"), cVec.as("__v"),
+        Vectors.norm(cVec).as("__nrm"),
+        coalesce(element_at(cellsByAffinity(cents, cVec), 1), lit(-1))
+          .as("cell"))
+      .repartition(col("cell"))
+      .select(col("cell"), col("neighbor_id"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
+
+  /** IVF with a DETERMINISTIC seed-vector coarse quantizer: centroids
+    * are the first `nCells` corpus vectors by id (L2-normalized), so
+    * cell ranking, corpus assignment, the probe set, and the ranked
+    * result are all reproducible in SQL — the IVF topology gets an
+    * exact oracle (cell quality is below a fitted k-means; [[ivfTopK]]
+    * stays the quality default, spec-anchored). Every FP step mirrors
+    * the engine's: normalize = per-element divide by the left-to-right
+    * dot's sqrt; cell rank = raw-vector dot, ties to the lower cell. */
+  def ivfTopKAnchored(queries: DataFrame, corpus: DataFrame, k: Int,
+                      qId: Column, qVec: Column, cId: Column, cVec: Column,
+                      nCells: Int = 16, nProbe: Int = 4,
+                      excludeSelf: Boolean = true): DataFrame = {
+    val cents = corpus
+      .select(cId.cast("long").as("id"), cVec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(nCells)
+      .collect()
+      .map { r =>
+        val v = r.getSeq[Double](1).toArray
+        val n = math.sqrt(v.map(x => x * x).sum)
+        (if (n == 0.0) v else v.map(_ / n)).toIndexedSeq
+      }.toIndexedSeq
+    require(cents.length == nCells,
+      s"corpus has fewer than $nCells rows to seed cells from")
+    val index = IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
+    ivfQuery(index, queries, k, qId, qVec, excludeSelf)
   }
 
   /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated

@@ -67,6 +67,16 @@ object ScaleStress {
       GroupConsumer.chunkedBlocks(docs.limit(1000000),
         Grouper.byColumn("key"), col("text"), col("id"), 512).count()
     }
+    time("decontaminate vs 1k-doc eval set (broadcast shingles)") {
+      Decontaminate.ngramOverlap(
+        docs.filter(pmod(col("id"), lit(1000)) =!= 0),
+        docs.filter(pmod(col("id"), lit(1000)) === 0),
+        col("text"), col("id"), col("text"), col("id"), n = 4).count()
+    }
+    time("stratified sample (md5 rule)") {
+      Splits.stratifiedSample(docs, col("id"), col("key"),
+        Map("g0" -> 0.5), defaultRate = 0.1).count()
+    }
 
     // embedding stress: synthetic 64-dim float vectors. Clusters of 32
     // consecutive ids share a strong common component (intra-cluster

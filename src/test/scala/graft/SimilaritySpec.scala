@@ -133,6 +133,24 @@ class SimilaritySpec extends SparkSpec {
     annRecall should be >= 0.3
   }
 
+  test("anchored IVF: hit scores equal brute force; full result set") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopKAnchored(
+      queries, emb, k = 5, $"vec_id", $"embedding", $"vec_id", $"embedding",
+      nCells = 16, nProbe = 4)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+    ivf.length shouldBe 50 // 10 queries x 5 (corpus >> probed cells)
+    val brute = Similarity.bruteForceTopK(
+      queries, emb, k = 500, $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // probing changes WHICH neighbors surface, never their scores
+    ivf.foreach { case (q, n, s) => brute((q, n)) shouldBe s }
+  }
+
   test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
     val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
     val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
