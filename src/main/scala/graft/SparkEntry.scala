@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
+import graft.operators.{Cohorts, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -173,6 +173,54 @@ object SparkEntry {
         .agg(count(lit(1)).as("cluster_size"))
       asg.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
+    },
+
+    // Cross-document duplicated-SPAN scan (substring-level dedup signal):
+    // consecutive 16-token chunks fingerprinted, a chunk is duplicated
+    // iff its fingerprint recurs corpus-wide. Linear explode+count+join —
+    // no candidate pairs — so it holds where pairwise joins don't.
+    "dedup_spans_documents" -> { (s, dir) =>
+      Dedup.duplicatedSpans(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), chunkTokens = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // Deterministic weighted source mixture (training-data re-mixing):
+    // even-index sources get 3x the share of odd ones, total target 1/2
+    // of the corpus; membership is pure 64-bit integer arithmetic on an
+    // md5 uniform, so the sample is bit-exact cross-engine. Summary
+    // emitted per source (doc membership itself is the filter).
+    "mix_sources_weighted" -> { (s, dir) =>
+      val evens = (0 until 20 by 2).map(i => s"src$i" -> 3L).toMap
+      Splits.mixSources(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("source")),
+        col("doc_id"), col("source"),
+        weights = evens, defaultWeight = 1L, targetNum = 1L, targetDen = 2L)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc_id"))
+    },
+    // Dirichlet-process label-mixture partitioning (the reference's 4th
+    // example partitioner, group_by_dirichlet_process.py:130-145) made
+    // exactly reproducible: md5-uniform row draws against a driver-
+    // sampled probability matrix whose cumulative thresholds the oracle
+    // SQL embeds as exact decimal literals.
+    "group_counts_dirichlet" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val g = Grouper.byDirichletMd5(col("label"), col("vec_id"),
+        labels = 0 until 10, numGroups = 8, alpha = 0.5, seed = 7L)
+      g.keyed(emb).groupBy(col(Grouper.GroupCol).as("group_id"))
+        .agg(count(lit(1)).as("n_examples"),
+          countDistinct(col("label")).as("n_labels"))
+    },
+    // Federated per-round cohort draw (the reference's downstream
+    // training loop): rank the group roster by md5(round|group), take
+    // the first 5 per round — deterministic, uniform within round,
+    // independent across rounds. Windows run on the roster (one row per
+    // group), never corpus rows.
+    "cohort_rounds_documents" -> { (s, dir) =>
+      Cohorts.select(Tables(s, dir, "documents"),
+        Grouper.byColumn("source"), rounds = 8, cohortSize = 5)
     },
 
     // Benchmark decontamination: corpus docs sharing any word 4-gram
@@ -506,7 +554,23 @@ object SparkEntry {
     "corpus_clean_pipeline" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       val t = col("text")
-      val scored = docs.select(col("doc_id"), t.as("text"))
+      // The quality gate lives INSIDE the aggregation, not in a
+      // Filter: a post-projection `filter(quality >= 0.3)` gets pushed
+      // by PushDownPredicates through both exchanges with the quality
+      // expression INLINED into the predicate, so the whole regex/HOF
+      // battery runs a second time in the (single-task) scan stage —
+      // measured 99s vs ~3s at sf0.1. min_by skips rows whose ordering
+      // value is NULL, so nulling the ordering key for low-quality rows
+      // filters them exactly, and all-unqualified groups (w IS NULL)
+      // drop post-agg. Battery evaluates ONCE, post-exchange, parallel.
+      // The second repartition is NOT about parallelism: without an
+      // exchange between the projection and the aggregate, alias
+      // inlining rebuilds the full battery inside the agg expressions
+      // (group key + struct + ordering key) and the optimizer+codegen
+      // pass over those giant trees alone costs ~30s (measured; warm
+      // run 1.7s). Behind the barrier the agg sees plain columns.
+      val gate = col("quality") >= 0.3
+      docs.select(col("doc_id"), t.as("text"))
         .repartition(col("doc_id"))
         .select(
           col("doc_id"),
@@ -514,11 +578,11 @@ object SparkEntry {
           TextAnalysis.langId(t).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fp"))
         .repartition(col("doc_id"))
-        .filter(col("quality") >= 0.3)
-      scored.groupBy(col("fp"))
+        .groupBy(col("fp"))
         .agg(min_by(
           struct(col("doc_id"), col("lang_pred"), col("quality")),
-          col("doc_id")).as("w"))
+          when(gate, col("doc_id"))).as("w"))
+        .filter(col("w").isNotNull)
         .select(col("w.doc_id").as("doc_id"),
           col("w.lang_pred").as("lang_pred"),
           col("w.quality").as("quality"))
@@ -820,6 +884,55 @@ object SparkEntry {
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    "dedup_spans_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id,
+        |    md5(array_to_string(list_slice(t, i*16+1, i*16+16), ' ')) AS fp
+        |  FROM toks, UNNEST(range(0, len(t) // 16)) AS u(i)),
+        |cnt AS (SELECT fp, count(*) AS c FROM chunks GROUP BY 1)
+        |SELECT doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_dup_chunks
+        |FROM chunks JOIN cnt USING (fp) GROUP BY 1""".stripMargin,
+    "mix_sources_weighted" -> {
+      val evens = (0 until 20 by 2).map(i => s"'src$i'").mkString(", ")
+      // * and // share precedence left-assoc in DuckDB, mirroring
+      // Spark's `__total * 1 DIV 2 * __w DIV __sumw`
+      s"""WITH c AS (
+         |  SELECT source, count(*) AS n,
+         |    CASE WHEN source IN ($evens) THEN 3 ELSE 1 END AS w
+         |  FROM documents GROUP BY 1),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+         |               CAST(sum(w) AS BIGINT) AS sumw FROM c),
+         |tgt AS (SELECT c.source, c.n,
+         |               total * 1 // 2 * c.w // sumw AS t FROM c, tot)
+         |SELECT d.source, count(*) AS n_sampled,
+         |  min(d.doc_id) AS min_doc_id
+         |FROM documents d JOIN tgt ON d.source = tgt.source
+         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+         |      * tgt.n < tgt.t * 4294967296
+         |GROUP BY 1""".stripMargin
+    },
+    "group_counts_dirichlet" -> {
+      val grp = Grouper.dirichletOracleSelect("vec_id", "label",
+        labels = 0 until 10, numGroups = 8, alpha = 0.5, seed = 7L)
+      s"""SELECT $grp AS group_id, count(*) AS n_examples,
+         |  count(DISTINCT label) AS n_labels
+         |FROM embeddings GROUP BY 1""".stripMargin
+    },
+    "cohort_rounds_documents" ->
+      """WITH g AS (
+        |  SELECT source, count(*) AS n_examples FROM documents GROUP BY 1),
+        |r AS (SELECT unnest(range(0, 8)) AS round),
+        |ranked AS (
+        |  SELECT r.round, g.source, g.n_examples,
+        |    row_number() OVER (PARTITION BY r.round
+        |      ORDER BY md5(r.round::VARCHAR || '|' || g.source)) AS rk
+        |  FROM r, g)
+        |SELECT round, source AS group_id, n_examples
+        |FROM ranked WHERE rk <= 5""".stripMargin,
     "text_pii_redact" -> {
       val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
       val phone = "\\d{3}-\\d{3}-\\d{4}"

@@ -97,16 +97,29 @@ object TextAnalysis {
 
   /** Heuristic language ID: count marker hits per language over the
     * token set; argmax with deterministic first-wins tie-break in the
-    * fixed order de/en/es/fr; all-zero -> 'und'. */
+    * fixed order de/en/es/fr; all-zero -> 'und'.
+    *
+    * Shape: a single `aggregate` scan over an array of (score, code)
+    * structs. The naive formulation — `best = greatest(s1..s4)` + a CASE
+    * chain `WHEN s_i = best` — embeds every count expression in every
+    * branch, and the counts are higher-order filters which neither
+    * whole-stage codegen nor its subexpression elimination cover, so
+    * each marker filter would be re-evaluated ~10x per row (this was
+    * the dominant cost of the corpus-clean bench line). Here each
+    * filter appears exactly once; strictly-greater keeps the FIRST
+    * maximum, and the s=0/'und' start means a language must score > 0 —
+    * bit-identical semantics to the CASE chain the DuckDB oracle still
+    * uses. */
   def langId(c: Column): Column = {
     val t = tokens(lower(c))
-    val scores = LangMarkers.map { case (code, markers) =>
-      code -> size(filter(t, x => x.isInCollection(markers)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
-      when(best > 0 && s === best, lit(code)).otherwise(acc)
-    }
+    val scored = array(LangMarkers.map { case (code, markers) =>
+      struct(size(filter(t, x => x.isInCollection(markers))).as("s"),
+        lit(code).as("code"))
+    }: _*)
+    aggregate(scored,
+      struct(lit(0).as("s"), lit("und").as("code")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc),
+      acc => acc.getField("code"))
   }
 
   /** The same heuristics as DuckDB SQL fragments (oracle mirrors). */

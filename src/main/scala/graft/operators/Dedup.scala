@@ -449,4 +449,47 @@ object Dedup {
       .join(cc.withColumnRenamed("cluster_id", "__cid"), Seq("id"), "left")
       .select(col("id"), coalesce(col("__cid"), col("id")).as("cluster_id"))
   }
+
+  // ----------------------------------------------- duplicated-span scan
+
+  /** Cross-document duplicated-SPAN detection: the substring-level dedup
+    * signal (which near-verbatim spans recur across the corpus) that
+    * whole-document fingerprints miss — boilerplate, licenses, templated
+    * passages. Scalable stand-in for suffix-array exact-substring dedup:
+    * each doc's token stream is cut into consecutive fixed-width chunks
+    * of `chunkTokens` tokens (trailing partial chunk dropped), each
+    * chunk is fingerprinted, and a chunk counts as duplicated iff its
+    * fingerprint occurs >= 2 times corpus-wide (within-doc repeats
+    * count). Output: one row per doc with >= 1 complete chunk —
+    * (id, n_chunks, n_dup_chunks); feed a threshold on
+    * n_dup_chunks/n_chunks into a drop/trim policy downstream.
+    *
+    * Shape: tokens/chunkTokens rows exploded, ONE hash shuffle to count
+    * fingerprints, one shuffled join back, one groupBy on id — linear
+    * end to end, no candidate pairs ever materialized (the fingerprint
+    * multiset IS the index), so it scales where pairwise join topologies
+    * don't. Fingerprints are md5 of the space-joined chunk, so every
+    * step has an exact cross-engine oracle. */
+  def duplicatedSpans(df: DataFrame, textCol: Column, idCol: Column,
+                      chunkTokens: Int = 16): DataFrame = {
+    def chunkFps(t: Column): Column = {
+      // split on single space — the reference's word definition
+      // (tf_utils.py:44-51), same tokenization as TextAnalysis.tokens
+      val toks = split(t, " ")
+      val nChunks = (size(toks) / chunkTokens).cast("int")
+      when(nChunks <= 0, array()).otherwise(
+        transform(sequence(lit(0), nChunks - 1),
+          i => md5(array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))))
+    }
+    // shuffle the raw rows before the HOF so chunking parallelizes past
+    // a single-row-group scan task (same rationale as ngramJaccardPairs)
+    val chunks = df.select(idCol.as("id"), textCol.as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), explode(chunkFps(col("__text"))).as("fp"))
+    val counts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    chunks.join(counts, "fp")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
 }

@@ -82,8 +82,12 @@ object Grouper {
     * draw evaluates to the same value everywhere (matching the
     * reference's single rng.choice(p=pvals) per example) and is
     * reproducible independent of partitioning. */
-  def byDirichlet(labelCol: Column, idCols: Seq[Column], labels: Seq[Int],
-                  numGroups: Int, alpha: Double, seed: Long): Grouper = {
+  /** Driver-side label -> Dirichlet(alpha) probability row, shared by
+    * [[byDirichlet]], [[byDirichletMd5]] and [[dirichletOracleSelect]] —
+    * the three MUST draw the identical matrix for a given seed. */
+  private[graft] def dirichletProbs(labels: Seq[Int], numGroups: Int,
+                                    alpha: Double,
+                                    seed: Long): Map[Int, Array[Double]] = {
     val rng = new java.util.Random(seed)
     // Driver-side Dirichlet(alpha) sample per label via Gamma draws
     // (Marsaglia-Tsang not needed for test-scale alpha; use the sum-of
@@ -111,16 +115,18 @@ object Grouper {
         res
       }
     }
-    val probs: Map[Int, Array[Double]] = labels.map { l =>
+    labels.map { l =>
       val g = Array.fill(numGroups)(gamma(alpha))
       val s = g.sum
       l -> g.map(_ / s)
     }.toMap
-    // Per label, cumulative probabilities -> pick smallest index whose
-    // cumsum exceeds the per-row uniform draw (40-bit hash resolution).
-    val uScale = 1L << 40
-    val u = pmod(xxhash64((idCols :+ lit(seed)): _*), lit(uScale))
-      .cast("double") / lit(uScale.toDouble)
+  }
+
+  /** Shared CASE assembly: per label, cumulative probabilities -> pick
+    * the smallest group index whose cumsum exceeds the per-row uniform. */
+  private def dirichletAssign(u: Column, labelCol: Column,
+                              probs: Map[Int, Array[Double]],
+                              numGroups: Int): Grouper = {
     val groupForLabel: Map[Int, Column] = probs.map { case (l, p) =>
       val cum = p.scanLeft(0.0)(_ + _).tail
       // nested CASE over cumulative thresholds
@@ -133,6 +139,55 @@ object Grouper {
       when(labelCol === l, c).otherwise(acc)
     }
     Grouper(concat(lit("group_"), assign.cast("string")))
+  }
+
+  def byDirichlet(labelCol: Column, idCols: Seq[Column], labels: Seq[Int],
+                  numGroups: Int, alpha: Double, seed: Long): Grouper = {
+    val probs = dirichletProbs(labels, numGroups, alpha, seed)
+    // per-row uniform draw at 40-bit hash resolution
+    val uScale = 1L << 40
+    val u = pmod(xxhash64((idCols :+ lit(seed)): _*), lit(uScale))
+      .cast("double") / lit(uScale.toDouble)
+    dirichletAssign(u, labelCol, probs, numGroups)
+  }
+
+  /** [[byDirichlet]] twin whose per-row uniform is the md5 32-bit
+    * fraction of the rendered id (same draw as [[byMd5Mod]]): the whole
+    * assignment — matrix, thresholds, uniform — is then exactly
+    * reproducible in any engine with md5, via the SQL that
+    * [[dirichletOracleSelect]] emits from the SAME probability matrix.
+    * Division by 2^32 is exact, and the cumulative thresholds are
+    * rendered as exact decimal expansions of the driver doubles, so the
+    * CASE branches bit-agree cross-engine. */
+  def byDirichletMd5(labelCol: Column, idCol: Column, labels: Seq[Int],
+                     numGroups: Int, alpha: Double, seed: Long): Grouper = {
+    val probs = dirichletProbs(labels, numGroups, alpha, seed)
+    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    dirichletAssign(u, labelCol, probs, numGroups)
+  }
+
+  /** DuckDB SQL expression computing the SAME group id as
+    * [[byDirichletMd5]]: `idSql`/`labelSql` are SQL expressions for the
+    * id and integer label columns. Thresholds are emitted as exact
+    * decimal expansions (BigDecimal.toPlainString) of the driver-sampled
+    * doubles — parsing recovers the identical binary64, so the oracle's
+    * CASE takes the same branch for every row. */
+  def dirichletOracleSelect(idSql: String, labelSql: String,
+                            labels: Seq[Int], numGroups: Int, alpha: Double,
+                            seed: Long): String = {
+    val probs = dirichletProbs(labels, numGroups, alpha, seed)
+    val u = s"(('0x' || substr(md5(CAST($idSql AS VARCHAR)), 1, 8))::BIGINT" +
+      " / 4294967296.0)"
+    def litD(d: Double): String = new java.math.BigDecimal(d).toPlainString
+    val labelCases = labels.map { l =>
+      val cum = probs(l).scanLeft(0.0)(_ + _).tail
+      val inner = cum.init.zipWithIndex.map { case (thr, idx) =>
+        s"WHEN $u < ${litD(thr)} THEN $idx"
+      }.mkString(" ")
+      s"WHEN $labelSql = $l THEN (CASE $inner ELSE ${numGroups - 1} END)"
+    }.mkString(" ")
+    s"('group_' || CAST((CASE $labelCases ELSE 0 END) AS VARCHAR))"
   }
 
   /** Escape hatch mirroring the reference's arbitrary-Python keying: a

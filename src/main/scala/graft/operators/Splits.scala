@@ -60,6 +60,51 @@ object Splits {
     df.filter(u < rate)
   }
 
+  /** Deterministic weighted source MIXTURE: downsample each source so the
+    * output approximates `targetNum/targetDen` of the corpus distributed
+    * across sources proportionally to integer `weights` — the
+    * training-data mixing step (re-weight web/books/code/... sources)
+    * run before packing. Per-source target
+    * t_s = (total * targetNum / targetDen) * w_s / sum(w), all INTEGER
+    * division; a row survives iff u32(id) * n_s < t_s * 2^32 where u32
+    * is the first-8-hex-chars md5 uniform — pure 64-bit integer
+    * arithmetic end to end (u32 < 2^32 and n_s, t_s bounded by corpus
+    * rows keep the products inside a long for corpora under ~2^31
+    * rows per source), so membership is bit-exact in any engine, stable
+    * under repartitioning/retries, and monotone in t_s (raising a
+    * source's weight only ADDS rows). Sources absent from `weights` get
+    * weight `defaultWeight`.
+    *
+    * Shape: one small aggregate (|sources| rows) broadcast-joined back
+    * onto the corpus, then a filter — the corpus itself never shuffles. */
+  def mixSources(df: DataFrame, idCol: Column, sourceCol: Column,
+                 weights: Map[String, Long], defaultWeight: Long,
+                 targetNum: Long, targetDen: Long): DataFrame = {
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col("__src") === lit(k), lit(v)).otherwise(acc)
+    }
+    val perSource = df.groupBy(sourceCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w", w)
+    // driver-free scalar totals via a single-row cross (broadcast) join
+    val totals = perSource.agg(sum(col("__n")).as("__total"),
+      sum(col("__w")).as("__sumw"))
+    // DIV, not `/`: Column./ is DOUBLE division in Spark SQL — a
+    // float rate would reintroduce the cross-engine rounding hazard
+    // this operator exists to avoid. * and DIV share precedence
+    // left-assoc: ((((total*num) div den) * w) div sumw).
+    val rates = perSource.crossJoin(broadcast(totals))
+      .select(col("__src"),
+        col("__n"),
+        expr(s"__total * $targetNum DIV $targetDen * __w DIV __sumw")
+          .as("__t"))
+    val u32 = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    df.join(broadcast(rates), sourceCol === col("__src"))
+      .filter(u32 * col("__n") < col("__t") * lit(4294967296L))
+      .drop("__src", "__n", "__t")
+  }
+
   /** Contiguous positional slice: rows whose 0-based global rank in the
     * total order of `orderCols` falls in [floor(lo*n/100), floor(hi*n/100)).
     *

@@ -1,0 +1,114 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Cohorts, Dedup, Grouper, Splits}
+
+/** Specs for the round-3 pipeline additions: duplicated-span scan,
+  * weighted source mixture, md5-anchored Dirichlet partitioning, and
+  * per-round cohort selection. */
+class PipelineMixSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ------------------------------------------------- duplicated spans
+
+  test("duplicatedSpans: flags recurring chunks, ignores partial tails") {
+    val words = (1 to 16).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (1L, words + " " + words),          // 2 chunks, identical -> both dup
+      (2L, words),                        // 1 chunk, same content -> dup
+      (3L, (1 to 16).map(i => s"u$i").mkString(" ")), // unique chunk
+      (4L, "short tail only")             // no complete chunk -> absent
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, col("text"), col("doc_id"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    out(1L) shouldBe ((2L, 2L))
+    out(2L) shouldBe ((1L, 1L))
+    out(3L) shouldBe ((1L, 0L))
+    out.contains(4L) shouldBe false
+  }
+
+  test("duplicatedSpans: within-doc repetition alone counts as duplication") {
+    val words = (1 to 16).map(i => s"x$i").mkString(" ")
+    val docs = Seq((9L, words + " " + words)).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(docs, col("text"), col("doc_id"))
+      .collect()
+    out.head.getLong(2) shouldBe 2L // both copies recur
+  }
+
+  // ----------------------------------------------------- source mixture
+
+  test("mixSources: weighted targets hit, membership deterministic and monotone") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+    val evens = (0 until 20 by 2).map(i => s"src$i" -> 3L).toMap
+    val once = Splits.mixSources(docs, col("doc_id"), col("source"),
+      evens, defaultWeight = 1L, targetNum = 1L, targetDen = 2L)
+    val twice = Splits.mixSources(docs, col("doc_id"), col("source"),
+      evens, defaultWeight = 1L, targetNum = 1L, targetDen = 2L)
+    // deterministic: identical membership on re-evaluation
+    once.select("doc_id").except(twice.select("doc_id")).count() shouldBe 0L
+    val bySrc = once.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // even sources get ~3x the rows of odd sources (same per-source n)
+    val evenMean = (0 until 20 by 2).map(i => bySrc.getOrElse(s"src$i", 0L)).sum / 10.0
+    val oddMean = (1 until 20 by 2).map(i => bySrc.getOrElse(s"src$i", 0L)).sum / 10.0
+    evenMean should be > oddMean * 1.5
+    // monotone: a smaller target is a subset of a larger one
+    val small = Splits.mixSources(docs, col("doc_id"), col("source"),
+      evens, defaultWeight = 1L, targetNum = 1L, targetDen = 4L)
+    small.select("doc_id").except(once.select("doc_id")).count() shouldBe 0L
+  }
+
+  // ----------------------------------------- md5-anchored Dirichlet
+
+  test("byDirichletMd5: deterministic, bounded groups, label-conditional") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val g = Grouper.byDirichletMd5(col("label"), col("vec_id"),
+      labels = 0 until 10, numGroups = 8, alpha = 0.5, seed = 7L)
+    val keyed = g.keyed(emb).select(col("vec_id"), col("group_id"))
+    val again = g.keyed(emb).select(col("vec_id"), col("group_id"))
+    keyed.except(again).count() shouldBe 0L
+    val groups = keyed.select("group_id").distinct().as[String].collect()
+    all(groups.map(_.stripPrefix("group_").toInt)) should be < 8
+    // with alpha=0.5 the per-label distribution is concentrated: at
+    // least one label should NOT use all 8 groups at this sample size
+    val spread = g.keyed(emb).groupBy(col("label"))
+      .agg(countDistinct(col("group_id")).as("ng"))
+      .agg(min(col("ng"))).as[Long].head()
+    spread should be < 8L
+  }
+
+  test("dirichletOracleSelect embeds thresholds matching the Spark matrix") {
+    // the generated SQL must contain the exact decimal expansion of the
+    // first cumulative threshold of label 0's probability row
+    val probs = Grouper.dirichletProbs(0 until 10, 8, 0.5, 7L)
+    val thr0 = new java.math.BigDecimal(probs(0)(0)).toPlainString
+    val sql = Grouper.dirichletOracleSelect("vec_id", "label",
+      0 until 10, 8, 0.5, 7L)
+    sql should include(thr0)
+  }
+
+  // ------------------------------------------------------ cohort rounds
+
+  test("Cohorts.select: exact cohort size, deterministic, round-varying") {
+    val docs = Tables(spark, sf001, "documents")
+    val sel = Cohorts.select(docs, Grouper.byColumn("source"),
+      rounds = 8, cohortSize = 5)
+    val rows = sel.collect()
+    rows.length shouldBe 40
+    val byRound = rows.groupBy(_.getLong(0))
+    byRound.keySet shouldBe (0L until 8L).toSet
+    all(byRound.values.map(_.length)) shouldBe 5
+    // no duplicate group within a round
+    byRound.values.foreach { rs =>
+      rs.map(_.getString(1)).distinct.length shouldBe 5
+    }
+    // different rounds draw different cohorts (md5 independence)
+    byRound.values.map(_.map(_.getString(1)).toSet).toSet.size should be > 1
+    // n_examples matches the roster counts
+    val counts = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach(r => r.getLong(2) shouldBe counts(r.getString(1)))
+  }
+}
