@@ -223,6 +223,60 @@ object SparkEntry {
         Grouper.byColumn("source"), rounds = 8, cohortSize = 5)
     },
 
+    // TOKEN-budget sequence packing: the byte-cap packer with a token
+    // weight — fill each lang's 2048-token context window with the
+    // deterministic ascending-(tokens, doc_id) greedy. Same
+    // single-exchange window+agg shape as pack_capped_documents.
+    "pack_token_budget_documents" -> { (s, dir) =>
+      val packed = Pack.packCappedBy(
+        Tables(s, dir, "documents"), Grouper.byColumn("lang"),
+        col("text"), col("doc_id"),
+        p => TextAnalysis.tokenCount(p.cast("string")), limit = 2048L)
+      packed.select(
+        col("group_id"),
+        col("num_examples"),
+        col("num_bytes").as("num_tokens"),
+        // the digest separator below is a literal \x01 byte (same as
+        // pack_capped_documents; the oracle joins with chr(1))
+        md5(concat_ws("",
+          transform(col("examples"), b => b.cast("string")))).as("digest"))
+    },
+    // Group-granular holdout (federated eval on held-out CLIENTS):
+    // whole sources enter or leave the train split together, decided by
+    // the md5 uniform of the source value.
+    "split_group_holdout" -> { (s, dir) =>
+      Splits.holdOutGroups(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("source"), rate = 0.6)
+    },
+    // Curriculum binning: per-language quality QUARTILE bins via the
+    // bounded-state histogram-percentile path (value->count histogram,
+    // then percentile with frequencies — state bounded by the value
+    // domain, not row count), thresholds broadcast back. The battery
+    // projection materializes behind one exchange reused by both the
+    // histogram and the join side.
+    "curriculum_bins_documents" -> { (s, dir) =>
+      val q = Tables(s, dir, "documents")
+        .select(col("lang"), col("text"))
+        .repartition(col("lang"))
+        .select(col("lang"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .repartition(col("lang"))
+      val hist = q.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
+      val thr = hist.groupBy(col("lang")).agg(
+        round(expr("percentile(q, 0.25, cnt)"), 4).as("t25"),
+        round(expr("percentile(q, 0.50, cnt)"), 4).as("t50"),
+        round(expr("percentile(q, 0.75, cnt)"), 4).as("t75"))
+      q.join(broadcast(thr), "lang")
+        .select(col("lang"),
+          when(col("q") < col("t25"), 0L)
+            .when(col("q") < col("t50"), 1L)
+            .when(col("q") < col("t75"), 2L)
+            .otherwise(3L).as("bin"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"))
+    },
+
     // Benchmark decontamination: corpus docs sharing any word 4-gram
     // with the "benchmark" slice (doc_id % 97 == 0 stands in for an
     // eval set). The eval side's distinct shingles broadcast — the
@@ -884,6 +938,42 @@ object SparkEntry {
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    "pack_token_budget_documents" -> {
+      import TextAnalysis.Sql.{tokenCount => tc}
+      s"""WITH ranked AS (
+         |  SELECT lang, doc_id, text, ${tc("text")} AS w,
+         |    sum(${tc("text")}) OVER (PARTITION BY lang
+         |      ORDER BY ${tc("text")}, doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM documents)
+         |SELECT lang AS group_id,
+         |  count(*) FILTER (WHERE cum < 2048) AS num_examples,
+         |  CAST(coalesce(sum(w) FILTER (WHERE cum < 2048), 0) AS BIGINT)
+         |    AS num_tokens,
+         |  md5(coalesce(string_agg(text, chr(1) ORDER BY w, doc_id)
+         |    FILTER (WHERE cum < 2048), '')) AS digest
+         |FROM ranked GROUP BY lang""".stripMargin
+    },
+    "split_group_holdout" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT
+        |      / 4294967296.0 < 0.6""".stripMargin,
+    "curriculum_bins_documents" -> {
+      import TextAnalysis.Sql.{qualityScore => qs}
+      s"""WITH q AS (
+         |  SELECT lang, ${qs("text")} AS q FROM documents),
+         |thr AS (
+         |  SELECT lang,
+         |    round(quantile_cont(q, 0.25), 4) AS t25,
+         |    round(quantile_cont(q, 0.50), 4) AS t50,
+         |    round(quantile_cont(q, 0.75), 4) AS t75
+         |  FROM q GROUP BY 1)
+         |SELECT q.lang,
+         |  CAST(CASE WHEN q < t25 THEN 0 WHEN q < t50 THEN 1
+         |            WHEN q < t75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
+         |  count(*) AS n_docs
+         |FROM q JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin
+    },
     "dedup_spans_documents" ->
       """WITH toks AS (
         |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),

@@ -115,12 +115,27 @@ object Pack {
     */
   def packCappedDeterministic(df: DataFrame, grouper: Grouper,
                               payload: Column, tiebreak: Column,
-                              limit: Long = BytesLimit): DataFrame = {
+                              limit: Long = BytesLimit): DataFrame =
+    packCappedBy(df, grouper, payload, tiebreak,
+      p => octet_length(p).cast("long"), limit)
+
+  /** [[packCappedDeterministic]] with a caller-supplied WEIGHT function
+    * over the BINARY payload — the byte cap is one instance; a TOKEN
+    * budget (`TextAnalysis.tokenCount` over a decoded string payload)
+    * turns the same operator into training-sequence packing: fill each
+    * group's context window up to `limit` tokens with the deterministic
+    * ascending-(weight, tiebreak) greedy. Same single-exchange
+    * window+agg shape. */
+  def packCappedBy(df: DataFrame, grouper: Grouper,
+                   payload: Column, tiebreak: Column,
+                   weigh: Column => Column,
+                   limit: Long): DataFrame = {
     val keyed = grouper.keyed(df).select(
       col(grouper.name),
       payload.cast("binary").as("__payload"),
       tiebreak.as("__tb"))
-      .withColumn("__bytes", coalesce(octet_length(col("__payload")).cast("long"), lit(0L)))
+      .withColumn("__bytes",
+        coalesce(weigh(col("__payload")).cast("long"), lit(0L)))
     // the payload itself is the final tie-break: the caller's tiebreak
     // column may collide (duplicate ids in the wild), and the packed
     // order must be total for the digest to be engine-independent

@@ -60,6 +60,19 @@ object Splits {
     df.filter(u < rate)
   }
 
+  /** GROUP-granular holdout: keep a row iff its GROUP's md5 uniform is
+    * below `rate` — whole groups enter or leave together, which is the
+    * split federated / group-partitioned training needs (evaluate on
+    * held-out CLIENTS, not held-out rows: row splits leak group
+    * distribution into eval). Same md5-uniform as
+    * [[stratifiedSample]], keyed by the group value, so membership is
+    * deterministic, engine-exact, and monotone in the rate. */
+  def holdOutGroups(df: DataFrame, groupCol: Column, rate: Double): DataFrame = {
+    val u = conv(substring(md5(groupCol.cast("string")), 1, 8), 16, 10)
+      .cast("double") / 4294967296.0
+    df.filter(u < lit(rate))
+  }
+
   /** Deterministic weighted source MIXTURE: downsample each source so the
     * output approximates `targetNum/targetDen` of the corpus distributed
     * across sources proportionally to integer `weights` — the

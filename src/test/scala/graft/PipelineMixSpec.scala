@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Cohorts, Dedup, Grouper, Splits}
+import graft.operators.{Cohorts, Dedup, Grouper, Pack, Splits}
 
 /** Specs for the round-3 pipeline additions: duplicated-span scan,
   * weighted source mixture, md5-anchored Dirichlet partitioning, and
@@ -87,6 +87,57 @@ class PipelineMixSpec extends SparkSpec {
     val sql = Grouper.dirichletOracleSelect("vec_id", "label",
       0 until 10, 8, 0.5, 7L)
     sql should include(thr0)
+  }
+
+  // -------------------------------------------------- token-budget pack
+
+  test("packCappedBy: token weight packs greedily ascending, cap binds") {
+    val docs = Seq(
+      (1L, "a b c"),            // 3 tokens
+      (2L, "d e"),              // 2 tokens
+      (3L, "f g h i j k l m"),  // 8 tokens
+      (4L, "n o p q")           // 4 tokens
+    ).map { case (id, t) => (id, t, "g") }.toDF("doc_id", "text", "grp")
+    val out = Pack.packCappedBy(docs, Grouper.byColumn("grp"),
+      col("text"), col("doc_id"),
+      p => graft.functions.TextAnalysis.tokenCount(p.cast("string")),
+      limit = 9L).collect().head
+    // ascending token order: 2,3,4,8 -> cum 2,5,9,17; kept = cum < 9
+    out.getAs[Long]("num_examples") shouldBe 2L
+    out.getAs[Long]("num_bytes") shouldBe 5L
+  }
+
+  test("packCappedBy with octet weight == packCappedDeterministic") {
+    val docs = Tables(spark, sf0001, "documents").limit(200)
+    val a = Pack.packCappedDeterministic(docs, Grouper.byColumn("lang"),
+      col("text"), col("doc_id"), limit = 5000L)
+    val b = Pack.packCappedBy(docs, Grouper.byColumn("lang"),
+      col("text"), col("doc_id"),
+      p => octet_length(p).cast("long"), limit = 5000L)
+    a.select("group_id", "num_examples", "num_bytes")
+      .except(b.select("group_id", "num_examples", "num_bytes"))
+      .count() shouldBe 0L
+  }
+
+  // ------------------------------------------------- group-holdout split
+
+  test("holdOutGroups: whole groups enter or leave together; monotone") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+    val train = Splits.holdOutGroups(docs, col("source"), rate = 0.6)
+    val trainSources = train.select("source").distinct().as[String].collect().toSet
+    val allSources = docs.select("source").distinct().as[String].collect().toSet
+    // every kept source keeps ALL its docs (group granularity)
+    val counts = docs.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val keptCounts = train.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    keptCounts.foreach { case (s, n) => n shouldBe counts(s) }
+    trainSources.subsetOf(allSources) shouldBe true
+    // monotone: lower rate selects a subset of sources
+    val small = Splits.holdOutGroups(docs, col("source"), rate = 0.3)
+    val smallSources = small.select("source").distinct().as[String].collect().toSet
+    smallSources.subsetOf(trainSources) shouldBe true
   }
 
   // ------------------------------------------------------ cohort rounds
