@@ -223,6 +223,33 @@ object SparkEntry {
         Grouper.byColumn("source"), rounds = 8, cohortSize = 5)
     },
 
+    // S4 loader coverage end to end: pack documents by lang, write
+    // TFRecord shards with DETERMINISTIC md5-bucket shard assignment
+    // (shard contents are a pure function of the data), then reproduce
+    // the reference's seeded list_files shuffle as an md5(seed|shard)
+    // ranking. Output: (position, shard, n_groups) — order AND contents
+    // both oracle-exact. The global 8-row window is roster-sized.
+    "loader_shuffled_shards" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-shards").toString
+      val packed = PartitionedDataset.packExamples(
+        docs, Grouper.byColumn("lang"))
+      val paths = PartitionedDataset.writeTFRecordsSharded(
+        packed, tmp, nShards = 8)
+      val shards = s.createDataset(
+        paths.map(p => new org.apache.hadoop.fs.Path(p).getName))(
+        org.apache.spark.sql.Encoders.STRING).toDF("shard")
+      val counts = graft.sources.TFRecordIO
+        .read(s, s"$tmp/groups.tfrecord-*")
+        .select(element_at(split(col("file"), "/"), -1).as("shard"))
+        .groupBy("shard").agg(count(lit(1)).as("n_groups"))
+      val bySeed = org.apache.spark.sql.expressions.Window
+        .orderBy(md5(concat_ws("|", lit("7"), col("shard"))))
+      shards.join(counts, Seq("shard"), "left")
+        .na.fill(0L, Seq("n_groups"))
+        .withColumn("position", row_number().over(bySeed).cast("long"))
+    },
     // TOKEN-budget sequence packing: the byte-cap packer with a token
     // weight — fill each lang's 2048-token context window with the
     // deterministic ascending-(tokens, doc_id) greedy. Same
@@ -938,6 +965,20 @@ object SparkEntry {
         |      / 4294967296.0
         |    < CASE WHEN lang = 'en' THEN 0.5
         |           WHEN lang = 'fr' THEN 0.25 ELSE 0.1 END""".stripMargin,
+    "loader_shuffled_shards" ->
+      """WITH g AS (SELECT lang AS group_id FROM documents GROUP BY lang),
+        |b AS (SELECT group_id,
+        |  ('0x' || substr(md5(group_id), 1, 8))::BIGINT % 8 AS shard_no
+        |  FROM g),
+        |counts AS (SELECT shard_no, count(*) AS n FROM b GROUP BY 1),
+        |shards AS (SELECT i AS shard_no,
+        |  printf('groups.tfrecord-%05d-of-00008', i) AS shard
+        |  FROM (SELECT unnest(range(0, 8)) AS i))
+        |SELECT s.shard,
+        |  CAST(coalesce(c.n, 0) AS BIGINT) AS n_groups,
+        |  CAST(row_number() OVER (ORDER BY md5('7|' || s.shard)) AS BIGINT)
+        |    AS position
+        |FROM shards s LEFT JOIN counts c USING (shard_no)""".stripMargin,
     "pack_token_budget_documents" -> {
       import TextAnalysis.Sql.{tokenCount => tc}
       s"""WITH ranked AS (

@@ -59,6 +59,42 @@ object PartitionedDataset {
   def writeParquet(packed: DataFrame, dir: String): Unit =
     packed.write.mode("overwrite").parquet(dir)
 
+  /** [[writeTFRecords]] with DETERMINISTIC shard assignment: each group
+    * goes to shard `md5_bucket(group_id) mod nShards` via an explicit
+    * identity partitioner, so the shard CONTENTS (not just the count)
+    * are a pure function of the data — a retry, a different cluster, or
+    * another engine produces byte-identical shard membership. This is
+    * what makes a seeded-shuffle loader reproducible end to end: the
+    * reference's `list_files(shuffle_seed=...)` (data_loaders.py:98-100)
+    * only fixes the file ORDER; deterministic sharding fixes what is IN
+    * each file. Empty shards are still written (every partition emits a
+    * file), preserving the `-of-NNNNN` contract. */
+  def writeTFRecordsSharded(packed: DataFrame, dir: String, nShards: Int,
+                            prefix: String = "groups.tfrecord"): Seq[String] = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val seqEx = new UDF1[Seq[Array[Byte]], Array[Byte]] {
+      override def call(ex: Seq[Array[Byte]]): Array[Byte] =
+        SequenceExampleCodec.encode(ex)
+    }
+    val shard = pmod(
+      conv(substring(md5(col("group_id").cast("string")), 1, 8), 16, 10)
+        .cast("long"),
+      lit(nShards.toLong))
+    val pairs = packed
+      .select(shard.as("__shard"),
+        udf(seqEx, BinaryType).apply(col("examples")).as("record"))
+      .as[(Long, Array[Byte])]
+      .rdd
+      .partitionBy(new org.apache.spark.Partitioner {
+        override def numPartitions: Int = nShards
+        override def getPartition(key: Any): Int =
+          key.asInstanceOf[Long].toInt
+      })
+      .values
+    TFRecordIO.write(spark.createDataset(pairs), dir, prefix)
+  }
+
   /** Load TFRecord shards back into anonymous group rows
     * `(group_file, examples array<binary>)` — the dataset-of-datasets
     * shape, one row per group (data_loaders.py:70-125). */

@@ -140,6 +140,39 @@ class PipelineMixSpec extends SparkSpec {
     smallSources.subsetOf(trainSources) shouldBe true
   }
 
+  // ---------------------------------------------- deterministic shards
+
+  test("writeTFRecordsSharded: shard membership is md5-deterministic; roundtrip intact") {
+    import graft.operators.PartitionedDataset
+    val docs = Tables(spark, sf0001, "documents").limit(100)
+    val packed = PartitionedDataset.packExamples(docs, Grouper.byColumn("lang"))
+    val tmp1 = java.nio.file.Files.createTempDirectory("g-shard1").toString
+    val tmp2 = java.nio.file.Files.createTempDirectory("g-shard2").toString
+    val p1 = PartitionedDataset.writeTFRecordsSharded(packed, tmp1, 4)
+    val p2 = PartitionedDataset.writeTFRecordsSharded(
+      packed.repartition(7), tmp2, 4) // different upstream partitioning
+    p1.size shouldBe 4
+    // identical shard contents independent of upstream partitioning
+    (0 until 4).foreach { i =>
+      val f1 = java.nio.file.Paths.get(tmp1, f"groups.tfrecord-$i%05d-of-00004")
+      val f2 = java.nio.file.Paths.get(tmp2, f"groups.tfrecord-$i%05d-of-00004")
+      val b1 = java.nio.file.Files.readAllBytes(f1)
+      val b2 = java.nio.file.Files.readAllBytes(f2)
+      // per-shard record MULTISET equality (records within a shard may
+      // arrive in any order); compare sorted record payloads
+      def records(b: Array[Byte]): Seq[Seq[Byte]] = {
+        val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(b))
+        Iterator.continually(graft.serialization.TFRecordCodec.readRecord(in))
+          .takeWhile(_.isDefined).map(_.get.toSeq).toSeq.sortBy(_.hashCode())
+      }
+      records(b1).toSet shouldBe records(b2).toSet
+    }
+    // all groups present exactly once across shards
+    val loaded = PartitionedDataset.loadTFRecords(
+      spark, s"$tmp1/groups.tfrecord-*")
+    loaded.count() shouldBe packed.count()
+  }
+
   // ------------------------------------------------------ cohort rounds
 
   test("Cohorts.select: exact cohort size, deterministic, round-varying") {
