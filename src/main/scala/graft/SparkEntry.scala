@@ -175,6 +175,17 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
 
+    // Incremental dedup: the continuously-ingesting shape — a delta
+    // batch (doc_id % 10 >= 8) admits only fingerprints unseen in the
+    // base corpus (doc_id % 10 < 8) and keeps one copy per delta
+    // fingerprint. Base is touched only as an anti-join index side.
+    "dedup_incremental_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.incremental(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"))
+    },
     // Cross-document duplicated-SPAN scan (substring-level dedup signal):
     // consecutive 16-token chunks fingerprinted, a chunk is duplicated
     // iff its fingerprint recurs corpus-wide. Linear explode+count+join —
@@ -1014,6 +1025,18 @@ object SparkEntry {
          |            WHEN q < t75 THEN 2 ELSE 3 END AS BIGINT) AS bin,
          |  count(*) AS n_docs
          |FROM q JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin
+    },
+    "dedup_incremental_documents" -> {
+      import TextAnalysis.Sql.{fingerprint => fpr}
+      s"""WITH delta AS (
+         |  SELECT ${fpr("text")} AS fp, min(doc_id) AS id,
+         |    count(*) AS n_delta_copies
+         |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY 1),
+         |base AS (
+         |  SELECT DISTINCT ${fpr("text")} AS fp
+         |  FROM documents WHERE doc_id % 10 < 8)
+         |SELECT d.fp, d.id, d.n_delta_copies FROM delta d
+         |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp)""".stripMargin
     },
     "dedup_spans_documents" ->
       """WITH toks AS (

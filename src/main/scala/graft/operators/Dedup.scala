@@ -450,6 +450,24 @@ object Dedup {
       .select(col("id"), coalesce(col("__cid"), col("id")).as("cluster_id"))
   }
 
+  /** INCREMENTAL exact dedup: admit only delta rows whose normalized
+    * fingerprint is (a) absent from the base corpus and (b) the first
+    * occurrence within the delta itself (min id wins). The shape every
+    * continuously-ingesting pipeline needs — the base corpus is touched
+    * only as a fingerprint ANTI-JOIN side (in production, a stored
+    * fingerprint index), never rescanned for content; the delta
+    * deduplicates against itself with one groupBy. Both joins hash on
+    * the fingerprint — linear, no pairs. */
+  def incremental(base: DataFrame, delta: DataFrame,
+                  textCol: Column, idCol: Column): DataFrame = {
+    val baseFps = base.select(TextAnalysis.fingerprint(textCol).as("fp"))
+      .distinct()
+    delta.select(TextAnalysis.fingerprint(textCol).as("fp"), idCol.as("id"))
+      .groupBy(col("fp"))
+      .agg(min(col("id")).as("id"), count(lit(1)).as("n_delta_copies"))
+      .join(baseFps, Seq("fp"), "left_anti")
+  }
+
   // ----------------------------------------------- duplicated-span scan
 
   /** Cross-document duplicated-SPAN detection: the substring-level dedup
