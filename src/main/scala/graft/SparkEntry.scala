@@ -105,15 +105,18 @@ object SparkEntry {
     // ----------------------------------------------------- text analysis
     "text_stats_documents" -> { (s, dir) =>
       val t = col("text")
+      // single-pass kernel struct; CSE evaluates it once per row across
+      // all six derived columns (legacy HOF battery: ~6 scans/row)
+      val p = TextAnalysis.profile(t)
       Tables(s, dir, "documents").select(
         col("doc_id"),
-        TextAnalysis.tokenCount(t).as("n_tokens"),
+        TextAnalysis.tokenCountOf(p).as("n_tokens"),
         TextAnalysis.bpeTokenCount(t).as("n_bpe_tokens"),
-        round(TextAnalysis.meanTokenLen(t), 6).as("mean_token_len"),
-        round(TextAnalysis.punctRatio(t), 6).as("punct_ratio"),
-        round(TextAnalysis.stopwordRatio(t), 6).as("stopword_ratio"),
-        TextAnalysis.qualityScore(t).as("quality"),
-        TextAnalysis.langId(t).as("lang_pred"),
+        round(TextAnalysis.meanTokenLenOf(p), 6).as("mean_token_len"),
+        round(TextAnalysis.punctRatioOf(p), 6).as("punct_ratio"),
+        round(TextAnalysis.stopwordRatioOf(p), 6).as("stopword_ratio"),
+        TextAnalysis.qualityScoreOf(p).as("quality"),
+        TextAnalysis.langIdOf(p).as("lang_pred"),
         TextAnalysis.fingerprint(t).as("fingerprint"))
     },
 
@@ -298,7 +301,9 @@ object SparkEntry {
       val q = Tables(s, dir, "documents")
         .select(col("lang"), col("text"))
         .repartition(col("lang"))
-        .select(col("lang"), TextAnalysis.qualityScore(col("text")).as("q"))
+        .select(col("lang"),
+          TextAnalysis.qualityScoreOf(
+            TextAnalysis.profile(col("text"))).as("q"))
         .repartition(col("lang"))
       val hist = q.groupBy(col("lang"), col("q")).agg(count(lit(1)).as("cnt"))
       val thr = hist.groupBy(col("lang")).agg(
@@ -666,8 +671,8 @@ object SparkEntry {
         .repartition(col("doc_id"))
         .select(
           col("doc_id"),
-          TextAnalysis.qualityScore(t).as("quality"),
-          TextAnalysis.langId(t).as("lang_pred"),
+          TextAnalysis.qualityScoreOf(TextAnalysis.profile(t)).as("quality"),
+          TextAnalysis.langIdOf(TextAnalysis.profile(t)).as("lang_pred"),
           TextAnalysis.fingerprint(t).as("fp"))
         .repartition(col("doc_id"))
         .groupBy(col("fp"))

@@ -122,6 +122,53 @@ object TextAnalysis {
       acc => acc.getField("code"))
   }
 
+  // ------------------------------------------ single-pass fast battery
+
+  /** Single-pass profile struct (codegen'd kernel,
+    * [[graft.expressions.TextStats]]): every battery counter from ONE
+    * scan of the UTF-8 bytes. Reference it from several derived columns
+    * freely — whole-stage subexpression elimination evaluates the
+    * identical deterministic subtree once per row (the composed HOF
+    * formulations above are outside codegen AND outside CSE, so they
+    * re-scan the string per signal). The derived columns below mirror
+    * the legacy compositions' arithmetic operation-for-operation; the
+    * equivalence is differentially spec-pinned in TextStatsKernelSpec. */
+  def profile(c: Column): Column = graft.expressions.TextStats(c)
+
+  def tokenCountOf(p: Column): Column = p.getField("n_tokens")
+
+  def meanTokenLenOf(p: Column): Column =
+    when(p.getField("n_tokens") === 0L, 0.0d).otherwise(
+      p.getField("token_bytes").cast("double") /
+        p.getField("n_tokens").cast("double"))
+
+  def stopwordRatioOf(p: Column): Column =
+    when(p.getField("n_tokens") === 0L, 0.0d).otherwise(
+      p.getField("n_stops").cast("double") /
+        p.getField("n_tokens").cast("double"))
+
+  def punctRatioOf(p: Column): Column =
+    when(p.getField("text_bytes") === 0L, 0.0d).otherwise(
+      p.getField("punct_bytes").cast("double") /
+        p.getField("text_bytes").cast("double"))
+
+  def qualityScoreOf(p: Column): Column = {
+    val lenScore =
+      least(tokenCountOf(p).cast("double") / lit(100.0), lit(1.0))
+    val stopScore = least(stopwordRatioOf(p) * 4.0, lit(1.0))
+    round(lenScore * 0.5 + stopScore * 0.5 - punctRatioOf(p) * 0.25, 6)
+  }
+
+  def langIdOf(p: Column): Column = {
+    val scores = LangMarkers.map { case (code, _) =>
+      code -> p.getField(s"m_$code")
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((code, s), acc) =>
+      when(best > 0 && s === best, lit(code)).otherwise(acc)
+    }
+  }
+
   /** The same heuristics as DuckDB SQL fragments (oracle mirrors). */
   object Sql {
     def tokens(c: String): String =
