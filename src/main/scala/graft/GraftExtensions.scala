@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.expressions.{DotProduct, MinHashBands, MinHashSignature, SimHash64}
+import graft.expressions.{DotProduct, MinHashBands, MinHashSignature, SimHash64, TextStats}
 
 /** SparkSessionExtensions hook registering graft's custom Catalyst
   * expressions as SQL functions, so the engine's hot-path primitives are
@@ -62,5 +62,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (args: Seq[Expression]) => MinHashBands(args(0),
         intArg(args(1), "k"), intArg(args(2), "bands"),
         longArg(args(3), "seed"))))
+    ext.injectFunction((
+      FunctionIdentifier("text_stats"),
+      info("text_stats",
+        "text_stats(s) - single-pass text profile struct (token/stopword/punct/marker counters)"),
+      (args: Seq[Expression]) => TextStats(args.head)))
   }
 }

@@ -178,6 +178,16 @@ object SparkEntry {
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
 
+    // JSONL interchange roundtrip: write the corpus as JSON-lines shards
+    // (the standard LLM-corpus interchange format), read back with the
+    // schema pinned (no inference pass over 100 TB), prove lossless.
+    "source_jsonl_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      docs.write.mode("overwrite").json(tmp)
+      s.read.schema(docs.schema).json(tmp)
+    },
     // Incremental dedup: the continuously-ingesting shape — a delta
     // batch (doc_id % 10 >= 8) admits only fingerprints unseen in the
     // base corpus (doc_id % 10 < 8) and keeps one copy per delta
@@ -1031,6 +1041,8 @@ object SparkEntry {
          |  count(*) AS n_docs
          |FROM q JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin
     },
+    "source_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_incremental_documents" -> {
       import TextAnalysis.Sql.{fingerprint => fpr}
       s"""WITH delta AS (

@@ -40,6 +40,12 @@ class ExtensionsSpec extends AnyFunSuite with Matchers {
         "SELECT size(minhash_bands(array(42L), 8, 4, 7L)) AS n")
         .head().getInt(0)
       bands shouldBe 4
+      val ts = spark.sql(
+        "SELECT p.* FROM (SELECT text_stats('the cat und der hund') AS p)")
+        .head()
+      ts.getAs[Long]("n_tokens") shouldBe 5L
+      ts.getAs[Long]("n_stops") shouldBe 1L  // 'the'
+      ts.getAs[Long]("m_de") shouldBe 2L     // 'und', 'der'
     } finally {
       // do not stop(): the JVM-wide SparkContext is shared with the
       // other suites; restore the previous default session
