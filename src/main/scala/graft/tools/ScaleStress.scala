@@ -77,6 +77,28 @@ object ScaleStress {
       Splits.stratifiedSample(docs, col("id"), col("key"),
         Map("g0" -> 0.5), defaultRate = 0.1).count()
     }
+    time("duplicated spans (8-token chunks, corpus-wide)") {
+      Dedup.duplicatedSpans(docs.limit(1000000), col("text"), col("id"),
+        chunkTokens = 8).count()
+    }
+    time("incremental dedup (20% delta vs 80% base)") {
+      Dedup.incremental(
+        docs.filter(pmod(col("id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("id"), lit(5)) === 0),
+        col("text"), col("id")).count()
+    }
+    time("weighted source mixture (1001 groups)") {
+      Splits.mixSources(docs, col("id"), col("key"),
+        Map("g0" -> 3L), defaultWeight = 1L,
+        targetNum = 1L, targetDen = 2L).count()
+    }
+    time("single-pass TextStats battery (quality+langid)") {
+      import graft.functions.TextAnalysis
+      val p = TextAnalysis.profile(col("text"))
+      docs.select(TextAnalysis.qualityScoreOf(p).as("q"),
+        TextAnalysis.langIdOf(p).as("l"))
+        .agg(sum(col("q")), count(col("l"))).collect()
+    }
 
     // embedding stress: synthetic 64-dim float vectors. Clusters of 32
     // consecutive ids share a strong common component (intra-cluster
