@@ -188,6 +188,22 @@ object SparkEntry {
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp)
     },
+    // Keep-BEST dedup: per n-gram-Jaccard duplicate cluster, keep the
+    // highest-quality member (lowest doc_id on ties) — the survivor
+    // rule production dedup ships. Clusters from the exact pair graph;
+    // quality from the single-pass kernel.
+    "dedup_keep_best_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      val asg = Dedup.clusters(docs, col("doc_id"), pairs)
+      val scores = docs.select(col("doc_id"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreOf(
+            TextAnalysis.profile(col("text"))).as("quality"))
+      Dedup.keepBest(asg, scores, col("doc_id"), col("quality"))
+    },
     // Incremental dedup: the continuously-ingesting shape — a delta
     // batch (doc_id % 10 >= 8) admits only fingerprints unseen in the
     // base corpus (doc_id % 10 < 8) and keeps one copy per delta
@@ -879,6 +895,7 @@ object SparkEntry {
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    "dedup_keep_best_documents" -> NgramKeepBestOracle,
     // bit-for-bit md5-simhash recomputation: 60-bit token hash = top 15
     // md5 hex chars; per-bit +-1 vote; pairs at hamming <= 3
     "dedup_simhash_documents" ->
@@ -1651,8 +1668,10 @@ object SparkEntry {
   /** Connected components over the same pair graph: recursive-CTE
     * transitive closure, label = min reachable id, singletons map to
     * themselves. */
-  private lazy val NgramClustersOracle: String =
-    s"""WITH RECURSIVE $NgramPairsCtes,
+  /** Shared transitive-closure CTE chain ending in `asg(doc_id,
+    * cluster_id)` — reused by the clusters and keep-best oracles. */
+  private lazy val NgramClusterCtes: String =
+    s"""$NgramPairsCtes,
       |edges AS (
       |  SELECT id_a AS u, id_b AS v FROM pairs
       |  UNION SELECT id_b, id_a FROM pairs),
@@ -1664,8 +1683,26 @@ object SparkEntry {
       |lbl AS (SELECT u, least(u, min(v)) AS l FROM reach GROUP BY u),
       |asg AS (
       |  SELECT d.doc_id, coalesce(l.l, d.doc_id) AS cluster_id
-      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.u)
+      |  FROM documents d LEFT JOIN lbl l ON d.doc_id = l.u)""".stripMargin
+
+  private lazy val NgramClustersOracle: String =
+    s"""WITH RECURSIVE $NgramClusterCtes
       |SELECT doc_id, cluster_id,
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM asg""".stripMargin
+
+  private lazy val NgramKeepBestOracle: String = {
+    import TextAnalysis.Sql.{qualityScore => qs}
+    s"""WITH RECURSIVE $NgramClusterCtes,
+      |q AS (SELECT doc_id, ${qs("text")} AS quality FROM documents),
+      |sel AS (
+      |  SELECT a.cluster_id, a.doc_id, q.quality,
+      |    row_number() OVER (PARTITION BY a.cluster_id
+      |      ORDER BY q.quality DESC, a.doc_id ASC) AS rk,
+      |    count(*) OVER (PARTITION BY a.cluster_id) AS cluster_size
+      |  FROM asg a JOIN q USING (doc_id))
+      |SELECT cluster_id, doc_id AS keeper_id, quality AS keeper_score,
+      |  cluster_size
+      |FROM sel WHERE rk = 1""".stripMargin
+  }
 }

@@ -468,6 +468,29 @@ object Dedup {
       .join(baseFps, Seq("fp"), "left_anti")
   }
 
+  /** Keep-BEST survivor selection: one row per duplicate cluster, the
+    * member with the highest `scoreCol` winning (smallest id breaking
+    * ties) — what production dedup actually ships: keep the
+    * highest-quality copy, not the arbitrary first one. `assignments`
+    * is any (id, cluster_id) table ([[clusters]] output); scores join
+    * in and one max_by aggregation per cluster picks the survivor.
+    * Two hash shuffles (join + agg), both on cluster-sized keys. */
+  def keepBest(assignments: DataFrame, scores: DataFrame,
+               idCol: Column, scoreCol: Column): DataFrame = {
+    val scored = scores.select(idCol.cast("long").as("id"),
+      scoreCol.as("__score"))
+    assignments.join(scored, "id")
+      .groupBy(col("cluster_id"))
+      .agg(
+        // lexicographic struct max: highest score, then -id max = lowest id
+        max(struct(col("__score"), (-col("id")).as("__negid"))).as("__w"),
+        count(lit(1)).as("cluster_size"))
+      .select(col("cluster_id"),
+        (-col("__w.__negid")).cast("long").as("keeper_id"),
+        col("__w.__score").as("keeper_score"),
+        col("cluster_size"))
+  }
+
   // ----------------------------------------------- duplicated-span scan
 
   /** Cross-document duplicated-SPAN detection: the substring-level dedup

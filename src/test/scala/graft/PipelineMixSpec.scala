@@ -140,6 +140,20 @@ class PipelineMixSpec extends SparkSpec {
     smallSources.subsetOf(trainSources) shouldBe true
   }
 
+  // ----------------------------------------------------- keep-best
+
+  test("keepBest: highest score wins, lowest id breaks ties, singletons kept") {
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 1L), (9L, 9L))
+      .toDF("id", "cluster_id")
+    val scores = Seq((1L, 0.5), (2L, 0.9), (3L, 0.9), (9L, 0.1))
+      .toDF("doc_id", "q")
+    val out = Dedup.keepBest(asg, scores, col("doc_id"), col("q"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    out(1L) shouldBe ((2L, 0.9, 3L)) // 2 beats 3 on tie (lower id)
+    out(9L) shouldBe ((9L, 0.1, 1L)) // singleton survives
+  }
+
   // ---------------------------------------------- deterministic shards
 
   test("writeTFRecordsSharded: shard membership is md5-deterministic; roundtrip intact") {
