@@ -439,15 +439,11 @@ object SparkEntry {
       graft.functions.Quantize.int8(Tables(s, dir, "embeddings"),
         col("vec_id"), col("embedding"))
     },
-    // IVF ANN: k-means cells + nProbe probing (approximate — rows-only;
-    // per-hit scores proven equal to brute force in SimilaritySpec).
-    "similarity_ivf_embeddings" -> { (s, dir) =>
-      val emb = Tables(s, dir, "embeddings")
-      Similarity.ivfTopK(
-        emb.filter(col("vec_id") < 10), emb, k = 5,
-        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
-        nCells = 16, nProbe = 4, seed = 42L)
-    },
+    // IVF ANN with a FITTED k-means quantizer (Similarity.ivfTopK) stays
+    // library API + SimilaritySpec (score parity vs brute force, recall
+    // floor): a fitted quantizer is inherently not SQL-replicable, so it
+    // is not a declared query — its anchored twin below carries the
+    // driver-checked exact oracle for the same cell-probe topology.
     // IVF with the deterministic seed-vector quantizer: the same
     // cell-probe topology with every step SQL-reproducible — the IVF
     // family's exact-oracle instance (the k-means twin above keeps the
@@ -478,9 +474,11 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"),
           col("score"), col("lang"), col("text_digest"))
     },
-    // Column-level corpus profiling: null counts, exact cardinalities,
-    // rendered ranges — ONE pass (multi-distinct via Expand), narrow
-    // (column, stats) output.
+    // Column-level corpus profiling: null counts, KMV cardinality
+    // sketches (bounded state — no rows x cols distinct shuffle; the
+    // deterministic integer estimator replays EXACTLY in the oracle),
+    // rendered ranges. Exact-distinct twin stays as library API
+    // (Profiler.profileExact) + differential spec.
     "profile_lineitem" -> { (s, dir) =>
       graft.functions.Profiler.profile(Tables(s, dir, "lineitem"),
         Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_quantity",
@@ -962,23 +960,44 @@ object SparkEntry {
          |FROM ranked r JOIN documents d ON d.doc_id = r.neighbor_id
          |WHERE r.rank <= 3""".stripMargin,
     "profile_lineitem" -> {
-      def intCol(c: String) =
+      // KMV replay: same u32 md5 hash of the same rendered values, same
+      // k-th-smallest-distinct integer estimator as Kmv.KmvAggregator
+      // (k = 1024) — bit-exact cross-engine.
+      def render(c: String, dbl: Boolean) =
+        if (dbl) s"CAST(round($c, 4) AS DECIMAL(18,4))::VARCHAR"
+        else s"$c::VARCHAR"
+      def hashSel(c: String, dbl: Boolean) =
+        s"""SELECT '$c' AS col_name,
+           |  ('0x'||substr(md5(${render(c, dbl)}),1,8))::BIGINT AS h
+           |FROM lineitem WHERE $c IS NOT NULL""".stripMargin
+      def basicSel(c: String, dbl: Boolean) =
         s"""SELECT '$c' AS col_name,
            |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  min($c)::VARCHAR AS min_val, max($c)::VARCHAR AS max_val
+           |  min(${if (dbl) s"CAST(round($c, 4) AS DECIMAL(18,4))" else c})::VARCHAR AS min_val,
+           |  max(${if (dbl) s"CAST(round($c, 4) AS DECIMAL(18,4))" else c})::VARCHAR AS max_val
            |FROM lineitem""".stripMargin
-      def dblCol(c: String) =
-        s"""SELECT '$c' AS col_name,
-           |  CAST(count(*) FILTER (WHERE $c IS NULL) AS BIGINT) AS n_nulls,
-           |  count(DISTINCT $c) AS n_distinct,
-           |  min(CAST(round($c, 4) AS DECIMAL(18,4)))::VARCHAR AS min_val,
-           |  max(CAST(round($c, 4) AS DECIMAL(18,4)))::VARCHAR AS max_val
-           |FROM lineitem""".stripMargin
-      Seq(intCol("l_orderkey"), intCol("l_suppkey"), intCol("l_linenumber"),
-        dblCol("l_quantity"), dblCol("l_extendedprice"),
-        intCol("l_returnflag"), intCol("l_linestatus"))
-        .mkString("\nUNION ALL\n")
+      val cs = Seq("l_orderkey" -> false, "l_suppkey" -> false,
+        "l_linenumber" -> false, "l_quantity" -> true,
+        "l_extendedprice" -> true, "l_returnflag" -> false,
+        "l_linestatus" -> false)
+      s"""WITH m AS (
+         |${cs.map { case (c, d) => hashSel(c, d) }.mkString("\nUNION ALL\n")}),
+         |d AS (SELECT DISTINCT col_name, h FROM m),
+         |r AS (SELECT col_name, h,
+         |  row_number() OVER (PARTITION BY col_name ORDER BY h) AS rn,
+         |  count(*) OVER (PARTITION BY col_name) AS nd FROM d),
+         |est AS (SELECT col_name,
+         |  CAST(CASE WHEN max(nd) < 1024 THEN max(nd)
+         |    ELSE CAST(1023 * 4294967296 AS BIGINT)
+         |      // greatest(min(CASE WHEN rn = 1024 THEN h END), 1)
+         |    END AS BIGINT) AS n_distinct_est
+         |  FROM r GROUP BY col_name),
+         |basic AS (
+         |${cs.map { case (c, d) => basicSel(c, d) }.mkString("\nUNION ALL\n")})
+         |SELECT b.col_name, b.n_nulls,
+         |  CAST(coalesce(e.n_distinct_est, 0) AS BIGINT) AS n_distinct_est,
+         |  b.min_val, b.max_val
+         |FROM basic b LEFT JOIN est e USING (col_name)""".stripMargin
     },
     "events_stream_parquet_sink" ->
       """SELECT event_type, count(*) AS n_events,

@@ -1,0 +1,86 @@
+package graft.functions
+
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.{Column, Encoder}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** K-minimum-values (KMV) distinct-count sketch — the bounded-state
+  * cardinality estimator the profiler defaults to at corpus scale.
+  *
+  * Why not `count(DISTINCT c)` / melt+distinct: exact distinct counting
+  * shuffles the full distinct set (for a multi-column profile, a
+  * rows x cols copy of the corpus). Why not `approx_count_distinct`:
+  * Spark's HLL++ is not bit-replicable in other engines, so the result
+  * can't be oracle-checked. KMV is both: the sketch keeps only the k
+  * smallest DISTINCT u32 hashes of the rendered values (k longs of
+  * state per column, map-side partials, shuffle carries <=k values per
+  * partition per column), and the estimate is a pure integer function
+  * of that set —
+  *
+  *   n_distinct_est = n            (n < k distinct hashes seen: exact)
+  *                  = (k-1)*2^32 DIV h_k    (h_k = k-th smallest hash)
+  *
+  * — so any engine with md5 replays it bit-for-bit (the repo's
+  * md5-anchored determinism pattern; DuckDB oracle uses
+  * `('0x'||substr(md5(v),1,8))::BIGINT` + a window rank). Standard KMV
+  * error is ~1/sqrt(k-2) (~3% at k=1024). Hash collisions at u32 fold
+  * identically in both engines, so cross-engine equality is exact even
+  * when the estimate is not.
+  */
+object Kmv {
+
+  /** u32 hash of a rendered value: first 8 hex chars of md5, as a long
+    * in [0, 2^32). Null in -> null out (callers filter, matching SQL
+    * `count(DISTINCT)` null semantics). */
+  def u32(rendered: Column): Column =
+    conv(substring(md5(rendered.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Bounded min-k-distinct buffer with the TopK compaction discipline:
+    * appends are O(1), the buffer is deduped+sorted+truncated to k only
+    * when it grows past 4k — amortized O(log k) per row, O(k) state at
+    * every stage. Truncation is lossless for this semilattice: the k
+    * smallest distinct values of a stream are always a subset of the
+    * union of per-partition k-smallest-distinct sets. */
+  final class KmvAggregator(k: Int)
+      extends Aggregator[Long, ArrayBuffer[Long], Long] {
+    require(k > 1, "k must be > 1")
+    private val cap = 4 * k
+
+    private def compact(b: ArrayBuffer[Long]): ArrayBuffer[Long] = {
+      if (b.length > k) {
+        val kept = b.distinct.sorted.take(k)
+        b.clear()
+        b ++= kept
+      }
+      b
+    }
+
+    override def zero: ArrayBuffer[Long] = ArrayBuffer.empty[Long]
+
+    override def reduce(b: ArrayBuffer[Long], h: Long): ArrayBuffer[Long] = {
+      b += h
+      if (b.length >= cap) compact(b) else b
+    }
+
+    override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] =
+      compact(a ++= b)
+
+    override def finish(b: ArrayBuffer[Long]): Long = {
+      val mins = b.distinct.sorted.take(k)
+      if (mins.length < k) mins.length.toLong
+      // (k-1)*2^32 < 2^63 for any sane k; h_k >= 1 guarded (h_k = 0
+      // needs all of the k smallest hashes to collide into 0)
+      else ((k - 1).toLong * 4294967296L) / math.max(mins(k - 1), 1L)
+    }
+
+    override def bufferEncoder: Encoder[ArrayBuffer[Long]] =
+      implicitly[Encoder[ArrayBuffer[Long]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+
+    override def outputEncoder: Encoder[Long] =
+      implicitly[Encoder[Long]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+  }
+}

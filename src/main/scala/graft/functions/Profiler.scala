@@ -5,40 +5,48 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, FloatType}
 
 /** Column-level data profiling — the corpus-audit pass of a pipeline
-  * (null rates, exact cardinalities, value ranges per column), emitted
-  * as one narrow (column, stat...) table.
+  * (null rates, cardinalities, value ranges per column), emitted as one
+  * narrow (column, stat...) table.
   *
-  * Two linear passes, NO multi-distinct Expand: `count(DISTINCT c)`
-  * over many columns at once plans as an Expand that multiplies every
-  * row by #columns and double-aggregates the blown-up stream (measured
-  * ~10s on 600k x 7 — the single most expensive declared query before
-  * this shape). Instead:
+  * Default ([[profile]]) is the 100 TB shape — two linear passes, NO
+  * full-width distinct shuffle:
   *   1. nulls + min/max: one ordinary aggregation (map-side partials,
   *      bytes of state);
-  *   2. cardinalities: melt to (column, rendered value), per-partition
-  *      distinct, count groups — one shuffle of the melted stream,
-  *      state bounded by the distinct set like any exact distinct.
-  * Doubles render via value-preserving string casts for the distinct
-  * melt (injective, so group counts equal raw-value counts) and are
-  * rounded into DECIMAL(18,4) only for the REPORTED min/max (raw
-  * double→string rendering differs across engines).
+  *   2. cardinalities: melt to (column, u32 value hash) and feed a
+  *      [[Kmv]] k-minimum-values sketch per column — the melt is
+  *      map-side only (partial aggregation bounds the shuffle to <=k
+  *      longs per column per partition), state is k longs per column,
+  *      and the estimate is deterministic integer arithmetic, so the
+  *      DuckDB oracle replays it EXACTLY (unlike HLL). Estimates are
+  *      exact below k distinct values, ~1/sqrt(k-2) error above.
+  *
+  * [[profileExact]] keeps the exact melt+distinct variant (one shuffle
+  * of the melted rows x cols stream) as the verification twin — the
+  * repo's usual exact/sketch differential-test split.
+  *
+  * Doubles render via round -> DECIMAL(18,4) for BOTH the reported
+  * min/max and the hashed distinct values (raw double -> string
+  * rendering differs across engines; the decimal render is proven
+  * bit-stable cross-engine).
   */
 object Profiler {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val exact = df.schema.fields.map(f => f.name -> f.dataType).toMap
-    def rendered(name: String): Column = exact(name) match {
-      case DoubleType | FloatType =>
+  private def renderedCol(df: DataFrame, name: String): Column =
+    df.schema.fields.find(_.name == name).map(_.dataType) match {
+      case Some(DoubleType) | Some(FloatType) =>
         round(col(name).cast("double"), 4).cast("decimal(18,4)")
       case _ => col(name)
     }
+
+  /** nulls + rendered min/max, one agg pass, one row per column. */
+  private def basicStats(df: DataFrame, cols: Seq[String]): DataFrame = {
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(rendered(c)).cast("string").as(s"${c}__min"),
-        max(rendered(c)).cast("string").as(s"${c}__max"))
+        min(renderedCol(df, c)).cast("string").as(s"${c}__min"),
+        max(renderedCol(df, c)).cast("string").as(s"${c}__max"))
     }
-    val basic = df.agg(aggs.head, aggs.tail: _*)
+    df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("col_name"),
           col(s"${c}__nulls").cast("long").as("n_nulls"),
@@ -47,6 +55,34 @@ object Profiler {
       }: _*)).as("p"))
       .select(col("p.col_name"), col("p.n_nulls"),
         col("p.min_val"), col("p.max_val"))
+  }
+
+  /** Default profile: KMV cardinality estimates (`n_distinct_est`),
+    * bounded state end to end. */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 1024): DataFrame = {
+    val kmv = udaf(new Kmv.KmvAggregator(k))
+    val hashed = df
+      .select(explode(array(cols.map { c =>
+        struct(lit(c).as("col_name"), Kmv.u32(renderedCol(df, c)).as("h"))
+      }: _*)).as("m"))
+      .select(col("m.col_name").as("col_name"), col("m.h").as("h"))
+      .filter(col("h").isNotNull) // count(DISTINCT) ignores nulls
+    val distincts = hashed.groupBy(col("col_name"))
+      .agg(kmv(col("h")).as("n_distinct_est"))
+    basicStats(df, cols).join(distincts, Seq("col_name"), "left")
+      .select(col("col_name"), col("n_nulls"),
+        coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
+        col("min_val"), col("max_val"))
+  }
+
+  /** Exact-cardinality twin: melt to (column, rendered value),
+    * per-partition distinct, count groups — one shuffle of the melted
+    * stream, state bounded by the distinct set like any exact distinct.
+    * (Still preferable to `count(DISTINCT c1), count(DISTINCT c2), ...`
+    * in one agg, which plans as an Expand that multiplies every row by
+    * #columns and double-aggregates the blown-up stream.) Use for
+    * verification / small tables; [[profile]] is the scale default. */
+  def profileExact(df: DataFrame, cols: Seq[String]): DataFrame = {
     val distincts = df
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("col_name"), col(c).cast("string").as("v"))
@@ -56,7 +92,7 @@ object Profiler {
       .distinct()
       .groupBy(col("col_name"))
       .agg(count(lit(1)).as("n_distinct"))
-    basic.join(distincts, Seq("col_name"), "left")
+    basicStats(df, cols).join(distincts, Seq("col_name"), "left")
       .select(col("col_name"), col("n_nulls"),
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_val"), col("max_val"))

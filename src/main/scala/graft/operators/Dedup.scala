@@ -375,10 +375,19 @@ object Dedup {
     // the distributed pointer-jump path below stays the scale path
     // (CcStress: 2M-node worst case) and the two are differentially
     // tested against each other in ClusterSpec.
+    // Materialize the pair list ONCE up front (eager localCheckpoint):
+    // pairs is typically an expensive upstream join, and without the
+    // barrier it would be re-evaluated by the probe AND by both halves
+    // of the symmetric union below (3 evaluations on the distributed
+    // path). The checkpoint holds only the matched-pair edge list —
+    // orders of magnitude smaller than the corpus — so it is cheap to
+    // hold even at 100 TB corpus scale.
+    val edgeList = pairs
+      .select(col("id_a").cast("long"), col("id_b").cast("long"))
+      .localCheckpoint()
     val probe: Array[(Long, Long)] =
       if (localEdgeThreshold > 0 && localEdgeThreshold < Int.MaxValue - 1)
-        pairs.select(col("id_a").cast("long"), col("id_b").cast("long"))
-          .limit((localEdgeThreshold + 1).toInt)
+        edgeList.limit((localEdgeThreshold + 1).toInt)
           .collect().map(r => (r.getLong(0), r.getLong(1)))
       else null
     if (probe != null && probe.length <= localEdgeThreshold) {
@@ -403,10 +412,9 @@ object Dedup {
       return nodes.map(v => (v, find(v))).toSeq
         .toDF("id", "cluster_id")
     }
-    val sym = pairs
-      .select(col("id_a").cast("long").as("u"), col("id_b").cast("long").as("v"))
-      .union(pairs
-        .select(col("id_b").cast("long").as("u"), col("id_a").cast("long").as("v")))
+    val sym = edgeList
+      .toDF("u", "v")
+      .union(edgeList.select(col("id_b").as("u"), col("id_a").as("v")))
     val edges = sym.repartition(col("u")).localCheckpoint()
     var labels = edges.groupBy("u").agg(min(col("v")).as("mv"))
       .select(col("u"), least(col("u"), col("mv")).as("l"))

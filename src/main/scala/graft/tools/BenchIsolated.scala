@@ -1,0 +1,54 @@
+package graft.tools
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.SparkEntry
+
+/** Isolated cold/warm timing for a set of declared queries, written as
+  * one JSON file (`BENCH_ISOLATED.json`) committed alongside the round's
+  * bench artifact — so a reader can separate host-throttle anomalies in
+  * a driver bench run from genuine plan regressions without re-deriving
+  * the isolation runs (this host's documented throttling windows have
+  * inflated identical binaries 10-70x).
+  *
+  * cold = first materialization in the session (includes codegen +
+  * plan warm-up for that query's operators); warm = best of the
+  * remaining reps. Usage:
+  *   sbt "runMain graft.tools.BenchIsolated <sfDir> <out.json> q1 q2 ..."
+  */
+object BenchIsolated {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = args.drop(1).headOption.getOrElse("BENCH_ISOLATED.json")
+    val names = if (args.length > 2) args.drop(2).toSeq
+      else Seq("dedup_keep_best_documents", "dedup_clusters_documents",
+        "events_stream_interval_join", "dedup_ngram_documents",
+        "pack_token_budget_documents")
+    val reps = 3
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    graft.Tables(spark, dir, "region").count() // absorb session warm-up
+    val rows = names.map { name =>
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        val df = SparkEntry.queries(name)(spark, dir)
+        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+          .collect()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val cold = times.head
+      val warm = times.tail.min
+      System.err.println(f"[isolated] $name cold=$cold%.2f warm=$warm%.2f")
+      f"""  "$name": {"cold": $cold%.3f, "warm": $warm%.3f}"""
+    }
+    Files.writeString(Paths.get(out),
+      rows.mkString(s"""{\n  "sf": "$dir", "cpus": $cpus,\n""", ",\n", "\n}\n"))
+    spark.stop()
+  }
+}

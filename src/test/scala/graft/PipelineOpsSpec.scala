@@ -78,12 +78,35 @@ class PipelineOpsSpec extends SparkSpec {
       (Some(1L), Some(2.5), Some("a")),
       (Some(2L), None, Some("b")),
       (None, Some(1.25), Some("a"))).toDF("k", "v", "s")
-    val got = graft.functions.Profiler.profile(df, Seq("k", "v", "s"))
-      .collect().map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap
-    got("k") shouldBe ((1L, 2L, "1", "2"))
-    got("v") shouldBe ((1L, 2L, "1.2500", "2.5000"))
-    got("s") shouldBe ((0L, 2L, "a", "b"))
+    // below k distinct values the KMV sketch is exact, so the default
+    // and the exact twin must agree cell for cell
+    for (got <- Seq(
+        graft.functions.Profiler.profile(df, Seq("k", "v", "s")),
+        graft.functions.Profiler.profileExact(df, Seq("k", "v", "s")))
+      .map(_.collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3), r.getString(4)))).toMap)) {
+      got("k") shouldBe ((1L, 2L, "1", "2"))
+      got("v") shouldBe ((1L, 2L, "1.2500", "2.5000"))
+      got("s") shouldBe ((0L, 2L, "a", "b"))
+    }
+  }
+
+  test("profiler: KMV == exact below k across partitions; bounded error above") {
+    // 500 distinct over 8 partitions: merges + compactions exercised,
+    // estimate must be the EXACT count (sketch unsaturated)
+    val small = spark.range(0, 2000, 1, 8)
+      .selectExpr("id % 500 AS g")
+    val est = graft.functions.Profiler.profile(small.toDF(), Seq("g"))
+      .collect().head.getLong(2)
+    est shouldBe 500L
+
+    // 50k distinct with k = 256: saturated sketch; KMV theory gives
+    // ~1/sqrt(k-2) ≈ 6.3% stderr — assert a generous 4-sigma envelope
+    // (deterministic md5 hashes, so this can never flake)
+    val big = spark.range(0, 50000, 1, 8).toDF()
+    val estBig = graft.functions.Profiler.profile(big, Seq("id"), k = 256)
+      .collect().head.getLong(2)
+    estBig.toDouble shouldBe 50000.0 +- 50000.0 * 0.25
   }
 
   test("redact: typed placeholders replace every match, counts agree") {

@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.execution.ExpandExec
+import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+
+/** Plan-regression gate over the WHOLE declared query surface: a future
+  * edit that reintroduces an unbroadcast dimension join (nested-loop), a
+  * cartesian pair blowup, or an oversized Expand (the multi-distinct
+  * rows x cols shape the profiler once had) fails `sbt test` instead of
+  * surfacing as a bench anomaly indistinguishable from host throttle.
+  *
+  * Planning-only where possible: building each query's executedPlan at
+  * sf0.001 (a handful of queries do bounded side work at declaration —
+  * stats collects, temp-dir writes, stream drains — by design; all are
+  * cheap at this SF).
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Queries allowed a nested-loop/cartesian node BY DESIGN — each is a
+    * broadcast-bounded shape, not a corpus x corpus blowup:
+    *  - neardup_embeddings_exact: the declared-quadratic all-pairs
+    *    verification twin of the LSH embedding dedup (input bounded by
+    *    contract);
+    *  - similarity_topk/ann/rag: a BOUNDED query batch broadcast
+    *    against the corpus (brute-force contract / Hamming multi-probe
+    *    non-equi predicate) — corpus side streams, never shuffles;
+    *  - mix_sources_weighted / cohort_rounds_documents: a single-row
+    *    (or |rounds|-row) scalar-totals/roster broadcast cross join.
+    * Anything NOT in this list growing a nested-loop node is a plan
+    * regression. */
+  private val nestedLoopByDesign: Set[String] = Set(
+    "neardup_embeddings_exact",
+    "similarity_topk_embeddings",
+    "similarity_ann_embeddings",
+    "rag_retrieval_pipeline",
+    "mix_sources_weighted",
+    "cohort_rounds_documents")
+
+  /** Expand is legitimate for small grouping-set factors (rollup = d+1
+    * projections) — anything wider than this is a blowup. */
+  private val maxExpandProjections = 4
+
+  test("no nested-loop/cartesian joins or oversized Expand in any declared plan") {
+    val aqeWas = spark.conf.get("spark.sql.adaptive.enabled")
+    // AQE wraps plans in AdaptiveSparkPlanExec, which hides the physical
+    // tree from collect() until execution — audit the static plan
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val offences = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val plan = fn(spark, sf0001).queryExecution.executedPlan
+          val nlj = plan.collect {
+            case _: BroadcastNestedLoopJoinExec => "BroadcastNestedLoopJoin"
+            case _: CartesianProductExec => "CartesianProduct"
+          }
+          val wideExpands = plan.collect {
+            case e: ExpandExec if e.projections.length > maxExpandProjections =>
+              s"Expand(${e.projections.length} projections)"
+          }
+          val bad =
+            (if (nestedLoopByDesign(name)) Nil else nlj) ++ wideExpands
+          bad.map(b => s"$name: $b")
+      }
+      withClue(offences.mkString("\n")) { offences shouldBe empty }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
+  }
+}
