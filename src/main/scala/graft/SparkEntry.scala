@@ -35,6 +35,27 @@ object SparkEntry {
   private def duckWords(c: String): String =
     s"len(string_split(regexp_replace($c, '^\\s+|\\s+$$', '', 'g'), ' '))"
 
+  /** Fixed per-tag scratch dir under java.io.tmpdir: repeated
+    * bench/verify runs WIPE and reuse one path per query instead of
+    * accumulating a fresh full-corpus copy per invocation (the jsonl
+    * and TFRecord sinks write the whole documents table each run —
+    * ADVICE r3). Driver gates run serially, so a fixed path is
+    * race-free; the dir itself is (re)created by the writer. */
+  private def scratchDir(tag: String): String = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"), "graft-scratch", tag)
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory) {
+        val children = f.listFiles()
+        if (children != null) children.foreach(wipe)
+      }
+      f.delete(): Unit
+    }
+    wipe(p.toFile)
+    java.nio.file.Files.createDirectories(p.getParent)
+    p.toString
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // A3/A4 group-counts aggregation (SURVEY §2.3) over documents, keyed
     // by lang — the reference's domain-partitioned counts pipeline shape.
@@ -54,8 +75,7 @@ object SparkEntry {
     "group_counts_text_sink" -> { (s, dir) =>
       val counts =
         GroupCounts(Tables(s, dir, "documents"), Grouper.byColumn("lang"))
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-textsink").toString
+      val tmp = scratchDir("textsink")
       GroupCounts.writeFormatted(counts, tmp, delimiter = "|")
       s.read.text(tmp).select(col("value").as("line"))
         .filter(col("line") =!= GroupCounts.Header)
@@ -92,8 +112,7 @@ object SparkEntry {
     // must be the original table. Exercises the whole wire-compat stack.
     "roundtrip_documents" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-roundtrip").toString
+      val tmp = scratchDir("roundtrip")
       val packed = PartitionedDataset.packExamples(
         docs, Grouper.byColumn("lang"))
       PartitionedDataset.writeTFRecords(packed, tmp)
@@ -183,8 +202,7 @@ object SparkEntry {
     // schema pinned (no inference pass over 100 TB), prove lossless.
     "source_jsonl_roundtrip" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-jsonl").toString
+      val tmp = scratchDir("jsonl")
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp)
     },
@@ -222,6 +240,17 @@ object SparkEntry {
     "dedup_spans_documents" -> { (s, dir) =>
       Dedup.duplicatedSpans(Tables(s, dir, "documents"),
         col("text"), col("doc_id"), chunkTokens = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // Rolling-hash span scan with OVERLAPPING windows (unaligned
+    // duplicated passages — the recall gap aligned chunks leave);
+    // md5-anchored token hashes so the Rabin-Karp fingerprints replay
+    // bit-for-bit in the oracle (the xxhash64 fast path stays the
+    // library default).
+    "dedup_spans_rolling_documents" -> { (s, dir) =>
+      Dedup.duplicatedSpansRolling(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), windowTokens = 16,
+        hashFn = Dedup.spanTokenHashMd5)
         .withColumnRenamed("id", "doc_id")
     },
     // Deterministic weighted source mixture (training-data re-mixing):
@@ -271,8 +300,7 @@ object SparkEntry {
     // both oracle-exact. The global 8-row window is roster-sized.
     "loader_shuffled_shards" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
-      val tmp = java.nio.file.Files
-        .createTempDirectory("graft-shards").toString
+      val tmp = scratchDir("shards")
       val packed = PartitionedDataset.packExamples(
         docs, Grouper.byColumn("lang"))
       val paths = PartitionedDataset.writeTFRecordsSharded(
@@ -409,6 +437,18 @@ object SparkEntry {
       Similarity.cosinePairs(
         Tables(s, dir, "embeddings").filter(col("vec_id") < 2000),
         col("vec_id"), col("embedding"), threshold = 0.45)
+    },
+    // SEMANTIC dedup (SemDeDup shape): anchored-LSH near-dup pairs ->
+    // connected components -> keep the most CENTRAL member per cluster
+    // (highest dot vs the rounded centroid of normalized members). All
+    // arithmetic is the established deterministic chain, so the whole
+    // composition has an exact oracle.
+    "dedup_semantic_embeddings" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val pairs = Similarity.cosinePairsLshAnchored(emb,
+        col("vec_id"), col("embedding"), threshold = 0.45,
+        dim = 64, nBits = 6, nTables = 8)
+      Dedup.semanticKeepCentral(emb, col("vec_id"), col("embedding"), pairs)
     },
     "similarity_topk_embeddings" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
@@ -746,10 +786,10 @@ object SparkEntry {
     "events_stream_parquet_sink" -> { (s, dir) =>
       val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
       val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-streamsink").toString
-      val cp = java.nio.file.Files
-        .createTempDirectory("graft-streamsink-cp").toString
+      // scratch (wiped per run): a reused checkpoint dir with a reused
+      // sink dir would otherwise make AvailableNow a no-op on rerun
+      val out = scratchDir("streamsink")
+      val cp = scratchDir("streamsink-cp")
       val q = src.select(col("event_id"), col("user_id"),
           col("event_type"), expr("ts DIV 1000").as("t_us"), col("value"))
         .writeStream.format("parquet")
@@ -1103,6 +1143,47 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_chunks
         |FROM chunks JOIN cnt USING (fp) GROUP BY 1""".stripMargin,
+    "dedup_spans_rolling_documents" -> {
+      // direct-polynomial replay of the Rabin-Karp window hashes:
+      // same md5-u32-mod-M token hashes, same positional weights
+      // B^(w-1-j) mod M (precomputed literal list), same integer
+      // arithmetic — every product < M^2 < 2^63, every partial sum
+      // reduced mod M per term, so the replay is bit-exact
+      val w = 16
+      val M = graft.expressions.RollingWindowHashes.M
+      val pows = graft.expressions.RollingWindowHashes.powers(w)
+        .mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    [('0x'||substr(md5(x),1,8))::BIGINT % $M FOR x IN t] AS h
+         |  FROM toks WHERE len(t) >= $w),
+         |wins AS (
+         |  SELECT doc_id, i,
+         |    list_sum([(h[i + j] * ($pows)[j + 1]) % $M
+         |      FOR j IN range(0, $w)]) % $M AS fp
+         |  FROM (SELECT doc_id, h, unnest(range(1, len(h) - ${w - 2})) AS i
+         |        FROM th)),
+         |cnt AS (SELECT fp, count(*) AS c FROM wins GROUP BY 1),
+         |m AS (SELECT w2.doc_id, w2.i, (cnt.c >= 2) AS dup
+         |      FROM wins w2 JOIN cnt USING (fp)),
+         |tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+         |  CAST(count(*) FILTER (WHERE dup) AS BIGINT) AS n_dup_windows
+         |  FROM m GROUP BY doc_id),
+         |runs AS (SELECT doc_id,
+         |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+         |  FROM m WHERE dup),
+         |agg AS (SELECT doc_id, grp, count(*) AS run
+         |  FROM runs GROUP BY doc_id, grp),
+         |mx AS (SELECT doc_id, CAST(max(run) AS BIGINT) AS max_dup_run
+         |  FROM agg GROUP BY doc_id)
+         |SELECT t.doc_id, t.n_windows, t.n_dup_windows,
+         |  CAST(coalesce(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run
+         |FROM tot t LEFT JOIN mx USING (doc_id)""".stripMargin
+    },
     "mix_sources_weighted" -> {
       val evens = (0 until 20 by 2).map(i => s"'src$i'").mkString(", ")
       // * and // share precedence left-assoc in DuckDB, mirroring
@@ -1211,6 +1292,64 @@ object SparkEntry {
          |JOIN v b ON c.id_b = b.vec_id
          |WHERE round(list_sum([a.e[i] * b.e[i]
          |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45""".stripMargin,
+    // semantic dedup replay: the neardup pair CTEs, a recursive-CTE
+    // transitive closure, then normalized-centroid scoring — centroid
+    // lanes rounded to 6 BEFORE the member dot (both engines dot
+    // identical inputs), score rounded to 6, survivor by
+    // (score DESC, id ASC)
+    "dedup_semantic_embeddings" ->
+      s"""WITH RECURSIVE ${AnchoredSigCtes(nTables = 8, nBits = 6)},
+         |ok AS (
+         |  SELECT t, sig FROM sigs GROUP BY 1, 2 HAVING count(*) <= 100000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a
+         |  JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.t = a.t AND ok.sig = a.sig),
+         |nv AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |prs AS (
+         |  SELECT c.id_a, c.id_b
+         |  FROM cand c JOIN nv a ON c.id_a = a.vec_id
+         |              JOIN nv b ON c.id_b = b.vec_id
+         |  WHERE round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45),
+         |edges AS (
+         |  SELECT id_a AS u, id_b AS v FROM prs
+         |  UNION SELECT id_b, id_a FROM prs),
+         |reach AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u),
+         |lbl AS (SELECT u, least(u, min(v)) AS l FROM reach GROUP BY u),
+         |asg AS (
+         |  SELECT emb.vec_id AS id, coalesce(lbl.l, emb.vec_id) AS cluster_id
+         |  FROM embeddings emb LEFT JOIN lbl ON emb.vec_id = lbl.u),
+         |cent AS (
+         |  SELECT cluster_id, u.i AS lane, round(avg(u.v), 6) AS cv
+         |  FROM (SELECT a.cluster_id, unnest([{'i': i, 'v': n.e[i]}
+         |          FOR i IN range(1, len(n.e) + 1)]) AS u
+         |        FROM asg a JOIN nv n ON a.id = n.vec_id)
+         |  GROUP BY cluster_id, u.i),
+         |carr AS (SELECT cluster_id, list(cv ORDER BY lane) AS ce
+         |  FROM cent GROUP BY cluster_id),
+         |sc AS (
+         |  SELECT a.cluster_id, a.id,
+         |    round(list_sum([n.e[i] * c.ce[i]
+         |      FOR i IN range(1, len(n.e) + 1)]), 6) AS score
+         |  FROM asg a JOIN nv n ON a.id = n.vec_id
+         |       JOIN carr c USING (cluster_id)),
+         |sel AS (SELECT cluster_id, id, score,
+         |    row_number() OVER (PARTITION BY cluster_id
+         |      ORDER BY score DESC, id ASC) AS rk,
+         |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+         |  FROM sc)
+         |SELECT cluster_id, id AS keeper_id, score AS keeper_score,
+         |  cluster_size
+         |FROM sel WHERE rk = 1""".stripMargin,
     "similarity_ann_embeddings" ->
       s"""WITH ${AnchoredSigCtes(nTables = 1, nBits = 8)},
          |v AS (SELECT vec_id,

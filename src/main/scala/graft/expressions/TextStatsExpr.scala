@@ -33,7 +33,13 @@ import graft.functions.TextAnalysis
   *    token boundaries are non-letters);
   *  - punct bytes = UTF-8 byte mass of codepoints outside
   *    `[\s\p{L}\p{N}]` — per-codepoint Character category checks match
-  *    Java regex classes (isLetter == L*; N* = Nd|Nl|No).
+  *    Java regex classes (isLetter == L*; N* = Nd|Nl|No). The
+  *    bit-identical contract holds for WELL-FORMED UTF-8; malformed
+  *    bytes (lone continuations, broken/truncated sequences) are
+  *    handled deterministically — each invalid byte counts 1 punct
+  *    byte and decoding resyncs at the next byte — but the legacy
+  *    regexp path's exact U+FFFD byte accounting is engine-internal,
+  *    so only well-formed input is differentially pinned.
   */
 case class TextStats(child: Expression)
     extends UnaryExpression with Serializable {
@@ -189,17 +195,39 @@ final class TextStatsKernel(stopwords: Array[String],
       if (b < 0x80) {
         if (!isWs(b) && !asciiAlnum(b)) punct += 1
         i += 1
+      } else if (b < 0xC0) {
+        // lone continuation byte: invalid UTF-8. A decoder replaces it
+        // with U+FFFD (category So -> punct); count the single byte and
+        // resync at the next one — the old code fell into the 2-byte
+        // branch and swallowed the FOLLOWING byte (ADVICE r3).
+        punct += 1
+        i += 1
       } else {
         val cpLen =
           if (b >= 0xF0) 4 else if (b >= 0xE0) 3 else 2
-        var cp = b & (if (cpLen == 4) 0x07 else if (cpLen == 3) 0x0F else 0x1F)
+        // validate the continuation bytes; a truncated or broken
+        // sequence counts its lead byte as invalid-punct and resyncs
+        // at the next byte (Java decoder replace-then-resync shape)
+        var valid = i + cpLen <= n
         var j = 1
-        while (j < cpLen && i + j < n) {
-          cp = (cp << 6) | (bytes(i + j) & 0x3F)
+        while (valid && j < cpLen) {
+          val cb = bytes(i + j) & 0xFF
+          if (cb < 0x80 || cb >= 0xC0) valid = false
           j += 1
         }
-        if (!letterOrNumber(cp)) punct += cpLen
-        i += cpLen
+        if (!valid) {
+          punct += 1
+          i += 1
+        } else {
+          var cp = b & (if (cpLen == 4) 0x07 else if (cpLen == 3) 0x0F else 0x1F)
+          j = 1
+          while (j < cpLen) {
+            cp = (cp << 6) | (bytes(i + j) & 0x3F)
+            j += 1
+          }
+          if (!letterOrNumber(cp)) punct += cpLen
+          i += cpLen
+        }
       }
     }
 

@@ -499,6 +499,45 @@ object Dedup {
         col("cluster_size"))
   }
 
+  /** SEMANTIC dedup composition (the SemDeDup shape) over an embedding
+    * near-dup pair graph: connected-component clusters, then keep the
+    * most CENTRAL member of each cluster — the member with the highest
+    * dot product against the centroid of the cluster's L2-normalized
+    * vectors (lowest id on ties). Unlike keep-first or
+    * keep-best-by-quality, the survivor is the best semantic
+    * representative of its duplicate neighborhood.
+    *
+    * Determinism (for the exact cross-engine oracle): members are
+    * normalized with the established left-to-right double arithmetic
+    * ([[Similarity.normalizedVectors]] / codegen DotProduct); each
+    * per-lane centroid is rounded to 6 decimals BEFORE the
+    * member-centroid dot, so both engines dot bit-identical inputs;
+    * the score is rounded to 6.
+    *
+    * Shape: pairs -> CC (union-find finish / pointer jumping), ONE
+    * posexplode + (cluster, lane) aggregation for centroids (linear in
+    * rows x dim), a cluster-count-sized centroid table joined back, and
+    * the [[keepBest]] struct-max survivor agg — no quadratic step
+    * beyond the pair graph itself. */
+  def semanticKeepCentral(df: DataFrame, idCol: Column, vecCol: Column,
+                          pairs: DataFrame): DataFrame = {
+    val vecs = Similarity.normalizedVectors(df, idCol.cast("long"), vecCol)
+    val asg = clusters(df, idCol, pairs)
+    val withC = vecs.join(asg, "id")
+    val cent = withC.select(col("cluster_id"), posexplode(col("vec")))
+      .groupBy(col("cluster_id"), col("pos"))
+      .agg(round(avg(col("col")), 6).as("cv"))
+      .groupBy(col("cluster_id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("cv")))),
+        x => x.getField("cv")).as("__cent"))
+    val scored = withC.join(cent, "cluster_id")
+      .select(col("id"),
+        round(graft.expressions.DotProduct(col("vec"), col("__cent")), 6)
+          .as("__score"))
+    keepBest(asg, scored, col("id"), col("__score"))
+  }
+
   // ----------------------------------------------- duplicated-span scan
 
   /** Cross-document duplicated-SPAN detection: the substring-level dedup
@@ -522,8 +561,13 @@ object Dedup {
   def duplicatedSpans(df: DataFrame, textCol: Column, idCol: Column,
                       chunkTokens: Int = 16): DataFrame = {
     def chunkFps(t: Column): Column = {
-      // split on single space — the reference's word definition
-      // (tf_utils.py:44-51), same tokenization as TextAnalysis.tokens
+      // split on single LITERAL space — the reference's word definition
+      // (tf_utils.py:44-51). NOTE this deliberately differs from
+      // TextAnalysis.tokens (\s+ with empties filtered): consecutive
+      // spaces yield empty tokens and tab/newline-separated words stay
+      // joined, mirrored 1:1 by the DuckDB oracle. For the \s+ word
+      // definition with overlapping windows see
+      // [[duplicatedSpansRolling]].
       val toks = split(t, " ")
       val nChunks = (size(toks) / chunkTokens).cast("int")
       when(nChunks <= 0, array()).otherwise(
@@ -540,5 +584,70 @@ object Dedup {
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
+  }
+
+  /** Token hash for the rolling-span scan, fast path: xxhash64 reduced
+    * mod the rolling modulus (Spark-only — no DuckDB twin). */
+  def spanTokenHashXx(t: Column): Column =
+    pmod(xxhash64(t), lit(graft.expressions.RollingWindowHashes.M))
+
+  /** md5-anchored twin: first 8 md5 hex chars mod M — bit-replicable in
+    * any engine with md5, so the declared query has an exact oracle. */
+  def spanTokenHashMd5(t: Column): Column =
+    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+      lit(graft.expressions.RollingWindowHashes.M))
+
+  /** Rolling-hash duplicated-span scan with OVERLAPPING windows — the
+    * recall upgrade over [[duplicatedSpans]]'s aligned fixed chunks: a
+    * duplicated passage is caught wherever it starts, not only when it
+    * lands on a chunk boundary (the main recall gap vs real
+    * suffix-array dedup). Every w-token window is fingerprinted by the
+    * O(1)-per-step Rabin-Karp update ([[graft.expressions.RollingWindowHashes]]);
+    * a window is duplicated iff its fingerprint recurs corpus-wide.
+    * Word definition here is `TextAnalysis.tokens` (\s+, empties
+    * filtered) — unlike the fixed-chunk scan, which keeps the
+    * reference's single-space split.
+    *
+    * Output per doc with >= 1 window: (id, n_windows, n_dup_windows,
+    * max_dup_run) — max_dup_run is the longest run of CONSECUTIVE
+    * duplicated windows, i.e. (longest duplicated span) - w + 1 tokens,
+    * the signal span-trim policies threshold on.
+    *
+    * Shape: ~n_tokens rows exploded (overlap makes this w x the chunk
+    * scan's volume — inherent to unaligned detection), ONE hash shuffle
+    * to count fingerprints, one join back, then per-doc aggregation;
+    * the run detection is a per-DOC window sort (state bounded by doc
+    * length), gaps-and-islands on window position. Linear end to end,
+    * no candidate pairs. Fingerprint collisions (M = 2^31-1) can mark
+    * a window duplicated spuriously but identically in every engine —
+    * the oracle replays the same hashes. */
+  def duplicatedSpansRolling(df: DataFrame, textCol: Column, idCol: Column,
+                             windowTokens: Int = 16,
+                             hashFn: Column => Column = spanTokenHashXx): DataFrame = {
+    // shuffle raw rows before the heavy expression (single-row-group
+    // scan hazard, same rationale as ngramJaccardPairs); the exchange
+    // also lets both fingerprint consumers reuse one materialization
+    val wins = df.select(idCol.as("id"), textCol.as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), posexplode(
+        graft.expressions.RollingWindowHashes(
+          transform(TextAnalysis.tokens(col("__text")), hashFn),
+          windowTokens)))
+      .select(col("id"), col("pos"), col("col").as("fp"))
+    val counts = wins.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val marked = wins.join(counts, "fp")
+      .select(col("id"), col("pos"), (col("c") >= 2).as("dup"))
+    val tot = marked.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
+    val runs = marked.filter(col("dup"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("pos"))))
+      .groupBy(col("id"), (col("pos") - col("rn")).as("grp"))
+      .agg(count(lit(1)).as("run"))
+      .groupBy(col("id")).agg(max(col("run")).as("max_dup_run"))
+    tot.join(runs, Seq("id"), "left")
+      .select(col("id"), col("n_windows"), col("n_dup_windows"),
+        coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 }

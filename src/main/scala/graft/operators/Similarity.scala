@@ -31,6 +31,11 @@ object Similarity {
     * inside the per-element lambda would re-evaluate the O(dim) dot
     * product per element (O(dim^2) per row; transform lambdas get no
     * common-subexpression elimination). */
+  /** Public (id, vec) projection of the normalized form for composition
+    * operators (e.g. [[Dedup.semanticKeepCentral]]). */
+  def normalizedVectors(df: DataFrame, id: Column, vec: Column): DataFrame =
+    normalized(df, id, vec, "id", "vec")
+
   private def normalized(df: DataFrame, id: Column, vec: Column,
                          idName: String, vecName: String): DataFrame =
     df.select(id.as(idName), vec.as("__v"))

@@ -81,9 +81,11 @@ object Splits {
     * t_s = (total * targetNum / targetDen) * w_s / sum(w), all INTEGER
     * division; a row survives iff u32(id) * n_s < t_s * 2^32 where u32
     * is the first-8-hex-chars md5 uniform — pure 64-bit integer
-    * arithmetic end to end (u32 < 2^32 and n_s, t_s bounded by corpus
-    * rows keep the products inside a long for corpora under ~2^31
-    * rows per source), so membership is bit-exact in any engine, stable
+    * arithmetic end to end (u32 < 2^32; n_s < 2^31 is ASSERTED at
+    * runtime via raise_error and t_s is clamped to n_s — a
+    * semantics-preserving bound, since t >= n already admits every
+    * row — so no product can silently wrap), membership is bit-exact
+    * in any engine, stable
     * under repartitioning/retries, and monotone in t_s (raising a
     * source's weight only ADDS rows). Sources absent from `weights` get
     * weight `defaultWeight`.
@@ -106,11 +108,24 @@ object Splits {
     // float rate would reintroduce the cross-engine rounding hazard
     // this operator exists to avoid. * and DIV share precedence
     // left-assoc: ((((total*num) div den) * w) div sumw).
+    // integer-envelope guard: membership multiplies u32 (< 2^32) by __n
+    // and __t by 2^32, which stays inside a signed long only while both
+    // are < 2^31. Counts are asserted at runtime (fail loudly instead
+    // of silently wrapping); __t is clamped to __n, which is
+    // semantics-preserving — t >= n already admits EVERY row of the
+    // source (u32*n < n*2^32 always), so the clamp changes no
+    // membership while bounding __t by the guarded __n.
+    val nGuarded = when(col("__n") >= lit(2147483648L),
+      raise_error(concat(lit("mixSources: source "), col("__src"),
+        lit(" has >= 2^31 rows; split it before mixing (membership " +
+          "arithmetic would overflow)"))).cast("long"))
+      .otherwise(col("__n"))
     val rates = perSource.crossJoin(broadcast(totals))
       .select(col("__src"),
-        col("__n"),
-        expr(s"__total * $targetNum DIV $targetDen * __w DIV __sumw")
-          .as("__t"))
+        nGuarded.as("__n"),
+        least(
+          expr(s"__total * $targetNum DIV $targetDen * __w DIV __sumw"),
+          col("__n")).as("__t"))
     val u32 = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("long")
     df.join(broadcast(rates), sourceCol === col("__src"))

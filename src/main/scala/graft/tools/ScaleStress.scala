@@ -81,6 +81,10 @@ object ScaleStress {
       Dedup.duplicatedSpans(docs.limit(1000000), col("text"), col("id"),
         chunkTokens = 8).count()
     }
+    time("rolling-span scan (1M docs, overlapping 8-token windows)") {
+      Dedup.duplicatedSpansRolling(docs.limit(1000000), col("text"),
+        col("id"), windowTokens = 8).count()
+    }
     time("incremental dedup (20% delta vs 80% base)") {
       Dedup.incremental(
         docs.filter(pmod(col("id"), lit(5)) =!= 0),
@@ -157,6 +161,18 @@ object ScaleStress {
         threshold = 0.9, dim = 64, nBits = 16, nTables = 4,
         maxBucketSize = 2000).count()
       println(s"[stress]   near-dup pairs found: $n")
+    }
+    // full SemDeDup composition: pair graph big enough (~> 500k edges)
+    // to force the distributed pointer-jump CC path, then centroids +
+    // keep-central over every cluster
+    time("semantic dedup keep-central (100k vecs, CC + centroids)") {
+      val v100 = vecs.filter(col("vec_id") < 100000)
+      val pairs = Similarity.cosinePairsLsh(v100,
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, dim = 64, nBits = 16, nTables = 4,
+        maxBucketSize = 2000)
+      Dedup.semanticKeepCentral(v100, col("vec_id"), col("embedding"),
+        pairs).count()
     }
     spark.stop()
   }

@@ -267,4 +267,26 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSeq
     got shouldBe Seq((1L, 2L))
   }
+
+  test("semanticKeepCentral keeps the centroid-nearest member per cluster") {
+    val th = math.Pi / 12 // 15 degrees between neighbors
+    def vec(a: Double) = Seq(math.cos(a).toFloat, math.sin(a).toFloat)
+    val emb = Seq(
+      (1L, vec(0)), (2L, vec(th)), (3L, vec(2 * th)), // one cluster
+      (9L, vec(1.2))                                   // singleton
+    ).toDF("vec_id", "embedding")
+    val pairs = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("id_a", "id_b")
+    val out = graft.operators.Dedup.semanticKeepCentral(
+      emb, $"vec_id", $"embedding", pairs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    // the middle vector (id 2) is closest to the cluster centroid —
+    // keep-first would arbitrarily keep id 1
+    out(1L)._1 shouldBe 2L
+    out(1L)._3 shouldBe 3L
+    // singleton survives as its own keeper, score = |v.round(v)| ~ 1
+    out(9L)._1 shouldBe 9L
+    out(9L)._3 shouldBe 1L
+    out(9L)._2 shouldBe 1.0 +- 1e-5
+  }
 }

@@ -233,4 +233,79 @@ class TextDedupSpec extends SparkSpec {
     val s = df.select(TextAnalysis.qualityScore($"t")).as[Double].collect()
     s(0) should be > s(1)
   }
+
+  test("rolling window hashes == direct polynomial recompute (driver)") {
+    import graft.expressions.RollingWindowHashes.{M, powers}
+    val w = 5
+    val texts = Seq(
+      "a b c d e f g h i j k",
+      "one two three four five",       // exactly w tokens -> 1 window
+      "too short",                      // < w tokens -> no windows
+      "x  y\tz   p \n q r s t u v")     // messy whitespace
+    val got = texts.toDF("t")
+      .select(graft.expressions.RollingWindowHashes(
+        transform(TextAnalysis.tokens($"t"), Dedup.spanTokenHashMd5 _),
+        w).as("h"))
+      .as[Seq[Long]].collect().toSeq
+    def md5u32(s: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % M
+    }
+    val pw = powers(w)
+    val expected = texts.map { t =>
+      val toks = t.trim.split("\\s+").filter(_.nonEmpty).map(md5u32)
+      if (toks.length < w) Seq.empty[Long]
+      else toks.sliding(w).map(win =>
+        win.zip(pw).map { case (h, p) => h * p % M }.sum % M).toSeq
+    }
+    // the expression computes via the O(1) rolling update, the
+    // recompute via the direct polynomial — equality pins both the
+    // update algebra and the oracle's replay form
+    got shouldBe expected
+  }
+
+  test("rolling span scan: planted duplicate passage found at any offset") {
+    val passage = "alpha beta gamma delta epsilon zeta eta theta"
+    val docs = Seq(
+      (1L, s"unique lead-in words here then $passage and a tail"),
+      (2L, s"$passage totally different continuation text follows now"),
+      (3L, "no shared content in this document at all whatsoever ok")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpansRolling(docs, $"text", $"doc_id",
+      windowTokens = 8)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // the 8-token passage starts at offset 5 in doc 1 and offset 0 in
+    // doc 2 — aligned chunking (chunk 0 = tokens 0-7) would MISS the
+    // doc-1 occurrence; overlapping windows catch both
+    out(1L)._2 shouldBe 1L   // exactly the passage window duplicated
+    out(2L)._2 shouldBe 1L
+    out(3L)._2 shouldBe 0L
+    out(1L)._3 shouldBe 1L   // max run = the single shared window
+    // window counts: n_tokens - w + 1 (doc 1 has 16 tokens: 5 lead-in
+    // + 8 passage + 3 tail)
+    out(1L)._1 shouldBe (16L - 8 + 1)
+    out(3L)._1 shouldBe (10L - 8 + 1)
+    // and the fixed-chunk scan indeed misses the unaligned copy
+    val chunked = Dedup.duplicatedSpans(docs, $"text", $"doc_id",
+      chunkTokens = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    chunked(1L) shouldBe 0L
+  }
+
+  test("rolling span scan: long duplicated span yields a run, not one hit") {
+    val span = (1 to 20).map(i => s"tok$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"$span trailing unique suffix one"),
+      (2L, s"prefix unique two $span")).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpansRolling(docs, $"text", $"doc_id",
+      windowTokens = 16)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    // 20-token span, w=16 -> 5 consecutive duplicated windows per doc
+    out(1L)._2 shouldBe 5L
+    out(1L)._3 shouldBe 5L
+    out(2L)._3 shouldBe 5L
+  }
 }

@@ -91,4 +91,22 @@ class TextStatsKernelSpec extends SparkSpec {
     row.getAs[Long]("m_de") shouldBe 1L // "und"
     row.getAs[Long]("m_en") shouldBe 2L // "The"->the, "the"
   }
+
+  test("kernel: malformed UTF-8 counts per invalid byte, swallows nothing") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val K = graft.expressions.TextStats.Kernel
+    def punct(bytes: Array[Byte]): Long =
+      K.compute(UTF8String.fromBytes(bytes)).getLong(3)
+    // lone continuation byte: 1 invalid-punct byte; the following 'a'
+    // is alnum and must NOT be consumed as a continuation
+    punct(Array(0x80.toByte, 'a'.toByte)) shouldBe 1L
+    // 2-byte lead followed by ASCII (broken sequence): lead counts 1,
+    // decode resyncs so 'A' stays alnum
+    punct(Array(0xC3.toByte, 'A'.toByte)) shouldBe 1L
+    // truncated 3-byte sequence at end of input: lead 1 + orphan cont 1
+    punct(Array(0xE2.toByte, 0x82.toByte)) shouldBe 2L
+    // well-formed multi-byte still counted by codepoint category/mass
+    punct("é".getBytes("UTF-8")) shouldBe 0L  // letter
+    punct("¡".getBytes("UTF-8")) shouldBe 2L  // 2-byte punctuation
+  }
 }
