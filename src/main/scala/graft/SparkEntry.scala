@@ -522,7 +522,10 @@ object SparkEntry {
     "profile_lineitem" -> { (s, dir) =>
       graft.functions.Profiler.profile(Tables(s, dir, "lineitem"),
         Seq("l_orderkey", "l_suppkey", "l_linenumber", "l_quantity",
-          "l_extendedprice", "l_returnflag", "l_linestatus"))
+          "l_extendedprice", "l_returnflag", "l_linestatus"),
+        // md5-anchored hash so the oracle replays the sketch exactly;
+        // the xxhash64 fast path stays the library default
+        hashFn = graft.functions.Kmv.u32)
     },
 
     // ------------------------------------- relational coverage (§2.4)

@@ -32,10 +32,23 @@ import org.apache.spark.sql.functions._
 object Kmv {
 
   /** u32 hash of a rendered value: first 8 hex chars of md5, as a long
-    * in [0, 2^32). Null in -> null out (callers filter, matching SQL
-    * `count(DISTINCT)` null semantics). */
+    * in [0, 2^32). Null in -> null out (callers filter or sentinel,
+    * matching SQL `count(DISTINCT)` null semantics). md5 is the
+    * ANCHORED variant — any engine replays it — but costs ~1us/value;
+    * [[u32Xx]] is the fast library default. */
   def u32(rendered: Column): Column =
     conv(substring(md5(rendered.cast("string")), 1, 8), 16, 10).cast("long")
+
+  /** Fast-path u32: xxhash64 folded into [0, 2^32) (codegen'd, no hex
+    * round-trip). Spark-only — no cross-engine twin — so the declared
+    * oracle query keeps [[u32]]; estimates differ from the md5 sketch
+    * only within KMV error (different uniform hash family). Explicitly
+    * null-gated: unlike md5, xxhash64 maps a null input to the seed
+    * hash instead of null, which would count nulls as a value. */
+  def u32Xx(rendered: Column): Column = {
+    val r = rendered.cast("string")
+    when(r.isNotNull, pmod(xxhash64(r), lit(4294967296L)))
+  }
 
   /** Bounded min-k-distinct buffer with the TopK compaction discipline:
     * appends are O(1), the buffer is deduped+sorted+truncated to k only
@@ -60,6 +73,11 @@ object Kmv {
     override def zero: ArrayBuffer[Long] = ArrayBuffer.empty[Long]
 
     override def reduce(b: ArrayBuffer[Long], h: Long): ArrayBuffer[Long] = {
+      // negative input is the NULL sentinel (hashes live in [0, 2^32)):
+      // callers feed coalesce(u32(...), -1) so the whole profile can run
+      // as ONE multi-column agg pass — a per-column null filter would
+      // force the melted two-pass shape back
+      if (h < 0) return b
       b += h
       if (b.length >= cap) compact(b) else b
     }

@@ -8,17 +8,15 @@ import org.apache.spark.sql.types.{DoubleType, FloatType}
   * (null rates, cardinalities, value ranges per column), emitted as one
   * narrow (column, stat...) table.
   *
-  * Default ([[profile]]) is the 100 TB shape — two linear passes, NO
-  * full-width distinct shuffle:
-  *   1. nulls + min/max: one ordinary aggregation (map-side partials,
-  *      bytes of state);
-  *   2. cardinalities: melt to (column, u32 value hash) and feed a
-  *      [[Kmv]] k-minimum-values sketch per column — the melt is
-  *      map-side only (partial aggregation bounds the shuffle to <=k
-  *      longs per column per partition), state is k longs per column,
-  *      and the estimate is deterministic integer arithmetic, so the
-  *      DuckDB oracle replays it EXACTLY (unlike HLL). Estimates are
-  *      exact below k distinct values, ~1/sqrt(k-2) error above.
+  * Default ([[profile]]) is the 100 TB shape — ONE scan, no distinct
+  * shuffle at all: per column, nulls + rendered min/max (declarative
+  * aggs, bytes of state) and a [[Kmv]] k-minimum-values cardinality
+  * sketch (typed imperative agg, k longs of state, null-sentinel
+  * input) all run in a single global aggregation; the shuffle carries
+  * one <=4k-long partial buffer per column per partition. The KMV
+  * estimate is deterministic integer arithmetic, so the DuckDB oracle
+  * replays it EXACTLY (unlike HLL). Estimates are exact below k
+  * distinct values, ~1/sqrt(k-2) error above.
   *
   * [[profileExact]] keeps the exact melt+distinct variant (one shuffle
   * of the melted rows x cols stream) as the verification twin — the
@@ -58,21 +56,33 @@ object Profiler {
   }
 
   /** Default profile: KMV cardinality estimates (`n_distinct_est`),
-    * bounded state end to end. */
-  def profile(df: DataFrame, cols: Seq[String], k: Int = 1024): DataFrame = {
+    * bounded state end to end — and ONE scan total: every column's
+    * nulls/min/max (declarative aggs) and KMV sketch (typed imperative
+    * agg, null-sentinel input) run in a single global aggregation, so
+    * nothing is melted or shuffled beyond k-long partial buffers. */
+  def profile(df: DataFrame, cols: Seq[String], k: Int = 1024,
+              hashFn: Column => Column = Kmv.u32Xx): DataFrame = {
     val kmv = udaf(new Kmv.KmvAggregator(k))
-    val hashed = df
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
+        min(renderedCol(df, c)).cast("string").as(s"${c}__min"),
+        max(renderedCol(df, c)).cast("string").as(s"${c}__max"),
+        // -1 = null sentinel skipped by the sketch (count(DISTINCT)
+        // ignores nulls); real hashes are u32 >= 0
+        kmv(coalesce(hashFn(renderedCol(df, c)), lit(-1L)))
+          .as(s"${c}__nd"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { c =>
-        struct(lit(c).as("col_name"), Kmv.u32(renderedCol(df, c)).as("h"))
-      }: _*)).as("m"))
-      .select(col("m.col_name").as("col_name"), col("m.h").as("h"))
-      .filter(col("h").isNotNull) // count(DISTINCT) ignores nulls
-    val distincts = hashed.groupBy(col("col_name"))
-      .agg(kmv(col("h")).as("n_distinct_est"))
-    basicStats(df, cols).join(distincts, Seq("col_name"), "left")
-      .select(col("col_name"), col("n_nulls"),
-        coalesce(col("n_distinct_est"), lit(0L)).as("n_distinct_est"),
-        col("min_val"), col("max_val"))
+        struct(lit(c).as("col_name"),
+          col(s"${c}__nulls").cast("long").as("n_nulls"),
+          col(s"${c}__nd").cast("long").as("n_distinct_est"),
+          col(s"${c}__min").as("min_val"),
+          col(s"${c}__max").as("max_val"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.n_nulls"),
+        col("p.n_distinct_est"), col("p.min_val"), col("p.max_val"))
   }
 
   /** Exact-cardinality twin: melt to (column, rendered value),
