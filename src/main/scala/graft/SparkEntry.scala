@@ -155,6 +155,15 @@ object SparkEntry {
         col("lang"), col("text"), col("doc_id"), k = 10)
         .withColumnRenamed("group", "lang")
     },
+    // Corpus-self-trained bigram LM novelty (the log-free stand-in for
+    // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
+    // conditional probabilities — exact-integer ratios, DECIMAL
+    // accumulation, no ln() (libm ulps differ across engines).
+    "text_novelty_bigram" -> { (s, dir) =>
+      graft.functions.NgramModel.bigramNovelty(
+        Tables(s, dir, "documents"), col("text"), col("doc_id"))
+        .withColumnRenamed("id", "doc_id")
+    },
 
     // -------------------------------------------------------------- dedup
     "dedup_exact_documents" -> { (s, dir) =>
@@ -909,6 +918,24 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "text_quality_gopher" -> graft.functions.Gopher.Sql.query,
+    "text_novelty_bigram" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w AS prev, count(*) AS c_uni
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |big AS (
+        |  SELECT doc_id, t[i] AS prev, t[i + 1] AS cur
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t))) AS i
+        |        FROM toks WHERE len(t) >= 2)),
+        |bc AS (SELECT prev, cur, count(*) AS c_bi FROM big GROUP BY 1, 2)
+        |SELECT b.doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(CAST(round(u.c_uni / c.c_bi, 6) AS DECIMAL(28,6)))
+        |    * 1000000 AS BIGINT) AS novelty_e6
+        |FROM big b JOIN bc c USING (prev, cur) JOIN uni u USING (prev)
+        |GROUP BY b.doc_id""".stripMargin,
     "text_tfidf_by_lang" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -294,6 +294,20 @@ class TextDedupSpec extends SparkSpec {
     chunked(1L) shouldBe 0L
   }
 
+  test("bigram novelty: hand-computed inverse-probability goldens") {
+    // unigrams: a:3 b:2 c:1; bigrams: (a,b):2 (a,c):1
+    val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.NgramModel
+      .bigramNovelty(docs, $"text", $"doc_id")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    out(1L) shouldBe ((1L, 1500000L)) // a->b: 3/2 = 1.5
+    out(2L) shouldBe ((1L, 1500000L))
+    out(3L) shouldBe ((1L, 3000000L)) // a->c: 3/1 = 3 — rarer, scores higher
+    out.contains(4L) shouldBe false   // single-token doc has no bigrams
+  }
+
   test("rolling span scan: long duplicated span yields a run, not one hit") {
     val span = (1 to 20).map(i => s"tok$i").mkString(" ")
     val docs = Seq(
