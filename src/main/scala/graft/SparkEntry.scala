@@ -215,6 +215,28 @@ object SparkEntry {
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp)
     },
+    // CSV interchange roundtrip: standard RFC-style quoting (escape =
+    // doubled quote, not Spark's nonstandard backslash default) +
+    // multiLine read so embedded newlines/quotes/commas survive;
+    // schema pinned on read — no inference pass over 100 TB.
+    "source_csv_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = scratchDir("csv")
+      // univocity TRIMS leading/trailing blanks by default on BOTH
+      // sides (write defaults true, read trims too) — turn it off
+      // everywhere or values silently mutate in the roundtrip
+      docs.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
+      s.read.schema(docs.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp)
+    },
     // Keep-BEST dedup: per n-gram-Jaccard duplicate cluster, keep the
     // highest-quality member (lowest doc_id on ties) — the survivor
     // rule production dedup ships. Clusters from the exact pair graph;
@@ -1148,6 +1170,8 @@ object SparkEntry {
          |FROM q JOIN thr USING (lang) GROUP BY 1, 2""".stripMargin
     },
     "source_jsonl_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "source_csv_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_incremental_documents" -> {
       import TextAnalysis.Sql.{fingerprint => fpr}

@@ -109,6 +109,43 @@ class PipelineOpsSpec extends SparkSpec {
     estBig.toDouble shouldBe 50000.0 +- 50000.0 * 0.25
   }
 
+  test("csv interchange: hostile strings survive the roundtrip") {
+    val rows = Seq(
+      (1L, "plain text"),
+      (2L, "comma, inside"),
+      (3L, "a \"quoted\" word"),
+      (4L, "line\nbreak and \r carriage"),
+      (5L, ""),
+      (6L, "trailing space "),
+      (7L, "unicode ✓ ünïcode 中文"))
+    val df = rows.toDF("id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csvspec")
+    try {
+      df.write.mode("overwrite")
+        .option("header", "true").option("escape", "\"")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp.toString)
+      val back = spark.read.schema(df.schema)
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .csv(tmp.toString)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // Spark's CSV writer emits empty string as an empty (null) field;
+      // every OTHER value must round-trip byte-identically
+      rows.filter(_._2.nonEmpty).foreach { case (id, t) =>
+        back(id) shouldBe t
+      }
+      (back(5L) == null || back(5L) == "") shouldBe true
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmp).iterator().asScala.toSeq.reverse
+        .foreach(p => java.nio.file.Files.deleteIfExists(p))
+    }
+  }
+
   test("redact: typed placeholders replace every match, counts agree") {
     val df = Seq(
       (1L, "mail a@b.co and c.d-e@f.org now"),

@@ -64,4 +64,21 @@ class PlanAuditSpec extends SparkSpec {
       withClue(offences.mkString("\n")) { offences shouldBe empty }
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
+
+  test("column pruning reaches the parquet scan on relational queries") {
+    // every rel_* query touches a SUBSET of lineitem's 11 columns; a
+    // scan whose ReadSchema carries all 11 means a projection stopped
+    // being pushed down (the 2-column-projection-reads-everything
+    // regression the brief calls out explicitly)
+    val offences = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(_._1.startsWith("rel_"))
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        "ReadSchema: struct<([^>]*)>".r.findAllMatchIn(plan)
+          .map(_.group(1).count(_ == ',') + 1)
+          .filter(_ >= 11)
+          .map(n => s"$name: scan reads $n columns (pruning lost)")
+      }
+    withClue(offences.mkString("\n")) { offences shouldBe empty }
+  }
 }
