@@ -215,6 +215,15 @@ object SparkEntry {
       docs.write.mode("overwrite").json(tmp)
       s.read.schema(docs.schema).json(tmp)
     },
+    // ORC interchange roundtrip (the other columnar format warehouses
+    // exchange): native Spark ORC source, schema preserved by the
+    // format itself — proves the engine is not parquet-bound.
+    "source_orc_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = scratchDir("orc")
+      docs.write.mode("overwrite").orc(tmp)
+      s.read.schema(docs.schema).orc(tmp)
+    },
     // CSV interchange roundtrip: standard RFC-style quoting (escape =
     // doubled quote, not Spark's nonstandard backslash default) +
     // multiLine read so embedded newlines/quotes/commas survive;
@@ -1172,6 +1181,8 @@ object SparkEntry {
     "source_jsonl_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "source_csv_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "source_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_incremental_documents" -> {
       import TextAnalysis.Sql.{fingerprint => fpr}
