@@ -282,6 +282,14 @@ object SparkEntry {
         col("text"), col("doc_id"), chunkTokens = 16)
         .withColumnRenamed("id", "doc_id")
     },
+    // Span REMOVAL (the action after the flag): rewrite each doc with
+    // corpus-duplicated chunks cut out, trailing partial chunk kept —
+    // docs are never lost, all-duplicate docs become "".
+    "dedup_spans_trim_documents" -> { (s, dir) =>
+      Dedup.trimDuplicatedSpans(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), chunkTokens = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
     // Rolling-hash span scan with OVERLAPPING windows (unaligned
     // duplicated passages — the recall gap aligned chunks leave);
     // md5-anchored token hashes so the Rabin-Karp fingerprints replay
@@ -1208,6 +1216,22 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_dup_chunks
         |FROM chunks JOIN cnt USING (fp) GROUP BY 1""".stripMargin,
+    "dedup_spans_trim_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |chunks AS (
+        |  SELECT doc_id, i,
+        |    array_to_string(list_slice(t, i*16+1, (i+1)*16), ' ') AS chunk
+        |  FROM (SELECT doc_id, t, unnest(range(0, (len(t) + 15) // 16)) AS i
+        |        FROM toks)),
+        |cnt AS (SELECT md5(chunk) AS fp, count(*) AS c
+        |        FROM chunks GROUP BY 1)
+        |SELECT c2.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(count(*) FILTER (WHERE n.c < 2) AS BIGINT) AS n_kept,
+        |  coalesce(string_agg(CASE WHEN n.c < 2 THEN c2.chunk END, ' '
+        |    ORDER BY c2.i), '') AS trimmed_text
+        |FROM chunks c2 JOIN cnt n ON md5(c2.chunk) = n.fp
+        |GROUP BY c2.doc_id""".stripMargin,
     "dedup_spans_rolling_documents" -> {
       // direct-polynomial replay of the Rabin-Karp window hashes:
       // same md5-u32-mod-M token hashes, same positional weights

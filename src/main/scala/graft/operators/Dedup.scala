@@ -586,6 +586,48 @@ object Dedup {
         sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
   }
 
+  /** Span REMOVAL — the action step after [[duplicatedSpans]]' flag:
+    * rewrite each document with its corpus-duplicated chunks CUT OUT
+    * (boilerplate, licenses, templated passages), keeping everything
+    * else in order. Operates on the same single-space word stream and
+    * fixed `chunkTokens` chunking as the flag scan, with one deliberate
+    * difference: the trailing partial chunk is KEPT and fingerprinted
+    * (a trim must never silently drop content; the flag scan ignores
+    * the tail because a partial window is not a comparable span).
+    *
+    * Output: one row per doc — (id, n_chunks, n_kept, trimmed_text),
+    * trimmed_text = kept chunks joined by single spaces ("" when every
+    * chunk was duplicated). Docs are never lost: the conditional
+    * collect aggregates over ALL chunks.
+    *
+    * Shape: same linear topology as the flag scan — explode, ONE md5
+    * count shuffle, join back, one per-doc aggregation whose
+    * reassembly is the (pos, payload) collect + array_sort idiom;
+    * state per doc bounded by doc length. */
+  def trimDuplicatedSpans(df: DataFrame, textCol: Column, idCol: Column,
+                          chunkTokens: Int = 16): DataFrame = {
+    def chunksOf(t: Column): Column = {
+      val toks = split(t, " ")
+      val nChunks =
+        ((size(toks) + lit(chunkTokens - 1)) / lit(chunkTokens)).cast("int")
+      transform(sequence(lit(0), nChunks - 1),
+        i => array_join(slice(toks, i * chunkTokens + 1, lit(chunkTokens)), " "))
+    }
+    val chunks = df.select(idCol.as("id"), textCol.as("__text"))
+      .repartition(col("id"))
+      .select(col("id"), posexplode(chunksOf(col("__text"))))
+      .select(col("id"), col("pos"), col("col").as("chunk"))
+      .withColumn("fp", md5(col("chunk")))
+    val counts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    chunks.join(counts, "fp")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("c") < 2, 1L).otherwise(0L)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(
+          when(col("c") < 2, struct(col("pos"), col("chunk"))))),
+          x => x.getField("chunk")), " ").as("trimmed_text"))
+  }
+
   /** Token hash for the rolling-span scan, fast path: xxhash64 reduced
     * mod the rolling modulus (Spark-only — no DuckDB twin). */
   def spanTokenHashXx(t: Column): Column =

@@ -294,6 +294,24 @@ class TextDedupSpec extends SparkSpec {
     chunked(1L) shouldBe 0L
   }
 
+  test("trimDuplicatedSpans: duplicated chunks cut, order and tail kept") {
+    val boiler = (1 to 4).map(i => s"b$i").mkString(" ") // one 4-token chunk
+    val docs = Seq(
+      (1L, s"$boiler u1 u2 u3 u4 tail1 tail2"), // boiler + unique + tail
+      (2L, s"$boiler v1 v2 v3 v4"),             // boiler + unique
+      (3L, "w1 w2 w3 w4 w5")                    // untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicatedSpans(docs, $"text", $"doc_id",
+      chunkTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: chunks [boiler][u1..u4][tail1 tail2]; boiler recurs -> cut
+    out(1L) shouldBe ((3L, 2L, "u1 u2 u3 u4 tail1 tail2"))
+    out(2L) shouldBe ((2L, 1L, "v1 v2 v3 v4"))
+    // doc 3: nothing duplicated, partial tail chunk [w5] preserved
+    out(3L) shouldBe ((2L, 2L, "w1 w2 w3 w4 w5"))
+  }
+
   test("bigram novelty: hand-computed inverse-probability goldens") {
     // unigrams: a:3 b:2 c:1; bigrams: (a,b):2 (a,c):1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))
