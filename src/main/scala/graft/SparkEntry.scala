@@ -155,6 +155,16 @@ object SparkEntry {
         col("lang"), col("text"), col("doc_id"), k = 10)
         .withColumnRenamed("group", "lang")
     },
+    // Tokenizer-vocab precursor: corpus-wide token frequency top-k with
+    // the cumulative coverage curve (what fraction of all occurrences a
+    // vocab truncated at each rank covers). One corpus shuffle of
+    // (token, count) partials; top-k is sort-limit (TakeOrdered), the
+    // window runs over the k-row result only; coverage is one IEEE
+    // division of exact integers.
+    "vocab_top_tokens" -> { (s, dir) =>
+      graft.functions.Vocab.topTokens(
+        Tables(s, dir, "documents"), col("text"), k = 50)
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -316,6 +326,16 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_doc_id"))
+    },
+    // C4-style per-source quota: at most 10 docs per source, the 10
+    // md5-smallest ids — absolute-count domain rebalancing (mixSources
+    // reweights by rate). Bounded top-k threshold per source broadcast
+    // back as a filter; the corpus never sorts, never shuffles.
+    "sample_source_cap" -> { (s, dir) =>
+      Splits.capPerSource(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), col("source"), cap = 10)
     },
     // Dirichlet-process label-mixture partitioning (the reference's 4th
     // example partitioner, group_by_dirichlet_process.py:130-145) made
@@ -995,6 +1015,28 @@ object SparkEntry {
         |  FROM scored)
         |SELECT lang, term, rank, score, tf, df
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "vocab_top_tokens" ->
+      // same full ordering key (cnt DESC, token) everywhere, so window
+      // RANGE peers are singletons and the running sum is ROWS-exact;
+      // HUGEINT sums cast to BIGINT before the one double division
+      """WITH cnt AS (
+        |  SELECT token, count(*) AS cnt FROM (
+        |    SELECT unnest(list_filter(string_split_regex(lower(text),
+        |      '\s+'), x -> x <> '')) AS token
+        |    FROM documents) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnt),
+        |top AS (SELECT token, cnt FROM cnt
+        |        ORDER BY cnt DESC, token LIMIT 50)
+        |SELECT CAST(row_number() OVER w AS INT) AS rank, token,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(CAST(sum(cnt) OVER w AS BIGINT) AS DOUBLE) / total
+        |    AS coverage
+        |FROM top, tot
+        |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    "sample_source_cap" ->
+      """SELECT doc_id, lang, source FROM documents
+        |QUALIFY row_number() OVER (PARTITION BY source
+        |  ORDER BY md5(CAST(doc_id AS VARCHAR))) <= 10""".stripMargin,
     "dedup_exact_documents" ->
       s"""SELECT md5(${TextAnalysis.Sql.normalized("text")}) AS fp,
          |  min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -181,4 +181,40 @@ object Splits {
     }
     spark.createDataFrame(sliced, schema)
   }
+
+  /** C4-style per-source QUOTA cap: keep at most `cap` rows per source,
+    * chosen deterministically — the domain-rebalancing step web-scale
+    * pipelines run so a handful of boilerplate-heavy domains can't
+    * dominate the training mixture ([[mixSources]] reweights by RATE;
+    * this bounds absolute COUNT).
+    *
+    * Selection: each row's rank key is md5 of its rendered id; the
+    * `cap` lexicographically-smallest keys per source survive. Keys are
+    * engine-exact and depend only on the id, so membership is stable
+    * under repartitioning/retries, reproducible in any engine
+    * (oracle-checkable), and monotone in `cap` (raising the cap only
+    * ADDS rows — a capped sample refines without resampling), the same
+    * properties [[stratifiedSample]] guarantees.
+    *
+    * Shape — deliberately NOT `row_number over (partition by source)`:
+    * that window shuffles and fully sorts every row of every domain on
+    * one reducer per domain (the skewed-domain worst case is the whole
+    * point of capping). Instead the `cap` smallest keys per source are
+    * found with the bounded [[graft.functions.TopK.TopTermsAggregator]]
+    * (map-side partials, O(cap) state at every stage), reduced to ONE
+    * threshold key per source, broadcast back, and applied as a filter —
+    * the corpus itself never sorts and never shuffles. Drop the
+    * broadcast hint if source cardinality is itself corpus-sized. */
+  def capPerSource(df: DataFrame, idCol: Column, sourceCol: Column,
+                   cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val key = md5(idCol.cast("string"))
+    val scored = df.select(sourceCol.as("group"), key.as("term"),
+      lit(0.0).as("score")) // constant score -> pure key-ASC top-k
+    val thresholds = graft.functions.TopK.perGroupTerms(scored, cap)
+      .groupBy(col("group")).agg(max(col("term")).as("__thr"))
+    df.join(broadcast(thresholds), sourceCol === col("group"))
+      .filter(key <= col("__thr"))
+      .drop("group", "__thr")
+  }
 }

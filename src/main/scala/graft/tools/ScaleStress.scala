@@ -96,6 +96,15 @@ object ScaleStress {
         Map("g0" -> 3L), defaultWeight = 1L,
         targetNum = 1L, targetDen = 2L).count()
     }
+    time("per-source quota cap (1001 skewed groups, cap 1000)") {
+      // g0 holds ~25% of the corpus — the exact shape where a
+      // row_number window would sort a quarter of the data on one
+      // reducer; the threshold design never sorts the corpus
+      Splits.capPerSource(docs, col("id"), col("key"), cap = 1000).count()
+    }
+    time("vocab top-1k + coverage (1000-word vocabulary)") {
+      graft.functions.Vocab.topTokens(docs, col("text"), k = 1000).count()
+    }
     time("single-pass TextStats battery (quality+langid)") {
       import graft.functions.TextAnalysis
       val p = TextAnalysis.profile(col("text"))

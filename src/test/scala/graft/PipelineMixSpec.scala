@@ -209,4 +209,59 @@ class PipelineMixSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     rows.foreach(r => r.getLong(2) shouldBe counts(r.getString(1)))
   }
+
+  // ------------------------------------------------- per-source quota
+
+  test("capPerSource: at most cap rows per source, window-equivalent") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+    val capped = Splits.capPerSource(docs, col("doc_id"), col("source"), 10)
+    val bySrc = capped.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy(col("source")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    bySrc.keySet shouldBe full.keySet
+    bySrc.foreach { case (s, n) => n shouldBe math.min(10L, full(s)) }
+    // exactly the window-formulation's selection (the shape it replaces)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(md5(col("doc_id").cast("string")))
+    val viaWindow = docs.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 10).drop("__rn")
+      .collect().map(_.getLong(0)).toSet
+    capped.collect().map(_.getLong(0)).toSet shouldBe viaWindow
+  }
+
+  test("capPerSource: monotone in cap (smaller cap is a subset)") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"))
+    val at5 = Splits.capPerSource(docs, col("doc_id"), col("source"), 5)
+      .collect().map(_.getLong(0)).toSet
+    val at15 = Splits.capPerSource(docs, col("doc_id"), col("source"), 15)
+      .collect().map(_.getLong(0)).toSet
+    at5.subsetOf(at15) shouldBe true
+    at5.size shouldBe 5 * 20
+    at15.size shouldBe 15 * 20
+  }
+
+  // ------------------------------------------------- vocab coverage
+
+  test("vocab topTokens: hand-computed counts and coverage curve") {
+    // occurrences: a:4 b:3 c:2 z:1 (total 10); ties none
+    val docs = Seq((1L, "a b a"), (2L, "B c a\tb"), (3L, "c  z A"))
+      .toDF("doc_id", "text")
+    val out = graft.functions.Vocab.topTokens(docs, col("text"), k = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(3)))
+    out shouldBe Array(
+      (1, "a", 4L, 0.4),
+      (2, "b", 3L, 0.7),
+      (3, "c", 2L, 0.9))
+  }
+
+  test("vocab topTokens: rank ties break by token ASC; k caps output") {
+    val docs = Seq((1L, "x y"), (2L, "y x z")).toDF("doc_id", "text")
+    val out = graft.functions.Vocab.topTokens(docs, col("text"), k = 2)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    out shouldBe Array((1, "x", 2L), (2, "y", 2L))
+  }
 }

@@ -24,8 +24,9 @@ class PlanAuditSpec extends SparkSpec {
     *  - similarity_topk/ann/rag: a BOUNDED query batch broadcast
     *    against the corpus (brute-force contract / Hamming multi-probe
     *    non-equi predicate) — corpus side streams, never shuffles;
-    *  - mix_sources_weighted / cohort_rounds_documents: a single-row
-    *    (or |rounds|-row) scalar-totals/roster broadcast cross join.
+    *  - mix_sources_weighted / cohort_rounds_documents /
+    *    vocab_top_tokens: a single-row (or |rounds|-row)
+    *    scalar-totals/roster broadcast cross join.
     * Anything NOT in this list growing a nested-loop node is a plan
     * regression. */
   private val nestedLoopByDesign: Set[String] = Set(
@@ -34,7 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_ann_embeddings",
     "rag_retrieval_pipeline",
     "mix_sources_weighted",
-    "cohort_rounds_documents")
+    "cohort_rounds_documents",
+    "vocab_top_tokens")
 
   /** Expand is legitimate for small grouping-set factors (rollup = d+1
     * projections) — anything wider than this is a blowup. */
