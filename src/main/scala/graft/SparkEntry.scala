@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cohorts, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
+import graft.operators.{Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -326,6 +326,37 @@ object SparkEntry {
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_doc_id"))
+    },
+    // Fixed-SIZE deterministic sample: exactly 100 docs (md5-smallest
+    // ids) — fixed-budget eval sets; TakeOrdered, corpus never sorts.
+    "sample_fixed_k_documents" -> { (s, dir) =>
+      Splits.sampleFixedK(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source")),
+        col("doc_id"), k = 100)
+    },
+    // Sliding-window doc chunking (RAG/embedding context prep):
+    // 16-token windows, stride 8 (overlapping) — row-local, ZERO
+    // shuffles; short final windows kept, empty docs yield no chunks.
+    "text_chunk_windows" -> { (s, dir) =>
+      Chunker.chunkWindows(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), windowTokens = 16, strideTokens = 8)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // Corpus VERSION diff (dataset-versioning audit): classify every id
+    // across two snapshots as added/removed/changed/unchanged by
+    // normalized-text fingerprint. Snapshots derived deterministically
+    // from the documents table (old = ids < 450; new = ids >= 50 with
+    // every 10th text edited) so the oracle replays both sides exactly.
+    "corpus_diff_versions" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val old = docs.filter(col("doc_id") < 450)
+      val neu = docs.filter(col("doc_id") >= 50)
+        .withColumn("text",
+          when(col("doc_id") % 10 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")))
+      CorpusDiff.diff(old, neu, col("doc_id"), col("text"))
+        .withColumnRenamed("id", "doc_id")
     },
     // C4-style per-source quota: at most 10 docs per source, the 10
     // md5-smallest ids — absolute-count domain rebalancing (mixSources
@@ -1033,6 +1064,36 @@ object SparkEntry {
         |    AS coverage
         |FROM top, tot
         |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    "sample_fixed_k_documents" ->
+      """SELECT doc_id, lang, source FROM documents
+        |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""".stripMargin,
+    "text_chunk_windows" ->
+      // DuckDB list_slice is 1-based inclusive-end: [i*8+1, i*8+16] ==
+      // Spark slice(toks, i*8+1, 16)
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split_regex(text, '\s+'),
+        |    x -> x <> '') AS t FROM documents),
+        |w AS (SELECT doc_id, t, unnest(range(0,
+        |    CASE WHEN len(t) = 0 THEN 0 ELSE (len(t) - 1) // 8 + 1 END))
+        |    AS i FROM toks)
+        |SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+        |  CAST(len(list_slice(t, i*8+1, i*8+16)) AS BIGINT) AS n_tokens,
+        |  array_to_string(list_slice(t, i*8+1, i*8+16), ' ') AS chunk_text
+        |FROM w""".stripMargin,
+    "corpus_diff_versions" ->
+      s"""WITH old AS (
+         |  SELECT doc_id, ${TextAnalysis.Sql.fingerprint("text")} AS ofp
+         |  FROM documents WHERE doc_id < 450),
+         |new AS (
+         |  SELECT doc_id, ${TextAnalysis.Sql.fingerprint(
+              "(CASE WHEN doc_id % 10 = 0 THEN text || ' v2' ELSE text END)")} AS nfp
+         |  FROM documents WHERE doc_id >= 50)
+         |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+         |  CASE WHEN o.doc_id IS NULL THEN 'added'
+         |       WHEN n.doc_id IS NULL THEN 'removed'
+         |       WHEN ofp = nfp THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""".stripMargin,
     "sample_source_cap" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source

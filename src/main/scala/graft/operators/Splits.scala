@@ -182,6 +182,25 @@ object Splits {
     spark.createDataFrame(sliced, schema)
   }
 
+  /** Deterministic fixed-SIZE global sample: exactly min(k, n) rows —
+    * the md5-smallest ids corpus-wide — for fixed-budget eval / probe
+    * sets where a RATE sample ([[stratifiedSample]]) can't promise an
+    * exact count. Same md5 rank key as [[capPerSource]], so membership
+    * is engine-exact, stable under repartitioning, and monotone in k
+    * (a k-sample is a prefix of every larger sample — probe sets nest).
+    *
+    * Shape: sort-limit on the md5 key, planned as
+    * TakeOrderedAndProject — each partition reduces to its k smallest
+    * locally and the driver merges k-row partials; the corpus never
+    * globally sorts. Driver state O(k): intended for eval-set k, not
+    * corpus-sized k. */
+  def sampleFixedK(df: DataFrame, idCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    df.withColumn("__key", md5(idCol.cast("string")))
+      .orderBy(col("__key")).limit(k)
+      .drop("__key")
+  }
+
   /** C4-style per-source QUOTA cap: keep at most `cap` rows per source,
     * chosen deterministically — the domain-rebalancing step web-scale
     * pipelines run so a handful of boilerplate-heavy domains can't

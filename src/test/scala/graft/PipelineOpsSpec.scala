@@ -164,4 +164,66 @@ class PipelineOpsSpec extends SparkSpec {
     out(3L) shouldBe ((0, 0, 0, "no pii here at all"))
     out(4L) shouldBe ((0, 0, 2, "x <IP> y <IP> z"))
   }
+
+  test("sampleFixedK: exact size, nested prefixes, md5-determined") {
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"source")
+    val k10 = Splits.sampleFixedK(docs, $"doc_id", 10)
+      .collect().map(_.getLong(0)).toSet
+    val k30 = Splits.sampleFixedK(docs, $"doc_id", 30)
+      .collect().map(_.getLong(0)).toSet
+    k10.size shouldBe 10
+    k30.size shouldBe 30
+    k10.subsetOf(k30) shouldBe true // samples nest
+    // k >= n returns everything
+    val n = docs.count()
+    Splits.sampleFixedK(docs, $"doc_id", 100000)
+      .count() shouldBe n
+    // matches the full-sort definition
+    val expect = docs.select($"doc_id",
+        md5($"doc_id".cast("string")).as("k"))
+      .orderBy($"k").limit(10).collect().map(_.getLong(0)).toSet
+    k10 shouldBe expect
+  }
+
+  test("chunkWindows: overlap, short tails kept, empty docs dropped") {
+    val docs = Seq(
+      (1L, "t1 t2 t3 t4 t5"), // window 4 stride 2: [t1..t4][t3..t5][t5]
+      (2L, "a b"),            // one short chunk
+      (3L, "  "),             // no tokens -> no chunks
+      (4L, "x1 x2 x3 x4")     // exact window: [x1..x4][x3 x4]
+    ).toDF("doc_id", "text")
+    val out = graft.operators.Chunker
+      .chunkWindows(docs, $"text", $"doc_id", windowTokens = 4,
+        strideTokens = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    out((1L, 0)) shouldBe ((4L, "t1 t2 t3 t4"))
+    out((1L, 1)) shouldBe ((3L, "t3 t4 t5"))
+    out((1L, 2)) shouldBe ((1L, "t5"))
+    out((2L, 0)) shouldBe ((2L, "a b"))
+    out((4L, 0)) shouldBe ((4L, "x1 x2 x3 x4"))
+    out((4L, 1)) shouldBe ((2L, "x3 x4"))
+    out.keys.map(_._1).toSet shouldBe Set(1L, 2L, 4L)
+    out.size shouldBe 6
+  }
+
+  test("corpus diff: added/removed/changed/unchanged by normalized fp") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("doc_id", "text")
+    // 2: whitespace-only edit -> unchanged (normalized fingerprint);
+    // 3: content edit -> changed; 4 added; 1 removed
+    val neu = Seq((2L, "  b "), (3L, "C!"), (4L, "d"))
+      .toDF("doc_id", "text")
+    val out = graft.operators.CorpusDiff.diff(old, neu, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    out shouldBe Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added")
+    val sum = graft.operators.CorpusDiff
+      .summary(old, neu, $"doc_id", $"text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sum shouldBe Map("removed" -> 1L, "unchanged" -> 1L,
+      "changed" -> 1L, "added" -> 1L)
+  }
 }
