@@ -105,6 +105,18 @@ object ScaleStress {
     time("vocab top-1k + coverage (1000-word vocabulary)") {
       graft.functions.Vocab.topTokens(docs, col("text"), k = 1000).count()
     }
+    time("sliding-window chunking (1M docs, window 8 stride 4)") {
+      Chunker.chunkWindows(docs.limit(1000000), col("text"), col("id"),
+        windowTokens = 8, strideTokens = 4).count()
+    }
+    time("corpus version diff (80/80 overlap, 10% edited)") {
+      CorpusDiff.diff(
+        docs.filter(pmod(col("id"), lit(5)) =!= 0),
+        docs.filter(pmod(col("id"), lit(5)) =!= 1)
+          .withColumn("text", when(pmod(col("id"), lit(10)) === 2,
+            concat(col("text"), lit(" v2"))).otherwise(col("text"))),
+        col("id"), col("text")).groupBy(col("status")).count().collect()
+    }
     time("single-pass TextStats battery (quality+langid)") {
       import graft.functions.TextAnalysis
       val p = TextAnalysis.profile(col("text"))
