@@ -79,6 +79,18 @@ object CleanCorpus {
       col("text"), col("doc_id"),
       p => TextAnalysis.tokenCount(p.cast("string")), limit = 4096L)
     println(s"[example] packed ${packed.count()} context windows")
+
+    // 7. sliding-window chunks of the sample for a retrieval index
+    //    (overlapping so boundary passages land whole in some chunk)
+    val chunks = Chunker.chunkWindows(sample, col("text"), col("doc_id"),
+      windowTokens = 16, strideTokens = 8)
+    println(s"[example] ${chunks.count()} retrieval chunks")
+
+    // 8. audit the cleaning pass: what did it do to the corpus?
+    val audit = CorpusDiff.summary(docs, redacted, col("doc_id"),
+      col("text")).collect()
+      .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted.mkString(" ")
+    println(s"[example] clean-pass diff: $audit")
     spark.stop()
   }
 }
