@@ -311,6 +311,15 @@ object SparkEntry {
         hashFn = Dedup.spanTokenHashMd5)
         .withColumnRenamed("id", "doc_id")
     },
+    // Rolling span REMOVAL: cut every token covered by ANY
+    // corpus-duplicated 16-token window, wherever the passage starts —
+    // the unaligned action step the fixed-chunk trim can't express.
+    "dedup_spans_rolling_trim_documents" -> { (s, dir) =>
+      Dedup.trimDuplicatedSpansRolling(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), windowTokens = 16,
+        hashFn = Dedup.spanTokenHashMd5)
+        .withColumnRenamed("id", "doc_id")
+    },
     // Deterministic weighted source mixture (training-data re-mixing):
     // even-index sources get 3x the share of odd ones, total target 1/2
     // of the corpus; membership is pure 64-bit integer arithmetic on an
@@ -1335,6 +1344,51 @@ object SparkEntry {
         |    ORDER BY c2.i), '') AS trimmed_text
         |FROM chunks c2 JOIN cnt n ON md5(c2.chunk) = n.fp
         |GROUP BY c2.doc_id""".stripMargin,
+    "dedup_spans_rolling_trim_documents" -> {
+      // same direct-polynomial Rabin-Karp replay as the rolling flag
+      // scan; a token (1-based p) is cut iff some duplicated window
+      // start i covers it (i <= p < i + w)
+      val w = 16
+      val M = graft.expressions.RollingWindowHashes.M
+      val pows = graft.expressions.RollingWindowHashes.powers(w)
+        .mkString("[", ", ", "]")
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |th AS (
+         |  SELECT doc_id,
+         |    [('0x'||substr(md5(x),1,8))::BIGINT % $M FOR x IN t] AS h
+         |  FROM toks WHERE len(t) >= $w),
+         |wins AS (
+         |  SELECT doc_id, i,
+         |    list_sum([(h[i + j] * ($pows)[j + 1]) % $M
+         |      FOR j IN range(0, $w)]) % $M AS fp
+         |  FROM (SELECT doc_id, h, unnest(range(1, len(h) - ${w - 2})) AS i
+         |        FROM th)),
+         |cnt AS (SELECT fp, count(*) AS c FROM wins GROUP BY 1),
+         |dupw AS (SELECT w2.doc_id, w2.i FROM wins w2
+         |         JOIN cnt USING (fp) WHERE cnt.c >= 2),
+         |tp AS (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS p
+         |       FROM toks),
+         |marked AS (
+         |  SELECT tp.doc_id, tp.p, tp.t[tp.p] AS tok,
+         |    NOT EXISTS (SELECT 1 FROM dupw d
+         |      WHERE d.doc_id = tp.doc_id AND d.i <= tp.p
+         |        AND tp.p < d.i + $w) AS keep
+         |  FROM tp),
+         |agg AS (
+         |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS n_kept,
+         |    coalesce(string_agg(CASE WHEN keep THEN tok END, ' '
+         |      ORDER BY p), '') AS trimmed_text
+         |  FROM marked GROUP BY doc_id)
+         |SELECT k.doc_id, coalesce(a.n_tokens, 0) AS n_tokens,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.trimmed_text, '') AS trimmed_text
+         |FROM (SELECT doc_id FROM toks) k
+         |LEFT JOIN agg a USING (doc_id)""".stripMargin
+    },
     "dedup_spans_rolling_documents" -> {
       // direct-polynomial replay of the Rabin-Karp window hashes:
       // same md5-u32-mod-M token hashes, same positional weights

@@ -628,6 +628,54 @@ object Dedup {
           x => x.getField("chunk")), " ").as("trimmed_text"))
   }
 
+  /** Rolling span REMOVAL — the action step after
+    * [[duplicatedSpansRolling]]'s flag: rewrite each document with every
+    * token that lies inside ANY corpus-duplicated w-token window cut
+    * out, wherever the duplicated passage starts (the unaligned
+    * boilerplate the fixed-chunk [[trimDuplicatedSpans]] can only catch
+    * on chunk boundaries). Same token stream (`TextAnalysis.tokens`),
+    * same Rabin-Karp window fingerprints, same corpus-wide >= 2
+    * duplication rule as the flag scan; docs shorter than one window
+    * carry no windows and pass through untouched, and docs are never
+    * lost (fully-duplicated docs become "").
+    *
+    * Output: one row per doc — (id, n_tokens, n_kept, trimmed_text),
+    * trimmed_text = surviving tokens joined by single spaces.
+    *
+    * Shape: the tokenized corpus is materialized ONCE (compact: token
+    * arrays) because two consumers need different projections (window
+    * hashes vs the token payload) and would otherwise re-scan and
+    * re-tokenize; then the flag scan's linear topology — explode, ONE
+    * fingerprint-count shuffle, join back — reduced to a per-doc sorted
+    * duplicated-START list (state bounded by doc length), left-joined
+    * onto the docs and applied as one indexed array filter. Per-doc
+    * cost O(n_tokens x n_dup_starts) worst case — boilerplate-bounded
+    * in practice; no candidate pairs, no corpus sort. */
+  def trimDuplicatedSpansRolling(df: DataFrame, textCol: Column,
+                                 idCol: Column, windowTokens: Int = 16,
+                                 hashFn: Column => Column = spanTokenHashXx): DataFrame = {
+    val docs = df.select(idCol.as("id"),
+        coalesce(TextAnalysis.tokens(textCol), array()).as("__toks"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val wins = docs.select(col("id"), posexplode(
+        graft.expressions.RollingWindowHashes(
+          transform(col("__toks"), hashFn), windowTokens)))
+      .select(col("id"), col("pos"), col("col").as("fp"))
+    val counts = wins.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+    val dupStarts = wins.join(counts, "fp").filter(col("c") >= 2)
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__starts"))
+    val kept = when(col("__starts").isNull, col("__toks"))
+      .otherwise(filter(col("__toks"), (_, i) =>
+        !exists(col("__starts"), s => s <= i && i < s + windowTokens)))
+    docs.join(dupStarts, Seq("id"), "left")
+      .select(col("id"),
+        size(col("__toks")).cast("long").as("n_tokens"),
+        size(kept).cast("long").as("n_kept"),
+        array_join(kept, " ").as("trimmed_text"))
+  }
+
   /** Token hash for the rolling-span scan, fast path: xxhash64 reduced
     * mod the rolling modulus (Spark-only — no DuckDB twin). */
   def spanTokenHashXx(t: Column): Column =

@@ -312,6 +312,45 @@ class TextDedupSpec extends SparkSpec {
     out(3L) shouldBe ((2L, 2L, "w1 w2 w3 w4 w5"))
   }
 
+  test("trimDuplicatedSpansRolling: unaligned passages cut at any offset") {
+    val docs = Seq(
+      // shared 4-token passage at DIFFERENT alignments (the case the
+      // fixed-chunk trim misses): covered tokens cut, rest kept
+      (1L, "p1 p2 p3 p4 a1 a2"),
+      (2L, "z1 p1 p2 p3 p4 b1"),
+      // within-doc repeat: both occurrences covered -> everything cut
+      (3L, "q1 q2 q3 q4 q1 q2 q3 q4"),
+      // shorter than one window: passes through untouched
+      (4L, "s1 s2 s3")
+    ).toDF("doc_id", "text")
+    val out = Dedup.trimDuplicatedSpansRolling(docs, $"text", $"doc_id",
+        windowTokens = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    out(1L) shouldBe ((6L, 2L, "a1 a2"))
+    out(2L) shouldBe ((6L, 2L, "z1 b1"))
+    out(3L) shouldBe ((8L, 0L, ""))
+    out(4L) shouldBe ((3L, 3L, "s1 s2 s3"))
+  }
+
+  test("trimDuplicatedSpansRolling: md5 and xxhash paths agree here") {
+    val docs = Seq(
+      (1L, "c1 c2 c3 c4 c5 u1"),
+      (2L, "v1 c1 c2 c3 c4 c5")
+    ).toDF("doc_id", "text")
+    val md5p = Dedup.trimDuplicatedSpansRolling(docs, $"text", $"doc_id",
+        windowTokens = 4, hashFn = Dedup.spanTokenHashMd5)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val xxp = Dedup.trimDuplicatedSpansRolling(docs, $"text", $"doc_id",
+        windowTokens = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    md5p shouldBe xxp
+    // 5-token passage shifted by one: both 4-token windows inside it
+    // recur -> all 5 covered in each doc
+    md5p(1L) shouldBe "u1"
+    md5p(2L) shouldBe "v1"
+  }
+
   test("bigram novelty: hand-computed inverse-probability goldens") {
     // unigrams: a:3 b:2 c:1; bigrams: (a,b):2 (a,c):1
     val docs = Seq((1L, "a b"), (2L, "a b"), (3L, "a c"), (4L, "z"))

@@ -74,6 +74,27 @@ class TextOpsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("rolling trim is identity on unique corpora; agrees with flag scan") {
+    val uniq = randomDocs(40, 30).filter(_._1 % 3 == 0)
+    val outU = Dedup.trimDuplicatedSpansRolling(uniq.toDF("doc_id", "text"),
+        $"text", $"doc_id", windowTokens = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3))))
+      .toMap
+    uniq.foreach { case (id, text) =>
+      outU(id) shouldBe ((text.split(" ").length.toLong, text))
+    }
+    // on a repeat-heavy corpus, every doc the rolling flag scan marks
+    // must lose >= 1 token in the rolling trim (identical hash fn)
+    val docs = randomDocs(90, 30).toDF("doc_id", "text")
+    val flagged = Dedup.duplicatedSpansRolling(docs, $"text", $"doc_id",
+        windowTokens = 5)
+      .filter($"n_dup_windows" > 0).collect().map(_.getLong(0)).toSet
+    val lost = Dedup.trimDuplicatedSpansRolling(docs, $"text", $"doc_id",
+        windowTokens = 5)
+      .filter($"n_kept" < $"n_tokens").collect().map(_.getLong(0)).toSet
+    flagged shouldBe lost // same windows, same counts -> same docs
+  }
+
   test("trim + flag scan agree on which docs carry duplicated chunks") {
     val docs = randomDocs(90, 40).toDF("doc_id", "text")
     // flag scan ignores the partial tail; compare on full-chunk counts:
