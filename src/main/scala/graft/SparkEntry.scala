@@ -367,6 +367,21 @@ object SparkEntry {
       CorpusDiff.diff(old, neu, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
     },
+    // QUALITY-ranked per-source selection: the 5 highest-quality docs
+    // per source (ties by id) via the bounded top-k aggregate — "best
+    // docs per domain", the production upgrade over the random quota.
+    // Battery behind an exchange barrier (alias-inlining hazard).
+    "sample_source_best" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScoreOf(
+            TextAnalysis.profile(col("text"))).as("quality"))
+        .repartition(col("source"))
+      Splits.bestPerSource(scored, col("doc_id"), col("source"),
+        col("quality"), cap = 5)
+        .withColumnRenamed("id", "doc_id")
+        .withColumnRenamed("score", "quality")
+    },
     // C4-style per-source quota: at most 10 docs per source, the 10
     // md5-smallest ids — absolute-count domain rebalancing (mixSources
     // reweights by rate). Bounded top-k threshold per source broadcast
@@ -1107,6 +1122,18 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source
         |  ORDER BY md5(CAST(doc_id AS VARCHAR))) <= 10""".stripMargin,
+    "sample_source_best" -> {
+      import TextAnalysis.Sql.{qualityScore => qs}
+      s"""WITH scored AS (
+         |  SELECT doc_id, source, ${qs("text")} AS quality
+         |  FROM documents)
+         |SELECT source, doc_id, CAST(rank AS INT) AS rank, quality
+         |FROM (SELECT source, doc_id, quality,
+         |        row_number() OVER (PARTITION BY source
+         |          ORDER BY quality DESC, doc_id) AS rank
+         |      FROM scored)
+         |WHERE rank <= 5""".stripMargin
+    },
     "dedup_exact_documents" ->
       s"""SELECT md5(${TextAnalysis.Sql.normalized("text")}) AS fp,
          |  min(doc_id) AS keeper_id, count(*) AS n_copies

@@ -201,6 +201,29 @@ object Splits {
       .drop("__key")
   }
 
+  /** QUALITY-ranked per-source selection — the production upgrade over
+    * [[capPerSource]]'s random quota: keep the `cap` HIGHEST-scoring
+    * rows per source (ties by id ASC), i.e. "best 10k docs per domain
+    * by quality" rather than "any 10k". Output is the selection roster
+    * (source, id, rank, score); join back by id for payloads.
+    *
+    * Shape: one bounded top-k aggregation
+    * ([[graft.functions.TopK.perQuery]] — map-side partials, O(cap)
+    * state at every stage), never a per-source sort. Compute heavy
+    * score expressions BEHIND an exchange barrier (`.repartition`)
+    * before calling, so the optimizer can't inline the scoring battery
+    * into the aggregate args. */
+  def bestPerSource(df: DataFrame, idCol: Column, sourceCol: Column,
+                    scoreCol: Column, cap: Int): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    val scored = df.select(sourceCol.as("query_id"),
+      idCol.cast("long").as("neighbor_id"),
+      scoreCol.cast("double").as("score"))
+    graft.functions.TopK.perQuery(scored, cap)
+      .select(col("query_id").as("source"),
+        col("neighbor_id").as("id"), col("rank"), col("score"))
+  }
+
   /** C4-style per-source QUOTA cap: keep at most `cap` rows per source,
     * chosen deterministically — the domain-rebalancing step web-scale
     * pipelines run so a handful of boilerplate-heavy domains can't

@@ -105,6 +105,17 @@ object ScaleStress {
     time("vocab top-1k + coverage (1000-word vocabulary)") {
       graft.functions.Vocab.topTokens(docs, col("text"), k = 1000).count()
     }
+    time("rolling span TRIM (1M docs, 8-token windows)") {
+      Dedup.trimDuplicatedSpansRolling(docs.limit(1000000), col("text"),
+        col("id"), windowTokens = 8).count()
+    }
+    time("best-per-source (1001 skewed groups, top 1000 by score)") {
+      Splits.bestPerSource(
+        docs.select(col("id"), col("key"),
+          (col("id") % 7919).cast("double").as("score"))
+          .repartition(col("key")),
+        col("id"), col("key"), col("score"), cap = 1000).count()
+    }
     time("sliding-window chunking (1M docs, window 8 stride 4)") {
       Chunker.chunkWindows(docs.limit(1000000), col("text"), col("id"),
         windowTokens = 8, strideTokens = 4).count()

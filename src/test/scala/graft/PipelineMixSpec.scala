@@ -243,6 +243,27 @@ class PipelineMixSpec extends SparkSpec {
     at15.size shouldBe 15 * 20
   }
 
+  test("bestPerSource: top-cap by score per source, window-equivalent") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("source"),
+        graft.functions.TextAnalysis.qualityScoreOf(
+          graft.functions.TextAnalysis.profile(col("text"))).as("q"))
+      .repartition(col("source"))
+    val got = Splits.bestPerSource(docs, col("doc_id"), col("source"),
+        col("q"), cap = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+      .toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(col("q").desc, col("doc_id"))
+    val expect = docs.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getInt(3)))
+      .toSet
+    got shouldBe expect
+    got.groupBy(_._1).values.foreach(_.size shouldBe 3)
+  }
+
   // ------------------------------------------------- vocab coverage
 
   test("vocab topTokens: hand-computed counts and coverage curve") {
