@@ -256,6 +256,16 @@ object SparkEntry {
         .option("ignoreTrailingWhiteSpace", "false")
         .csv(tmp)
     },
+    // Avro container roundtrip: hand-rolled OCF codec (sources.AvroIO —
+    // no spark-avro module on this classpath), schema pinned on read,
+    // one write task per partition / one read task per file. Proves the
+    // row-oriented interchange path alongside the columnar ones.
+    "source_avro_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = scratchDir("avro")
+      graft.sources.AvroIO.write(docs, tmp)
+      graft.sources.AvroIO.read(s, s"$tmp/part-*.avro", docs.schema)
+    },
     // Keep-BEST dedup: per n-gram-Jaccard duplicate cluster, keep the
     // highest-quality member (lowest doc_id on ties) — the survivor
     // rule production dedup ships. Clusters from the exact pair graph;
@@ -279,6 +289,17 @@ object SparkEntry {
     "dedup_incremental_documents" -> { (s, dir) =>
       val docs = Tables(s, dir, "documents")
       Dedup.incremental(
+        docs.filter(col("doc_id") % 10 < 8),
+        docs.filter(col("doc_id") % 10 >= 8),
+        col("text"), col("doc_id"))
+    },
+    // Same contract through the BLOOM-prefiltered path: a filter built
+    // from the delta roster is broadcast and the base scan keeps only
+    // bloom-positive fingerprints before the exact anti-join confirm.
+    // No false negatives -> byte-identical result, ~fpp x base shuffle.
+    "dedup_incremental_bloom" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      Dedup.incrementalBloom(
         docs.filter(col("doc_id") % 10 < 8),
         docs.filter(col("doc_id") % 10 >= 8),
         col("text"), col("doc_id"))
@@ -1331,7 +1352,23 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "source_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    "source_avro_roundtrip" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_incremental_documents" -> {
+      import TextAnalysis.Sql.{fingerprint => fpr}
+      s"""WITH delta AS (
+         |  SELECT ${fpr("text")} AS fp, min(doc_id) AS id,
+         |    count(*) AS n_delta_copies
+         |  FROM documents WHERE doc_id % 10 >= 8 GROUP BY 1),
+         |base AS (
+         |  SELECT DISTINCT ${fpr("text")} AS fp
+         |  FROM documents WHERE doc_id % 10 < 8)
+         |SELECT d.fp, d.id, d.n_delta_copies FROM delta d
+         |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp)""".stripMargin
+    },
+    // The bloom path is exact (no false negatives + exact confirm), so
+    // its oracle is the plain incremental SQL.
+    "dedup_incremental_bloom" -> {
       import TextAnalysis.Sql.{fingerprint => fpr}
       s"""WITH delta AS (
          |  SELECT ${fpr("text")} AS fp, min(doc_id) AS id,

@@ -147,6 +147,50 @@ class SerializationSpec extends SparkSpec {
       nation.orderBy("n_nationkey").collect().toSeq
   }
 
+  test("Avro container round trip: primitives, nulls, binary, arrays") {
+    val schema = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("s", StringType),
+      StructField("d", DoubleType),
+      StructField("b", BooleanType),
+      StructField("bin", BinaryType),
+      StructField("arr", ArrayType(FloatType, containsNull = false)),
+      StructField("sarr", ArrayType(StringType))))
+    val rows = Seq(
+      Row(1L, "héllo\nworld", 2.5d, true, Array[Byte](0, 1, -2),
+        Seq(1.0f, -2.5f), Seq("a", null, "c")),
+      Row(2L, null, null, null, null, null, null),
+      Row(3L, "", 0.0d, false, Array.emptyByteArray,
+        Seq.empty[Float], Seq.empty[String]))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 2), schema)
+    val dir = Files.createTempDirectory("graft-avro").toString
+    val written = graft.sources.AvroIO.write(df, dir)
+    written.size shouldBe 2
+    val back = graft.sources.AvroIO.read(spark, s"$dir/part-*.avro", schema)
+    back.schema shouldBe schema
+    val key = (r: Row) => r.getLong(0)
+    val got = back.collect().sortBy(key).map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    })
+    val want = rows.sortBy(key).map(_.toSeq.map {
+      case b: Array[Byte] => b.toSeq
+      case x => x
+    })
+    got.toSeq shouldBe want.toSeq
+  }
+
+  test("Avro round trip preserves the driver documents table exactly") {
+    val docs = Tables(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-avro-docs").toString
+    graft.sources.AvroIO.write(docs, dir)
+    val back = graft.sources.AvroIO.read(
+      spark, s"$dir/part-*.avro", docs.schema)
+    back.orderBy("doc_id").collect().toSeq shouldBe
+      docs.orderBy("doc_id").collect().toSeq
+  }
+
   test("mapGroups: per-group consumption without driver collect") {
     val nation = Tables(spark, sf0001, "nation")
     val packed = PartitionedDataset.packExamples(

@@ -81,6 +81,34 @@ class TextDedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("incrementalBloom == incremental: exact result through the prefilter") {
+    val docs = Tables(spark, sf0001, "documents")
+    val base = docs.filter($"doc_id" % 10 < 8)
+    val delta = docs.filter($"doc_id" % 10 >= 8)
+    val plain = Dedup.incremental(base, delta, $"text", $"doc_id")
+      .as[(String, Long, Long)].collect().toSet
+    // loose fpp: lots of base false positives, the exact confirm must
+    // still produce the identical set
+    val loose = Dedup.incrementalBloom(base, delta, $"text", $"doc_id", fpp = 0.5)
+      .as[(String, Long, Long)].collect().toSet
+    val tight = Dedup.incrementalBloom(base, delta, $"text", $"doc_id", fpp = 0.001)
+      .as[(String, Long, Long)].collect().toSet
+    plain should not be empty
+    loose shouldBe plain
+    tight shouldBe plain
+  }
+
+  test("incrementalBloom: overlap suppressed, delta self-dup keeps min id") {
+    val base = Seq((1L, "shared Text"), (2L, "base only")).toDF("doc_id", "text")
+    val delta = Seq((11L, "shared  text"), (12L, "fresh a"), (13L, "FRESH A"))
+      .toDF("doc_id", "text")
+    val r = Dedup.incrementalBloom(base, delta, $"text", $"doc_id")
+      .select($"id", $"n_delta_copies").as[(Long, Long)].collect().toSeq
+    // "shared text" fp exists in base -> suppressed; the two "fresh a"
+    // normalize to one fingerprint surviving under the min id
+    r shouldBe Seq((12L, 2L))
+  }
+
   test("native WordShingles == HOF shingles (differential, driver corpus)") {
     val docs = Tables(spark, sf0001, "documents")
     val diff = docs.select(
