@@ -480,6 +480,15 @@ object SparkEntry {
         md5(concat_ws("",
           transform(col("examples"), b => b.cast("string")))).as("digest"))
     },
+    // FIXED-CONTEXT packing (the other production packer): per lang,
+    // concatenate the token stream in doc_id order and cut exactly-128-
+    // token examples, documents spanning example boundaries — every
+    // token kept, order-sensitive digest per example.
+    "pack_fixed_context_documents" -> { (s, dir) =>
+      Pack.packFixedContext(Tables(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        TextAnalysis.tokens(col("text")), seqLen = 128)
+    },
     // Group-granular holdout (federated eval on held-out CLIENTS):
     // whole sources enter or leave the train split together, decided by
     // the md5 uniform of the source value.
@@ -1325,6 +1334,38 @@ object SparkEntry {
          |  md5(coalesce(string_agg(text, chr(1) ORDER BY w, doc_id)
          |    FILTER (WHERE cum < 2048), '')) AS digest
          |FROM ranked GROUP BY lang""".stripMargin
+    },
+    // Replays the exact stream construction: window cumsum for offsets,
+    // generate_series for the examples a doc overlaps, list_slice for
+    // the pieces, stream-ordered string_agg for the glue. Window sums
+    // are HUGEINT in DuckDB — cast before the integer division.
+    "pack_fixed_context_documents" -> {
+      import TextAnalysis.Sql.{tokens => toksql}
+      s"""WITH sized AS (
+         |  SELECT lang AS group_id, doc_id AS id, t, CAST(len(t) AS BIGINT) AS k
+         |  FROM (SELECT lang, doc_id, ${toksql("text")} AS t FROM documents)
+         |  WHERE len(t) > 0),
+         |off AS (
+         |  SELECT group_id, id, t, k,
+         |    CAST(sum(k) OVER (PARTITION BY group_id ORDER BY id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+         |  FROM sized),
+         |spans AS (
+         |  SELECT group_id, id, t, k, e - k AS s,
+         |    unnest(generate_series((e - k) // 128, (e - 1) // 128)) AS example_id
+         |  FROM off),
+         |pieces AS (
+         |  SELECT group_id, example_id, s,
+         |    greatest(0, example_id * 128 - s) AS lo,
+         |    least(k, (example_id + 1) * 128 - s) AS hi,
+         |    list_slice(t, greatest(0, example_id * 128 - s) + 1,
+         |      least(k, (example_id + 1) * 128 - s)) AS piece
+         |  FROM spans)
+         |SELECT group_id, example_id,
+         |  CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+         |  count(*) AS n_docs,
+         |  md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)) AS digest
+         |FROM pieces GROUP BY 1, 2""".stripMargin
     },
     "split_group_holdout" ->
       """SELECT doc_id, lang, source FROM documents

@@ -160,6 +160,71 @@ object Pack {
         col("num_bytes"))
   }
 
+  /** FIXED-CONTEXT sequence packing — the GPT-style training prep the
+    * budget packers above deliberately avoid: concatenate each group's
+    * token stream in ascending-id order and cut it into examples of
+    * EXACTLY `seqLen` tokens, documents spanning example boundaries
+    * (the last example of a group may be short). [[packCappedBy]] keeps
+    * documents whole and drops what doesn't fit; this keeps every token
+    * and splits documents — both shapes ship in production, for
+    * different trainers.
+    *
+    * Topology: no token ever becomes its own row. Per-doc token arrays
+    * are materialized once behind a repartition barrier (alias-inlining
+    * hazard — the tokenize battery must not be rebuilt inside the
+    * window/agg); one window computes each doc's running token offset;
+    * each doc explodes into only the examples it overlaps (≈ 1 + k/L
+    * rows per doc, NOT k); array slices carve the per-example pieces;
+    * one groupBy glues pieces in stream order. Two exchanges total
+    * (group, then group × example), both carrying doc-granularity rows.
+    *
+    * Output: (group_id, example_id, n_tokens, n_docs, digest) where
+    * digest is md5 of the space-joined example tokens — order-sensitive,
+    * so the oracle must replay the exact stream, not a multiset. */
+  def packFixedContext(df: DataFrame, groupCol: Column, idCol: Column,
+                       toksCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val L = lit(seqLen.toLong)
+    val base = df
+      .select(groupCol.as("group_id"), idCol.cast("long").as("id"),
+        toksCol.as("__toks"))
+      .withColumn("__k", size(col("__toks")).cast("long"))
+      .repartition(col("group_id"))
+    val w = Window.partitionBy(col("group_id")).orderBy(col("id"))
+    val spans = base
+      .withColumn("__end", sum(col("__k")).over(w))
+      .withColumn("__start", col("__end") - col("__k"))
+      // zero-token docs are dropped HERE (explode of null emits no
+      // rows) rather than by an early filter: a filter above the
+      // tokenize projection gets pushed into the scan with the
+      // tokenize battery INLINED, running it twice per row. Empty
+      // docs add 0 to the cumsum, so offsets are unaffected.
+      .withColumn("example_id", explode(when(col("__k") > 0, sequence(
+        expr(s"__start DIV $seqLen"), expr(s"(__end - 1) DIV $seqLen")))))
+      .withColumn("__lo",
+        greatest(lit(0L), col("example_id") * L - col("__start")))
+      .withColumn("__hi",
+        least(col("__k"), (col("example_id") + lit(1L)) * L - col("__start")))
+      .withColumn("__piece",
+        expr("slice(__toks, CAST(__lo + 1 AS INT), CAST(__hi - __lo AS INT))"))
+    spans
+      .groupBy(col("group_id"), col("example_id"))
+      .agg(
+        sum(col("__hi") - col("__lo")).as("n_tokens"),
+        count(lit(1)).as("n_docs"),
+        // __start is strictly increasing within a group (k > 0), so the
+        // struct sort restores stream order before the glue
+        array_sort(collect_list(
+          struct(col("__start"), col("__piece")))).as("__parts"))
+      .select(
+        col("group_id"),
+        col("example_id"),
+        col("n_tokens"),
+        col("n_docs"),
+        md5(concat_ws(" ", flatten(
+          transform(col("__parts"), p => p.getField("__piece"))))).as("digest"))
+  }
+
   /** Uncapped fast path — plain `collect_list` (the built-in Spark shape
     * of the reference's packer when the 2 GB cap can't bind), sorted for
     * determinism. */

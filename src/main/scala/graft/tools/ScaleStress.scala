@@ -116,6 +116,11 @@ object ScaleStress {
           .repartition(col("key")),
         col("id"), col("key"), col("score"), cap = 1000).count()
     }
+    time("fixed-context packing (1M docs, L=64, 1001 groups)") {
+      Pack.packFixedContext(docs.limit(1000000), col("key"), col("id"),
+        graft.functions.TextAnalysis.tokens(col("text")), seqLen = 64)
+        .count()
+    }
     time("sliding-window chunking (1M docs, window 8 stride 4)") {
       Chunker.chunkWindows(docs.limit(1000000), col("text"), col("id"),
         windowTokens = 8, strideTokens = 4).count()

@@ -118,4 +118,49 @@ class PackSpec extends SparkSpec {
         .as[(String, Long, Long)].collect().toSeq
     run(df1) shouldBe run(df2)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("packFixedContext: hand-computed golden, docs span example cuts") {
+    // stream (id order): a b c | d e | f g h i  -> L=4:
+    //   e0 = a b c d (docs 1,2), e1 = e f g h (docs 2,3), e2 = i (doc 3)
+    val df = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("doc_id", "text").withColumn("g", lit("g"))
+    val out = Pack.packFixedContext(df, $"g", $"doc_id",
+        graft.functions.TextAnalysis.tokens($"text"), seqLen = 4)
+      .orderBy("example_id")
+      .select($"example_id", $"n_tokens", $"n_docs", $"digest")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    out shouldBe Seq(
+      (0L, 4L, 2L, md5hex("a b c d")),
+      (1L, 4L, 2L, md5hex("e f g h")),
+      (2L, 1L, 1L, md5hex("i")))
+  }
+
+  test("packFixedContext == naive driver recompute on the sf0.001 corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    val L = 32
+    val got = Pack.packFixedContext(docs, $"lang", $"doc_id",
+        graft.functions.TextAnalysis.tokens($"text"), seqLen = L)
+      .select($"group_id", $"example_id", $"n_tokens", $"n_docs", $"digest")
+      .as[(String, Long, Long, Long, String)].collect().toSet
+    // naive: collect per-lang token streams in id order, cut on the driver
+    val streams = docs.select($"lang", $"doc_id",
+        graft.functions.TextAnalysis.tokens($"text").as("t"))
+      .as[(String, Long, Seq[String])].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val expect = streams.flatMap { case (lang, ds) =>
+      val docSpans = ds.filter(_._3.nonEmpty)
+      val flat = docSpans.flatMap { case (_, id, t) => t.map(tok => (id, tok)) }
+      flat.zipWithIndex.groupBy(_._2 / L).map { case (e, part) =>
+        val toks = part.map(_._1._2)
+        val nDocs = part.map(_._1._1).distinct.size.toLong
+        (lang, e.toLong, toks.size.toLong, nDocs, md5hex(toks.mkString(" ")))
+      }
+    }.toSet
+    got should not be empty
+    got shouldBe expect
+  }
 }
