@@ -67,6 +67,34 @@ class PlanAuditSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.adaptive.enabled", aqeWas)
   }
 
+  test("no tokenize battery inlined into a scan filter (pushdown duplication)") {
+    // PushDownPredicates pushes a filter over a computed projection
+    // through Project/Repartition with the computing expression INLINED
+    // — a filter on a token-derived column re-runs split+filter inside
+    // the (often single-task) scan stage, doubling the hottest battery
+    // (the r3 99s corpus_clean regression, and the shape packFixedContext
+    // dodges with a null-guarded explode). The shingle-family queries
+    // below CHOOSE a pushed token-count prefilter (tokenize is ~10x
+    // cheaper than the shingle battery it spares sub-n docs from —
+    // Dedup.scala "pre-filter on the cheap token count" comments);
+    // anything else growing tokenize inside a FileScan's DataFilters is
+    // the duplication bug.
+    val pushedTokenPrefilterByDesign: Set[String] = Set(
+      "dedup_minhash_documents",
+      "dedup_ngram_documents",
+      "dedup_simhash_documents",
+      "text_novelty_bigram")
+    val offences = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) if !pushedTokenPrefilterByDesign(name) =>
+        val plan = fn(spark, sf0001).queryExecution.executedPlan.toString
+        if ("DataFilters: \\[[^\\]]*split\\(".r.findFirstIn(plan).isDefined)
+          Some(s"$name: tokenize in scan DataFilters")
+        else None
+      case _ => None
+    }
+    withClue(offences.mkString("\n")) { offences shouldBe empty }
+  }
+
   test("column pruning reaches the parquet scan on relational queries") {
     // every rel_* query touches a SUBSET of lineitem's 11 columns; a
     // scan whose ReadSchema carries all 11 means a projection stopped
