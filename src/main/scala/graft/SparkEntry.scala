@@ -155,6 +155,14 @@ object SparkEntry {
         col("lang"), col("text"), col("doc_id"), k = 10)
         .withColumnRenamed("group", "lang")
     },
+    // Inverted-index export: term -> df + BOUNDED ascending posting
+    // list (cap smallest doc ids via the TopK aggregate — a stop word
+    // cannot blow up an agg buffer). The serving-index artifact next
+    // to the corpus.
+    "text_inverted_index" -> { (s, dir) =>
+      graft.functions.InvertedIndex.build(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), minDf = 5L, cap = 20)
+    },
     // Tokenizer-vocab precursor: corpus-wide token frequency top-k with
     // the cumulative coverage curve (what fraction of all occurrences a
     // vocab truncated at each rank covers). One corpus shuffle of
@@ -1100,6 +1108,8 @@ object SparkEntry {
         |  FROM scored)
         |SELECT lang, term, rank, score, tf, df
         |FROM ranked WHERE rank <= 10""".stripMargin,
+    "text_inverted_index" ->
+      graft.functions.InvertedIndex.Sql.query(minDf = 5L, cap = 20),
     "vocab_top_tokens" ->
       // same full ordering key (cnt DESC, token) everywhere, so window
       // RANGE peers are singletons and the running sum is ROWS-exact;

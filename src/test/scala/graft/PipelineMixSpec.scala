@@ -264,6 +264,56 @@ class PipelineMixSpec extends SparkSpec {
     got.groupBy(_._1).values.foreach(_.size shouldBe 3)
   }
 
+  test("invertedIndex: golden postings, minDf prune, cap binds") {
+    val docs = Seq(
+      (1L, "alpha beta"), (2L, "alpha gamma"), (3L, "alpha beta beta"),
+      (4L, "delta")).toDF("doc_id", "text")
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val full = graft.functions.InvertedIndex.build(
+        docs, col("text"), col("doc_id"), minDf = 2L, cap = 100)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // in-doc repeats (doc 3 "beta beta") count once; delta df=1 pruned
+    full shouldBe Set(
+      ("alpha", 3L, 3L, md5hex("1,2,3")),
+      ("beta", 2L, 2L, md5hex("1,3")))
+    val capped = graft.functions.InvertedIndex.build(
+        docs, col("text"), col("doc_id"), minDf = 2L, cap = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    // df stays FULL; postings keep the 2 smallest ids
+    capped shouldBe Set(
+      ("alpha", 3L, 2L, md5hex("1,2")),
+      ("beta", 2L, 2L, md5hex("1,3")))
+  }
+
+  test("invertedIndex matches the window formulation on the driver corpus") {
+    val docs = Tables(spark, sf0001, "documents")
+    val got = graft.functions.InvertedIndex.build(
+        docs, col("text"), col("doc_id"), minDf = 3L, cap = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    val pairs = docs.select(col("doc_id").as("id"),
+        explode(array_distinct(
+          graft.functions.TextAnalysis.tokens(col("text")))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("term")).orderBy(col("id"))
+    val expect = pairs
+      .withColumn("rk", row_number().over(w))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("df"),
+        count(when(col("rk") <= 10, lit(1))).as("n_postings"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("rk") <= 10, col("id")))),
+          i => i.cast("string")), ",")).as("posting_digest"))
+      .filter(col("df") >= 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3))).toSet
+    got should not be empty
+    got shouldBe expect
+  }
+
   // ------------------------------------------------- vocab coverage
 
   test("vocab topTokens: hand-computed counts and coverage curve") {
