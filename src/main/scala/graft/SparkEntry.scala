@@ -798,6 +798,24 @@ object SparkEntry {
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("event_type"), col("n_events"), col("total_value_e4"))
     },
+    // Stream-STATIC broadcast join executed as a real micro-batch plan:
+    // the event stream enriched per batch against the broadcast
+    // customer→segment dim (no join state), then a watermarked tumbling
+    // window per segment. Oracle is the equivalent batch join+group.
+    "events_stream_static_join" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("value"))
+      val dim = Tables(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      EventStream.runToCompletion(
+          EventStream.staticEnriched(events, dim), "static_join_out")
+        .select(unix_timestamp(col("window_start")).as("window_start"),
+          col("segment"), col("n_events"), col("total_value_e4"))
+    },
     // Stream-stream interval join executed as a real micro-batch plan:
     // purchases x same-user clicks in the prior 30 minutes, watermarks
     // on both sides bounding the buffered state to the lookback
@@ -1946,6 +1964,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    "events_stream_static_join" ->
+      """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,
+        |  c_mktsegment AS segment, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS total_value_e4
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1, 2""".stripMargin,
     // positional boundaries at floor(pct * n / 100), 0-based ranks
     "split_positional_documents" ->
       """WITH ranked AS (

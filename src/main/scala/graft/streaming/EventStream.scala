@@ -46,6 +46,26 @@ object EventStream {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value_e4"))
 
+  /** Stream-STATIC broadcast enrichment — the most common production
+    * streaming join: each micro-batch hash-joins the event stream
+    * against a BROADCAST static dimension (here: user → segment). The
+    * join itself holds NO streaming state (the static side is re-read
+    * per batch, broadcast once per plan); only the downstream windowed
+    * aggregation is stateful, watermark-bounded as usual. Contrast with
+    * [[purchaseClickJoin]], where both sides stream and state buffers
+    * the lookback horizon. */
+  def staticEnriched(events: DataFrame, dim: DataFrame,
+                     windowDuration: String = "5 minutes",
+                     watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .join(broadcast(dim), "user_id")
+      .groupBy(window(col("ts"), windowDuration), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        Relational.exactValueSumE4.as("total_value_e4"))
+      .select(col("window.start").as("window_start"),
+        col("segment"), col("n_events"), col("total_value_e4"))
+
   /** Streaming exact dedup: drop events whose key columns repeat within
     * the watermark horizon (bounded state — the streaming twin of
     * Dedup.exact for at-least-once sources that can replay events). */

@@ -191,6 +191,60 @@ class SerializationSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq
   }
 
+  test("Avro fuzz: random primitive/array schemas round trip (seeded)") {
+    val rng = new scala.util.Random(777L)
+    val leaves = Seq(StringType, BinaryType, IntegerType, LongType,
+      BooleanType, FloatType, DoubleType)
+    def randomLeaf(dt: DataType): Any = dt match {
+      case StringType => rng.alphanumeric.take(rng.nextInt(12)).mkString
+      case BinaryType => Array.fill(rng.nextInt(8))(rng.nextInt().toByte)
+      case IntegerType => rng.nextInt()
+      case LongType => rng.nextLong()
+      case BooleanType => rng.nextBoolean()
+      case FloatType => rng.nextFloat()
+      case DoubleType => rng.nextDouble()
+    }
+    def normalize(v: Any): Any = v match {
+      case b: Array[Byte] => b.toSeq
+      case s: scala.collection.Seq[_] => s.map(normalize)
+      case x => x
+    }
+    for (iter <- 1 to 5) {
+      val fields = (0 until rng.nextInt(4) + 2).map { i =>
+        val dt =
+          if (rng.nextBoolean()) leaves(rng.nextInt(leaves.size))
+          else ArrayType(leaves(rng.nextInt(leaves.size)),
+            containsNull = rng.nextBoolean())
+        StructField(s"c$i", dt, nullable = true)
+      }
+      val schema = StructType(
+        StructField("id", LongType, nullable = false) +: fields)
+      val rows = (0 until 30).map { r =>
+        Row.fromSeq(r.toLong +: fields.map { f =>
+          if (rng.nextInt(5) == 0) null
+          else f.dataType match {
+            case ArrayType(el, cn) =>
+              (0 until rng.nextInt(5)).map { _ =>
+                if (cn && rng.nextInt(4) == 0) null else randomLeaf(el)
+              }
+            case dt => randomLeaf(dt)
+          }
+        })
+      }
+      val df = spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 3), schema)
+      val dir = Files.createTempDirectory(s"graft-avro-fuzz$iter").toString
+      graft.sources.AvroIO.write(df, dir)
+      val back = graft.sources.AvroIO.read(spark, s"$dir/part-*.avro", schema)
+      back.schema shouldBe schema
+      val got = back.collect().sortBy(_.getLong(0))
+        .map(_.toSeq.map(normalize)).toSeq
+      val want = rows.sortBy(_.getLong(0))
+        .map(_.toSeq.map(normalize))
+      withClue(s"iter $iter schema $schema") { got shouldBe want }
+    }
+  }
+
   test("mapGroups: per-group consumption without driver collect") {
     val nation = Tables(spark, sf0001, "nation")
     val packed = PartitionedDataset.packExamples(

@@ -242,4 +242,34 @@ class StreamingSpec extends SparkSpec {
       b shouldBe a
     } finally q.stop()
   }
+
+  test("stream-static broadcast join == batch join+group on sf0.001") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = Tables(spark, sf0001, "events")
+      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
+      .select($"ts", $"user_id", $"value")
+    val dim = Tables(spark, sf0001, "customer")
+      .select($"c_custkey".as("user_id"), $"c_mktsegment".as("segment"))
+    val batch = e.join(dim, "user_id")
+      .groupBy(window($"ts", "5 minutes"), $"segment")
+      .agg(count(lit(1)).as("n_events"),
+        graft.operators.Relational.exactValueSumE4.as("total_value_e4"))
+      .select($"window.start".as("window_start"), $"segment",
+        $"n_events", $"total_value_e4")
+    val mem = MemoryStream[(Timestamp, Long, Double)]
+    val rowsIn = e.as[(Timestamp, Long, Double)].collect().toSeq
+    val q = EventStream.staticEnriched(
+        mem.toDF().toDF("ts", "user_id", "value"), dim)
+      .writeStream.format("memory").queryName("static_join_twin")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(rowsIn: _*)
+      q.processAllAvailable()
+      val stream = spark.table("static_join_twin")
+      val a = batch.orderBy("window_start", "segment").collect().toSeq
+      val b = stream.orderBy("window_start", "segment").collect().toSeq
+      a should not be empty
+      b shouldBe a
+    } finally q.stop()
+  }
 }
