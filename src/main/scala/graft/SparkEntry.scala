@@ -35,6 +35,41 @@ object SparkEntry {
   private def duckWords(c: String): String =
     s"len(string_split(regexp_replace($c, '^\\s+|\\s+$$', '', 'g'), ' '))"
 
+  /** Fixed-context packing oracle (shared by the window-offset and
+    * scalable-offset declarations — same semantics, same SQL): replays
+    * the exact stream construction with a window cumsum for offsets,
+    * generate_series for the examples a doc overlaps, list_slice for
+    * the pieces, stream-ordered string_agg for the glue. Window sums
+    * are HUGEINT in DuckDB — cast before the integer division. */
+  private lazy val fixedContextOracle: String = {
+    val toksql = TextAnalysis.Sql.tokens("text")
+    s"""WITH sized AS (
+       |  SELECT lang AS group_id, doc_id AS id, t, CAST(len(t) AS BIGINT) AS k
+       |  FROM (SELECT lang, doc_id, $toksql AS t FROM documents)
+       |  WHERE len(t) > 0),
+       |off AS (
+       |  SELECT group_id, id, t, k,
+       |    CAST(sum(k) OVER (PARTITION BY group_id ORDER BY id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
+       |  FROM sized),
+       |spans AS (
+       |  SELECT group_id, id, t, k, e - k AS s,
+       |    unnest(generate_series((e - k) // 128, (e - 1) // 128)) AS example_id
+       |  FROM off),
+       |pieces AS (
+       |  SELECT group_id, example_id, s,
+       |    greatest(0, example_id * 128 - s) AS lo,
+       |    least(k, (example_id + 1) * 128 - s) AS hi,
+       |    list_slice(t, greatest(0, example_id * 128 - s) + 1,
+       |      least(k, (example_id + 1) * 128 - s)) AS piece
+       |  FROM spans)
+       |SELECT group_id, example_id,
+       |  CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
+       |  count(*) AS n_docs,
+       |  md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)) AS digest
+       |FROM pieces GROUP BY 1, 2""".stripMargin
+  }
+
   /** Fixed per-tag scratch dir under java.io.tmpdir: repeated
     * bench/verify runs WIPE and reuse one path per query instead of
     * accumulating a fresh full-corpus copy per invocation (the jsonl
@@ -494,6 +529,16 @@ object SparkEntry {
     // token kept, order-sensitive digest per example.
     "pack_fixed_context_documents" -> { (s, dir) =>
       Pack.packFixedContext(Tables(s, dir, "documents"),
+        col("lang"), col("doc_id"),
+        TextAnalysis.tokens(col("text")), seqLen = 128)
+    },
+    // Same contract through the SCALABLE offset path: no per-group
+    // window (5 langs over 100 TB = 5 reducers); token offsets via
+    // range-partition + bounded per-partition count collect + broadcast
+    // base offsets (the sliceByPosition shape). Identical result and
+    // oracle.
+    "pack_fixed_context_scalable" -> { (s, dir) =>
+      Pack.packFixedContextScalable(Tables(s, dir, "documents"),
         col("lang"), col("doc_id"),
         TextAnalysis.tokens(col("text")), seqLen = 128)
     },
@@ -1363,38 +1408,9 @@ object SparkEntry {
          |    FILTER (WHERE cum < 2048), '')) AS digest
          |FROM ranked GROUP BY lang""".stripMargin
     },
-    // Replays the exact stream construction: window cumsum for offsets,
-    // generate_series for the examples a doc overlaps, list_slice for
-    // the pieces, stream-ordered string_agg for the glue. Window sums
-    // are HUGEINT in DuckDB — cast before the integer division.
-    "pack_fixed_context_documents" -> {
-      import TextAnalysis.Sql.{tokens => toksql}
-      s"""WITH sized AS (
-         |  SELECT lang AS group_id, doc_id AS id, t, CAST(len(t) AS BIGINT) AS k
-         |  FROM (SELECT lang, doc_id, ${toksql("text")} AS t FROM documents)
-         |  WHERE len(t) > 0),
-         |off AS (
-         |  SELECT group_id, id, t, k,
-         |    CAST(sum(k) OVER (PARTITION BY group_id ORDER BY id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS e
-         |  FROM sized),
-         |spans AS (
-         |  SELECT group_id, id, t, k, e - k AS s,
-         |    unnest(generate_series((e - k) // 128, (e - 1) // 128)) AS example_id
-         |  FROM off),
-         |pieces AS (
-         |  SELECT group_id, example_id, s,
-         |    greatest(0, example_id * 128 - s) AS lo,
-         |    least(k, (example_id + 1) * 128 - s) AS hi,
-         |    list_slice(t, greatest(0, example_id * 128 - s) + 1,
-         |      least(k, (example_id + 1) * 128 - s)) AS piece
-         |  FROM spans)
-         |SELECT group_id, example_id,
-         |  CAST(sum(hi - lo) AS BIGINT) AS n_tokens,
-         |  count(*) AS n_docs,
-         |  md5(string_agg(array_to_string(piece, ' '), ' ' ORDER BY s)) AS digest
-         |FROM pieces GROUP BY 1, 2""".stripMargin
-    },
+    "pack_fixed_context_documents" -> fixedContextOracle,
+    // identical semantics, different distribution strategy -> same SQL
+    "pack_fixed_context_scalable" -> fixedContextOracle,
     "split_group_holdout" ->
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT

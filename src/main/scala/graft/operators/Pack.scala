@@ -191,16 +191,89 @@ object Pack {
       .withColumn("__k", size(col("__toks")).cast("long"))
       .repartition(col("group_id"))
     val w = Window.partitionBy(col("group_id")).orderBy(col("id"))
-    val spans = base
-      .withColumn("__end", sum(col("__k")).over(w))
-      .withColumn("__start", col("__end") - col("__k"))
+    glueSpans(
+      base
+        .withColumn("__end", sum(col("__k")).over(w))
+        .withColumn("__start", col("__end") - col("__k"))
+        .drop("__end"),
+      seqLen)
+  }
+
+  /** [[packFixedContext]] without the per-group window — the 100 TB
+    * path when groups are FEW and huge (5 languages over a corpus puts
+    * a window's whole partition on one reducer). Token offsets come
+    * from the repo's two-pass prefix-sum shape instead
+    * (`Splits.sliceByPosition`): range-partition + sort by (group, id),
+    * collect per-partition per-group token totals (groups are
+    * contiguous under the range partitioning, so this is
+    * O(partitions + groups) driver state — ONE entry per partition per
+    * resident group), fold base offsets on the driver, broadcast back,
+    * and let each partition number its own rows. Both `.rdd` passes
+    * share one RDD instance, so the sampled range boundaries are
+    * computed once and consistent. Group ids travel as strings here
+    * (offset-map keys); results are identical to the window path. */
+  def packFixedContextScalable(df: DataFrame, groupCol: Column,
+                               idCol: Column, toksCol: Column,
+                               seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val spark = df.sparkSession
+    val base = df
+      .select(groupCol.cast("string").as("group_id"),
+        idCol.cast("long").as("id"), toksCol.as("__toks"))
+      .withColumn("__k", size(col("__toks")).cast("long"))
+      .repartitionByRange(col("group_id"), col("id"))
+      .sortWithinPartitions(col("group_id"), col("id"))
+    val rdd = base.rdd // single reference: both passes see one partitioning
+    val gIdx = base.schema.fieldIndex("group_id")
+    val kIdx = base.schema.fieldIndex("__k")
+    val perPart = rdd.mapPartitionsWithIndex { (i, it) =>
+      val m = scala.collection.mutable.LinkedHashMap[String, Long]()
+      it.foreach { r =>
+        val g = r.getString(gIdx)
+        m.update(g, m.getOrElse(g, 0L) + r.getLong(kIdx))
+      }
+      Iterator.single(i -> m.toVector)
+    }.collect().sortBy(_._1)
+    val running = scala.collection.mutable.HashMap[String, Long]()
+    val bases = Map.newBuilder[(Int, String), Long]
+    perPart.foreach { case (i, gs) =>
+      gs.foreach { case (g, k) =>
+        bases += ((i, g) -> running.getOrElse(g, 0L))
+        running.update(g, running.getOrElse(g, 0L) + k)
+      }
+    }
+    val bcast = spark.sparkContext.broadcast(bases.result())
+    val outSchema = base.schema
+      .add(org.apache.spark.sql.types.StructField("__start",
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val withStart = spark.createDataFrame(
+      rdd.mapPartitionsWithIndex { (i, it) =>
+        val local = scala.collection.mutable.HashMap[String, Long]()
+        it.map { r =>
+          val g = r.getString(gIdx)
+          val start = bcast.value.getOrElse((i, g), 0L) +
+            local.getOrElse(g, 0L)
+          local.update(g, local.getOrElse(g, 0L) + r.getLong(kIdx))
+          org.apache.spark.sql.Row.fromSeq(r.toSeq :+ start)
+        }
+      }, outSchema)
+    glueSpans(withStart, seqLen)
+  }
+
+  /** Shared tail of the fixed-context packers: input carries
+    * (group_id, __toks, __k, __start); explode each doc into the
+    * examples it overlaps, slice the pieces, glue per example. */
+  private def glueSpans(withStart: DataFrame, seqLen: Int): DataFrame = {
+    val L = lit(seqLen.toLong)
+    val spans = withStart
       // zero-token docs are dropped HERE (explode of null emits no
       // rows) rather than by an early filter: a filter above the
       // tokenize projection gets pushed into the scan with the
       // tokenize battery INLINED, running it twice per row. Empty
       // docs add 0 to the cumsum, so offsets are unaffected.
       .withColumn("example_id", explode(when(col("__k") > 0, sequence(
-        expr(s"__start DIV $seqLen"), expr(s"(__end - 1) DIV $seqLen")))))
+        expr(s"__start DIV $seqLen"),
+        expr(s"(__start + __k - 1) DIV $seqLen")))))
       .withColumn("__lo",
         greatest(lit(0L), col("example_id") * L - col("__start")))
       .withColumn("__hi",

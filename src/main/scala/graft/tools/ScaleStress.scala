@@ -121,6 +121,15 @@ object ScaleStress {
         graft.functions.TextAnalysis.tokens(col("text")), seqLen = 64)
         .count()
     }
+    time("fixed-context packing SCALABLE (1M docs, ONE group worst case)") {
+      // the shape that breaks the window path: a single giant group
+      // serializes onto one reducer; the two-pass offset path spreads it
+      Pack.packFixedContextScalable(
+        docs.limit(1000000).withColumn("one", lit("g")),
+        col("one"), col("id"),
+        graft.functions.TextAnalysis.tokens(col("text")), seqLen = 64)
+        .count()
+    }
     time("sliding-window chunking (1M docs, window 8 stride 4)") {
       Chunker.chunkWindows(docs.limit(1000000), col("text"), col("id"),
         windowTokens = 8, strideTokens = 4).count()

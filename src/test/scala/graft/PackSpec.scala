@@ -139,6 +139,30 @@ class PackSpec extends SparkSpec {
       (2L, 1L, 1L, md5hex("i")))
   }
 
+  test("packFixedContextScalable == window path: golden and driver corpus") {
+    val golden = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
+      .toDF("doc_id", "text").withColumn("g", lit("g"))
+    val gotGolden = Pack.packFixedContextScalable(golden, $"g", $"doc_id",
+        graft.functions.TextAnalysis.tokens($"text"), seqLen = 4)
+      .orderBy("example_id")
+      .select($"example_id", $"n_tokens", $"n_docs", $"digest")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    gotGolden shouldBe Seq(
+      (0L, 4L, 2L, md5hex("a b c d")),
+      (1L, 4L, 2L, md5hex("e f g h")),
+      (2L, 1L, 1L, md5hex("i")))
+    val docs = Tables(spark, sf0001, "documents")
+    def collectAll(d: org.apache.spark.sql.DataFrame) =
+      d.select($"group_id", $"example_id", $"n_tokens", $"n_docs", $"digest")
+        .as[(String, Long, Long, Long, String)].collect().toSet
+    val window = collectAll(Pack.packFixedContext(docs, $"lang", $"doc_id",
+      graft.functions.TextAnalysis.tokens($"text"), seqLen = 32))
+    val scalable = collectAll(Pack.packFixedContextScalable(docs, $"lang",
+      $"doc_id", graft.functions.TextAnalysis.tokens($"text"), seqLen = 32))
+    window should not be empty
+    scalable shouldBe window
+  }
+
   test("packFixedContext == naive driver recompute on the sf0.001 corpus") {
     val docs = Tables(spark, sf0001, "documents")
     val L = 32
