@@ -191,6 +191,19 @@ class SerializationSpec extends SparkSpec {
       docs.orderBy("doc_id").collect().toSeq
   }
 
+  test("Avro read: caller schema projects columns by name (pruned read)") {
+    val docs = Tables(spark, sf0001, "documents")
+    val dir = Files.createTempDirectory("graft-avro-prune").toString
+    graft.sources.AvroIO.write(docs, dir)
+    val pruned = StructType(Seq(
+      StructField("lang", StringType),   // order differs from the file
+      StructField("doc_id", LongType)))
+    val back = graft.sources.AvroIO.read(spark, s"$dir/part-*.avro", pruned)
+    back.schema.fieldNames.toSeq shouldBe Seq("lang", "doc_id")
+    back.orderBy("doc_id").collect().toSeq shouldBe
+      docs.select("lang", "doc_id").orderBy("doc_id").collect().toSeq
+  }
+
   test("Avro fuzz: random primitive/array schemas round trip (seeded)") {
     val rng = new scala.util.Random(777L)
     val leaves = Seq(StringType, BinaryType, IntegerType, LongType,

@@ -109,6 +109,41 @@ class TextOpsFuzzSpec extends SparkSpec {
     flagged.subsetOf(trimmedLoss) shouldBe true
   }
 
+  test("packFixedContext invariants on random ragged corpora (both paths)") {
+    // random groups, ragged docs incl. empties; window and scalable
+    // paths must agree with each other and with the stream invariants
+    for (l <- Seq(1, 3, 8)) {
+      val docs = (0 until 50).map { i =>
+        val len = rng.nextInt(12) // 0-length docs included
+        (i.toLong, s"g${i % 4}",
+          (0 until len).map(_ => s"w${rng.nextInt(5)}").mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "g", "text")
+      val toks = graft.functions.TextAnalysis.tokens($"text")
+      def run(d: org.apache.spark.sql.DataFrame) = d
+        .select($"group_id", $"example_id", $"n_tokens", $"n_docs", $"digest")
+        .as[(String, Long, Long, Long, String)].collect().toSet
+      val a = run(graft.operators.Pack.packFixedContext(
+        df, $"g", $"doc_id", toks, seqLen = l))
+      val b = run(graft.operators.Pack.packFixedContextScalable(
+        df, $"g", $"doc_id", toks, seqLen = l))
+      withClue(s"L=$l") {
+        b shouldBe a
+        // per group: total tokens conserved; example ids contiguous
+        // from 0; every example but the last is exactly L
+        val totals = docs.groupBy(_._2).view.mapValues(
+          _.map(_._3.split("\\s+").count(_.nonEmpty).toLong).sum).toMap
+        a.groupBy(_._1).foreach { case (g, exs) =>
+          val byId = exs.toSeq.sortBy(_._2)
+          byId.map(_._2) shouldBe (0L until byId.size.toLong)
+          byId.map(_._3).sum shouldBe totals(g)
+          byId.dropRight(1).foreach(_._3 shouldBe l.toLong)
+          byId.last._3 should be <= l.toLong
+        }
+      }
+    }
+  }
+
   test("capPerSource + sampleFixedK: random caps stay consistent") {
     val rows = (0 until 500).map(i => (i.toLong, s"s${i % 7}"))
     val df = rows.toDF("id", "src")
