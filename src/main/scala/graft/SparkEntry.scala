@@ -174,6 +174,46 @@ object SparkEntry {
         TextAnalysis.fingerprint(t).as("fingerprint"))
     },
 
+    // The same single-pass kernel reached through PURE SQL via the
+    // SparkSessionExtensions-registered `text_stats` function — proves
+    // the SQL surface end to end in the driver contract (a thrift/
+    // connect client with spark.sql.extensions=graft.GraftExtensions
+    // gets exactly this). Formulas replicate the Column accessors
+    // verbatim; lang tie-break order de,en,es,fr matches LangMarkers.
+    "sql_text_stats_extension" -> { (s, dir) =>
+      Tables(s, dir, "documents").createOrReplaceTempView("documents_sqlview")
+      s.sql(
+        """WITH p AS (
+          |  SELECT doc_id, text_stats(text) AS st FROM documents_sqlview),
+          |q AS (
+          |  SELECT doc_id, st,
+          |    greatest(st.m_de, st.m_en, st.m_es, st.m_fr) AS mbest
+          |  FROM p)
+          |SELECT doc_id,
+          |  st.n_tokens AS n_tokens,
+          |  round(if(st.n_tokens = 0L, 0.0D,
+          |    CAST(st.token_bytes AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)), 6)
+          |    AS mean_token_len,
+          |  round(if(st.text_bytes = 0L, 0.0D,
+          |    CAST(st.punct_bytes AS DOUBLE) / CAST(st.text_bytes AS DOUBLE)), 6)
+          |    AS punct_ratio,
+          |  round(if(st.n_tokens = 0L, 0.0D,
+          |    CAST(st.n_stops AS DOUBLE) / CAST(st.n_tokens AS DOUBLE)), 6)
+          |    AS stopword_ratio,
+          |  round(least(CAST(st.n_tokens AS DOUBLE) / 100.0D, 1.0D) * 0.5D
+          |    + least(if(st.n_tokens = 0L, 0.0D,
+          |        CAST(st.n_stops AS DOUBLE) / CAST(st.n_tokens AS DOUBLE))
+          |        * 4.0D, 1.0D) * 0.5D
+          |    - if(st.text_bytes = 0L, 0.0D,
+          |        CAST(st.punct_bytes AS DOUBLE) / CAST(st.text_bytes AS DOUBLE))
+          |        * 0.25D, 6) AS quality,
+          |  CASE WHEN mbest > 0L AND st.m_de = mbest THEN 'de'
+          |       WHEN mbest > 0L AND st.m_en = mbest THEN 'en'
+          |       WHEN mbest > 0L AND st.m_es = mbest THEN 'es'
+          |       WHEN mbest > 0L AND st.m_fr = mbest THEN 'fr'
+          |       ELSE 'und' END AS lang_pred
+          |FROM q""".stripMargin)
+    },
     // Gopher repetition/quality rules (arXiv:2112.11446): one
     // projection pass, per-row sorted-run mode for the top-2-gram —
     // no explode/shuffle; every ratio one int/int IEEE division.
@@ -1130,6 +1170,17 @@ object SparkEntry {
          |  ${qualityScore("text")} AS quality,
          |  ${langId("text")} AS lang_pred,
          |  ${fingerprint("text")} AS fingerprint
+         |FROM documents""".stripMargin
+    },
+    "sql_text_stats_extension" -> {
+      import TextAnalysis.Sql._
+      s"""SELECT doc_id,
+         |  ${tokenCount("text")} AS n_tokens,
+         |  round(${meanTokenLen("text")}, 6) AS mean_token_len,
+         |  round(${punctRatio("text")}, 6) AS punct_ratio,
+         |  round(${stopwordRatio("text")}, 6) AS stopword_ratio,
+         |  ${qualityScore("text")} AS quality,
+         |  ${langId("text")} AS lang_pred
          |FROM documents""".stripMargin
     },
     "text_quality_gopher" -> graft.functions.Gopher.Sql.query,

@@ -9,6 +9,7 @@ import org.scalatest.matchers.should.Matchers
 object SparkSpec {
   lazy val spark: SparkSession = {
     val s = SparkSession.builder()
+      .withExtensions(new graft.GraftExtensions)
       .master("local[4]")
       .appName("graft-test")
       .config("spark.sql.shuffle.partitions", "4")
