@@ -862,6 +862,25 @@ object SparkEntry {
           coalesce(col("t_us") - col("asof.t_us"), lit(-1L)).as("wait_us"),
           coalesce(col("asof.click_value_e4"), lit(-1L)).as("click_value_e4"))
     },
+    // Batch RANGE join with no equi-key (incident correlation: errors
+    // within ±5 min of each purchase, across ALL users). Naive Spark
+    // plan is a BroadcastNestedLoopJoin; rangeJoinBinned turns it into
+    // an equi-join on 600 s time bins (each error in ONE bin, each
+    // purchase exploded over exactly 2) + the exact interval filter.
+    "events_range_join_batch" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("p_id"), col("ts").as("p_ts"))
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("ts").as("e_ts"), col("value").as("e_value"))
+      Relational.rangeJoinBinned(purchases, errors, "p_ts", "e_ts",
+          lowerNs = -300000000000L, upperNs = 300000000000L,
+          binNs = 600000000000L)
+        .groupBy(col("p_id"))
+        .agg(count(lit(1)).as("n_errors"),
+          (sum(round(col("e_value"), 4).cast("decimal(18,4)")) * 10000)
+            .cast("long").as("err_value_e4"))
+    },
     "events_sessions_30min" -> { (s, dir) => Relational.eventsSessions(s, dir) },
     // STREAMING declared query: the identical tumbling aggregation run
     // as a real micro-batch streaming plan (file source, watermark,
@@ -2024,6 +2043,19 @@ object SparkEntry {
         |  coalesce(c.click_value_e4, -1) AS click_value_e4
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.t_us >= c.t_us""".stripMargin,
+    "events_range_join_batch" ->
+      """WITH p AS (
+        |  SELECT event_id AS p_id, epoch_ns(ts) AS p_ts FROM events
+        |  WHERE event_type = 'purchase'),
+        |e AS (
+        |  SELECT epoch_ns(ts) AS e_ts, value AS e_value FROM events
+        |  WHERE event_type = 'error')
+        |SELECT p_id, count(*) AS n_errors,
+        |  CAST(sum(CAST(round(e_value, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS err_value_e4
+        |FROM p JOIN e
+        |  ON e_ts BETWEEN p_ts - 300000000000 AND p_ts + 300000000000
+        |GROUP BY p_id""".stripMargin,
     // streaming twin computes the identical aggregation -> same oracle
     "events_tumbling_5min_stream" ->
       """SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 AS window_start,

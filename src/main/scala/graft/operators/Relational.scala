@@ -293,6 +293,43 @@ object Relational {
     * Precondition: at most one right row per (keys, time) — otherwise
     * which same-timestamp payload wins is tie-order-dependent;
     * pre-aggregate the right side to that grain first. */
+  /** Batch range (interval) join with NO equi-key: pair every left row
+    * with the right rows whose `rightTime` falls inside
+    * [leftTime + lowerNs, leftTime + upperNs] (inclusive, all values
+    * epoch-nanosecond longs). Spark plans a bare inequality join as
+    * BroadcastNestedLoopJoin — an all-pairs scan that is quadratic in
+    * the table sizes and the classic 100 TB range-join failure mode.
+    * The scalable shape instead quantizes time into bins of width
+    * `binNs`: each RIGHT row lands in exactly one bin (so no pair is
+    * produced twice), each LEFT row explodes over the
+    * `(upper-lower)/bin + 1` bins its window can overlap (pick
+    * binNs >= upperNs-lowerNs to make that a constant 2), and the pair
+    * generation becomes an EQUI-join on the bin — hash-partitioned,
+    * AQE-skew-splittable, never a nested loop. The exact interval
+    * predicate filters the equi-join's output. Same binning trick
+    * Structured Streaming's interval join state layout uses; this is
+    * the batch twin of graft.streaming's stream-stream interval join.
+    *
+    * Inner join: left rows with no partner produce nothing (left-join
+    * semantics = aggregate the pairs, then join back onto the left
+    * roster). Column names of the two inputs must be disjoint.
+    * Precondition: leftTime + lowerNs >= 0 (SQL DIV truncates toward
+    * zero, so a negative shifted time would bin off-by-one). */
+  def rangeJoinBinned(left: DataFrame, right: DataFrame,
+                      leftTime: String, rightTime: String,
+                      lowerNs: Long, upperNs: Long, binNs: Long): DataFrame = {
+    require(binNs > 0, "binNs must be positive")
+    require(lowerNs <= upperNs, s"empty interval [$lowerNs, $upperNs]")
+    val l = left.withColumn("__bin", explode(sequence(
+      expr(s"(`$leftTime` + ($lowerNs)) DIV $binNs"),
+      expr(s"(`$leftTime` + ($upperNs)) DIV $binNs"))))
+    val r = right.withColumn("__bin", expr(s"`$rightTime` DIV $binNs"))
+    l.join(r, Seq("__bin"))
+      .filter(col(rightTime) >= col(leftTime) + lowerNs &&
+        col(rightTime) <= col(leftTime) + upperNs)
+      .drop("__bin")
+  }
+
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                time: String, strict: Boolean = false): DataFrame = {
     val payloadCols = right.columns.filterNot(keys.contains).toSeq

@@ -130,4 +130,36 @@ class RelationalSpec extends SparkSpec {
     fast.exceptAll(naive).count() shouldBe 0L
     naive.exceptAll(fast).count() shouldBe 0L
   }
+
+  test("rangeJoinBinned: inclusive bounds, no duplicate pairs, golden") {
+    val left = Seq((1L, 1000L), (2L, 5000L)).toDF("lid", "lt")
+    val right = Seq((10L, 700L), (11L, 1000L), (12L, 1300L), (13L, 1301L),
+      (14L, 4699L), (15L, 9999L)).toDF("rid", "rt")
+    // window [lt-300, lt+300], bin 600 (= span, so 2 bins per left row)
+    val got = Relational.rangeJoinBinned(left, right, "lt", "rt",
+        lowerNs = -300L, upperNs = 300L, binNs = 600L)
+      .select($"lid", $"rid").as[(Long, Long)].collect().toSet
+    // lid=1: 700 and 1300 are the INCLUSIVE edges, 1301 is out;
+    // lid=2: 4699 misses by 1 below, 9999 far out -> no pairs
+    got shouldBe Set((1L, 10L), (1L, 11L), (1L, 12L))
+  }
+
+  test("rangeJoinBinned == naive inequality join on events, no BNLJ") {
+    val ev = Tables(spark, sf0001, "events")
+    val l = ev.filter($"event_type" === "purchase")
+      .select($"event_id".as("p_id"), $"ts".as("p_ts"))
+    val r = ev.filter($"event_type" === "error")
+      .select($"event_id".as("e_id"), $"ts".as("e_ts"))
+    val span = 300000000000L // ±5 min in nanos
+    val fast = Relational.rangeJoinBinned(l, r, "p_ts", "e_ts",
+      -span, span, binNs = 2 * span).select($"p_id", $"e_id")
+    val naive = l.join(r,
+      $"e_ts" >= $"p_ts" - span && $"e_ts" <= $"p_ts" + span)
+      .select($"p_id", $"e_id")
+    fast.exceptAll(naive).count() shouldBe 0L
+    naive.exceptAll(fast).count() shouldBe 0L
+    // the whole point: the binned plan must be an equi-join
+    val plan = fast.queryExecution.executedPlan.toString
+    plan should not include "BroadcastNestedLoopJoin"
+  }
 }
