@@ -248,6 +248,22 @@ object SparkEntry {
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
     },
+    // Count-Min sketch frequency estimation (depth 4 × width 1024,
+    // md5-derived cells — engine-replayable): estimates for the exact
+    // top-50 tokens, alongside their true counts. Sketch state is
+    // O(depth·width) per task no matter the corpus/vocabulary size —
+    // the fixed-memory path where exact counting's shuffle scales with
+    // distinct terms. Invariant the spec pins: cms_count >= exact_cnt.
+    "text_heavy_hitters_cms" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      val exact = toks.groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("term")).limit(50)
+      val sk = graft.functions.CountMin.sketch(
+        toks, col("term"), depth = 4, width = 1024)
+      graft.functions.CountMin.estimate(sk, exact, col("term"),
+        depth = 4, width = 1024)
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -447,6 +463,19 @@ object SparkEntry {
         Tables(s, dir, "documents")
           .select(col("doc_id"), col("lang"), col("source")),
         col("doc_id"), k = 100)
+    },
+    // WEIGHTED fixed-size sample (Ohlsson sequential Poisson): 200 docs
+    // drawn with inclusion odds ~ proportional to byte length — "sample
+    // by content mass, not per-document" (a 100 KB doc should count for
+    // more of an eval budget than a tweet). Integer-exact priority keys;
+    // TakeOrdered, corpus never sorts.
+    "sample_weighted_documents" -> { (s, dir) =>
+      Splits.sampleWeighted(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("source"), col("text")),
+        col("doc_id"),
+        octet_length(coalesce(col("text"), lit(""))) + 1, k = 200)
+        .select(col("doc_id"), col("lang"), col("source"), col("sample_key"))
     },
     // Sliding-window doc chunking (RAG/embedding context prep):
     // 16-token windows, stride 8 (overlapping) — row-local, ZERO
@@ -772,6 +801,24 @@ object SparkEntry {
         // md5-anchored hash so the oracle replays the sketch exactly;
         // the xxhash64 fast path stays the library default
         hashFn = graft.functions.Kmv.u32)
+    },
+    // Tukey-fence outlier screen over the documents length columns
+    // (two exact-percentile aggregations, zero corpus shuffles) — the
+    // tail-junk check run before ingestion; doc lengths are the
+    // heavy-tailed columns where the fences actually fire.
+    "profile_outliers_documents" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(
+        octet_length(col("text")).cast("long").as("n_bytes"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      graft.functions.Profiler.outliers(d, Seq("n_bytes", "n_tokens"))
+    },
+    // Range-partitioned sorted-export manifest (terasort topology with
+    // DETERMINISTIC exact-quantile boundaries instead of Spark's
+    // sampled ones): 8 non-overlapping o_totalprice shards with count,
+    // key range, and an order-insensitive md5 membership digest.
+    "export_sorted_shards" -> { (s, dir) =>
+      SortedExport.manifest(Tables(s, dir, "orders"),
+        key = "o_totalprice", id = "o_orderkey", nShards = 8)
     },
 
     // ------------------------------------- relational coverage (§2.4)

@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Count-Min sketch frequency estimation (Cormode & Muthukrishnan,
+  * J. Algorithms 2005) — the fixed-state answer to "how often does each
+  * term occur" when the term universe is too large to count exactly:
+  * `depth` hash rows of `width` counters each; a term's estimate is the
+  * MIN of its `depth` cells, which can only OVERcount (collisions add),
+  * never undercount — estimate >= true count always, and with
+  * probability 1 - (1/2)^depth the excess is under 2·N/width.
+  *
+  * Scale shape: building the sketch explodes each occurrence over the
+  * `depth` row indices, but the following hash aggregation combines
+  * map-side, so each task emits at most depth*width counter partials —
+  * the shuffle carries O(depth*width) per task regardless of corpus
+  * size, and the finished sketch is depth*width rows (a few KB). That's
+  * the whole point vs an exact groupBy, whose shuffle and result scale
+  * with the DISTINCT-term count. Estimation broadcasts the finished
+  * sketch (tiny) against the candidate list.
+  *
+  * Determinism / oracle exactness: cells are md5-derived
+  * (u32(md5(depth ':' term)) mod width) — no seeds, no JVM hashing —
+  * so any engine replays the identical sketch cell-for-cell
+  * (DuckDB: ('0x'||substr(md5(...),1,8))::BIGINT % width).
+  */
+object CountMin {
+
+  /** The sketch cell of `term` on hash row `d` (both engines replay
+    * this formula exactly). */
+  private def cellOf(d: Column, term: Column, width: Int): Column =
+    pmod(conv(substring(md5(
+      concat(d.cast("string"), lit(":"), term)), 1, 8), 16, 10)
+      .cast("long"), lit(width.toLong))
+
+  /** Build the sketch from one-row-per-occurrence `terms`: returns
+    * (d, cell, cnt) with at most depth*width rows. Absent cells are
+    * zero (they simply don't appear). */
+  def sketch(terms: DataFrame, termCol: Column,
+             depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    terms.select(termCol.as("__t"))
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("d"), cellOf(col("d"), col("__t"), width).as("cell"))
+      .groupBy(col("d"), col("cell"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Point-query the sketch for every row of `candidates`: min over the
+    * term's `depth` cells (missing cell = 0 occurrences hashed there,
+    * so the estimate — and hence the true count — is 0). The sketch is
+    * broadcast: depth*width rows, never a corpus-side shuffle. */
+  def estimate(sketch: DataFrame, candidates: DataFrame, termCol: Column,
+               depth: Int, width: Int): DataFrame = {
+    val cand = candidates.withColumn("__term", termCol)
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .withColumn("cell", cellOf(col("d"), col("__term"), width))
+    val keep = candidates.columns
+    cand.join(broadcast(sketch), Seq("d", "cell"), "left")
+      .groupBy(keep.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
+  }
+}

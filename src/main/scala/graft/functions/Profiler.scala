@@ -107,4 +107,48 @@ object Profiler {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         col("min_val"), col("max_val"))
   }
+
+  /** Tukey-fence outlier screen per numeric column: quartiles q1/q3
+    * (exact interpolated percentiles), fences at q1/q3 ∓ 1.5·IQR, and
+    * how many rows fall strictly outside each fence — the standard
+    * "does this column have tail junk" data-quality check run before
+    * training ingestion.
+    *
+    * Shape: pass 1 is ONE aggregation computing both quartiles for all
+    * columns (collected: a single row, O(cols) driver state — the
+    * bounded-collect pattern of [[graft.functions.Quantize]]); the
+    * fences become literals in pass 2, ONE more aggregation counting
+    * fence violations for all columns, reshaped to a row per column
+    * like [[basicStats]]. Two scans, zero corpus shuffles.
+    *
+    * Cross-engine exactness: Spark `percentile` interpolates identically
+    * to DuckDB `quantile_cont` (hash-proven by rel_price_quantiles), and
+    * the fence arithmetic is two IEEE ops on those identical doubles —
+    * so counts, quartiles, and fences all replay bit-exactly. */
+  def outliers(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val qAggs = cols.map { c =>
+      expr(s"percentile(`$c`, array(0.25, 0.75))").as(s"${c}__q")
+    }
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+    val fences = cols.map { c =>
+      val qs = qRow.getSeq[Double](qRow.fieldIndex(s"${c}__q"))
+      val iqr = qs(1) - qs(0)
+      (c, qs(0), qs(1), qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)
+    }
+    val cAggs = fences.flatMap { case (c, _, _, lo, hi) =>
+      Seq(sum(when(col(c) < lit(lo), 1L).otherwise(0L)).as(s"${c}__low"),
+        sum(when(col(c) > lit(hi), 1L).otherwise(0L)).as(s"${c}__high"))
+    }
+    df.agg(cAggs.head, cAggs.tail: _*)
+      .select(explode(array(fences.map { case (c, q1, q3, lo, hi) =>
+        struct(lit(c).as("col_name"),
+          lit(q1).as("q1"), lit(q3).as("q3"),
+          lit(lo).as("lo_fence"), lit(hi).as("hi_fence"),
+          col(s"${c}__low").cast("long").as("n_below"),
+          col(s"${c}__high").cast("long").as("n_above"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.q1"), col("p.q3"),
+        col("p.lo_fence"), col("p.hi_fence"),
+        col("p.n_below"), col("p.n_above"))
+  }
 }

@@ -201,6 +201,41 @@ object Splits {
       .drop("__key")
   }
 
+  /** Deterministic WEIGHTED sampling without replacement — Ohlsson's
+    * sequential Poisson sampling: each row gets key = u/w (u its md5
+    * uniform, w its weight), the k SMALLEST keys are the sample, so
+    * inclusion probability is approximately proportional to weight
+    * (the πps estimator design used in survey sampling; heavier rows
+    * draw smaller keys). The key is pure integer arithmetic —
+    * u32 (first-8-hex md5, < 2^32) scaled by 2^20, then integer-divided
+    * by the weight — so membership is bit-exact in any engine, stable
+    * under repartitioning/retries, and monotone in k (a k-sample is a
+    * prefix of every larger sample). Key collisions (coarse weights)
+    * break by id ASC. Weights are asserted into [1, 2^31) at runtime
+    * (u32 * 2^20 < 2^52, no overflow; w <= 0 would invert semantics).
+    *
+    * Shape: sort-limit on (key, id), planned as TakeOrderedAndProject —
+    * per-partition k-row partials merged on the driver, the corpus
+    * never globally sorts. Driver state O(k). Output keeps the input
+    * columns plus `sample_key` (the integer priority, for audits). */
+  def sampleWeighted(df: DataFrame, idCol: Column, weightCol: Column,
+                     k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val u32 = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val w = weightCol.cast("long")
+    val wGuarded = when(w <= 0L || w >= 2147483648L,
+      raise_error(concat(lit("sampleWeighted: weight "), w.cast("string"),
+        lit(" outside [1, 2^31)")))).otherwise(w)
+    df.withColumn("__u", u32)
+      .withColumn("__w", wGuarded)
+      // DIV, not `/`: Column./ is double division (cross-engine hazard)
+      .withColumn("sample_key", expr("__u * 1048576 DIV __w"))
+      .orderBy(col("sample_key"), idCol)
+      .limit(k)
+      .drop("__u", "__w")
+  }
+
   /** QUALITY-ranked per-source selection — the production upgrade over
     * [[capPerSource]]'s random quota: keep the `cap` HIGHEST-scoring
     * rows per source (ties by id ASC), i.e. "best 10k docs per domain
