@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, Splits}
+import graft.operators.{Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, SortedExport, Splits}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1311,6 +1311,97 @@ object SparkEntry {
     "sample_fixed_k_documents" ->
       """SELECT doc_id, lang, source FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""".stripMargin,
+    // CMS cells are md5-derived (u32(md5(d ':' term)) mod width), so the
+    // sketch replays cell-for-cell; the top-50 ordering key
+    // (exact_cnt DESC, term) is total, so the candidate set is exact.
+    "text_heavy_hitters_cms" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |exact AS (
+        |  SELECT term, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM toks GROUP BY 1
+        |  ORDER BY exact_cnt DESC, term LIMIT 50),
+        |cells AS (
+        |  SELECT d,
+        |    ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||term),1,8))::BIGINT
+        |      % 1024 AS cell,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0,4)) AS d)
+        |  GROUP BY 1, 2)
+        |SELECT e.term, e.exact_cnt,
+        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+        |FROM exact e
+        |CROSS JOIN (SELECT unnest(range(0,4)) AS d) ds
+        |LEFT JOIN cells c ON c.d = ds.d AND c.cell =
+        |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
+        |    % 1024
+        |GROUP BY 1, 2""".stripMargin,
+    // DuckDB `//` == Spark `DIV` (integer division); u32*2^20 < 2^63.
+    "sample_weighted_documents" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, source,
+        |    ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))::BIGINT
+        |      * 1048576 // (strlen(coalesce(text,'')) + 1) AS sample_key
+        |  FROM documents)
+        |SELECT doc_id, lang, source, CAST(sample_key AS BIGINT) AS sample_key
+        |FROM w ORDER BY sample_key, doc_id LIMIT 200""".stripMargin,
+    // quantile_cont == Spark percentile (interpolation parity proven by
+    // rel_price_quantiles); fences are the same two IEEE ops on those
+    // identical doubles, so counts and fences replay bit-exactly.
+    "profile_outliers_documents" ->
+      """WITH d AS (
+        |  SELECT CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |f AS (
+        |  SELECT bq[1] AS b1, bq[2] AS b3, tq[1] AS t1, tq[2] AS t3,
+        |    bq[1] - 1.5*(bq[2]-bq[1]) AS blo, bq[2] + 1.5*(bq[2]-bq[1]) AS bhi,
+        |    tq[1] - 1.5*(tq[2]-tq[1]) AS tlo, tq[2] + 1.5*(tq[2]-tq[1]) AS thi
+        |  FROM (SELECT quantile_cont(n_bytes, [0.25, 0.75]) AS bq,
+        |          quantile_cont(n_tokens, [0.25, 0.75]) AS tq FROM d)),
+        |c AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN n_bytes  < blo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b_below,
+        |    CAST(sum(CASE WHEN n_bytes  > bhi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS b_above,
+        |    CAST(sum(CASE WHEN n_tokens < tlo THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_below,
+        |    CAST(sum(CASE WHEN n_tokens > thi THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS t_above
+        |  FROM d, f)
+        |SELECT 'n_bytes' AS col_name, b1 AS q1, b3 AS q3, blo AS lo_fence,
+        |  bhi AS hi_fence, b_below AS n_below, b_above AS n_above FROM f, c
+        |UNION ALL
+        |SELECT 'n_tokens', t1, t3, tlo, thi, t_below, t_above
+        |FROM f, c""".stripMargin,
+    // Cuts are the exact interior octiles of o_totalprice (DOUBLE in the
+    // testdata, so quantile_cont parity gives identical cut doubles);
+    // shard = #cuts strictly below the key, membership pinned by the
+    // commutative u32-md5 sum.
+    "export_sorted_shards" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    (CASE WHEN o_totalprice > c[1] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[2] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[3] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[4] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[5] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[6] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[7] THEN 1 ELSE 0 END) AS shard
+        |  FROM orders, cuts)
+        |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_totalprice) AS min_key, max(o_totalprice) AS max_key,
+        |  CAST(sum(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT)
+        |    AS BIGINT) AS member_sum
+        |FROM a GROUP BY 1""".stripMargin,
     "text_chunk_windows" ->
       // DuckDB list_slice is 1-based inclusive-end: [i*8+1, i*8+16] ==
       // Spark slice(toks, i*8+1, 16)

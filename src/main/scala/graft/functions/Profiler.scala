@@ -130,20 +130,39 @@ object Profiler {
       expr(s"percentile(`$c`, array(0.25, 0.75))").as(s"${c}__q")
     }
     val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
-    val fences = cols.map { c =>
-      val qs = qRow.getSeq[Double](qRow.fieldIndex(s"${c}__q"))
-      val iqr = qs(1) - qs(0)
-      (c, qs(0), qs(1), qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)
-    }
-    val cAggs = fences.flatMap { case (c, _, _, lo, hi) =>
-      Seq(sum(when(col(c) < lit(lo), 1L).otherwise(0L)).as(s"${c}__low"),
-        sum(when(col(c) > lit(hi), 1L).otherwise(0L)).as(s"${c}__high"))
+    // percentile returns NULL for an empty input / all-null column:
+    // those columns get null quartiles+fences and zero counts instead
+    // of an NPE (nothing can lie outside a fence that doesn't exist).
+    val fences: Seq[(String, Option[(Double, Double, Double, Double)])] =
+      cols.map { c =>
+        val i = qRow.fieldIndex(s"${c}__q")
+        if (qRow.isNullAt(i)) (c, None)
+        else {
+          val qs = qRow.getSeq[Double](i)
+          val iqr = qs(1) - qs(0)
+          (c, Some((qs(0), qs(1), qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)))
+        }
+      }
+    val cAggs = fences.flatMap {
+      case (c, Some((_, _, lo, hi))) => Seq(
+        coalesce(sum(when(col(c) < lit(lo), 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__low"),
+        coalesce(sum(when(col(c) > lit(hi), 1L).otherwise(0L)), lit(0L))
+          .as(s"${c}__high"))
+      case (c, None) => Seq(
+        coalesce(max(lit(0L)), lit(0L)).as(s"${c}__low"),
+        coalesce(max(lit(0L)), lit(0L)).as(s"${c}__high"))
     }
     df.agg(cAggs.head, cAggs.tail: _*)
-      .select(explode(array(fences.map { case (c, q1, q3, lo, hi) =>
+      .select(explode(array(fences.map { case (c, fo) =>
+        val (q1, q3, lo, hi) = fo match {
+          case Some((a, b, l, h)) => (lit(a), lit(b), lit(l), lit(h))
+          case None =>
+            val n = lit(null).cast("double"); (n, n, n, n)
+        }
         struct(lit(c).as("col_name"),
-          lit(q1).as("q1"), lit(q3).as("q3"),
-          lit(lo).as("lo_fence"), lit(hi).as("hi_fence"),
+          q1.as("q1"), q3.as("q3"),
+          lo.as("lo_fence"), hi.as("hi_fence"),
           col(s"${c}__low").cast("long").as("n_below"),
           col(s"${c}__high").cast("long").as("n_above"))
       }: _*)).as("p"))

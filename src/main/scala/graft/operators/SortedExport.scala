@@ -36,12 +36,19 @@ object SortedExport {
   def assignShards(df: DataFrame, key: String, nShards: Int): DataFrame = {
     require(nShards > 1, "nShards must be > 1")
     val ps = (1 until nShards).map(i => i.toDouble / nShards)
-    val cuts = df.agg(
-      expr(s"percentile(`$key`, array(${ps.mkString(", ")}))").as("__cuts"))
-    df.crossJoin(broadcast(cuts))
-      .withColumn("shard", expr(
-        s"aggregate(__cuts, 0, (a, c) -> a + (CASE WHEN `$key` > c THEN 1 ELSE 0 END))"))
-      .drop("__cuts")
+    // Bounded driver-side collect of the (nShards-1)-element cut array,
+    // inlined as literals: the assignment pass is then a pure scan (no
+    // join of any kind — same idiom as Profiler.outliers). Null cuts
+    // (empty input / all-null key) degrade to a single shard 0.
+    val cutsRow = df
+      .agg(expr(s"percentile(`$key`, array(${ps.mkString(", ")}))"))
+      .head()
+    val cuts: Seq[Double] =
+      if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)
+    val shard = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(col(key) > lit(c), 1).otherwise(0)
+    }
+    df.withColumn("shard", shard)
   }
 
   /** Per-shard export manifest: row count, key range, and an

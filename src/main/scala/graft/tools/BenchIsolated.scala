@@ -31,7 +31,11 @@ object BenchIsolated {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      // parity with Bench/Smoke/Verify: extension-registered SQL
+      // (sql_text_stats_extension) must resolve here too
+      .withExtensions(new graft.GraftExtensions)
+      .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     graft.Tables(spark, dir, "region").count() // absorb session warm-up
     val rows = names.map { name =>
