@@ -1,0 +1,233 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{CountMin, Profiler}
+import graft.operators.{SortedExport, Splits}
+
+/** Specs for the round-4 final-commit operators that landed untested
+  * (VERDICT r4 item 4): Count-Min estimation, sequential-Poisson
+  * weighted sampling, Tukey-fence outlier screening, and deterministic
+  * range-sharded export. Golden values are hand-derived; fuzz inputs
+  * are seeded.
+  */
+class PipelineStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val rng = new scala.util.Random(20260814L)
+
+  /** u32(md5(s)) — the engine-portable hash both the operators and the
+    * DuckDB oracles use, replicated here independently. */
+  private def u32md5(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => f"${b & 0xff}%02x").mkString, 16)
+  }
+
+  // ------------------------------------------------------------ CountMin
+
+  test("CountMin never undercounts, and is exact without collisions") {
+    val terms = (0 until 500).map(i => s"t${rng.nextInt(40)}")
+    val df = terms.toDF("term")
+    val exact = terms.groupBy(identity).map { case (t, xs) =>
+      t -> xs.size.toLong
+    }
+    val sk = CountMin.sketch(df, $"term", depth = 4, width = 2048)
+    val cand = exact.keys.toSeq.toDF("term")
+    val est = CountMin.estimate(sk, cand, $"term", depth = 4, width = 2048)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.keySet shouldBe exact.keySet
+    exact.foreach { case (t, c) =>
+      est(t) should be >= c // the CMS invariant: only over-counts
+    }
+    // 40 distinct terms in a 4x2048 sketch: collision probability per
+    // (term, row) is 39/2048; the min over 4 rows is exact unless a
+    // term collides in ALL rows (p < 4e-8) — assert full exactness
+    est shouldBe exact
+  }
+
+  test("CountMin width=1 golden: every cell is the total, absent term too") {
+    val df = Seq("a", "a", "b", "c").toDF("term")
+    val sk = CountMin.sketch(df, $"term", depth = 2, width = 1)
+    sk.collect().map(_.getLong(2)).foreach(_ shouldBe 4L)
+    val est = CountMin.estimate(sk, Seq("a", "zz").toDF("term"), $"term",
+      depth = 2, width = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est("a") shouldBe 4L  // full collision: estimate = stream length
+    est("zz") shouldBe 4L // even for a term never inserted
+  }
+
+  test("CountMin absent term estimates 0 in a wide sketch") {
+    val sk = CountMin.sketch(Seq("a", "b").toDF("term"), $"term",
+      depth = 4, width = 2048)
+    val est = CountMin.estimate(sk, Seq("never-seen").toDF("term"),
+      $"term", depth = 4, width = 2048).collect()
+    est.head.getLong(1) shouldBe 0L
+  }
+
+  // ------------------------------------------------- sampleWeighted
+
+  private def weightedDf(n: Int) =
+    (1 to n).map(i => (i.toLong, (i % 37) * 1000L + 1L)).toDF("id", "w")
+
+  test("sampleWeighted key is exactly u32(md5(id)) * 2^20 div weight") {
+    val df = Seq((7L, 100L), (8L, 1L), (9L, 2147483647L)).toDF("id", "w")
+    val got = Splits.sampleWeighted(df, $"id", $"w", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    Seq((7L, 100L), (8L, 1L), (9L, 2147483647L)).foreach { case (id, w) =>
+      got(id) shouldBe u32md5(id.toString) * 1048576L / w
+    }
+  }
+
+  test("sampleWeighted: k=50 is a prefix of k=200 (sample refinement)") {
+    val df = weightedDf(400)
+    val k50 = Splits.sampleWeighted(df, $"id", $"w", 50)
+      .collect().map(_.getLong(0)).toSet
+    val k200 = Splits.sampleWeighted(df, $"id", $"w", 200)
+      .collect().map(_.getLong(0)).toSet
+    k50.size shouldBe 50
+    k200.size shouldBe 200
+    k50.subsetOf(k200) shouldBe true
+  }
+
+  test("sampleWeighted is monotone in weight: heavier rows never rank worse") {
+    val base = weightedDf(300)
+    val heavier = base.withColumn("w", $"w" * 2)
+    val kb = Splits.sampleWeighted(base, $"id", $"w", 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val kh = Splits.sampleWeighted(heavier, $"id", $"w", 300)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    kb.foreach { case (id, key) => kh(id) should be <= key }
+  }
+
+  test("sampleWeighted rejects weights outside [1, 2^31)") {
+    val bad = Seq((1L, 0L)).toDF("id", "w")
+    val e = intercept[Exception] {
+      Splits.sampleWeighted(bad, $"id", $"w", 1).collect()
+    }
+    e.getMessage should include("outside [1, 2^31)")
+  }
+
+  // ---------------------------------------------- Profiler.outliers
+
+  test("outliers golden: hand-derived Tukey fences and tail counts") {
+    val df = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L).toDF("v")
+    val r = Profiler.outliers(df, Seq("v")).collect()
+    r.length shouldBe 1
+    val row = r.head
+    row.getString(0) shouldBe "v"
+    // interpolated quartiles of 8 sorted values: idx .25*7=1.75 -> 2.75,
+    // idx .75*7=5.25 -> 6.25; IQR 3.5 -> fences -2.5 / 11.5
+    row.getDouble(1) shouldBe 2.75
+    row.getDouble(2) shouldBe 6.25
+    row.getDouble(3) shouldBe -2.5
+    row.getDouble(4) shouldBe 11.5
+    row.getLong(5) shouldBe 0L  // nothing below -2.5
+    row.getLong(6) shouldBe 1L  // only 100 above 11.5
+  }
+
+  test("outliers: empty input and all-null columns yield null fences, zero counts") {
+    val empty = spark.emptyDataFrame
+      .withColumn("v", lit(null).cast("long"))
+    val r1 = Profiler.outliers(empty, Seq("v")).collect()
+    r1.length shouldBe 1
+    r1.head.isNullAt(1) shouldBe true
+    r1.head.getLong(5) shouldBe 0L
+    r1.head.getLong(6) shouldBe 0L
+    // one real column + one all-null column, in one call
+    val mixed = Seq((1L, Option.empty[Long]), (2L, None), (3L, None))
+      .toDF("a", "b")
+    val r2 = Profiler.outliers(mixed, Seq("a", "b"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    r2("a").getDouble(1) shouldBe 1.5
+    r2("a").getDouble(2) shouldBe 2.5
+    r2("b").isNullAt(1) shouldBe true
+    r2("b").getLong(5) shouldBe 0L
+    r2("b").getLong(6) shouldBe 0L
+  }
+
+  // ------------------------------------------------- SortedExport
+
+  test("assignShards fuzz: shards are a monotone partition of the key order") {
+    val n = 800
+    // duplicates on purpose: ties must stay in the lower shard together
+    val rows = (0 until n).map(i => (i.toLong, rng.nextInt(200).toDouble))
+    val df = rows.toDF("id", "k")
+    for (nShards <- Seq(2, 5, 8)) {
+      val got = SortedExport.assignShards(df, "k", nShards)
+        .select($"id", $"k", $"shard").collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2)))
+      got.length shouldBe n // every row assigned exactly once
+      got.foreach { case (_, _, s) =>
+        s should be >= 0
+        s should be < nShards
+      }
+      // ranges never overlap: max key of shard i <= min key of shard i+1
+      val byShard = got.groupBy(_._3).toSeq.sortBy(_._1)
+      byShard.sliding(2).foreach {
+        case Seq((_, lo), (_, hi)) =>
+          lo.map(_._2).max should be <= hi.map(_._2).min
+        case _ => ()
+      }
+      // equal keys land in the same shard (cuts can't split ties)
+      got.groupBy(_._2).values.foreach { same =>
+        same.map(_._3).distinct.length shouldBe 1
+      }
+    }
+  }
+
+  test("assignShards balances distinct keys to ~n/nShards per shard") {
+    val df = (0 until 800).map(i => (i.toLong, i.toDouble)).toDF("id", "k")
+    val sizes = SortedExport.assignShards(df, "k", 8)
+      .groupBy($"shard").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    sizes.keySet shouldBe (0 until 8).toSet
+    sizes.values.foreach { c => c.toDouble shouldBe 100.0 +- 2.0 }
+  }
+
+  test("assignShards degenerate: all-equal keys collapse to shard 0") {
+    val df = (0 until 50).map(i => (i.toLong, 7.0)).toDF("id", "k")
+    SortedExport.assignShards(df, "k", 4)
+      .select($"shard").distinct().collect()
+      .map(_.getInt(0)).toSeq shouldBe Seq(0)
+  }
+
+  test("manifest pins counts and membership via the u32-md5 digest") {
+    val rows = (1 to 200).map(i => (i.toLong, (i * 37 % 101).toDouble))
+    val df = rows.toDF("id", "k")
+    val m = SortedExport.manifest(df, key = "k", id = "id", nShards = 4)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    m.values.map(_._1).sum shouldBe 200L
+    m.values.map(_._4).sum shouldBe
+      rows.map(r => u32md5(r._1.toString)).sum
+    // digest per shard replayed independently from the assignment
+    val asg = SortedExport.assignShards(df, "k", 4)
+      .select($"id", $"shard").collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    asg.groupBy(_._2).foreach { case (s, xs) =>
+      m(s)._1 shouldBe xs.length.toLong
+      m(s)._4 shouldBe xs.map(x => u32md5(x._1.toString)).sum
+    }
+  }
+
+  test("write produces disjoint sorted shard directories matching the manifest") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-sorted-export").toString
+    val rows = (1 to 300).map(i => (i.toLong, (i * 53 % 211).toDouble))
+    val df = rows.toDF("id", "k")
+    SortedExport.write(df, key = "k", id = "id", nShards = 4,
+      path = dir) shouldBe 4
+    val back = spark.read.parquet(dir)
+    back.count() shouldBe 300L
+    val m = SortedExport.manifest(df, "k", "id", 4)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    val got = back.groupBy($"shard")
+      .agg(count(lit(1)), min($"k"), max($"k")).collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    got shouldBe m
+  }
+}
