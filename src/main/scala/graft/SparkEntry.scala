@@ -264,6 +264,16 @@ object SparkEntry {
       graft.functions.CountMin.estimate(sk, exact, col("term"),
         depth = 4, width = 1024)
     },
+    // CMS exercised as a PIPELINE (sketch -> candidate extraction ->
+    // estimate -> integer-exact phi threshold), not a primitive: all
+    // terms whose estimate clears 1% of the token stream. Guaranteed
+    // superset of the true 1%-heavy hitters (CMS never undercounts).
+    "text_heavy_hitters_pipeline" -> { (s, dir) =>
+      val toks = Tables(s, dir, "documents")
+        .select(explode(TextAnalysis.tokens(lower(col("text")))).as("term"))
+      graft.functions.CountMin.heavyHitters(toks, col("term"),
+        depth = 4, width = 1024, phiNum = 1L, phiDen = 100L)
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -816,9 +826,34 @@ object SparkEntry {
     // DETERMINISTIC exact-quantile boundaries instead of Spark's
     // sampled ones): 8 non-overlapping o_totalprice shards with count,
     // key range, and an order-insensitive md5 membership digest.
+    // 100 TB note: `percentile` is exact via a value-frequency map —
+    // fine for bounded-cardinality keys like prices; for unbounded key
+    // cardinality swap `approx_percentile` into SortedExport (shard
+    // BALANCE softens, manifest/write semantics unchanged).
     "export_sorted_shards" -> { (s, dir) =>
       SortedExport.manifest(Tables(s, dir, "orders"),
         key = "o_totalprice", id = "o_orderkey", nShards = 8)
+    },
+    // The PHYSICAL sorted export, gated end-to-end: write the 8 range
+    // shards to parquet (each file an ascending (key, id) run under
+    // shard=<i>/), then recompute the manifest FROM THE WRITTEN FILES.
+    // The oracle is the source-side manifest replay, so any divergence
+    // between what was written and what should have been written
+    // (lost rows, mis-assigned shard, clobbered key) fails the hash
+    // compare — manifest-vs-files consistency pinned by the gate.
+    "export_sorted_files" -> { (s, dir) =>
+      val out = "/tmp/graft_sorted_export_" +
+        dir.replaceAll("[^A-Za-z0-9]", "_")
+      SortedExport.write(Tables(s, dir, "orders"),
+        key = "o_totalprice", id = "o_orderkey", nShards = 8, path = out)
+      val u32 = conv(substring(md5(col("o_orderkey").cast("string")),
+        1, 8), 16, 10).cast("long")
+      s.read.parquet(out)
+        .groupBy(col("shard").cast("int").as("shard"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_key"),
+          max(col("o_totalprice")).as("max_key"),
+          sum(u32).as("member_sum"))
     },
 
     // ------------------------------------- relational coverage (§2.4)
@@ -1402,6 +1437,55 @@ object SparkEntry {
         |  CAST(sum(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT)
         |    AS BIGINT) AS member_sum
         |FROM a GROUP BY 1""".stripMargin,
+    // The files-derived manifest must equal the source-derived one, so
+    // the oracle IS the source-side replay: any written/should-have-
+    // written divergence fails the hash compare.
+    "export_sorted_files" ->
+      """WITH cuts AS (
+        |  SELECT quantile_cont(o_totalprice,
+        |    [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c
+        |  FROM orders),
+        |a AS (
+        |  SELECT o_orderkey, o_totalprice,
+        |    (CASE WHEN o_totalprice > c[1] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[2] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[3] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[4] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[5] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[6] THEN 1 ELSE 0 END) +
+        |    (CASE WHEN o_totalprice > c[7] THEN 1 ELSE 0 END) AS shard
+        |  FROM orders, cuts)
+        |SELECT CAST(shard AS INT) AS shard, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(o_totalprice) AS min_key, max(o_totalprice) AS max_key,
+        |  CAST(sum(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT)
+        |    AS BIGINT) AS member_sum
+        |FROM a GROUP BY 1""".stripMargin,
+    // Replays sketch, candidate vocabulary, estimates, and the
+    // integer-exact 1% threshold end to end.
+    "text_heavy_hitters_pipeline" ->
+      """WITH toks AS (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text),
+        |    '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM toks),
+        |cells AS (
+        |  SELECT d,
+        |    ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||term),1,8))::BIGINT
+        |      % 1024 AS cell,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks CROSS JOIN (SELECT unnest(range(0,4)) AS d)
+        |  GROUP BY 1, 2),
+        |cand AS (SELECT DISTINCT term FROM toks),
+        |est AS (
+        |  SELECT e.term, CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+        |  FROM cand e
+        |  CROSS JOIN (SELECT unnest(range(0,4)) AS d) ds
+        |  LEFT JOIN cells c ON c.d = ds.d AND c.cell =
+        |    ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
+        |      % 1024
+        |  GROUP BY 1)
+        |SELECT term, cms_count FROM est, n
+        |WHERE cms_count * 100 >= n * 1""".stripMargin,
     "text_chunk_windows" ->
       // DuckDB list_slice is 1-based inclusive-end: [i*8+1, i*8+16] ==
       // Spark slice(toks, i*8+1, 16)
@@ -1932,7 +2016,10 @@ object SparkEntry {
          |  SELECT emb.vec_id AS id, coalesce(lbl.l, emb.vec_id) AS cluster_id
          |  FROM embeddings emb LEFT JOIN lbl ON emb.vec_id = lbl.u),
          |cent AS (
-         |  SELECT cluster_id, u.i AS lane, round(avg(u.v), 6) AS cv
+         |  SELECT cluster_id, u.i AS lane,
+         |    round(CAST(CAST(sum(CAST(round(u.v, 9) AS DECIMAL(28,9)))
+         |          * 1000000000 AS BIGINT) AS DOUBLE)
+         |      / (count(*) * 1000000000.0), 6) AS cv
          |  FROM (SELECT a.cluster_id, unnest([{'i': i, 'v': n.e[i]}
          |          FOR i IN range(1, len(n.e) + 1)]) AS u
          |        FROM asg a JOIN nv n ON a.id = n.vec_id)

@@ -47,6 +47,32 @@ object CountMin {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** End-to-end heavy hitters: build the sketch over the occurrence
+    * stream, estimate every DISTINCT term against it, and keep the
+    * terms whose estimate clears a `phiNum/phiDen` fraction of the
+    * stream length — the full pipeline (sketch -> candidate extraction
+    * -> estimate -> threshold), not just the primitive. The threshold
+    * compare is integer-exact (`est * phiDen >= n * phiNum`), so it
+    * replays in any engine with no float in sight. Because the CMS only
+    * ever OVERcounts, the result is a guaranteed superset of the true
+    * phi-heavy hitters (no false negatives — the property downstream
+    * exact rescans rely on).
+    *
+    * Scale shape: two linear passes over the stream (length + sketch)
+    * and one distinct-vocabulary shuffle for candidates — vocabulary-
+    * not corpus-sized. At extreme vocabularies swap the candidate pass
+    * for an external/a-priori candidate list; sketch and threshold
+    * stages are unchanged. */
+  def heavyHitters(terms: DataFrame, termCol: Column, depth: Int,
+                   width: Int, phiNum: Long, phiDen: Long): DataFrame = {
+    require(phiNum > 0 && phiDen > 0, "phi must be positive")
+    val stream = terms.select(termCol.as("term"))
+    val n = stream.count() // exact stream length: one driver scalar
+    val sk = sketch(stream, col("term"), depth, width)
+    estimate(sk, stream.distinct(), col("term"), depth, width)
+      .filter(col("cms_count") * phiDen >= lit(n) * phiNum)
+  }
+
   /** Point-query the sketch for every row of `candidates`: min over the
     * term's `depth` cells (missing cell = 0 occurrences hashed there,
     * so the estimate — and hence the true count — is 0). The sketch is

@@ -566,9 +566,19 @@ object Dedup {
     val vecs = Similarity.normalizedVectors(df, idCol.cast("long"), vecCol)
     val asg = clusters(df, idCol, pairs)
     val withC = vecs.join(asg, "id")
+    // Centroid lanes via per-item round -> DECIMAL accumulation ->
+    // scaled long -> ONE IEEE division (the exactValueSumE4 idiom):
+    // order-independent, unlike avg() over doubles whose partial-sum
+    // order is partitioning-dependent — so the round-6 value can never
+    // flake at a rounding boundary between engines/runs.
     val cent = withC.select(col("cluster_id"), posexplode(col("vec")))
       .groupBy(col("cluster_id"), col("pos"))
-      .agg(round(avg(col("col")), 6).as("cv"))
+      .agg(
+        (sum(round(col("col"), 9).cast("decimal(28,9)")) * 1000000000L)
+          .cast("long").as("__s_e9"),
+        count(lit(1)).as("__n"))
+      .withColumn("cv", round(col("__s_e9").cast("double") /
+        (col("__n") * lit(1000000000L)).cast("double"), 6))
       .groupBy(col("cluster_id"))
       .agg(transform(
         array_sort(collect_list(struct(col("pos"), col("cv")))),
