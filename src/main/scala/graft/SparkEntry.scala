@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, SortedExport, Splits}
+import graft.operators.{Cdc, Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -855,6 +855,34 @@ object SparkEntry {
           max(col("o_totalprice")).as("max_key"),
           sum(u32).as("member_sum"))
     },
+    // Z-order (Morton) file layout plan over lineitem's two predicate
+    // keys: 8 file groups cut at exact z-key percentiles, manifest
+    // carrying the per-file min/max of BOTH dims — the stats a scan
+    // planner prunes with, tight on both axes because the key
+    // interleaves them (a linear sort key is tight on one axis only).
+    "layout_zorder_lineitem" -> { (s, dir) =>
+      ZOrder.layout(Tables(s, dir, "lineitem"),
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8)
+    },
+    // CDC changeset apply (MERGE INTO semantics): a three-wave delta —
+    // rev1 text updates on ids %10, deletes on ids %17 (seq 2 beats the
+    // seq-1 update where both hit), inserts at id+100000 — folded into
+    // the documents snapshot, latest-seq-per-key wins. Delta derived
+    // deterministically from the table so the oracle replays both sides.
+    "cdc_apply_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev1")))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val del = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      val ins = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("I"))
+      Cdc.applyChangeset(docs,
+        upd.unionByName(del).unionByName(ins), "doc_id", "seq", "op")
+    },
 
     // ------------------------------------- relational coverage (§2.4)
     "rel_revenue_by_region" -> Relational.revenueByRegion _,
@@ -1001,6 +1029,24 @@ object SparkEntry {
           EventStream.staticEnriched(events, dim), "static_join_out")
         .select(unix_timestamp(col("window_start")).as("window_start"),
           col("segment"), col("n_events"), col("total_value_e4"))
+    },
+    // STREAMING exact dedup as a real micro-batch plan:
+    // dropDuplicatesWithinWatermark on (user_id, event_type) — bounded
+    // state, the at-least-once-replay guard. Downstream counts distinct
+    // event types per user, so the result is insensitive to which
+    // duplicate the stream saw first (oracle: batch count DISTINCT).
+    "events_stream_dedup" -> { (s, dir) =>
+      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
+      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("user_id"), col("event_type"))
+      EventStream.runToCompletion(
+          EventStream.dedupWithinWatermark(events,
+            Seq("user_id", "event_type")), "stream_dedup_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_types"))
     },
     // Stream-stream interval join executed as a real micro-batch plan:
     // purchases x same-user clicks in the prior 30 minutes, watermarks
@@ -1460,6 +1506,70 @@ object SparkEntry {
         |  CAST(sum(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT)
         |    AS BIGINT) AS member_sum
         |FROM a GROUP BY 1""".stripMargin,
+    // Morton key replayed with DuckDB's bit operators; file-group cuts
+    // and manifest mirror the export_sorted_shards replay.
+    "layout_zorder_lineitem" -> {
+      val zExpr = (0 until 16).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))")
+        .mkString(" | ")
+      s"""WITH z AS (
+         |  SELECT l_partkey, l_suppkey, CAST($zExpr AS BIGINT) AS z
+         |  FROM (SELECT l_partkey, l_suppkey, l_partkey % 65536 AS a,
+         |          l_suppkey % 65536 AS b FROM lineitem)),
+         |cuts AS (SELECT quantile_cont(z,
+         |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM z),
+         |asg AS (
+         |  SELECT l_partkey, l_suppkey, z,
+         |    (CASE WHEN z > c[1] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[2] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[3] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[4] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[5] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[6] THEN 1 ELSE 0 END) +
+         |    (CASE WHEN z > c[7] THEN 1 ELSE 0 END) AS fg
+         |  FROM z, cuts)
+         |SELECT CAST(fg AS INT) AS file_group,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(z) AS z_min, max(z) AS z_max,
+         |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+         |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+         |FROM asg GROUP BY 1""".stripMargin
+    },
+    // Latest-per-key replay via QUALIFY row_number; the full-outer
+    // apply and the D filter mirror Cdc.applyChangeset exactly.
+    "cdc_apply_documents" ->
+      """WITH snap AS (SELECT doc_id, lang, source, text FROM documents),
+        |ch AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op, lang,
+        |    source, text || ' rev1' AS text
+        |  FROM snap WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', lang, source, text
+        |  FROM snap WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 3, 'I', lang, source, text
+        |  FROM snap WHERE doc_id < 40),
+        |latest AS (
+        |  SELECT * FROM ch
+        |  QUALIFY row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY seq DESC) = 1),
+        |m AS (
+        |  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id, l.op,
+        |    CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE s.lang END
+        |      AS lang,
+        |    CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE s.source END
+        |      AS source,
+        |    CASE WHEN l.doc_id IS NOT NULL THEN l.text ELSE s.text END
+        |      AS text
+        |  FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id)
+        |SELECT doc_id, lang, source, text FROM m
+        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
+    // Insensitive to stream arrival order by construction: count of
+    // DISTINCT event types per user.
+    "events_stream_dedup" ->
+      """SELECT user_id,
+        |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types
+        |FROM events GROUP BY 1""".stripMargin,
     // Replays sketch, candidate vocabulary, estimates, and the
     // integer-exact 1% threshold end to end.
     "text_heavy_hitters_pipeline" ->

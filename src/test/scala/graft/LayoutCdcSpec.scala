@@ -1,0 +1,136 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.CountMin
+import graft.operators.{Cdc, ZOrder}
+
+/** Specs for the round-5 layout/maintenance operators: Morton-order
+  * file layout, CDC changeset application, and the end-to-end CMS
+  * heavy-hitters pipeline. */
+class LayoutCdcSpec extends SparkSpec {
+  import spark.implicits._
+
+  // -------------------------------------------------------------- ZOrder
+
+  /** Reference deinterleave: recover (a, b) from a Morton key. */
+  private def deinterleave(z: Long, bits: Int): (Long, Long) = {
+    var a = 0L; var b = 0L
+    (0 until bits).foreach { i =>
+      a |= ((z >> (2 * i + 1)) & 1L) << i
+      b |= ((z >> (2 * i)) & 1L) << i
+    }
+    (a, b)
+  }
+
+  test("zValue golden: interleave(5, 3, bits=3) = 39") {
+    // a=101b -> bits at positions 5,1; b=011b -> positions 2,0
+    val z = Seq((5L, 3L)).toDF("a", "b")
+      .select(ZOrder.zValue($"a", $"b", 3).as("z"))
+      .head().getLong(0)
+    z shouldBe 39L
+  }
+
+  test("zValue is a bijection on the 32x32 grid and inverts by deinterleave") {
+    val grid = for { a <- 0 until 32; b <- 0 until 32 } yield (a.toLong, b.toLong)
+    val zs = grid.toDF("a", "b")
+      .select($"a", $"b", ZOrder.zValue($"a", $"b", 5).as("z"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    zs.map(_._3).distinct.length shouldBe 1024 // injective
+    zs.map(_._3).max shouldBe 1023L            // onto [0, 2^10)
+    zs.foreach { case (a, b, z) => deinterleave(z, 5) shouldBe ((a, b)) }
+  }
+
+  test("zValue wraps dims mod 2^bits") {
+    val z = Seq((5L + 8L, 3L + 16L)).toDF("a", "b")
+      .select(ZOrder.zValue($"a", $"b", 3).as("z"))
+      .head().getLong(0)
+    z shouldBe 39L // (13 mod 8, 19 mod 8) == (5, 3)
+  }
+
+  test("layout on a full grid: file groups are exact quadrants with tight stats") {
+    val grid = for { a <- 0 until 32; b <- 0 until 32 } yield (a.toLong, b.toLong)
+    val m = ZOrder.layout(grid.toDF("a", "b"), "a", "b", bits = 5,
+        nFiles = 4)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    m.keySet shouldBe Set(0, 1, 2, 3)
+    m.values.foreach { r =>
+      r.getLong(1) shouldBe 256L // n_rows: exact quarter
+      // Morton quartiles of a full square are its quadrants: each file
+      // covers a 16x16 rectangle — the file-skipping guarantee
+      (r.getLong(5) - r.getLong(4)) shouldBe 15L // a_max - a_min
+      (r.getLong(7) - r.getLong(6)) shouldBe 15L // b_max - b_min
+    }
+    // z ranges of consecutive groups never overlap
+    val sorted = m.toSeq.sortBy(_._1).map(_._2)
+    sorted.sliding(2).foreach {
+      case Seq(lo, hi) =>
+        lo.getLong(3) should be < hi.getLong(2) // z_max(i) < z_min(i+1)
+      case _ => ()
+    }
+  }
+
+  // ----------------------------------------------------------------- Cdc
+
+  private def snap = Seq(
+    (1L, "en", "one"), (2L, "fr", "two"), (3L, "de", "three"),
+    (4L, "en", "four")).toDF("id", "lang", "text")
+
+  test("applyChangeset: upsert, delete, insert, and latest-seq-wins") {
+    val changes = Seq(
+      (2L, 1L, "U", "fr", "two-v2"),
+      (3L, 1L, "D", "de", "three"),
+      (5L, 1L, "I", "es", "five"),
+      // key 4: updated at seq 1, deleted at seq 2 -> gone
+      (4L, 1L, "U", "en", "four-v2"),
+      (4L, 2L, "D", "en", "four-v2"),
+      // key 1: deleted at seq 1, re-inserted at seq 2 -> back with new text
+      (1L, 1L, "D", "en", "one"),
+      (1L, 2L, "I", "en", "one-v2")
+    ).toDF("id", "seq", "op", "lang", "text")
+    val got = Cdc.applyChangeset(snap, changes, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet
+    got shouldBe Set(
+      (1L, "en", "one-v2"),
+      (2L, "fr", "two-v2"),
+      (5L, "es", "five"))
+  }
+
+  test("applyChangeset with an empty changeset is the identity") {
+    val none = Seq.empty[(Long, Long, String, String, String)]
+      .toDF("id", "seq", "op", "lang", "text")
+    Cdc.applyChangeset(snap, none, "id", "seq", "op")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+      .toSet shouldBe
+      snap.collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+        .toSet
+  }
+
+  test("applyChangeset is idempotent for upserts (re-applying changes nothing)") {
+    val changes = Seq((2L, 1L, "U", "fr", "two-v2"),
+      (5L, 1L, "I", "es", "five")).toDF("id", "seq", "op", "lang", "text")
+    val once = Cdc.applyChangeset(snap, changes, "id", "seq", "op")
+    val twice = Cdc.applyChangeset(once, changes, "id", "seq", "op")
+    twice.collect().map(_.toSeq).toSet shouldBe
+      once.collect().map(_.toSeq).toSet
+  }
+
+  // --------------------------------------------- CMS pipeline
+
+  test("heavyHitters returns a superset of the true phi-heavy hitters") {
+    val terms = (Seq.fill(300)("hot1") ++ Seq.fill(150)("hot2") ++
+      (0 until 550).map(i => s"cold${i % 200}")).toDF("term")
+    val got = CountMin.heavyHitters(terms, $"term", depth = 4,
+        width = 2048, phiNum = 1L, phiDen = 10L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // n=1000, threshold 100: true heavy hitters are hot1 (300), hot2 (150)
+    got.keySet should contain allOf ("hot1", "hot2")
+    got("hot1") should be >= 300L
+    got("hot2") should be >= 150L
+    // no cold term (true count <= 3) can clear 100 without colliding
+    // with a hot term in ALL 4 rows — astronomically unlikely at width
+    // 2048; assert the candidate set is exactly the two hot terms
+    got.keySet shouldBe Set("hot1", "hot2")
+  }
+}
