@@ -822,6 +822,21 @@ object SparkEntry {
         size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
       graft.functions.Profiler.outliers(d, Seq("n_bytes", "n_tokens"))
     },
+    // Equi-width 16-bin histograms of the two value columns (the
+    // distribution-shape profile next to the outlier screen): min/max
+    // from one agg inlined as literals, then one melt+hash-agg whose
+    // shuffle is at most cols x bins rows per task.
+    "profile_histogram_lineitem" -> { (s, dir) =>
+      graft.functions.Profiler.histogram(Tables(s, dir, "lineitem"),
+        Seq("l_extendedprice", "l_quantity"), nBins = 16)
+    },
+    // Key-skew profile of a prospective join key: top-20 heaviest
+    // l_suppkey values with exact counts and integer-exact ppm share —
+    // the salt-or-not diagnostic run before committing a shuffle.
+    "profile_key_skew_lineitem" -> { (s, dir) =>
+      graft.functions.Profiler.keySkew(Tables(s, dir, "lineitem"),
+        col("l_suppkey"), k = 20)
+    },
     // Range-partitioned sorted-export manifest (terasort topology with
     // DETERMINISTIC exact-quantile boundaries instead of Spark's
     // sampled ones): 8 non-overlapping o_totalprice shards with count,
@@ -1506,6 +1521,39 @@ object SparkEntry {
         |  CAST(sum(('0x'||substr(md5(CAST(o_orderkey AS VARCHAR)),1,8))::BIGINT)
         |    AS BIGINT) AS member_sum
         |FROM a GROUP BY 1""".stripMargin,
+    // Bin width and edges are the same IEEE ops on the same min/max
+    // doubles in both engines; the clamped floor-division bin replays
+    // bit-identically.
+    "profile_histogram_lineitem" ->
+      """WITH d AS (
+        |  SELECT CAST(l_extendedprice AS DOUBLE) AS p,
+        |    CAST(l_quantity AS DOUBLE) AS q FROM lineitem),
+        |mm AS (SELECT min(p) pmn, max(p) pmx, min(q) qmn, max(q) qmx
+        |       FROM d),
+        |b AS (
+        |  SELECT 'l_extendedprice' AS col_name,
+        |    least(CAST(floor((p - pmn) / ((pmx - pmn) / 16)) AS INT), 15)
+        |      AS bin,
+        |    pmn AS mn, (pmx - pmn) / 16 AS w
+        |  FROM d, mm WHERE p IS NOT NULL
+        |  UNION ALL
+        |  SELECT 'l_quantity',
+        |    least(CAST(floor((q - qmn) / ((qmx - qmn) / 16)) AS INT), 15),
+        |    qmn, (qmx - qmn) / 16
+        |  FROM d, mm WHERE q IS NOT NULL)
+        |SELECT col_name, bin, mn + bin * w AS bin_lo,
+        |  mn + (bin + 1) * w AS bin_hi, CAST(count(*) AS BIGINT) AS n
+        |FROM b GROUP BY 1, 2, mn, w""".stripMargin,
+    // DuckDB `//` == Spark `DIV`; the tie-break (cnt DESC, key ASC
+    // NULLS FIRST) matches Spark's asc_nulls_first exactly.
+    "profile_key_skew_lineitem" ->
+      """WITH c AS (
+        |  SELECT CAST(l_suppkey AS VARCHAR) AS key,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM lineitem GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM lineitem)
+        |SELECT key, cnt, cnt * 1000000 // total AS share_ppm FROM c, t
+        |ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT 20""".stripMargin,
     // Morton key replayed with DuckDB's bit operators; file-group cuts
     // and manifest mirror the export_sorted_shards replay.
     "layout_zorder_lineitem" -> {

@@ -170,4 +170,86 @@ object Profiler {
         col("p.lo_fence"), col("p.hi_fence"),
         col("p.n_below"), col("p.n_above"))
   }
+
+  /** Equi-width histogram per numeric column: `nBins` bins spanning
+    * [min, max], the classic distribution-shape profile next to
+    * [[outliers]]'s tail screen. Emits only NON-EMPTY bins as
+    * (col_name, bin, bin_lo, bin_hi, n).
+    *
+    * Shape: pass 1 is one min/max aggregation for all columns,
+    * collected to one driver row and inlined as literals (the
+    * [[outliers]] idiom); pass 2 melts each row to (col, bin) pairs
+    * and hash-aggregates — map-side combine reduces the shuffle to at
+    * most cols x nBins rows per task. Two scans, one bounded shuffle.
+    *
+    * Cross-engine exactness: bin width is (max-min)/nBins on the same
+    * IEEE doubles both engines derive, bin = floor((v-min)/width)
+    * clamped to nBins-1 (so v=max lands in the last bin), and the bin
+    * edges are min + bin*width — every step replays bit-identically.
+    * Degenerate columns (min==max) collapse to bin 0; all-null/empty
+    * columns emit nothing. */
+  def histogram(df: DataFrame, cols: Seq[String], nBins: Int): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    val mmAggs = cols.flatMap { c =>
+      Seq(min(col(c).cast("double")).as(s"${c}__mn"),
+        max(col(c).cast("double")).as(s"${c}__mx"))
+    }
+    val row = df.agg(mmAggs.head, mmAggs.tail: _*).head()
+    val metas: Seq[(String, Double, Double)] = cols.flatMap { c =>
+      val i = row.fieldIndex(s"${c}__mn")
+      if (row.isNullAt(i)) None
+      else {
+        val mn = row.getDouble(i)
+        val mx = row.getDouble(row.fieldIndex(s"${c}__mx"))
+        Some((c, mn, (mx - mn) / nBins))
+      }
+    }
+    if (metas.isEmpty)
+      return df.sparkSession.emptyDataFrame
+        .select(lit("").as("col_name"), lit(0).as("bin"),
+          lit(0.0).as("bin_lo"), lit(0.0).as("bin_hi"), lit(0L).as("n"))
+    def binOf(c: String, mn: Double, w: Double): Column =
+      if (w == 0.0) when(col(c).isNotNull, lit(0))
+      else when(col(c).isNotNull,
+        least(floor((col(c).cast("double") - lit(mn)) / lit(w)).cast("int"),
+          lit(nBins - 1)))
+    val pairs = df
+      .select(explode(array(metas.map { case (c, mn, w) =>
+        struct(lit(c).as("col_name"), binOf(c, mn, w).as("bin"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.bin"))
+      .filter(col("bin").isNotNull)
+      .groupBy(col("col_name"), col("bin"))
+      .agg(count(lit(1)).as("n"))
+    val lo = metas.foldLeft(lit(null).cast("double")) { case (acc, (c, mn, w)) =>
+      when(col("col_name") === c, lit(mn) + col("bin") * lit(w)).otherwise(acc)
+    }
+    val hi = metas.foldLeft(lit(null).cast("double")) { case (acc, (c, mn, w)) =>
+      when(col("col_name") === c, lit(mn) + (col("bin") + 1) * lit(w))
+        .otherwise(acc)
+    }
+    pairs.select(col("col_name"), col("bin"), lo.as("bin_lo"),
+      hi.as("bin_hi"), col("n"))
+  }
+
+  /** Key-skew profile: the `k` heaviest values of a prospective
+    * join/partition key with exact counts and integer-exact corpus
+    * share (ppm, `cnt * 1e6 DIV total`) — the diagnostic run BEFORE
+    * committing a 100 TB shuffle to a key, deciding whether it needs
+    * salting ([[graft.operators.Relational]]'s salted join) or AQE
+    * skew handling.
+    *
+    * Shape: one hash aggregation on the key (map-side combined —
+    * vocabulary-sized shuffle), TakeOrdered top-k (never a global
+    * sort), total inlined from one driver scalar. Null keys count as a
+    * group, like any skew they'd cause. */
+  def keySkew(df: DataFrame, key: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    val total = df.count()
+    df.select(key.cast("string").as("key"))
+      .groupBy(col("key")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("key").asc_nulls_first)
+      .limit(k)
+      .withColumn("share_ppm", expr(s"cnt * 1000000 DIV ${total}L"))
+  }
 }

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Profiler
+
+/** Specs for the distribution-shape profilers: equi-width histograms
+  * and the key-skew (heavy-key) profile. */
+class ProfilerShapeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("histogram golden: 0..15 into 4 bins of 4, max clamped to last bin") {
+    val df = (0 to 15).map(_.toDouble).toDF("v")
+    val got = Profiler.histogram(df, Seq("v"), nBins = 4)
+      .collect().map(r => r.getInt(1) ->
+        ((r.getDouble(2), r.getDouble(3), r.getLong(4)))).toMap
+    got.keySet shouldBe Set(0, 1, 2, 3)
+    // width = 15/4 = 3.75; v=15 hits (v-mn)/w == 4 exactly -> clamped
+    got(0) shouldBe ((0.0, 3.75, 4L))
+    got(1) shouldBe ((3.75, 7.5, 4L))
+    got(2) shouldBe ((7.5, 11.25, 4L))
+    got(3) shouldBe ((11.25, 15.0, 4L))
+  }
+
+  test("histogram: nulls excluded, all-null column emits nothing, min==max collapses") {
+    val df = Seq(
+      (Some(2.0), Option.empty[Double], Some(7.0)),
+      (Some(2.0), None, Some(7.0)),
+      (None, None, Some(7.0))).toDF("a", "b", "c")
+    val got = Profiler.histogram(df, Seq("a", "b", "c"), nBins = 8)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getDouble(2),
+        r.getDouble(3), r.getLong(4)))
+    // a: two non-null equal values -> degenerate single bin, nulls dropped
+    // b: all null -> absent entirely
+    // c: constant -> single bin with lo == hi == value
+    got.toSet shouldBe Set(
+      ("a", 0, 2.0, 2.0, 2L),
+      ("c", 0, 7.0, 7.0, 3L))
+  }
+
+  test("histogram bin counts sum to the non-null row count") {
+    val rng = new scala.util.Random(7L)
+    val df = (0 until 500).map(_ => rng.nextGaussian() * 10).toDF("v")
+    val got = Profiler.histogram(df, Seq("v"), nBins = 16).collect()
+    got.map(_.getLong(4)).sum shouldBe 500L
+    got.map(_.getInt(1)).foreach { b => b should (be >= 0 and be < 16) }
+  }
+
+  test("keySkew golden: counts, ppm shares, null key counted, top-k order") {
+    val df = (Seq.fill(5)(Some("a")) ++ Seq.fill(3)(Some("b")) ++
+      Seq.fill(2)(Option.empty[String])).toDF("k")
+    val got = Profiler.keySkew(df, $"k", k = 2)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2)))
+    got.toSeq shouldBe Seq(
+      (Some("a"), 5L, 500000L),
+      (Some("b"), 3L, 300000L))
+    // k large enough: the null group shows up with its exact share
+    val all = Profiler.keySkew(df, $"k", k = 10)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1),
+        r.getLong(2)))
+    all.toSet should contain((None, 2L, 200000L))
+  }
+}
