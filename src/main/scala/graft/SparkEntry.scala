@@ -413,6 +413,30 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8),
         col("text"), col("doc_id"))
     },
+    // STREAMING incremental dedup against a broadcast md5-Bloom of the
+    // base corpus (the new-crawl-vs-100 TB-base topology): the base is
+    // distilled ONCE into a 2^20-bit deterministic bitmap; the document
+    // stream keeps bloom-NEGATIVE rows — definitely-new, never a false
+    // drop — via a stateless codegen'd probe (no join, no stream
+    // state). Engine-replayable bits make even this sketch path exact:
+    // the oracle recomputes every cell from the md5 formula.
+    "dedup_stream_bloom_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.filter(col("doc_id") % 10 < 8)
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+      val words = graft.functions.BloomMd5.build(
+        base, col("fp"), m = 1 << 20, k = 4)
+      val src = s.readStream.schema(docs.schema).parquet(s"$dir/documents.*")
+      val delta = src.filter(col("doc_id") % 10 >= 8)
+        .select(col("doc_id"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val marked = graft.functions.BloomMd5.markPositive(
+        delta, col("fp"), words, m = 1 << 20, k = 4, flag = "__pos")
+      EventStream.runToCompletion(
+        marked.filter(!col("__pos")).select(col("doc_id")),
+        "stream_bloom_out",
+        org.apache.spark.sql.streaming.OutputMode.Append())
+    },
     // Cross-document duplicated-SPAN scan (substring-level dedup signal):
     // consecutive 16-token chunks fingerprinted, a chunk is duplicated
     // iff its fingerprint recurs corpus-wide. Linear explode+count+join —
@@ -1914,6 +1938,32 @@ object SparkEntry {
          |  FROM documents WHERE doc_id % 10 < 8)
          |SELECT d.fp, d.id, d.n_delta_copies FROM delta d
          |WHERE NOT EXISTS (SELECT 1 FROM base b WHERE b.fp = d.fp)""".stripMargin
+    },
+    // Replays the 2^20-bit md5 Bloom cell-for-cell: a delta doc is
+    // emitted iff at least one of its 4 cells is unset in the base's
+    // cell set (hits < 4) — exactly the bloom-negative filter.
+    "dedup_stream_bloom_documents" -> {
+      import TextAnalysis.Sql.{fingerprint => fpr}
+      s"""WITH base AS (
+         |  SELECT DISTINCT ${fpr("text")} AS fp FROM documents
+         |  WHERE doc_id % 10 < 8),
+         |cells AS (
+         |  SELECT DISTINCT
+         |    ('0x'||substr(md5(CAST(i AS VARCHAR)||':'||fp),1,8))::BIGINT
+         |      % 1048576 AS cell
+         |  FROM base CROSS JOIN (SELECT unnest(range(0,4)) AS i)),
+         |delta AS (
+         |  SELECT doc_id, ${fpr("text")} AS fp FROM documents
+         |  WHERE doc_id % 10 >= 8),
+         |probe AS (
+         |  SELECT d.doc_id, count(c.cell) AS hits
+         |  FROM delta d
+         |  CROSS JOIN (SELECT unnest(range(0,4)) AS i) ii
+         |  LEFT JOIN cells c ON c.cell =
+         |    ('0x'||substr(md5(CAST(ii.i AS VARCHAR)||':'||d.fp),1,8))::BIGINT
+         |      % 1048576
+         |  GROUP BY 1)
+         |SELECT doc_id FROM probe WHERE hits < 4""".stripMargin
     },
     "dedup_spans_documents" ->
       """WITH toks AS (
