@@ -861,6 +861,40 @@ object SparkEntry {
       graft.functions.Profiler.keySkew(Tables(s, dir, "lineitem"),
         col("l_suppkey"), k = 20)
     },
+    // Per-GROUP exact quantiles (per-language length profile — the
+    // stratified twin of rel_price_quantiles): one hash aggregation,
+    // percentile state per group bounded by the value cardinality
+    // (token counts, small); quantile_cont parity makes it exact.
+    "group_quantiles_documents" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"),
+          size(TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          expr("percentile(n_tokens, array(0.25, 0.5, 0.75))").as("q"))
+        .select(col("lang"), col("n_docs"), col("q")(0).as("p25"),
+          col("q")(1).as("p50"), col("q")(2).as("p75"))
+    },
+    // Preference-PAIR mining (RLHF/DPO data prep): per source, the
+    // best and worst document by a deterministic score (token count,
+    // ties by id) as one chosen/rejected pair with its margin. ONE
+    // bounded struct-max/min aggregation — never a per-source sort or
+    // window; single-doc sources (degenerate pairs) are dropped.
+    "preference_pairs_documents" -> { (s, dir) =>
+      val d = Tables(s, dir, "documents").select(col("source"),
+        col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+      d.groupBy(col("source"))
+        .agg(max(struct(col("nt"), col("doc_id").as("id"))).as("ch"),
+          min(struct(col("nt"), col("doc_id").as("id"))).as("rj"))
+        .filter(col("ch.id") =!= col("rj.id"))
+        .select(col("source"), col("ch.id").as("chosen_id"),
+          col("rj.id").as("rejected_id"),
+          col("ch.nt").as("chosen_tokens"),
+          col("rj.nt").as("rejected_tokens"),
+          (col("ch.nt") - col("rj.nt")).as("margin"))
+    },
     // Range-partitioned sorted-export manifest (terasort topology with
     // DETERMINISTIC exact-quantile boundaries instead of Spark's
     // sampled ones): 8 non-overlapping o_totalprice shards with count,
@@ -1568,6 +1602,33 @@ object SparkEntry {
         |SELECT col_name, bin, mn + bin * w AS bin_lo,
         |  mn + (bin + 1) * w AS bin_hi, CAST(count(*) AS BIGINT) AS n
         |FROM b GROUP BY 1, 2, mn, w""".stripMargin,
+    "group_quantiles_documents" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(list_filter(string_split_regex(text,
+        |    '\s+'), x -> x <> '')) AS BIGINT) AS n_tokens
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  quantile_cont(n_tokens, 0.25) AS p25,
+        |  quantile_cont(n_tokens, 0.5) AS p50,
+        |  quantile_cont(n_tokens, 0.75) AS p75
+        |FROM d GROUP BY 1""".stripMargin,
+    // Struct comparison is lexicographic by field position in both
+    // engines, so max/min(struct(nt, id)) replays exactly.
+    "preference_pairs_documents" ->
+      """WITH d AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(list_filter(string_split_regex(text, '\s+'),
+        |      x -> x <> '')) AS BIGINT) AS nt
+        |  FROM documents),
+        |agg AS (
+        |  SELECT source,
+        |    max(struct_pack(nt := nt, id := doc_id)) AS ch,
+        |    min(struct_pack(nt := nt, id := doc_id)) AS rj
+        |  FROM d GROUP BY 1)
+        |SELECT source, ch.id AS chosen_id, rj.id AS rejected_id,
+        |  ch.nt AS chosen_tokens, rj.nt AS rejected_tokens,
+        |  ch.nt - rj.nt AS margin
+        |FROM agg WHERE ch.id <> rj.id""".stripMargin,
     // DuckDB `//` == Spark `DIV`; the tie-break (cnt DESC, key ASC
     // NULLS FIRST) matches Spark's asc_nulls_first exactly.
     "profile_key_skew_lineitem" ->
