@@ -32,16 +32,28 @@ object SortedExport {
   /** Input plus `shard` (0-based, nShards buckets by exact quantile
     * cuts of `key`): shard = number of interior quantiles strictly
     * below the row's key, so all rows of shard i sort before all rows
-    * of shard i+1 (ties on a cut value stay in the lower shard). */
-  def assignShards(df: DataFrame, key: String, nShards: Int): DataFrame = {
+    * of shard i+1 (ties on a cut value stay in the lower shard).
+    *
+    * `exact = false` swaps `percentile` (whose per-task state is a
+    * value-frequency map — unbounded for unbounded key cardinality)
+    * for `approx_percentile` (GK sketch, bounded state): shard BALANCE
+    * softens slightly, membership determinism and the manifest/write
+    * path are unchanged in shape. Keep `exact` for oracle-replayable
+    * boundaries and bounded-cardinality keys; use approx at extreme
+    * key cardinality. */
+  def assignShards(df: DataFrame, key: String, nShards: Int,
+                   exact: Boolean = true): DataFrame = {
     require(nShards > 1, "nShards must be > 1")
     val ps = (1 until nShards).map(i => i.toDouble / nShards)
+    val fn = if (exact) "percentile" else "approx_percentile"
     // Bounded driver-side collect of the (nShards-1)-element cut array,
     // inlined as literals: the assignment pass is then a pure scan (no
     // join of any kind — same idiom as Profiler.outliers). Null cuts
-    // (empty input / all-null key) degrade to a single shard 0.
+    // (empty input / all-null key) degrade to a single shard 0. The
+    // key casts to double so both percentile variants return doubles.
     val cutsRow = df
-      .agg(expr(s"percentile(`$key`, array(${ps.mkString(", ")}))"))
+      .agg(expr(
+        s"$fn(CAST(`$key` AS DOUBLE), array(${ps.mkString(", ")}))"))
       .head()
     val cuts: Seq[Double] =
       if (cutsRow.isNullAt(0)) Seq.empty else cutsRow.getSeq[Double](0)

@@ -51,9 +51,9 @@ object ZOrder {
     * and the min/max of EACH dimension (the file-skipping stats; their
     * per-file tightness is the whole point of the layout). */
   def layout(df: DataFrame, dimA: String, dimB: String, bits: Int,
-             nFiles: Int): DataFrame = {
+             nFiles: Int, exact: Boolean = true): DataFrame = {
     val z = df.withColumn("__z", zValue(col(dimA), col(dimB), bits))
-    SortedExport.assignShards(z, "__z", nFiles)
+    SortedExport.assignShards(z, "__z", nFiles, exact)
       .groupBy(col("shard").as("file_group"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("__z")).as("z_min"), max(col("__z")).as("z_max"),

@@ -149,6 +149,48 @@ object ScaleStress {
         TextAnalysis.langIdOf(p).as("l"))
         .agg(sum(col("q")), count(col("l"))).collect()
     }
+    time("md5 bloom: build 4M-key bitmap (m=2^24) + probe 1M delta") {
+      // build collect is bounded by m bits regardless of base size;
+      // probe is a stateless codegen'd scan (no join, no state)
+      val words = graft.functions.BloomMd5.build(
+        docs.filter(pmod(col("id"), lit(5)) =!= 0), col("text"),
+        m = 1 << 24, k = 4)
+      graft.functions.BloomMd5.markPositive(
+        docs.filter(pmod(col("id"), lit(5)) === 0), col("text"),
+        words, m = 1 << 24, k = 4, flag = "pos")
+        .filter(!col("pos")).count()
+    }
+    time("z-order layout (5M rows, 2x100k dims, 16 file groups)") {
+      // near-distinct z keys: the exact-percentile worst case the
+      // exact=false swap exists for — timed honestly, both ways
+      graft.operators.ZOrder.layout(
+        docs.select(col("id"),
+          pmod(xxhash64(col("id")), lit(100000)).as("a"),
+          pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("b")),
+        "a", "b", bits = 17, nFiles = 16).count()
+    }
+    time("z-order layout APPROX cuts (same 5M rows, GK sketch state)") {
+      graft.operators.ZOrder.layout(
+        docs.select(col("id"),
+          pmod(xxhash64(col("id")), lit(100000)).as("a"),
+          pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("b")),
+        "a", "b", bits = 17, nFiles = 16, exact = false).count()
+    }
+    time("cdc apply (5M snapshot, 1M-event changeset)") {
+      graft.operators.Cdc.applyChangeset(
+        docs.select(col("id"), col("text")),
+        docs.filter(pmod(col("id"), lit(5)) === 0)
+          .select(col("id"), pmod(col("id"), lit(3)).as("seq"),
+            when(pmod(col("id"), lit(7)) === 0, "D").otherwise("U")
+              .as("op"), col("text")),
+        "id", "seq", "op").count()
+    }
+    time("sorted-export manifest (5M rows, 64 shards)") {
+      graft.operators.SortedExport.manifest(
+        docs.select(col("id"),
+          pmod(xxhash64(col("id"), lit(2)), lit(1000000)).as("k")),
+        key = "k", id = "id", nShards = 64).count()
+    }
 
     // embedding stress: synthetic 64-dim float vectors. Clusters of 32
     // consecutive ids share a strong common component (intra-cluster

@@ -186,6 +186,27 @@ class PipelineStatsSpec extends SparkSpec {
     sizes.values.foreach { c => c.toDouble shouldBe 100.0 +- 2.0 }
   }
 
+  test("assignShards approx cuts still produce a monotone partition") {
+    val rows = (0 until 600).map(i => (i.toLong, (i * 13 % 301).toDouble))
+    val got = SortedExport
+      .assignShards(rows.toDF("id", "k"), "k", 8, exact = false)
+      .select($"k", $"shard").collect()
+      .map(r => (r.getDouble(0), r.getInt(1)))
+    got.length shouldBe 600
+    got.foreach { case (_, s) => s should (be >= 0 and be < 8) }
+    // whatever the sketch picked as cuts, the partition is monotone
+    // and ties stay together — the properties the writer relies on
+    val byShard = got.groupBy(_._2).toSeq.sortBy(_._1)
+    byShard.sliding(2).foreach {
+      case Seq((_, lo), (_, hi)) =>
+        lo.map(_._1).max should be <= hi.map(_._1).min
+      case _ => ()
+    }
+    got.groupBy(_._1).values.foreach { same =>
+      same.map(_._2).distinct.length shouldBe 1
+    }
+  }
+
   test("assignShards degenerate: all-equal keys collapse to shard 0") {
     val df = (0 until 50).map(i => (i.toLong, 7.0)).toDF("id", "k")
     SortedExport.assignShards(df, "k", 4)
