@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Relational, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Pq, Relational, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -804,6 +804,35 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4)
     },
+    // Product quantization codes (32x embedding compression): 8
+    // subspaces x 16 anchored centroids, long-format (vec_id, subspace,
+    // code, round-6 quantization error). One codegen'd scan — the
+    // index-build half of IVF-PQ.
+    "embedding_pq_codes" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      Pq.encode(emb, col("vec_id"), col("embedding"), books)
+        // _outer generate: InferFiltersFromGenerate would otherwise
+        // push a size()>0 scan filter with the whole distance battery
+        // inlined (the PlanAuditSpec duplication hazard)
+        .select(col("vec_id"),
+          posexplode_outer(arrays_zip(col("codes"), col("qerrs"))))
+        .select(col("vec_id"), col("pos").cast("int").as("subspace"),
+          col("col.codes").as("code"), col("col.qerrs").as("qerr"))
+    },
+    // ADC scoring over the PQ codes: queries stay exact, corpus
+    // candidates cost m table lookups each over the 8-byte code rows —
+    // the scan half of IVF-PQ. Ascending distance, bounded TopK.
+    "similarity_pq_adc" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      val codes = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      Pq.adcTopK(emb.filter(col("vec_id") < 10), codes, books, k = 5,
+        col("vec_id"), col("embedding"))
+    },
 
     // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
     // over the embedding corpus, then the tiny hit set BROADCASTS into
@@ -936,6 +965,30 @@ object SparkEntry {
     "layout_zorder_lineitem" -> { (s, dir) =>
       ZOrder.layout(Tables(s, dir, "lineitem"),
         dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8)
+    },
+    // The planner step the manifest's dim stats exist FOR: min/max
+    // file skipping against an axis-aligned box on BOTH z dimensions.
+    // A low-corner box (partkey<=100, suppkey<=8) keeps few of the 8
+    // groups precisely because Morton order bounds both widths per
+    // file; pruning is a pure metadata filter (corpus untouched), and
+    // the no-false-negative property is spec-pinned.
+    "layout_zorder_prune" -> { (s, dir) =>
+      ZOrder.prune(
+        ZOrder.layout(Tables(s, dir, "lineitem"),
+          dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8),
+        aLo = 0L, aHi = 100L, bLo = 0L, bHi = 8L)
+    },
+    // Small-file compaction plan: the documents corpus viewed as one
+    // "file" per (source, lang) cell, sequential-fill binned to 64 KiB
+    // rewrite targets. The window runs over the file MANIFEST
+    // (metadata), never the corpus — the 100 TB planning shape.
+    "layout_compact_bins" -> { (s, dir) =>
+      val manifest = Tables(s, dir, "documents")
+        .groupBy(col("source"), col("lang"))
+        .agg(sum(octet_length(col("text"))).cast("long").as("n_bytes"))
+        .select(concat(col("source"), lit("/"), col("lang")).as("file_id"),
+          col("n_bytes"))
+      Compaction.plan(manifest, "file_id", "n_bytes", targetBytes = 65536L)
     },
     // CDC changeset apply (MERGE INTO semantics): a three-wave delta —
     // rev1 text updates on ids %10, deletes on ids %17 (seq 2 beats the
@@ -1342,6 +1395,60 @@ object SparkEntry {
     }
   )
 
+  /** Shared z-order manifest replay — `layout_zorder_lineitem` and its
+    * pruned twin both derive from this one statement. */
+  private lazy val zorderManifestSql: String = {
+    val zExpr = (0 until 16).map(i =>
+      s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))")
+      .mkString(" | ")
+    s"""WITH z AS (
+       |  SELECT l_partkey, l_suppkey, CAST($zExpr AS BIGINT) AS z
+       |  FROM (SELECT l_partkey, l_suppkey, l_partkey % 65536 AS a,
+       |          l_suppkey % 65536 AS b FROM lineitem)),
+       |cuts AS (SELECT quantile_cont(z,
+       |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM z),
+       |asg AS (
+       |  SELECT l_partkey, l_suppkey, z,
+       |    (CASE WHEN z > c[1] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[2] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[3] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[4] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[5] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[6] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[7] THEN 1 ELSE 0 END) AS fg
+       |  FROM z, cuts)
+       |SELECT CAST(fg AS INT) AS file_group,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(z) AS z_min, max(z) AS z_max,
+       |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+       |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+       |FROM asg GROUP BY 1""".stripMargin
+  }
+
+  /** Shared PQ replay prefix: anchored codebook + per-(vector,
+    * subspace, centroid) squared-L2 distances — `embedding_pq_codes`
+    * and `similarity_pq_adc` both build on these CTEs. */
+  private lazy val pqDistsSql: String =
+    """WITH cb AS (
+      |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
+      |    embedding AS ce
+      |  FROM (SELECT vec_id, embedding FROM embeddings
+      |        ORDER BY vec_id LIMIT 16)),
+      |dists AS (
+      |  SELECT e.vec_id, s.j, cb.ci,
+      |    (list_sum([CAST(e.embedding[i] AS DOUBLE)
+      |               * CAST(e.embedding[i] AS DOUBLE)
+      |       FOR i IN range(s.j*8 + 1, s.j*8 + 9)])
+      |     - 2.0 * list_sum([CAST(e.embedding[i] AS DOUBLE)
+      |                       * CAST(cb.ce[i] AS DOUBLE)
+      |       FOR i IN range(s.j*8 + 1, s.j*8 + 9)]))
+      |    + list_sum([CAST(cb.ce[i] AS DOUBLE)
+      |                * CAST(cb.ce[i] AS DOUBLE)
+      |       FOR i IN range(s.j*8 + 1, s.j*8 + 9)]) AS d
+      |  FROM embeddings e
+      |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s
+      |  CROSS JOIN cb)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "group_counts_documents" ->
       s"""SELECT lang AS group_id,
@@ -1641,33 +1748,34 @@ object SparkEntry {
         |ORDER BY cnt DESC, key ASC NULLS FIRST LIMIT 20""".stripMargin,
     // Morton key replayed with DuckDB's bit operators; file-group cuts
     // and manifest mirror the export_sorted_shards replay.
-    "layout_zorder_lineitem" -> {
-      val zExpr = (0 until 16).map(i =>
-        s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))")
-        .mkString(" | ")
-      s"""WITH z AS (
-         |  SELECT l_partkey, l_suppkey, CAST($zExpr AS BIGINT) AS z
-         |  FROM (SELECT l_partkey, l_suppkey, l_partkey % 65536 AS a,
-         |          l_suppkey % 65536 AS b FROM lineitem)),
-         |cuts AS (SELECT quantile_cont(z,
-         |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM z),
-         |asg AS (
-         |  SELECT l_partkey, l_suppkey, z,
-         |    (CASE WHEN z > c[1] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[2] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[3] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[4] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[5] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[6] THEN 1 ELSE 0 END) +
-         |    (CASE WHEN z > c[7] THEN 1 ELSE 0 END) AS fg
-         |  FROM z, cuts)
-         |SELECT CAST(fg AS INT) AS file_group,
-         |  CAST(count(*) AS BIGINT) AS n_rows,
-         |  min(z) AS z_min, max(z) AS z_max,
-         |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
-         |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
-         |FROM asg GROUP BY 1""".stripMargin
-    },
+    "layout_zorder_lineitem" -> zorderManifestSql,
+    // Pruned twin: the same manifest replay filtered by the query box —
+    // a kept group is exactly one whose (a, b) rectangle intersects it.
+    "layout_zorder_prune" ->
+      s"""SELECT * FROM ($zorderManifestSql)
+         |WHERE NOT (a_max < 0 OR a_min > 100 OR b_max < 0 OR b_min > 8)"""
+        .stripMargin,
+    // Sequential-fill replay: exclusive running sum in (bytes DESC,
+    // file_id) order, bin = start DIV target. DuckDB window sum is
+    // HUGEINT -> CAST; `//` mirrors Spark's `DIV`.
+    "layout_compact_bins" ->
+      """WITH files AS (
+        |  SELECT source || '/' || lang AS file_id,
+        |    CAST(sum(strlen(text)) AS BIGINT) AS n_bytes
+        |  FROM documents GROUP BY source, lang),
+        |laid AS (
+        |  SELECT file_id, n_bytes,
+        |    CAST(coalesce(sum(n_bytes) OVER (
+        |      ORDER BY n_bytes DESC, file_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS strt
+        |  FROM files)
+        |SELECT CAST(strt // 65536 AS INT) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+        |  CAST(max(n_bytes) AS BIGINT) AS max_file_bytes,
+        |  CAST(min(n_bytes) AS BIGINT) AS min_file_bytes
+        |FROM laid GROUP BY 1""".stripMargin,
     // Latest-per-key replay via QUALIFY row_number; the full-outer
     // apply and the D filter mirror Cdc.applyChangeset exactly.
     "cdc_apply_documents" ->
@@ -2360,6 +2468,41 @@ object SparkEntry {
          |SELECT query_id, neighbor_id, rank, score FROM (
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    // PQ code assignment replay: argmin over the 16 anchored centroids
+    // per (vector, subspace), distance ties to the lower centroid index
+    // — identical doubles (same parquet floats, same left-to-right lane
+    // fold), so the unrounded ORDER BY d matches Spark's struct sort.
+    "embedding_pq_codes" ->
+      s"""$pqDistsSql
+         |SELECT vec_id, CAST(j AS INT) AS subspace, CAST(ci AS INT) AS code,
+         |  round(d, 6) AS qerr
+         |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |        ORDER BY d, ci) AS rnk FROM dists)
+         |WHERE rnk = 1""".stripMargin,
+    // ADC replay: each neighbor's per-subspace code selects the QUERY's
+    // distance to that centroid; the 8 lookups sum in subspace order
+    // (list(d ORDER BY j) pins the fold order DuckDB's plain sum()
+    // would not), round-6, rank ascending with neighbor-id ties.
+    "similarity_pq_adc" ->
+      s"""$pqDistsSql,
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dists)
+         |  WHERE rnk = 1),
+         |pairs AS (
+         |  SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id, n.j, d.d
+         |  FROM codes n
+         |  JOIN dists d ON d.j = n.j AND d.ci = n.code
+         |  WHERE d.vec_id < 10 AND n.vec_id <> d.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id) AS rank FROM adc)
          |WHERE rank <= 5""".stripMargin,
     "similarity_topk_embeddings" ->
       s"""WITH v AS (SELECT vec_id,

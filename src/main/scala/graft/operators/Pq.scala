@@ -1,0 +1,141 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopK, Vectors}
+
+/** Product quantization (PQ) — the embedding-compression layer of a
+  * 100 TB similarity index (Jegou et al. 2011, the IVF-PQ family every
+  * large ANN service runs): split the d-dim vector into `m` subspaces,
+  * quantize each subvector to its nearest of `k` per-subspace
+  * centroids, and keep only the m code bytes — a 64-dim float32
+  * embedding (256 B) becomes 8 codes (8 B), a 32x shrink that lets the
+  * whole corpus index sit in executor memory. Query scoring is ADC
+  * (asymmetric distance computation): the query stays EXACT, its
+  * distance to each of the m*k centroids is tabulated once into a
+  * lookup table, and each corpus candidate costs m table lookups
+  * instead of d multiplies.
+  *
+  * Codebook determinism — same discipline as
+  * [[Similarity.ivfTopKAnchored]]: centroids are the subvectors of the
+  * first `k` corpus rows by id (raw, unnormalized — PQ quantizes
+  * squared-L2 geometry), so codes, tables, and ranks are reproducible
+  * in SQL and the whole pipeline carries an exact DuckDB oracle (a
+  * k-means codebook quantizes tighter; the anchored build pins the
+  * TOPOLOGY — spec golden values cover reconstruction quality).
+  *
+  * FP parity: every distance is `(||x||^2 - 2*x.c) + ||c||^2` where
+  * each dot is a left-to-right lane fold on doubles (the codegen'd
+  * [[Vectors.dot]] kernel == DuckDB `list_sum` of lane products),
+  * `2*x.c` is an exact exponent bump, and `||c||^2` is a driver-side
+  * left fold of the same parquet doubles — identical bits at every
+  * step in both engines (argmin ties break to the lower centroid
+  * index in both).
+  *
+  * Scale shape: encoding is one codegen'd scan (no shuffle, O(k*d)
+  * flops per row — the k-means-assign cost); ADC is one scan of the
+  * CODES (m bytes per row, not d floats) against a broadcast query
+  * LUT, ranked by the bounded [[TopK]] aggregate — no window, no
+  * corpus-side state beyond k entries per (partition, query).
+  */
+object Pq {
+
+  /** books(j)(i) = lanes of centroid i in subspace j (m x k x d/m). */
+  type Codebook = IndexedSeq[IndexedSeq[IndexedSeq[Double]]]
+
+  /** Anchored codebook: subvectors of the first `k` corpus rows by id.
+    * Bounded driver collect (k rows), `limit` short-circuits the scan. */
+  def fitAnchored(corpus: DataFrame, id: Column, vec: Column,
+                  m: Int, k: Int): Codebook = {
+    val rows = corpus
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(k)
+      .collect()
+    require(rows.length == k, s"corpus has fewer than $k rows to anchor on")
+    val vs = rows.map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    val d = vs.head.length
+    require(d % m == 0, s"dim $d is not divisible by m=$m subspaces")
+    val sub = d / m
+    IndexedSeq.tabulate(m) { j =>
+      IndexedSeq.tabulate(k)(i => vs(i).slice(j * sub, (j + 1) * sub))
+    }
+  }
+
+  /** Per-subspace squared L2 distances via the decomposition
+    * `||x - c||^2 = (||x||^2 - 2*x.c) + ||c||^2`: the dots delegate to
+    * the codegen'd [[graft.functions.Vectors.dot]] loop kernel, so the
+    * whole battery stays a handful of loop nodes instead of k*d inline
+    * `(x-c)^2` terms (the inline form blew past Janino's method limit
+    * and fell out of codegen entirely). `||c||^2` folds on the driver
+    * left-to-right — the same IEEE op sequence as the oracle's
+    * `list_sum`, so every distance double is bit-identical
+    * cross-engine. */
+  private def subDists(vec: Column, j: Int,
+                       cents: IndexedSeq[IndexedSeq[Double]]): Seq[Column] = {
+    val sub = cents.head.length
+    val xs = slice(vec, j * sub + 1, sub)
+    val xx = Vectors.dot(xs, xs)
+    cents.map { c =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x * x)
+      (xx - lit(2.0) * Vectors.dot(xs, typedLit(c))) + lit(cc)
+    }
+  }
+
+  /** struct(d, i) of the nearest centroid of subspace j: `least` over
+    * (distance, index) structs — lexicographic, so exact distance ties
+    * go to the lower centroid index, same as the oracle's ORDER BY.
+    * (`least` is codegen'd; an array_sort formulation is a higher-order
+    * fallback that drops the whole corpus projection out of codegen.) */
+  private def bestOf(vec: Column, j: Int,
+                     cents: IndexedSeq[IndexedSeq[Double]]): Column = {
+    val scored = subDists(vec, j, cents).zipWithIndex.map {
+      case (d, i) => struct(d.as("d"), lit(i).as("i"))
+    }
+    least(scored: _*)
+  }
+
+  /** (vec_id, codes array<int>, qerrs array<double>): per-subspace
+    * nearest-centroid index and round-6 quantization error. One
+    * codegen'd scan, zero shuffles. */
+  def encode(df: DataFrame, id: Column, vec: Column,
+             books: Codebook): DataFrame = {
+    val best = books.indices.map(j => bestOf(vec, j, books(j)))
+    df.select(id.as("vec_id"),
+      array(best.map(_.getField("i")): _*).as("codes"),
+      array(best.map(b => round(b.getField("d"), 6)): _*).as("qerrs"))
+  }
+
+  /** ADC top-k: rank `corpusCodes` (neighbor_id, codes — the
+    * [[encode]] output, 8 B/row) for each query row by the summed
+    * subspace table lookups, ascending distance, ties to the lower
+    * neighbor id. Queries broadcast with their m*k LUT materialized
+    * behind an exchange (CollapseProject would otherwise re-inline the
+    * whole distance battery per PAIR — the Similarity.normalized
+    * barrier rationale). */
+  def adcTopK(queries: DataFrame, corpusCodes: DataFrame, books: Codebook,
+              k: Int, qId: Column, qVec: Column,
+              excludeSelf: Boolean = true): DataFrame = {
+    val m = books.length
+    val lut = array(books.indices.map { j =>
+      array(subDists(qVec, j, books(j)): _*)
+    }: _*)
+    val q = queries
+      .select(qId.as("query_id"), lut.as("lut"))
+      .repartition(col("query_id"))
+    val adc = (0 until m).map { j =>
+      expr(s"element_at(element_at(lut, ${j + 1})," +
+        s" element_at(codes, ${j + 1}) + 1)")
+    }.reduce(_ + _)
+    // negate AFTER rounding (exact) so TopK's score-DESC contract ranks
+    // ascending distance; ties fall to its neighbor_id-ASC tiebreak
+    val scored0 = corpusCodes.crossJoin(broadcast(q))
+      .withColumn("score", -round(adc, 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("score")).as("adc_dist"))
+  }
+}

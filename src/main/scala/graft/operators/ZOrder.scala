@@ -60,4 +60,18 @@ object ZOrder {
         min(col(dimA)).as("a_min"), max(col(dimA)).as("a_max"),
         min(col(dimB)).as("b_min"), max(col(dimB)).as("b_max"))
   }
+
+  /** Min/max file skipping over a [[layout]] manifest — the planner
+    * step the per-file dim stats exist FOR: keep exactly the file
+    * groups whose (a, b) bounding rectangle intersects the query box
+    * `[aLo, aHi] x [bLo, bHi]`; every dropped group provably contains
+    * no matching row (its rectangle misses the box on some axis), so
+    * pruning is sound by construction — the spec additionally pins
+    * that every matching ROW lives in a kept group. Pure metadata
+    * filter: the corpus is untouched, cost is O(nFiles). */
+  def prune(manifest: DataFrame, aLo: Long, aHi: Long,
+            bLo: Long, bHi: Long): DataFrame =
+    manifest.filter(
+      !(col("a_max") < lit(aLo) || col("a_min") > lit(aHi) ||
+        col("b_max") < lit(bLo) || col("b_min") > lit(bHi)))
 }

@@ -241,6 +241,17 @@ object ScaleStress {
         col("vec_id"), col("embedding")).count()
     }
     cached.assigned.unpersist()
+    time("PQ encode (1M vecs, 8x16 codebook) + ADC top-10 (100 queries)") {
+      // the IVF-PQ shape: one codegen'd encode scan of the corpus,
+      // then candidates cost 8 table lookups each off the code rows
+      val books = graft.operators.Pq.fitAnchored(vecs,
+        col("vec_id"), col("embedding"), m = 8, k = 16)
+      val codes = graft.operators.Pq.encode(vecs,
+        col("vec_id"), col("embedding"), books)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      graft.operators.Pq.adcTopK(queries, codes, books, 10,
+        col("vec_id"), col("embedding")).count()
+    }
     // 16 bits so a bucket holds ~a handful of clusters; the cap bounds
     // any residual hot bucket. Expected pairs ~ clusters * 32^2/2.
     time("LSH near-dup pairs (250k vecs, threshold .9, 4 tables, capped)") {

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.functions.CountMin
-import graft.operators.{Cdc, ZOrder}
+import graft.operators.{Cdc, SortedExport, ZOrder}
 
 /** Specs for the round-5 layout/maintenance operators: Morton-order
   * file layout, CDC changeset application, and the end-to-end CMS
@@ -68,6 +68,38 @@ class LayoutCdcSpec extends SparkSpec {
         lo.getLong(3) should be < hi.getLong(2) // z_max(i) < z_min(i+1)
       case _ => ()
     }
+  }
+
+  test("prune on the full grid: a quadrant box keeps exactly its file group") {
+    val grid = for { a <- 0 until 32; b <- 0 until 32 } yield (a.toLong, b.toLong)
+    val mani = ZOrder.layout(grid.toDF("a", "b"), "a", "b", bits = 5,
+      nFiles = 4)
+    // the low quadrant is one file group; a box inside it keeps 1 of 4
+    val kept = ZOrder.prune(mani, 2L, 9L, 3L, 12L).collect()
+    kept.length shouldBe 1
+    kept.head.getLong(4) shouldBe 0L // a_min of the low quadrant
+    // a box spanning the a-midline intersects two quadrants
+    ZOrder.prune(mani, 10L, 20L, 0L, 10L).count() shouldBe 2L
+    // a box outside the grid prunes everything
+    ZOrder.prune(mani, 40L, 50L, 40L, 50L).count() shouldBe 0L
+  }
+
+  test("prune never loses a matching row (no false negatives)") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val (aLo, aHi, bLo, bHi) = (0L, 100L, 0L, 8L)
+    val withGroup = SortedExport.assignShards(
+      li.withColumn("__z",
+        ZOrder.zValue($"l_partkey", $"l_suppkey", 16)), "__z", 8)
+    val keptGroups = ZOrder.prune(
+      ZOrder.layout(li, "l_partkey", "l_suppkey", bits = 16, nFiles = 8),
+      aLo, aHi, bLo, bHi)
+      .collect().map(_.getInt(0)).toSet
+    keptGroups should not be empty
+    // every row matching the predicate box sits in a kept file group
+    val lost = withGroup.filter(
+      $"l_partkey".between(aLo, aHi) && $"l_suppkey".between(bLo, bHi) &&
+        !$"shard".isin(keptGroups.toSeq: _*)).count()
+    lost shouldBe 0L
   }
 
   // ----------------------------------------------------------------- Cdc

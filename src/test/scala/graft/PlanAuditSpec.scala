@@ -31,6 +31,7 @@ class PlanAuditSpec extends SparkSpec {
     * regression. */
   private val nestedLoopByDesign: Set[String] = Set(
     "neardup_embeddings_exact",
+    "similarity_pq_adc",
     "similarity_topk_embeddings",
     "similarity_ann_embeddings",
     "rag_retrieval_pipeline",

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Pq
+
+/** Product quantization: codebook shape, code assignment goldens,
+  * tie-breaking, and the ADC == exact-distance degenerate case. */
+class PqSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fitAnchored: codebook is the first-k subvectors in id order") {
+    val rows = Seq(
+      (3L, Seq(30.0f, 31.0f, 32.0f, 33.0f)),
+      (1L, Seq(10.0f, 11.0f, 12.0f, 13.0f)),
+      (2L, Seq(20.0f, 21.0f, 22.0f, 23.0f)),
+      (9L, Seq(90.0f, 91.0f, 92.0f, 93.0f)))
+    val books = Pq.fitAnchored(rows.toDF("id", "v"), col("id"), col("v"),
+      m = 2, k = 2)
+    books.length shouldBe 2
+    books(0) shouldBe Seq(Seq(10.0, 11.0), Seq(20.0, 21.0))
+    books(1) shouldBe Seq(Seq(12.0, 13.0), Seq(22.0, 23.0))
+  }
+
+  test("encode: nearest centroid per subspace, ties to the lower index") {
+    val corpus = Seq(
+      (0L, Seq(0.0f, 0.0f)),   // centroid 0 of each 1-lane subspace
+      (1L, Seq(4.0f, 4.0f)),   // centroid 1
+      (2L, Seq(1.0f, 3.0f)),   // nearer 0 in lane 0, nearer 1 in lane 1
+      (3L, Seq(2.0f, 2.0f)))   // exact tie both lanes -> lower index
+    val books = Pq.fitAnchored(corpus.toDF("id", "v"), col("id"), col("v"),
+      m = 2, k = 2)
+    val got = Pq.encode(corpus.toDF("id", "v"), col("id"), col("v"), books)
+      .select($"vec_id", $"codes", $"qerrs").collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Int](1), r.getSeq[Double](2)))
+      .toMap
+    got(0L)._1 shouldBe Seq(0, 0)
+    got(1L)._1 shouldBe Seq(1, 1)
+    got(2L)._1 shouldBe Seq(0, 1)
+    got(3L)._1 shouldBe Seq(0, 0) // equidistant: lower centroid wins
+    got(0L)._2 shouldBe Seq(0.0, 0.0)
+    got(2L)._2 shouldBe Seq(1.0, 1.0)
+    got(3L)._2 shouldBe Seq(4.0, 4.0)
+  }
+
+  test("encode on real embeddings: anchor rows quantize to error zero") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 16)
+    val enc = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+    enc.count() shouldBe emb.count()
+    // every code in range, every error non-negative
+    val bad = enc.select(explode($"codes").as("c")).filter(
+      $"c" < 0 || $"c" >= 16).count()
+    bad shouldBe 0L
+    // an anchor row's own subvector is a centroid -> qerr exactly 0
+    val anchorErr = enc.filter($"vec_id" < 16)
+      .select(explode($"qerrs").as("e")).filter($"e" =!= 0.0).count()
+    anchorErr shouldBe 0L
+  }
+
+  test("adcTopK == exact squared-L2 ranking when every vector is its own centroid") {
+    // k = corpus size and m = 1: each (distinct) vector quantizes to
+    // itself with zero error, so the ADC table lookup IS the exact
+    // distance and the ranking must equal a hand-computed brute force.
+    val vecs = (0 until 12).map { i =>
+      (i.toLong, Seq(i.toFloat, (i * 7 % 5).toFloat, (i * 3 % 11).toFloat,
+        (i % 4).toFloat))
+    }
+    val df = vecs.toDF("id", "v")
+    val books = Pq.fitAnchored(df, col("id"), col("v"), m = 1, k = 12)
+    val codes = Pq.encode(df, col("id"), col("v"), books)
+      .select($"vec_id".as("neighbor_id"), $"codes")
+    val got = Pq.adcTopK(df.filter($"id" < 3), codes, books, k = 4,
+      col("id"), col("v"))
+      .orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+
+    def d2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) =>
+        val t = x.toDouble - y.toDouble; t * t
+      }.sum
+    val want = (0 until 3).flatMap { q =>
+      vecs.filter(_._1 != q)
+        .map { case (i, v) =>
+          (i, BigDecimal(d2(vecs(q)._2, v)).setScale(6,
+            BigDecimal.RoundingMode.HALF_UP).toDouble)
+        }
+        .sortBy { case (i, d) => (d, i) }.take(4).zipWithIndex
+        .map { case ((i, d), r) => (q.toLong, i, r + 1, d) }
+    }
+    got.toSeq shouldBe want
+  }
+
+  test("adcTopK returns k rows per query with ascending distances") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 16)
+    val codes = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+      .select($"vec_id".as("neighbor_id"), $"codes")
+    val got = Pq.adcTopK(emb.filter($"vec_id" < 5), codes, books, k = 7,
+      col("vec_id"), col("embedding"))
+      .orderBy($"query_id", $"rank").collect()
+    got.length shouldBe 35
+    got.groupBy(_.getLong(0)).values.foreach { rs =>
+      val ds = rs.sortBy(_.getInt(2)).map(_.getDouble(3))
+      ds shouldBe ds.sorted
+      rs.foreach(r => r.getLong(1) should not be r.getLong(0))
+    }
+  }
+}
