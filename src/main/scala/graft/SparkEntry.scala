@@ -221,6 +221,16 @@ object SparkEntry {
       graft.functions.Gopher.stats(
         Tables(s, dir, "documents"), col("doc_id"), col("text"))
     },
+    // Hashed-feature linear classifier INFERENCE (the fastText shape):
+    // unigram+bigram features -> hashing trick -> integer weight sum ->
+    // mean-pooled score -> keep/drop gate. One projection pass, zero
+    // shuffles; the md5-derived pseudo-model makes the whole path
+    // exactly oracle-checkable (real weights = one broadcast array
+    // literal swap).
+    "quality_classifier_documents" -> { (s, dir) =>
+      graft.functions.HashedLinear.score(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+    },
 
     // Per-language distinctive terms by log-free tf-idf (tf/df — one
     // IEEE division of two exact integers, bit-identical in DuckDB) with
@@ -833,6 +843,19 @@ object SparkEntry {
       Pq.adcTopK(emb.filter(col("vec_id") < 10), codes, books, k = 5,
         col("vec_id"), col("embedding"))
     },
+    // The full IVF-PQ index (coarse-cell candidate pruning x PQ code
+    // compression): each query ranks only the ~nProbe/nCells of the
+    // corpus in its probed cells, at 8 code bytes per candidate — the
+    // ANN shape that fits 100 TB. One corpus scan emits (cell, codes)
+    // with both quantizer batteries fused; bounded TopK per query.
+    "similarity_ivfpq_adc" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      Pq.ivfAdcTopK(emb.filter(col("vec_id") < 10), emb, books, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 16, nProbe = 4)
+    },
 
     // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
     // over the embedding corpus, then the tiny hit set BROADCASTS into
@@ -1124,9 +1147,7 @@ object SparkEntry {
     // events_tumbling_5min's exact oracle, so streaming execution gets a
     // driver CORRECTNESS row instead of spec-only coverage.
     "events_tumbling_5min_stream" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      // glob form: the file stream source rejects a single-file basePath
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -1143,8 +1164,7 @@ object SparkEntry {
     // customer→segment dim (no join state), then a watermarked tumbling
     // window per segment. Oracle is the equivalent batch join+group.
     "events_stream_static_join" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("value"))
@@ -1162,8 +1182,7 @@ object SparkEntry {
     // event types per user, so the result is insensitive to which
     // duplicate the stream saw first (oracle: batch count DISTINCT).
     "events_stream_dedup" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"))
@@ -1180,8 +1199,7 @@ object SparkEntry {
     // horizon. Append-mode memory sink; oracle is the equivalent batch
     // range join in DuckDB.
     "events_stream_interval_join" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -1306,8 +1324,7 @@ object SparkEntry {
     // session-merge plan (not the batch rewrite) computing the same
     // result; shares events_session_window_batch's oracle.
     "events_session_window_stream" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -1324,8 +1341,7 @@ object SparkEntry {
     // sink committed each batch exactly once. Oracle is the plain
     // batch aggregation.
     "events_stream_parquet_sink" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       // scratch (wiped per run): a reused checkpoint dir with a reused
       // sink dir would otherwise make AvailableNow a no-op on rerun
       val out = scratchDir("streamsink")
@@ -1350,8 +1366,7 @@ object SparkEntry {
     // stream ends (see EventStream.sessionsCustomState); shares the
     // batch session oracle.
     "events_sessions_custom_state" -> { (s, dir) =>
-      val schema = Tables(s, dir, "events").schema // also sets nanosAsLong
-      val src = s.readStream.schema(schema).parquet(s"$dir/events.*")
+      val src = Tables.eventsStream(s, dir)
       val events = src.select(
         timestamp_micros(expr("ts DIV 1000")).as("ts"),
         col("user_id"), col("event_type"), col("value"))
@@ -1511,6 +1526,30 @@ object SparkEntry {
          |FROM documents""".stripMargin
     },
     "text_quality_gopher" -> graft.functions.Gopher.Sql.query,
+    // hashed-linear replay: same tokens contract, same u32(md5) slot /
+    // weight formulas, exact integer sum, one round-6 division
+    "quality_classifier_documents" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, ${TextAnalysis.Sql.tokens("lower(text)")} AS tk
+         |  FROM documents),
+         |f AS (
+         |  SELECT doc_id,
+         |    tk || [tk[i] || ' ' || tk[i + 1]
+         |           FOR i IN range(1, len(tk))] AS fs
+         |  FROM t),
+         |w AS (
+         |  SELECT doc_id, len(fs) AS nf,
+         |    COALESCE(CAST(list_sum([
+         |      ('0x' || substr(md5('w:' || CAST(
+         |         ('0x' || substr(md5('f:' || x), 1, 8))::BIGINT % 4096
+         |       AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000
+         |      FOR x IN fs]) AS BIGINT), 0) AS w_sum
+         |  FROM f)
+         |SELECT doc_id, CAST(nf AS INT) AS n_feats, w_sum,
+         |  round(CASE WHEN nf = 0 THEN 0.0
+         |             ELSE w_sum / (1000.0 * nf) END, 6) AS score,
+         |  CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+         |FROM w""".stripMargin,
     "text_novelty_bigram" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2496,6 +2535,49 @@ object SparkEntry {
          |  FROM codes n
          |  JOIN dists d ON d.j = n.j AND d.ci = n.code
          |  WHERE d.vec_id < 10 AND n.vec_id <> d.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+    // IVF-PQ replay = the IVF oracle's cell topology (normalized
+    // first-16 centroids; cell rank by RAW-vector dot, ties to the
+    // lower cell; corpus to rank-1 cell, queries probe rank<=4) joined
+    // with the PQ oracle's code/ADC CTEs — candidates restricted to
+    // probed cells, ranked by the subspace-ordered lookup sum.
+    "similarity_ivfpq_adc" ->
+      s"""$pqDistsSql,
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+         |cellrank AS (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE) * c.e[i]
+         |        FOR i IN range(1, len(c.e) + 1)]) DESC, c.cell) AS rnk
+         |  FROM embeddings q CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |probes AS (SELECT vec_id, cell FROM cellrank
+         |           WHERE rnk <= 4 AND vec_id < 10),
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dists)
+         |  WHERE rnk = 1),
+         |pairs AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, n.j, d.d
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+         |  JOIN codes n ON n.vec_id = a.vec_id
+         |  JOIN dists d ON d.vec_id = p.vec_id AND d.j = n.j
+         |    AND d.ci = n.code),
          |adc AS (
          |  SELECT query_id, neighbor_id,
          |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist

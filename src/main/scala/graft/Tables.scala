@@ -1,15 +1,56 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, unix_micros}
+import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
 
 /** Testdata table access (driver parquet, /root/repo/TESTDATA.md).
   *
-  * events.parquet carries TIMESTAMP(NANOS) which Spark's parquet reader
-  * rejects by default; `nanosAsLong` maps it to epoch-nanosecond longs
-  * (the DuckDB oracle mirrors with `epoch_ns(ts)`). */
+  * The `events.ts` contract downstream of this object is EPOCH-NANOS
+  * LONG, whatever unit the writer chose: round-1..4 testdata carried
+  * TIMESTAMP(NANOS), which Spark's reader maps to epoch-nanosecond
+  * longs under `nanosAsLong`; round-5 testdata regenerated the column
+  * as TIMESTAMP(MICROS) (isAdjustedToUTC=false, so Spark reads
+  * TIMESTAMP_NTZ), which [[normalizeTs]] lifts back to nanos. Every
+  * operator and every DuckDB oracle (`epoch_ns(ts)` — exact for both
+  * physical units) is insensitive to the switch.
+  *
+  * Session timezone is pinned to UTC so the NTZ→instant cast is the
+  * identity wall-clock mapping on any host, matching DuckDB's
+  * tz-naive reading of the same file.
+  */
 object Tables {
   def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    spark.read.parquet(s"$dir/$name.parquet")
+    configure(spark)
+    normalizeTs(spark.read.parquet(s"$dir/$name.parquet"))
   }
+
+  /** The events table as a file-source STREAM with the same normalized
+    * `ts` contract as the batch read. The source must be given the
+    * PHYSICAL schema (a post-normalization LONG schema would mismatch
+    * the parquet timestamp column); normalization applies on top, so
+    * stream and batch plans see identical columns. */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    configure(spark)
+    val phys = spark.read.parquet(s"$dir/events.parquet").schema
+    // glob form: the file stream source rejects a single-file basePath
+    normalizeTs(spark.readStream.schema(phys).parquet(s"$dir/events.*"))
+  }
+
+  private def configure(spark: SparkSession): Unit = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+  }
+
+  /** Rewrite a timestamp-typed `ts` column to epoch-nanos long (no-op
+    * when the column is already a long or absent). */
+  def normalizeTs(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts").map(_.dataType) match {
+      case Some(TimestampNTZType) =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast(TimestampType)) * 1000L)
+      case Some(TimestampType) =>
+        df.withColumn("ts", unix_micros(col("ts")) * 1000L)
+      case _ => df
+    }
 }

@@ -138,4 +138,70 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (-col("score")).as("adc_dist"))
   }
+
+  /** IVF-PQ — the full large-scale ANN index (Jegou et al. 2011): the
+    * IVF coarse quantizer prunes candidates to the query's nProbe
+    * nearest cells, and ADC over the PQ codes ranks only those
+    * candidates — each query touches ~nProbe/nCells of the corpus, at
+    * m bytes per candidate instead of d floats. At 100 TB this is the
+    * only ANN shape that fits: the code index is 32x smaller than the
+    * raw embeddings AND each query scans a fixed fraction of it.
+    *
+    * Both quantizers are anchored ([[fitAnchored]] subspace codebook;
+    * [[Similarity.anchoredUnitCentroids]] coarse cells), so cells,
+    * codes, probe sets, and ranks all replay exactly in SQL. Plan
+    * shape: ONE corpus scan emits (cell, neighbor_id, codes) — the
+    * cell ranking and the full code battery fused in the same
+    * codegen'd projection — shuffled once on cell; queries broadcast
+    * with their m*k LUT and explode to nProbe (query, cell) probe
+    * rows; the join feeds the bounded [[TopK]] aggregate. Residual
+    * encoding (codes of `x - cent(cell)`, the paper's quality
+    * refinement) would recenter each subspace battery per cell —
+    * nCells times the encode cost for tighter codes; the non-residual
+    * form keeps encode cell-independent and the oracle single-pass. */
+  def ivfAdcTopK(queries: DataFrame, corpus: DataFrame, books: Codebook,
+                 k: Int, qId: Column, qVec: Column,
+                 cId: Column, cVec: Column,
+                 nCells: Int = 16, nProbe: Int = 4,
+                 excludeSelf: Boolean = true): DataFrame = {
+    val m = books.length
+    val cents = Similarity.anchoredUnitCentroids(corpus, cId, cVec, nCells)
+    val best = books.indices.map(j => bestOf(cVec, j, books(j)))
+    val codes = corpus
+      .select(
+        coalesce(element_at(Similarity.cellsByAffinity(cents, cVec), 1),
+          lit(-1)).as("cell"),
+        cId.as("neighbor_id"),
+        array(best.map(_.getField("i")): _*).as("codes"))
+      .repartition(col("cell"))
+    val lut = array(books.indices.map { j =>
+      array(subDists(qVec, j, books(j)): _*)
+    }: _*)
+    // exchange barrier before the explode: CollapseProject would
+    // otherwise re-inline the LUT battery per probe row (the adcTopK
+    // rationale); explode AFTER it so each probe row reuses the
+    // materialized lut attribute
+    val q = queries
+      .select(qId.as("query_id"), lut.as("lut"),
+        slice(Similarity.cellsByAffinity(cents, qVec), 1, nProbe)
+          .as("cells"))
+      .repartition(col("query_id"))
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
+      .select(col("query_id"), col("lut"),
+        coalesce(col("cell"), lit(-2)).as("cell"))
+    val adc = (0 until m).map { j =>
+      expr(s"element_at(element_at(lut, ${j + 1})," +
+        s" element_at(codes, ${j + 1}) + 1)")
+    }.reduce(_ + _)
+    // negate AFTER rounding (exact) so TopK's score-DESC contract ranks
+    // ascending distance; ties fall to its neighbor_id-ASC tiebreak
+    val scored0 = codes.join(broadcast(q), Seq("cell"))
+      .withColumn("score", -round(adc, 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("score")).as("adc_dist"))
+  }
 }

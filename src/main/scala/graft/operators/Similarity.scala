@@ -317,8 +317,8 @@ object Similarity {
     * struct array (a pairwise when/otherwise max-fold would duplicate
     * its operand subtrees at every level: 2^nCells expression nodes,
     * OOMs the driver at analysis time). One Literal node per centroid. */
-  private def cellsByAffinity(cents: IndexedSeq[IndexedSeq[Double]],
-                              vec: Column): Column = {
+  private[operators] def cellsByAffinity(
+      cents: IndexedSeq[IndexedSeq[Double]], vec: Column): Column = {
     val scored = array(cents.zipWithIndex.map { case (ctr, i) =>
       struct((-Vectors.dot(vec, typedLit(ctr))).as("negs"),
         lit(i).as("cell"))
@@ -406,19 +406,29 @@ object Similarity {
                       qId: Column, qVec: Column, cId: Column, cVec: Column,
                       nCells: Int = 16, nProbe: Int = 4,
                       excludeSelf: Boolean = true): DataFrame = {
+    val cents = anchoredUnitCentroids(corpus, cId, cVec, nCells)
+    val index = IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
+    ivfQuery(index, queries, k, qId, qVec, excludeSelf)
+  }
+
+  /** L2-normalized anchor centroids: the first `n` corpus vectors by
+    * id. Bounded driver collect (`limit` short-circuits the scan);
+    * shared by the anchored IVF build and [[Pq.ivfAdcTopK]]. */
+  private[operators] def anchoredUnitCentroids(
+      corpus: DataFrame, id: Column, vec: Column,
+      n: Int): IndexedSeq[IndexedSeq[Double]] = {
     val cents = corpus
-      .select(cId.cast("long").as("id"), cVec.cast("array<double>").as("v"))
-      .orderBy(col("id")).limit(nCells)
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(n)
       .collect()
       .map { r =>
         val v = r.getSeq[Double](1).toArray
-        val n = math.sqrt(v.map(x => x * x).sum)
-        (if (n == 0.0) v else v.map(_ / n)).toIndexedSeq
+        val nrm = math.sqrt(v.map(x => x * x).sum)
+        (if (nrm == 0.0) v else v.map(_ / nrm)).toIndexedSeq
       }.toIndexedSeq
-    require(cents.length == nCells,
-      s"corpus has fewer than $nCells rows to seed cells from")
-    val index = IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
-    ivfQuery(index, queries, k, qId, qVec, excludeSelf)
+    require(cents.length == n,
+      s"corpus has fewer than $n rows to seed cells from")
+    cents
   }
 
   /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated

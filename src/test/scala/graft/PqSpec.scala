@@ -108,4 +108,54 @@ class PqSpec extends SparkSpec {
       rs.foreach(r => r.getLong(1) should not be r.getLong(0))
     }
   }
+
+  test("ivfAdcTopK: candidates come only from probed cells; dists match full ADC") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+      m = 8, k = 16)
+    val got = Pq.ivfAdcTopK(emb.filter($"vec_id" < 10), emb, books, k = 5,
+      col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+      nCells = 16, nProbe = 4)
+    val rows = got.orderBy($"query_id", $"rank").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getDouble(3)))
+    rows.length shouldBe 50 // 10 queries x k=5
+    rows.groupBy(_._1).values.foreach { rs =>
+      rs.map(_._3).sorted shouldBe (1 to 5)
+      val ds = rs.sortBy(_._3).map(_._4)
+      ds shouldBe ds.sorted
+    }
+
+    // cell-pruning invariant replayed in Scala: every returned
+    // neighbor's rank-1 cell must be among its query's top-nProbe cells
+    val all = emb.select($"vec_id".cast("long"),
+        $"embedding".cast("array<double>")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1).toIndexedSeq).toMap
+    val cents = all.toSeq.sortBy(_._1).take(16).map { case (_, v) =>
+      val n = math.sqrt(v.foldLeft(0.0)((a, x) => a + x * x))
+      if (n == 0.0) v else v.map(_ / n)
+    }
+    def dot(a: Seq[Double], b: Seq[Double]): Double =
+      a.zip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+    def ranked(v: IndexedSeq[Double]): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) => (-dot(v, c), i) }
+        .sorted.map(_._2)
+    rows.foreach { case (q, n, _, _) =>
+      val probed = ranked(all(q)).take(4).toSet
+      probed should contain(ranked(all(n)).head)
+    }
+
+    // where a pair also survives the UNPRUNED ADC top-5, the distance
+    // must be identical — pruning changes the candidate set, never the
+    // scoring
+    val codes = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+      .select($"vec_id".as("neighbor_id"), $"codes")
+    val full = Pq.adcTopK(emb.filter($"vec_id" < 10), codes, books, k = 5,
+      col("vec_id"), col("embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(3)).toMap
+    val overlap = rows.flatMap { case (q, n, _, d) =>
+      full.get((q, n)).map(fd => (d, fd))
+    }
+    overlap should not be empty
+    overlap.foreach { case (d, fd) => d shouldBe fd }
+  }
 }

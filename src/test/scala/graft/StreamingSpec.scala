@@ -164,8 +164,7 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stream-stream interval join == batch range join on sf0.001") {
-    val schema = Tables(spark, sf0001, "events").schema
-    val src = spark.readStream.schema(schema).parquet(s"$sf0001/events.*")
+    val src = Tables.eventsStream(spark, sf0001)
     val events = src.select(
       timestamp_micros(expr("ts DIV 1000")).as("ts"),
       col("event_id"), col("user_id"), col("event_type"), col("value"))
@@ -195,11 +194,8 @@ class StreamingSpec extends SparkSpec {
   test("runToCompletion: file-source streaming tumbling == batch on full sf0.001") {
     // the declared-query harness: real file-source micro-batch execution
     // driven to completion, compared against the batch plan on all rows
-    val batchE = Tables(spark, sf0001, "events") // sets nanosAsLong
-    // glob, not the bare file path: the file stream source rejects a
-    // single-file basePath
-    val src = spark.readStream.schema(batchE.schema)
-      .parquet(s"$sf0001/events.*")
+    val batchE = Tables(spark, sf0001, "events")
+    val src = Tables.eventsStream(spark, sf0001)
     def shape(df: org.apache.spark.sql.DataFrame) = df.select(
       timestamp_micros(expr("ts DIV 1000")).as("ts"),
       $"user_id", $"event_type", $"value")
