@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Pq, Relational, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -257,6 +257,14 @@ object SparkEntry {
     "vocab_top_tokens" -> { (s, dir) =>
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
+    },
+    // BPE tokenizer training, iteration one: corpus collapses to the
+    // word-frequency table ONCE, adjacent char pairs count over the
+    // VOCAB weighted by word freq — the next-merge ranking. Every
+    // later merge iteration reruns this plan on vocab-sized input.
+    "tokenizer_bpe_pairs" -> { (s, dir) =>
+      graft.functions.BpePairs.topPairs(
+        Tables(s, dir, "documents"), col("text"), k = 30)
     },
     // Count-Min sketch frequency estimation (depth 4 × width 1024,
     // md5-derived cells — engine-replayable): estimates for the exact
@@ -543,6 +551,29 @@ object SparkEntry {
             .otherwise(col("text")))
       CorpusDiff.diff(old, neu, col("doc_id"), col("text"))
         .withColumnRenamed("id", "doc_id")
+    },
+    // Distribution DRIFT between the same two snapshots: did the
+    // language MIX shift? Integer-ppm shares (exact DIV), abs shift =
+    // per-cell total-variation contribution — the promote/abort drift
+    // gate. Two map-combined counts; everything after is dim-sized.
+    "profile_drift_versions" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      CorpusDiff.drift(
+          docs.filter(col("doc_id") < 450),
+          docs.filter(col("doc_id") >= 50), col("lang"))
+        .withColumnRenamed("dim", "lang")
+    },
+    // Targeted deletion (right-to-be-forgotten) with compliance audit:
+    // the delete-request list broadcasts into one marker join — no
+    // corpus shuffle — and the audit reports per-source kept/deleted
+    // counts plus an order-independent exact survivor digest the
+    // physical rewrite is verified against.
+    "gdpr_delete_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val deletes = docs.filter(col("doc_id") % 97 === 3)
+        .select(col("doc_id"))
+      Retention.deleteAudit(docs, deletes, col("doc_id"), col("source"))
+        .withColumnRenamed("group", "source")
     },
     // QUALITY-ranked per-source selection: the 5 highest-quality docs
     // per source (ties by id) via the bounded top-k aggregate — "best
@@ -1608,6 +1639,23 @@ object SparkEntry {
         |    AS coverage
         |FROM top, tot
         |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    // BPE iteration-one replay: word-frequency table, then adjacent
+    // code-point pairs weighted by word freq (substr is code-point
+    // indexed in both engines); ties by pair string ASC
+    "tokenizer_bpe_pairs" ->
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(${TextAnalysis.Sql.tokens("lower(text)")}) AS w
+         |    FROM documents) GROUP BY 1),
+         |pairs AS (
+         |  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+         |        FROM vocab WHERE len(w) >= 2)
+         |  GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+         |    AS rank, pair, cnt
+         |FROM pairs ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "sample_fixed_k_documents" ->
       """SELECT doc_id, lang, source FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""".stripMargin,
@@ -1903,6 +1951,40 @@ object SparkEntry {
          |       WHEN ofp = nfp THEN 'unchanged'
          |       ELSE 'changed' END AS status
          |FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id""".stripMargin,
+    // drift replay: per-side counts, full-outer on the dimension,
+    // integer-ppm shares (// = exact integer division)
+    "profile_drift_versions" ->
+      """WITH o AS (SELECT lang, count(*) AS n_v1 FROM documents
+        |           WHERE doc_id < 450 GROUP BY lang),
+        |n AS (SELECT lang, count(*) AS n_v2 FROM documents
+        |      WHERE doc_id >= 50 GROUP BY lang),
+        |j AS (SELECT coalesce(o.lang, n.lang) AS lang,
+        |        CAST(coalesce(n_v1, 0) AS BIGINT) AS n_v1,
+        |        CAST(coalesce(n_v2, 0) AS BIGINT) AS n_v2
+        |      FROM o FULL OUTER JOIN n ON o.lang = n.lang),
+        |t AS (SELECT CAST(sum(n_v1) AS BIGINT) AS t1,
+        |        CAST(sum(n_v2) AS BIGINT) AS t2 FROM j)
+        |SELECT lang, n_v1, n_v2,
+        |  CAST(n_v1 * 1000000 // t1 AS BIGINT) AS ppm_v1,
+        |  CAST(n_v2 * 1000000 // t2 AS BIGINT) AS ppm_v2,
+        |  CAST(abs(n_v1 * 1000000 // t1 - n_v2 * 1000000 // t2)
+        |    AS BIGINT) AS drift_ppm
+        |FROM j, t""".stripMargin,
+    // deletion-audit replay: marker join against the request list,
+    // exact integer counts and the order-independent u32(md5) survivor
+    // digest
+    "gdpr_delete_documents" ->
+      """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
+        |m AS (SELECT c.source, c.doc_id,
+        |        (d.doc_id IS NOT NULL) AS del
+        |      FROM documents c LEFT JOIN d USING (doc_id))
+        |SELECT source,
+        |  CAST(count(*) FILTER (WHERE NOT del) AS BIGINT) AS n_kept,
+        |  CAST(count(*) FILTER (WHERE del) AS BIGINT) AS n_deleted,
+        |  CAST(coalesce(sum(CASE WHEN NOT del THEN
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |    END), 0) AS BIGINT) AS kept_hash
+        |FROM m GROUP BY source""".stripMargin,
     "sample_source_cap" ->
       """SELECT doc_id, lang, source FROM documents
         |QUALIFY row_number() OVER (PARTITION BY source

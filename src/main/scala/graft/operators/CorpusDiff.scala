@@ -47,4 +47,41 @@ object CorpusDiff {
               idCol: Column, textCol: Column): DataFrame =
     diff(oldDf, newDf, idCol, textCol)
       .groupBy(col("status")).agg(count(lit(1)).as("n_docs"))
+
+  /** Distribution DRIFT between two snapshots along a categorical
+    * dimension — the monitoring twin of [[diff]]: where diff asks
+    * "which rows changed", drift asks "did the corpus MIX shift"
+    * (language balance after a crawl refresh, source balance after a
+    * filter change). Per dimension value: both counts, both
+    * parts-per-million shares, and the absolute ppm shift — the
+    * per-cell contribution to total variation distance (sum(drift_ppm)
+    * / 2e6 = TV), the standard promote/abort drift gate.
+    *
+    * Exactness: shares are INTEGER ppm (n * 1,000,000 DIV total — the
+    * repo's exact-share idiom), so every cell replays bit-for-bit in
+    * any engine; no KL/log anywhere.
+    *
+    * Shape: each side collapses to dimension cardinality with
+    * map-combined counts (ONE linear pass per side — at 100 TB these
+    * two aggregations are the whole cost); the joined count table is
+    * materialized ONCE at dim size (localCheckpoint), the two totals
+    * collapse to one driver row off it, and the share arithmetic
+    * inlines them as literals — no re-aggregation of either corpus, no
+    * broadcast-nested-loop of a totals row (the assignShards idiom). */
+  def drift(oldDf: DataFrame, newDf: DataFrame, dim: Column): DataFrame = {
+    val a = oldDf.groupBy(dim.as("dim")).agg(count(lit(1)).as("n_v1"))
+    val b = newDf.groupBy(dim.as("dim")).agg(count(lit(1)).as("n_v2"))
+    val j = a.join(b, Seq("dim"), "full_outer")
+      .select(col("dim"),
+        coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+        coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+      .localCheckpoint()
+    val tot = j.agg(sum(col("n_v1")), sum(col("n_v2"))).collect().head
+    val (t1, t2) = (math.max(tot.getLong(0), 1L),
+      math.max(tot.getLong(1), 1L))
+    j.select(col("dim"), col("n_v1"), col("n_v2"),
+        expr(s"n_v1 * 1000000L DIV ${t1}L").as("ppm_v1"),
+        expr(s"n_v2 * 1000000L DIV ${t2}L").as("ppm_v2"))
+      .withColumn("drift_ppm", abs(col("ppm_v1") - col("ppm_v2")))
+  }
 }

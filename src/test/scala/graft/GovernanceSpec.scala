@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{CorpusDiff, Retention}
+import graft.functions.BpePairs
+
+/** Governance / maintenance operators: targeted deletion audit, BPE
+  * merge-pair counting, and snapshot drift. */
+class GovernanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def u32md5(s: String): Long =
+    java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+
+  test("deleteAudit: counts partition the corpus; digest replays; survivors agree") {
+    val docs = Tables(spark, sf0001, "documents")
+    val deletes = docs.filter($"doc_id" % 97 === 3).select($"doc_id")
+    val audit = Retention.deleteAudit(docs, deletes,
+      col("doc_id"), col("source")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+
+    val bySource = docs.groupBy($"source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    audit.keySet shouldBe bySource.keySet
+    audit.foreach { case (src, (kept, deleted, _)) =>
+      kept + deleted shouldBe bySource(src)
+    }
+    audit.values.map(_._2).sum shouldBe deletes.count()
+
+    // survivors = kept side, and no delete-listed id survives
+    val surv = Retention.survivors(docs, deletes, col("doc_id"))
+    surv.count() shouldBe audit.values.map(_._1).sum
+    surv.filter($"doc_id" % 97 === 3).count() shouldBe 0L
+
+    // digest replay: exact sum of u32(md5(id)) over the kept rows
+    val keptIds = surv.select($"source", $"doc_id").collect()
+      .groupBy(_.getString(0))
+      .map { case (s, rs) =>
+        s -> rs.map(r => u32md5(r.getLong(1).toString)).sum
+      }
+    audit.foreach { case (src, (_, _, hash)) =>
+      hash shouldBe keptIds.getOrElse(src, 0L)
+    }
+  }
+
+  test("deleteAudit with an empty request list deletes nothing") {
+    val docs = Tables(spark, sf0001, "documents")
+    val none = docs.filter($"doc_id" < 0).select($"doc_id")
+    val audit = Retention.deleteAudit(docs, none,
+      col("doc_id"), col("source"))
+    audit.agg(sum($"n_deleted")).collect().head.getLong(0) shouldBe 0L
+    audit.agg(sum($"n_kept")).collect().head.getLong(0) shouldBe docs.count()
+  }
+
+  test("bpe pairs: golden counts on a tiny corpus, freq-weighted") {
+    // vocab: aa:1, ab:2 -> pairs: "a a":1, "a b":2
+    val df = Seq((1L, "aa ab"), (2L, "AB")).toDF("doc_id", "text")
+    val got = BpePairs.topPairs(df, col("text"), k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    got.toSeq shouldBe Seq((1, "a b", 2L), (2, "a a", 1L))
+  }
+
+  test("bpe pairs: total pair mass == sum of (len-1)*freq over the vocab") {
+    val docs = Tables(spark, sf0001, "documents")
+    val got = BpePairs.topPairs(docs, col("text"), k = 1000000)
+    val pairMass = got.agg(sum($"cnt")).collect().head.getLong(0)
+    val want = docs
+      .select(explode(
+        graft.functions.TextAnalysis.tokens(lower($"text"))).as("w"))
+      .select((org.apache.spark.sql.functions.length($"w") - 1).as("m"))
+      .filter($"m" >= 1)
+      .agg(sum($"m")).collect().head.getLong(0)
+    pairMass shouldBe want
+  }
+
+  test("drift: golden ppm shares and full-outer dims") {
+    val old = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("lang")
+    val neu = Seq("a", "b", "b", "c").map(Tuple1(_)).toDF("lang")
+    val got = CorpusDiff.drift(old, neu, col("lang")).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))).toMap
+    got("a") shouldBe ((3L, 1L, 750000L, 250000L, 500000L))
+    got("b") shouldBe ((1L, 2L, 250000L, 500000L, 250000L))
+    got("c") shouldBe ((0L, 1L, 0L, 250000L, 250000L)) // v2-only dim
+    // shares are exact integer ppm: each side sums to <= 1e6
+    got.values.map(_._3).sum should be <= 1000000L
+    got.values.map(_._4).sum should be <= 1000000L
+  }
+}
