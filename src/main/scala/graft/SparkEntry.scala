@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, GroupConsumer, GroupCounts, Grouper, Multimodal, Pack, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1063,6 +1063,43 @@ object SparkEntry {
       Cdc.applyChangeset(docs,
         upd.unionByName(del).unionByName(ins), "doc_id", "seq", "op")
     },
+    // SCD Type-2 history from the same changeset family: one validity
+    // interval per change event (seq_from/seq_to, is_current), via ONE
+    // window over the CHANGESET — per-key state bounded by its change
+    // count, corpus never touched.
+    "cdc_scd2_documents" -> { (s, dir) =>
+      val base = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val upd = base.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          md5(concat(col("text"), lit(" rev1"))).as("fp"))
+      val del = base.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("fp"))
+      val ins = base.filter(col("doc_id") < 40)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          lit(3L).as("seq"), lit("I").as("op"), md5(col("text")).as("fp"))
+      Cdc.scd2History(upd.unionByName(del).unionByName(ins),
+        "doc_id", "seq", "op")
+    },
+    // Materialized-view maintenance: the base aggregate state is NEVER
+    // recomputed — the delta aggregates alone (map-combined) and
+    // merges in with one key-sized full-outer join. The oracle IS the
+    // semantic contract: merged state == full recompute over base+delta.
+    "agg_incremental_update" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("lang")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"))
+      IncrementalAgg.merge(
+        state(docs.filter(col("doc_id") < 450)),
+        state(docs.filter(col("doc_id") >= 450)),
+        Seq("lang"), sums = Seq("n_docs", "sum_chars"),
+        mins = Seq("min_chars"), maxs = Seq("max_chars"))
+    },
 
     // ------------------------------------- relational coverage (§2.4)
     "rel_revenue_by_region" -> Relational.revenueByRegion _,
@@ -1074,6 +1111,41 @@ object SparkEntry {
     "rel_price_quantiles" -> Relational.priceQuantiles _,
     "rel_pricing_rollup" -> Relational.pricingRollup _,
     "rel_orders_pivot" -> Relational.ordersPivot _,
+    // Bloom-prefiltered join — the 100 TB shape when the dim side's
+    // KEYSET fits a bitmap but the rows don't fit a broadcast: the
+    // fact side drops bloom-negative rows BEFORE its shuffle (no false
+    // negatives, so the result is exactly the plain join — the oracle
+    // doesn't mention the bloom). The md5 bitmap rides as a literal in
+    // a stateless per-row probe; at this SF Spark would broadcast the
+    // dim anyway — the prefilter is the strategy that survives when it
+    // can't.
+    "rel_bloom_join" -> { (s, dir) =>
+      val orders = Tables(s, dir, "orders")
+        .filter(col("o_orderstatus") === "P")
+        .select(col("o_orderkey"), col("o_orderpriority"))
+      val m = 1 << 17
+      val words = graft.functions.BloomMd5.build(
+        orders, col("o_orderkey").cast("string"), m, k = 3)
+      val li = Tables(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"),
+          col("l_discount"))
+      val pre = graft.functions.BloomMd5.markPositive(
+          li, col("l_orderkey").cast("string"), words, m, k = 3, "__maybe")
+        .filter(col("__maybe")).drop("__maybe")
+      pre.join(orders, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lineitems"),
+          round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))),
+            2).as("revenue"))
+    },
+    // Ordered conversion funnel: stage-k completion requires a
+    // qualifying event AT/AFTER the user's stage-(k-1) time; one
+    // map-combined min() per stage, shuffles reuse one user
+    // partitioning, integer-ppm conversions.
+    "events_funnel_ordered" -> { (s, dir) =>
+      Funnel.ordered(Tables(s, dir, "events"), col("user_id"),
+        col("event_type"), col("ts"), Seq("signup", "click", "purchase"))
+    },
     // Bucketed co-located join: both fact tables are written bucketed +
     // sorted by the join key ONCE (external parquet under /tmp), then
     // the join plans with ZERO pre-join exchanges — the write-time
@@ -1865,6 +1937,32 @@ object SparkEntry {
         |FROM laid GROUP BY 1""".stripMargin,
     // Latest-per-key replay via QUALIFY row_number; the full-outer
     // apply and the D filter mirror Cdc.applyChangeset exactly.
+    // SCD2 replay: the changeset's lead() window per key; is_current =
+    // no later event and not a delete
+    "cdc_scd2_documents" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq_from, 'U' AS op,
+        |    md5(text || ' rev1') AS fp
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 3, 'I', md5(text)
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id, seq_from, op, fp,
+        |  CAST(lead(seq_from) OVER w AS BIGINT) AS seq_to,
+        |  (lead(seq_from) OVER w IS NULL AND op <> 'D') AS is_current
+        |FROM ch
+        |WINDOW w AS (PARTITION BY doc_id ORDER BY seq_from)""".stripMargin,
+    // incremental-maintenance contract: merged base+delta state must
+    // equal the FULL recompute — which is exactly this oracle
+    "agg_incremental_update" ->
+      """SELECT lang,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "cdc_apply_documents" ->
       """WITH snap AS (SELECT doc_id, lang, source, text FROM documents),
         |ch AS (
@@ -2763,6 +2861,38 @@ object SparkEntry {
         |  count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
         |  count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    // the bloom prefilter never drops a matching row, so the oracle is
+    // the PLAIN join — written-vs-intended divergence fails the hash
+    "rel_bloom_join" ->
+      """SELECT o_orderpriority,
+        |  CAST(count(*) AS BIGINT) AS n_lineitems,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey AND o_orderstatus = 'P'
+        |GROUP BY o_orderpriority""".stripMargin,
+    // funnel replay: stage thresholds chain through per-user mins;
+    // integer-ppm conversions (// = exact integer division)
+    "events_funnel_ordered" ->
+      """WITH s1 AS (SELECT user_id,
+        |    min(CASE WHEN event_type = 'signup'
+        |             THEN epoch_ns(ts) END) AS t1
+        |  FROM events GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(t1) AS t1,
+        |    min(CASE WHEN event_type = 'click' AND epoch_ns(ts) >= t1
+        |             THEN epoch_ns(ts) END) AS t2
+        |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(t2) AS t2,
+        |    min(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= t2
+        |             THEN epoch_ns(ts) END) AS t3
+        |  FROM events e JOIN s2 USING (user_id) GROUP BY 1),
+        |c AS (SELECT
+        |    (SELECT count(t1) FROM s2) AS n1,
+        |    count(t2) AS n2, count(t3) AS n3 FROM s3)
+        |SELECT CAST(n1 AS BIGINT) AS n_stage1, CAST(n2 AS BIGINT)
+        |    AS n_stage2, CAST(n3 AS BIGINT) AS n_stage3,
+        |  CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) AS ppm_stage2,
+        |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
+        |FROM c""".stripMargin,
     "events_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

@@ -49,4 +49,28 @@ object Cdc {
           .otherwise(col(p)).as(p)
       }: _*)
   }
+
+  /** SCD Type-2 history from the same changeset: one validity interval
+    * per change event — `seq_from` = the event's own sequence,
+    * `seq_to` = the key's NEXT event (null while still latest),
+    * `is_current` = latest AND not a delete. This is the
+    * slowly-changing-dimension table warehouses keep alongside the
+    * [[applyChangeset]] snapshot: "what did key X look like at seq S"
+    * is one range predicate against it.
+    *
+    * Shape: ONE window per key over the CHANGESET ordered by seq —
+    * state is bounded by a key's change count (CDC logs are
+    * per-key-shallow however wide the corpus); the corpus itself is
+    * never touched. `seq` must be unique within a key, as in
+    * [[applyChangeset]]. */
+  def scd2History(changes: DataFrame, id: String, seq: String,
+                  op: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(id)).orderBy(col(seq))
+    changes
+      .withColumn("seq_to", lead(col(seq), 1).over(w))
+      .withColumn("is_current",
+        col("seq_to").isNull && col(op) =!= "D")
+      .withColumnRenamed(seq, "seq_from")
+  }
 }
