@@ -937,6 +937,27 @@ object SparkEntry {
       graft.functions.Profiler.histogram(Tables(s, dir, "lineitem"),
         Seq("l_extendedprice", "l_quantity"), nBins = 16)
     },
+    // Equi-DEPTH twin: 8 equal-mass buckets of l_extendedprice — exact
+    // percentile cuts inlined as driver literals, monotone comparison
+    // sum for membership, one map-combined aggregation.
+    "profile_equidepth_lineitem" -> { (s, dir) =>
+      graft.functions.Profiler.equidepth(Tables(s, dir, "lineitem"),
+        col("l_extendedprice"), nBins = 8)
+    },
+    // Per-GROUP approx-distinct via the mergeable KMV sketch (k=16 —
+    // small enough that the estimator path actually runs) beside the
+    // exact twin: the bounded-state answer to "distinct users per
+    // event type" whose shuffle carries <=k longs per group per task.
+    "profile_group_distinct" -> { (s, dir) =>
+      val kmv = udaf(new graft.functions.Kmv.KmvAggregator(16))
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("distinct_users_exact"),
+          kmv(graft.functions.Kmv.u32(col("user_id")))
+            .as("distinct_users_kmv"))
+    },
     // Key-skew profile of a prospective join key: top-20 heaviest
     // l_suppkey values with exact counts and integer-exact ppm share —
     // the salt-or-not diagnostic run before committing a shuffle.
@@ -1848,6 +1869,45 @@ object SparkEntry {
     // Bin width and edges are the same IEEE ops on the same min/max
     // doubles in both engines; the clamped floor-division bin replays
     // bit-identically.
+    // equi-depth replay: quantile_cont cuts == Spark exact percentile
+    // (group-quantiles precedent); membership = the same monotone
+    // comparison sum against the same cut doubles
+    "profile_equidepth_lineitem" ->
+      """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
+        |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
+        |c AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
+        |        0.625, 0.75, 0.875]) AS q FROM v),
+        |b AS (SELECT
+        |    CAST(v > q[1] AS INT) + CAST(v > q[2] AS INT)
+        |    + CAST(v > q[3] AS INT) + CAST(v > q[4] AS INT)
+        |    + CAST(v > q[5] AS INT) + CAST(v > q[6] AS INT)
+        |    + CAST(v > q[7] AS INT) AS bucket, v
+        |  FROM v, c)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
+        |  min(v) AS lo, max(v) AS hi
+        |FROM b GROUP BY bucket""".stripMargin,
+    // per-group KMV replay: k-th smallest distinct u32(md5) hash per
+    // group drives the integer estimator; below k the count is exact
+    "profile_group_distinct" ->
+      """WITH h AS (SELECT DISTINCT event_type,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS h
+        |  FROM events),
+        |r AS (SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rnk,
+        |    count(*) OVER (PARTITION BY event_type) AS nd
+        |  FROM h),
+        |k AS (SELECT event_type, max(nd) AS nd,
+        |    max(CASE WHEN rnk = 16 THEN h END) AS h16
+        |  FROM r GROUP BY 1),
+        |e AS (SELECT event_type, count(*) AS n_events,
+        |    count(DISTINCT user_id) AS nx FROM events GROUP BY 1)
+        |SELECT e.event_type, CAST(n_events AS BIGINT) AS n_events,
+        |  CAST(nx AS BIGINT) AS distinct_users_exact,
+        |  CAST(CASE WHEN k.nd < 16 THEN k.nd
+        |       ELSE 15 * 4294967296 // greatest(k.h16, 1) END AS BIGINT)
+        |    AS distinct_users_kmv
+        |FROM e JOIN k USING (event_type)""".stripMargin,
     "profile_histogram_lineitem" ->
       """WITH d AS (
         |  SELECT CAST(l_extendedprice AS DOUBLE) AS p,

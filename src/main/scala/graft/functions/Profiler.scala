@@ -252,4 +252,31 @@ object Profiler {
       .limit(k)
       .withColumn("share_ppm", expr(s"cnt * 1000000 DIV ${total}L"))
   }
+
+  /** Equi-DEPTH histogram — [[histogram]]'s quantile twin, and the
+    * stats form optimizers actually want for selectivity (equal mass
+    * per bucket regardless of skew): cut points are the exact
+    * j/nBins percentiles, collected in ONE driver pass and inlined as
+    * literals (the assignShards idiom — no totals broadcast, no
+    * nested-loop join); bucketing is then a monotone sum of `v > cut`
+    * comparisons in one map-combined aggregation. Spark's exact
+    * `percentile` replays as DuckDB `quantile_cont` bit-for-bit (the
+    * group-quantiles precedent), so cuts, membership, and per-bucket
+    * min/max/count all carry an exact oracle. Exact percentile state
+    * grows with value cardinality — at extreme cardinality swap
+    * `approx_percentile` (GK sketch, bounded state; bucket balance
+    * softens, the plan shape is unchanged). */
+  def equidepth(df: DataFrame, c: Column, nBins: Int): DataFrame = {
+    require(nBins > 1, "need at least 2 bins")
+    val v = df.select(c.cast("double").as("v")).filter(col("v").isNotNull)
+    val ps = (1 until nBins).map(j => j.toDouble / nBins)
+    val cuts = v.agg(expr(
+        s"percentile(v, array(${ps.mkString(", ")}))").as("q"))
+      .head().getSeq[Double](0)
+    val bucket = cuts.map(q => when(col("v") > lit(q), 1).otherwise(0))
+      .reduce(_ + _)
+    v.groupBy(bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("lo"), max(col("v")).as("hi"))
+  }
 }

@@ -273,6 +273,53 @@ object ScaleStress {
       Dedup.semanticKeepCentral(v100, col("vec_id"), col("embedding"),
         pairs).count()
     }
+
+    // ---- round-5 additions ----
+    time(s"IVF-PQ ADC (coarse 64 cells probe 8, $rows-row codes, 100 q)") {
+      val books = graft.operators.Pq.fitAnchored(vecs,
+        col("vec_id"), col("embedding"), m = 8, k = 16)
+      graft.operators.Pq.ivfAdcTopK(queries, vecs, books, 10,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 64, nProbe = 8).count()
+    }
+    time(s"hashed-linear classifier inference ($rows docs, zero shuffle)") {
+      graft.functions.HashedLinear.score(docs, col("id"), col("text"))
+        .agg(sum(col("w_sum"))).collect()
+    }
+    time("bloom-prefiltered join (1% dim keys vs full fact side)") {
+      val dim = docs.filter(pmod(col("id"), lit(100)) === 0)
+        .select(col("id").as("k"), col("key"))
+      val words = graft.functions.BloomMd5.build(
+        dim, col("k").cast("string"), m = 1 << 24, k = 3)
+      val pre = graft.functions.BloomMd5.markPositive(
+          docs, col("id").cast("string"), words, 1 << 24, 3, "__maybe")
+        .filter(col("__maybe"))
+      pre.join(dim, col("id") === col("k")).count()
+    }
+    time(s"funnel 3 stages over $rows events") {
+      val ev = docs.select(pmod(col("id"), lit(100000)).as("user_id"),
+        concat(lit("t"), pmod(xxhash64(col("id")), lit(4))).as("et"),
+        col("id").as("ts"))
+      Funnel.ordered(ev, col("user_id"), col("et"), col("ts"),
+        Seq("t0", "t1", "t2")).collect()
+    }
+    time("incremental agg merge (base+delta states over key)") {
+      def state(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("key")).agg(count(lit(1)).as("n"),
+          sum(length(col("text"))).as("s"))
+      IncrementalAgg.merge(
+        state(docs.filter(pmod(col("id"), lit(5)) =!= 0)),
+        state(docs.filter(pmod(col("id"), lit(5)) === 0)),
+        Seq("key"), sums = Seq("n", "s")).count()
+    }
+    time(s"BPE pair counts over the $rows-doc corpus vocab") {
+      graft.functions.BpePairs.topPairs(docs, col("text"), 30).count()
+    }
+    time(s"deletion audit ($rows rows, 1% delete list)") {
+      val dels = docs.filter(pmod(col("id"), lit(100)) === 7)
+        .select(col("id"))
+      Retention.deleteAudit(docs, dels, col("id"), col("key")).count()
+    }
     spark.stop()
   }
 }

@@ -61,4 +61,49 @@ class ProfilerShapeSpec extends SparkSpec {
         r.getLong(2)))
     all.toSet should contain((None, 2L, 200000L))
   }
+
+  test("equidepth golden: 1..8 into 2 buckets of 4 split at the median") {
+    val df = (1 to 8).map(i => Tuple1(i.toDouble)).toDF("v")
+    val got = Profiler.equidepth(df, col("v"), nBins = 2)
+      .collect().map(r => r.getInt(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    got(0) shouldBe ((4L, 1.0, 4.0)) // v <= p50 (4.5)
+    got(1) shouldBe ((4L, 5.0, 8.0))
+  }
+
+  test("equidepth: buckets partition the rows with non-overlapping ranges") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val got = Profiler.equidepth(li, col("l_extendedprice"), nBins = 8)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1)
+    got.map(_._1) shouldBe (0 until 8)
+    got.map(_._2).sum shouldBe li.filter($"l_extendedprice".isNotNull).count()
+    // ordered, non-overlapping: each bucket's hi <= next bucket's lo
+    got.sliding(2).foreach { case Array(a, b) => a._4 should be <= b._3 }
+    // roughly equal mass (exact percentile cuts; ties can skew a little)
+    val per = got.map(_._2.toDouble)
+    per.max / per.min should be < 1.5
+  }
+
+  test("per-group KMV: exact below k, within estimator error above") {
+    val kmv = udaf(new graft.functions.Kmv.KmvAggregator(16))
+    val tiny = Seq(("a", 1L), ("a", 2L), ("a", 2L), ("b", 9L))
+      .toDF("g", "u")
+    val t = tiny.groupBy($"g")
+      .agg(kmv(graft.functions.Kmv.u32($"u")).as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    t("a") shouldBe 2L // below k -> exact
+    t("b") shouldBe 1L
+
+    val ev = Tables(spark, sf0001, "events")
+    val got = ev.groupBy($"event_type")
+      .agg(countDistinct($"user_id").as("exact"),
+        kmv(graft.functions.Kmv.u32($"user_id")).as("est"))
+      .collect()
+    got.foreach { r =>
+      val (exact, est) = (r.getLong(1), r.getLong(2))
+      est.toDouble should be >= exact * 0.4
+      est.toDouble should be <= exact * 2.5
+    }
+  }
 }
