@@ -1167,6 +1167,17 @@ object SparkEntry {
       Funnel.ordered(Tables(s, dir, "events"), col("user_id"),
         col("event_type"), col("ts"), Seq("signup", "click", "purchase"))
     },
+    // Sliding 10-min windows every 5 min (integer window arithmetic, a
+    // width-2 map-side explode — not TimeWindow expand — so membership
+    // replays as integer SQL; see Relational.eventsSliding).
+    "events_sliding_10min" -> { (s, dir) =>
+      Relational.eventsSliding(s, dir)
+    },
+    // Cohort retention matrix: users cohort by first active day; each
+    // active day counts into (cohort_day, day_offset).
+    "events_retention_cohorts" -> { (s, dir) =>
+      Relational.eventsRetentionCohorts(s, dir)
+    },
     // Bucketed co-located join: both fact tables are written bucketed +
     // sorted by the join key ONCE (external parquet under /tmp), then
     // the join plans with ZERO pre-join exchanges — the write-time
@@ -2965,6 +2976,26 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY 1, 2""".stripMargin,
+    // sliding replay: every event belongs to exactly the two starts
+    // {s0, s0-300}; same exact e4 sum
+    "events_sliding_10min" ->
+      """SELECT ws AS window_start, event_type, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS total_value_e4
+        |FROM (SELECT (epoch_ns(ts) // 1000000000) // 300 * 300 - off
+        |        AS ws, event_type, value
+        |      FROM events
+        |      CROSS JOIN (SELECT unnest([0, 300]) AS off) o)
+        |GROUP BY 1, 2""".stripMargin,
+    // cohort replay: first active day per user, day-granular distinct
+    // activity, matrix counts
+    "events_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "source_partition_pruning" ->
       """SELECT lang, source, count(*) AS n_docs,
         |  CAST(sum(length(text)) AS BIGINT) AS n_chars

@@ -127,9 +127,17 @@ object Pq {
       expr(s"element_at(element_at(lut, ${j + 1})," +
         s" element_at(codes, ${j + 1}) + 1)")
     }.reduce(_ + _)
+    // exchange barrier between the caller's encode battery and the
+    // join: fused, the per-corpus-row code battery + the per-PAIR ADC
+    // sum share one generated method, which blows Janino's limit and
+    // drops the whole nested-loop stage to interpreted execution —
+    // measured 300x+ at 1M codes (ScaleStress). The shuffle carries
+    // the 8-byte code rows, exactly what PQ compressed them for.
+    // (ivfAdcTopK's repartition(cell) is this same barrier.)
+    val codes = corpusCodes.repartition(col("neighbor_id"))
     // negate AFTER rounding (exact) so TopK's score-DESC contract ranks
     // ascending distance; ties fall to its neighbor_id-ASC tiebreak
-    val scored0 = corpusCodes.crossJoin(broadcast(q))
+    val scored0 = codes.crossJoin(broadcast(q))
       .withColumn("score", -round(adc, 6))
     val scored =
       if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))

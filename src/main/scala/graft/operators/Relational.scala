@@ -215,6 +215,43 @@ object Relational {
         exactValueSumE4.as("total_value_e4"))
   }
 
+  /** SLIDING 10-minute windows every 5 minutes (event-time window
+    * family completion beside tumbling/session): each event lands in
+    * exactly two windows, generated as a width-2 integer explode off
+    * the same exact `DIV` arithmetic as [[eventsTumbling]] — not
+    * Spark's TimeWindow expand — so membership replays as integer SQL
+    * and the aggregate carries the exact e4 value-sum idiom. Shape:
+    * one projection (2 rows out per event), one map-combined hash
+    * aggregation; the 2x row fan-out happens map-side, pre-combine, so
+    * the shuffle still carries only (window, type) partials. */
+  def eventsSliding(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables(s, dir, "events")
+    val s0 = expr("ts DIV 1000000000 DIV 300 * 300")
+    e.select(col("event_type"), col("value"),
+        explode(array(s0, s0 - lit(300L))).as("window_start"))
+      .groupBy(col("window_start"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        exactValueSumE4.as("total_value_e4"))
+  }
+
+  /** Cohort retention matrix — the activation/retention readout: users
+    * cohort by their FIRST active day; each later active day counts
+    * into (cohort_day, day_offset). Shape: day-granular activity
+    * distinct (one shuffle), first-day aggregate (map-combined,
+    * user-sized), a user-keyed join both sides co-partition on, and a
+    * matrix-sized final aggregate. No corpus-wide window. */
+  def eventsRetentionCohorts(s: SparkSession, dir: String): DataFrame = {
+    val days = Tables(s, dir, "events")
+      .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+    val coh = days.groupBy(col("user_id"))
+      .agg(min(col("day")).as("cohort_day"))
+    days.distinct()
+      .join(coh, "user_id")
+      .groupBy(col("cohort_day"),
+        (col("day") - col("cohort_day")).as("day_offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+  }
+
   /** Exact order-independent sum of the events `value` column, emitted as
     * a scaled integer (1e-4 units). `round(sum(double), 2)` is a latent
     * hash-FAIL: Spark's partial aggregation and DuckDB add in different

@@ -14,6 +14,10 @@ import graft.operators._
 object ScaleStress {
   def main(args: Array[String]): Unit = {
     val rows = args.headOption.map(_.toLong).getOrElse(5000000L)
+    // optional 2nd arg: only run cases whose label contains it (the
+    // generate steps always run); lets a single case re-measure without
+    // the full ~20-min sweep
+    val only = args.drop(1).headOption
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
@@ -23,12 +27,14 @@ object ScaleStress {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def time[T](name: String)(f: => T): T = {
-      val t0 = System.nanoTime()
-      val r = f
-      println(f"[stress] $name%-42s ${(System.nanoTime() - t0) / 1e9}%8.2fs")
-      r
-    }
+    def time[T](name: String)(f: => T): Unit =
+      if (only.forall(name.contains(_)) || name.startsWith("generate")) {
+        val t0 = System.nanoTime()
+        f
+        val dt = (System.nanoTime() - t0) / 1e9
+        println(f"[stress] $name%-42s $dt%8.2fs")
+        Console.out.flush()
+      }
 
     val dir = "/tmp/graft-stress"
     // synthetic docs: ~15 tokens of a 1000-word vocabulary, zipf-ish key
@@ -241,16 +247,18 @@ object ScaleStress {
         col("vec_id"), col("embedding")).count()
     }
     cached.assigned.unpersist()
-    time("PQ encode (1M vecs, 8x16 codebook) + ADC top-10 (100 queries)") {
-      // the IVF-PQ shape: one codegen'd encode scan of the corpus,
-      // then candidates cost 8 table lookups each off the code rows
+    time("PQ encode (1M vecs, 8x16 codebook) + flat ADC top-10 (20 q, 250k codes)") {
+      // flat ADC is O(corpus x queries) with NO pruning — bounded here
+      // by construction; the IVF-PQ case below is the full-corpus scale
+      // path (each query touches nProbe/nCells of the code rows)
       val books = graft.operators.Pq.fitAnchored(vecs,
         col("vec_id"), col("embedding"), m = 8, k = 16)
-      val codes = graft.operators.Pq.encode(vecs,
+      val codes = graft.operators.Pq.encode(
+        vecs.filter(col("vec_id") < 250000),
         col("vec_id"), col("embedding"), books)
         .select(col("vec_id").as("neighbor_id"), col("codes"))
-      graft.operators.Pq.adcTopK(queries, codes, books, 10,
-        col("vec_id"), col("embedding")).count()
+      graft.operators.Pq.adcTopK(queries.filter(col("vec_id") < 20),
+        codes, books, 10, col("vec_id"), col("embedding")).count()
     }
     // 16 bits so a bucket holds ~a handful of clusters; the cap bounds
     // any residual hot bucket. Expected pairs ~ clusters * 32^2/2.
@@ -275,7 +283,7 @@ object ScaleStress {
     }
 
     // ---- round-5 additions ----
-    time(s"IVF-PQ ADC (coarse 64 cells probe 8, $rows-row codes, 100 q)") {
+    time(s"IVF-PQ ADC (coarse 64 cells probe 8, $vecRows-row codes, 100 q)") {
       val books = graft.operators.Pq.fitAnchored(vecs,
         col("vec_id"), col("embedding"), m = 8, k = 16)
       graft.operators.Pq.ivfAdcTopK(queries, vecs, books, 10,

@@ -162,4 +162,39 @@ class RelationalSpec extends SparkSpec {
     val plan = fast.queryExecution.executedPlan.toString
     plan should not include "BroadcastNestedLoopJoin"
   }
+
+  test("sliding windows: every event in exactly 2; each = 2 tumbling halves") {
+    val ev = Tables(spark, sf0001, "events")
+    val slid = Relational.eventsSliding(spark, sf0001)
+    slid.agg(sum($"n_events")).collect().head.getLong(0) shouldBe
+      2L * ev.count()
+    // a 10-min sliding window [ws, ws+600) is its two 5-min tumbling
+    // halves [ws, ws+300) + [ws+300, ws+600)
+    val tumb = Relational.eventsTumbling(spark, sf0001)
+      .collect().map(r => (r.getLong(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    slid.collect().foreach { r =>
+      val (ws, et) = (r.getLong(0), r.getString(1))
+      val a = tumb.getOrElse((ws, et), (0L, 0L))
+      val b = tumb.getOrElse((ws + 300, et), (0L, 0L))
+      r.getLong(2) shouldBe a._1 + b._1
+      r.getLong(3) shouldBe a._2 + b._2
+    }
+  }
+
+  test("cohort retention: offset-0 row covers each cohort; mass conserved") {
+    val got = Relational.eventsRetentionCohorts(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    got.keys.foreach { case (_, off) => off should be >= 0L }
+    // every user is active on their cohort day, so offset 0 exists per
+    // cohort and its user count equals the cohort size
+    val ev = Tables(spark, sf0001, "events")
+      .select($"user_id", expr("ts DIV 86400000000000").as("day"))
+    val cohortSizes = ev.groupBy($"user_id")
+      .agg(min($"day").as("c")).groupBy($"c").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    cohortSizes.foreach { case (c, n) => got((c, 0L)) shouldBe n }
+    // total matrix mass = distinct (user, day) activity rows
+    got.values.sum shouldBe ev.distinct().count()
+  }
 }
