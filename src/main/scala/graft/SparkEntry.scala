@@ -1103,6 +1103,45 @@ object SparkEntry {
       Cdc.scd2History(upd.unionByName(del).unionByName(ins),
         "doc_id", "seq", "op")
     },
+    // FLAGSHIP composition — the corpus REFRESH a production pipeline
+    // runs per ingest cycle: CDC changeset applied to the snapshot ->
+    // classifier quality gate -> exact dedup (keep lowest id) ->
+    // per-language audit with an order-independent survivor digest.
+    // Fingerprint + the integer gate compute in ONE projection behind
+    // one exchange barrier (the corpus_clean alias-inlining
+    // rationale), and the gate lives INSIDE the dedup aggregation
+    // (null-skipped struct-min) so no pushed-down filter re-runs the
+    // battery in the scan stage.
+    "corpus_refresh_pipeline" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("text", concat(col("text"), lit(" rev1")))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val del = docs.filter(col("doc_id") % 17 === 0)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      val ins = docs.filter(col("doc_id") < 40)
+        .withColumn("doc_id", col("doc_id") + lit(100000L))
+        .withColumn("seq", lit(3L)).withColumn("op", lit("I"))
+      val v2 = Cdc.applyChangeset(docs,
+        upd.unionByName(del).unionByName(ins), "doc_id", "seq", "op")
+      val enriched = v2.repartition(col("doc_id")).select(
+        col("doc_id"), col("lang"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        graft.functions.HashedLinear.weightSum(col("text")).as("w_sum"))
+      val perFp = enriched.groupBy(col("fp"))
+        .agg(
+          min(when(col("w_sum") >= 0,
+            struct(col("doc_id"), col("lang")))).as("keep"),
+          count(when(col("w_sum") >= 0, 1)).as("n_gated"))
+        .filter(col("keep").isNotNull)
+      val keeperHash = conv(substring(
+        md5(col("keep.doc_id").cast("string")), 1, 8), 16, 10).cast("long")
+      perFp.groupBy(col("keep.lang").as("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_gated")).as("n_source_rows"),
+          sum(keeperHash).as("keeper_hash"))
+    },
     // Materialized-view maintenance: the base aggregate state is NEVER
     // recomputed — the delta aggregates alone (map-combined) and
     // merges in with one key-sized full-outer join. The oracle IS the
@@ -1599,6 +1638,37 @@ object SparkEntry {
       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s
       |  CROSS JOIN cb)""".stripMargin
 
+  /** Shared CDC replay prefix: the changeset, latest-per-key pick, and
+    * merged v2 snapshot — `cdc_apply_documents` and
+    * `corpus_refresh_pipeline` both build on these CTEs. */
+  private lazy val cdcV2Sql: String =
+    """WITH snap AS (SELECT doc_id, lang, source, text FROM documents),
+      |ch AS (
+      |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op, lang,
+      |    source, text || ' rev1' AS text
+      |  FROM snap WHERE doc_id % 10 = 0
+      |  UNION ALL
+      |  SELECT doc_id, 2, 'D', lang, source, text
+      |  FROM snap WHERE doc_id % 17 = 0
+      |  UNION ALL
+      |  SELECT doc_id + 100000, 3, 'I', lang, source, text
+      |  FROM snap WHERE doc_id < 40),
+      |latest AS (
+      |  SELECT * FROM ch
+      |  QUALIFY row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY seq DESC) = 1),
+      |m AS (
+      |  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id, l.op,
+      |    CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE s.lang END
+      |      AS lang,
+      |    CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE s.source END
+      |      AS source,
+      |    CASE WHEN l.doc_id IS NOT NULL THEN l.text ELSE s.text END
+      |      AS text
+      |  FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id),
+      |v2 AS (SELECT doc_id, lang, source, text FROM m
+      |       WHERE op IS NULL OR op <> 'D')""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "group_counts_documents" ->
       s"""SELECT lang AS group_id,
@@ -2035,32 +2105,39 @@ object SparkEntry {
         |  CAST(max(n_chars) AS BIGINT) AS max_chars
         |FROM documents GROUP BY lang""".stripMargin,
     "cdc_apply_documents" ->
-      """WITH snap AS (SELECT doc_id, lang, source, text FROM documents),
-        |ch AS (
-        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op, lang,
-        |    source, text || ' rev1' AS text
-        |  FROM snap WHERE doc_id % 10 = 0
-        |  UNION ALL
-        |  SELECT doc_id, 2, 'D', lang, source, text
-        |  FROM snap WHERE doc_id % 17 = 0
-        |  UNION ALL
-        |  SELECT doc_id + 100000, 3, 'I', lang, source, text
-        |  FROM snap WHERE doc_id < 40),
-        |latest AS (
-        |  SELECT * FROM ch
-        |  QUALIFY row_number() OVER (PARTITION BY doc_id
-        |    ORDER BY seq DESC) = 1),
-        |m AS (
-        |  SELECT coalesce(s.doc_id, l.doc_id) AS doc_id, l.op,
-        |    CASE WHEN l.doc_id IS NOT NULL THEN l.lang ELSE s.lang END
-        |      AS lang,
-        |    CASE WHEN l.doc_id IS NOT NULL THEN l.source ELSE s.source END
-        |      AS source,
-        |    CASE WHEN l.doc_id IS NOT NULL THEN l.text ELSE s.text END
-        |      AS text
-        |  FROM snap s FULL OUTER JOIN latest l ON s.doc_id = l.doc_id)
-        |SELECT doc_id, lang, source, text FROM m
-        |WHERE op IS NULL OR op <> 'D'""".stripMargin,
+      s"""$cdcV2Sql
+         |SELECT doc_id, lang, source, text FROM v2""".stripMargin,
+    // refresh replay: the shared v2 CTEs, then fingerprint + the
+    // classifier integer gate per row, null-skipped struct-min dedup,
+    // per-lang audit with the order-independent u32(md5) digest
+    "corpus_refresh_pipeline" ->
+      s"""$cdcV2Sql,
+         |tk0 AS (SELECT doc_id, lang, text,
+         |  ${TextAnalysis.Sql.tokens("lower(text)")} AS tk FROM v2),
+         |fs0 AS (SELECT doc_id, lang, text,
+         |  tk || [tk[i] || ' ' || tk[i + 1]
+         |         FOR i IN range(1, len(tk))] AS fs FROM tk0),
+         |en AS (SELECT doc_id, lang,
+         |  ${TextAnalysis.Sql.fingerprint("text")} AS fp,
+         |  COALESCE(CAST(list_sum([
+         |    ('0x' || substr(md5('w:' || CAST(
+         |       ('0x' || substr(md5('f:' || x), 1, 8))::BIGINT % 4096
+         |     AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000
+         |    FOR x IN fs]) AS BIGINT), 0) AS w_sum
+         |  FROM fs0),
+         |perfp AS (
+         |  SELECT fp,
+         |    min(CASE WHEN w_sum >= 0 THEN
+         |      struct_pack(doc_id := doc_id, lang := lang) END) AS keep,
+         |    count(CASE WHEN w_sum >= 0 THEN 1 END) AS n_gated
+         |  FROM en GROUP BY fp),
+         |surv AS (SELECT keep.doc_id AS kid, keep.lang AS lang, n_gated
+         |         FROM perfp WHERE keep IS NOT NULL)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_gated) AS BIGINT) AS n_source_rows,
+         |  CAST(sum(('0x' || substr(md5(CAST(kid AS VARCHAR)), 1, 8))
+         |    ::BIGINT) AS BIGINT) AS keeper_hash
+         |FROM surv GROUP BY lang""".stripMargin,
     // Insensitive to stream arrival order by construction: count of
     // DISTINCT event types per user.
     "events_stream_dedup" ->

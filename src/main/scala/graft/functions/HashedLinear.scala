@@ -45,22 +45,41 @@ object HashedLinear {
   private def u32(tag: String, v: Column): Column =
     conv(substring(md5(concat(lit(tag), v)), 1, 8), 16, 10).cast("long")
 
+  /** Unigrams + adjacent bigrams of a token array. */
+  private def featsOf(t: Column): Column = {
+    val bigrams = when(size(t) >= 2,
+      transform(slice(t, lit(1), size(t) - 1),
+        (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
+      .otherwise(array().cast("array<string>"))
+    concat(t, bigrams)
+  }
+
+  private def weightOf(f: Column, buckets: Int): Column = {
+    val slot = pmod(u32("f:", f), lit(buckets.toLong))
+    pmod(u32("w:", slot.cast("string")), lit(2001L)) - lit(1000L)
+  }
+
+  /** The exact integer weight sum over the hashed features of `text` —
+    * the classifier's accumulator as a standalone Column, for
+    * composing the gate into wider projections (e.g. the corpus
+    * refresh pipeline computes fingerprint + w_sum in one pass behind
+    * one barrier). Gate on `weightSum >= 0`: pure integers, no float
+    * anywhere. */
+  def weightSum(text: Column, buckets: Int = 4096): Column = {
+    require(buckets > 0, "buckets must be positive")
+    val feats = featsOf(TextAnalysis.tokens(lower(text)))
+    aggregate(feats, lit(0L), (acc, f) => acc + weightOf(f, buckets))
+  }
+
   /** (doc_id, n_feats, w_sum, score, label): the exact-integer weight
     * sum over hashed unigram+bigram features, the round-6 mean-pooled
     * score, and the integer-compared keep/drop gate. */
   def score(df: DataFrame, id: Column, text: Column,
             buckets: Int = 4096): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    val t = col("__t")
-    val bigrams = when(size(t) >= 2,
-      transform(slice(t, lit(1), size(t) - 1),
-        (x, i) => concat(x, lit(" "), element_at(t, i + lit(2)))))
-      .otherwise(array().cast("array<string>"))
-    val feats = concat(t, bigrams)
-    def slot(f: Column): Column = pmod(u32("f:", f), lit(buckets.toLong))
-    def weight(f: Column): Column =
-      pmod(u32("w:", slot(f).cast("string")), lit(2001L)) - lit(1000L)
-    val wsum = aggregate(feats, lit(0L), (acc, f) => acc + weight(f))
+    val feats = featsOf(col("__t"))
+    val wsum = aggregate(feats, lit(0L),
+      (acc, f) => acc + weightOf(f, buckets))
     df.select(id.as("doc_id"),
         TextAnalysis.tokens(lower(text)).as("__t"))
       .select(col("doc_id"),

@@ -78,6 +78,29 @@ class GovernanceSpec extends SparkSpec {
     pairMass shouldBe want
   }
 
+  test("refresh pipeline: audit mass == gate count; docs == distinct gated fps") {
+    val got = SparkEntry.queries("corpus_refresh_pipeline")(spark, sf0001)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSeq
+    // independent recompute through the same building blocks
+    val docs = Tables(spark, sf0001, "documents")
+      .select($"doc_id", $"lang", $"source", $"text")
+    val upd = docs.filter($"doc_id" % 10 === 0)
+      .withColumn("text", concat($"text", lit(" rev1")))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val del = docs.filter($"doc_id" % 17 === 0)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+    val ins = docs.filter($"doc_id" < 40)
+      .withColumn("doc_id", $"doc_id" + lit(100000L))
+      .withColumn("seq", lit(3L)).withColumn("op", lit("I"))
+    val v2 = graft.operators.Cdc.applyChangeset(docs,
+      upd.unionByName(del).unionByName(ins), "doc_id", "seq", "op")
+    val gated = v2.filter(
+      graft.functions.HashedLinear.weightSum($"text") >= 0)
+    got.map(_._2).sum shouldBe gated.count() // every gated copy audited
+    got.map(_._1).sum shouldBe gated.select(
+      graft.functions.TextAnalysis.fingerprint($"text")).distinct().count()
+  }
+
   test("drift: golden ppm shares and full-outer dims") {
     val old = Seq("a", "a", "a", "b").map(Tuple1(_)).toDF("lang")
     val neu = Seq("a", "b", "b", "c").map(Tuple1(_)).toDF("lang")
