@@ -845,6 +845,18 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4)
     },
+    // IVF with a FITTED-and-still-exact quantizer: 2 Lloyd rounds over
+    // integer-quantized lanes of the first-128 train slice (floor-mean
+    // centroids, BIGINT distances, ties to the lower cell) — k-means
+    // cell quality with every step SQL-replayable; the oracle unrolls
+    // the same 2 rounds in integer CTEs. One corpus shuffle on cell.
+    "similarity_ivf_lloyd" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.ivfTopKLloyd(
+        emb.filter(col("vec_id") < 10), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 8, nProbe = 3, trainN = 128, iters = 2)
+    },
     // Product quantization codes (32x embedding compression): 8
     // subspaces x 16 anchored centroids, long-format (vec_id, subspace,
     // code, round-6 quantization error). One codegen'd scan — the
@@ -1637,6 +1649,32 @@ object SparkEntry {
       |  FROM embeddings e
       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s
       |  CROSS JOIN cb)""".stripMargin
+
+  /** One integer Lloyd round of the `similarity_ivf_lloyd` replay:
+    * assign the train slice to `prev` cells (BIGINT squared-L2 over the
+    * quantized lanes, ties to the lower cell) and floor-mean each
+    * non-empty cell's lanes into `next`; empty cells keep `prev`'s
+    * centroid. All arithmetic integer or double-exact (lane sums
+    * < 2^33), so the round replays Spark's driver fit bit-for-bit. */
+  private def lloydRoundSql(prev: String, next: String): String =
+    s"""a$next AS (
+       |  SELECT t.vec_id, c.cell,
+       |    row_number() OVER (PARTITION BY t.vec_id
+       |      ORDER BY list_sum([(t.q[i] - c.c[i]) * (t.q[i] - c.c[i])
+       |        FOR i IN range(1, 65)]), c.cell) AS rnk
+       |  FROM train t CROSS JOIN $prev c),
+       |m$next AS (
+       |  SELECT a.cell, r.i,
+       |    CAST(floor(CAST(sum(t.q[r.i]) AS DOUBLE) / count(*)) AS BIGINT)
+       |      AS cv
+       |  FROM a$next a, train t, range(1, 65) r(i)
+       |  WHERE t.vec_id = a.vec_id AND a.rnk = 1
+       |  GROUP BY a.cell, r.i),
+       |$next AS (
+       |  SELECT p.cell, coalesce(n.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN (SELECT cell, list(cv ORDER BY i) AS c
+       |                          FROM m$next GROUP BY cell) n USING (cell))"""
+      .stripMargin
 
   /** Shared CDC replay prefix: the changeset, latest-per-key pick, and
     * merged v2 snapshot — `cdc_apply_documents` and
@@ -2824,6 +2862,47 @@ object SparkEntry {
          |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
          |probes AS (SELECT vec_id, cell FROM cellrank
          |           WHERE rnk <= 4 AND vec_id < 10),
+         |scored AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round(list_sum([qe.e[i] * ce.e[i]
+         |      FOR i IN range(1, len(qe.e) + 1)]), 6) AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+         |  JOIN v qe ON qe.vec_id = p.vec_id
+         |  JOIN v ce ON ce.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
+    // fitted-quantizer replay: quantize lanes to BIGINT (floor * 2^20),
+    // unroll the 2 Lloyd rounds over the first-128 train slice in
+    // integer CTEs (argmin ties to the lower cell; floor-mean lanes),
+    // then the ivf_anchored topology: corpus to rank-1 cell, queries
+    // probe rank<=3, exact-cosine scoring ranked (score desc, id)
+    "similarity_ivf_lloyd" ->
+      s"""WITH qz AS (SELECT vec_id,
+         |  [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+         |    FOR x IN embedding] AS q
+         |  FROM embeddings),
+         |train AS (SELECT vec_id, q FROM qz ORDER BY vec_id LIMIT 128),
+         |c0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, q AS c
+         |  FROM (SELECT vec_id, q FROM train ORDER BY vec_id LIMIT 8)),
+         |${lloydRoundSql("c0", "c1")},
+         |${lloydRoundSql("c1", "c2")},
+         |cellrank AS (
+         |  SELECT z.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY z.vec_id
+         |      ORDER BY list_sum([(z.q[i] - c.c[i]) * (z.q[i] - c.c[i])
+         |        FOR i IN range(1, 65)]), c.cell) AS rnk
+         |  FROM qz z CROSS JOIN c2 c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |probes AS (SELECT vec_id, cell FROM cellrank
+         |           WHERE rnk <= 3 AND vec_id < 10),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
          |scored AS (
          |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
          |    round(list_sum([qe.e[i] * ce.e[i]

@@ -431,6 +431,122 @@ object Similarity {
     cents
   }
 
+  /** INTEGER-EXACT Lloyd refinement of the coarse quantizer: k-means
+    * over the QUANTIZED lanes (floor(x * 2^20) — exact 21-bit integers)
+    * of a deterministic train slice (first `trainN` rows by id), seeded
+    * from the first `nCells` of them, with each refined centroid lane
+    * floored back to an integer (floor(sum/count) on the double-exact
+    * lane sum). Every step — quantization, argmin assignment (BIGINT
+    * squared-L2, ties to the lower cell), the floor-mean — is pure
+    * integer/IEEE arithmetic any SQL engine replays bit-for-bit, so a
+    * FITTED quantizer finally carries an exact oracle (the Gaussian
+    * k-means of [[ivfIndex]] keeps the quality crown; this one beats
+    * the anchored seed-vector cells on cell balance at the same
+    * oracle-exactness). Bounds: |lane| <= 2^20, so a squared-L2 over
+    * dim<=2048 stays < 2^53 (double- AND bigint-exact); lane sums over
+    * trainN <= 2^12 rows stay < 2^33 — floor(sum.toDouble/count) is the
+    * same IEEE divide in every engine. Driver cost: O(trainN * nCells *
+    * dim * iters) integer ops on a bounded sample — microseconds; no
+    * corpus pass per iteration (the 100 TB non-starter a distributed
+    * fit would pay). */
+  def lloydRefinedCentroids(corpus: DataFrame, id: Column, vec: Column,
+                            nCells: Int, trainN: Int = 128,
+                            iters: Int = 2): IndexedSeq[IndexedSeq[Long]] = {
+    val rows = corpus
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(trainN)
+      .collect()
+    require(rows.length >= nCells,
+      s"train slice has ${rows.length} rows < nCells=$nCells")
+    val train: Array[Array[Long]] = rows.map(
+      _.getSeq[Double](1).map(d => math.floor(d * 1048576.0).toLong).toArray)
+    val dim = train(0).length
+    var cents = Array.tabulate(nCells)(i => train(i).clone())
+    (0 until iters).foreach { _ =>
+      val sums = Array.fill(nCells)(new Array[Long](dim))
+      val counts = new Array[Long](nCells)
+      train.foreach { t =>
+        var best = 0; var bestD = Long.MaxValue; var c = 0
+        while (c < nCells) {
+          var d = 0L; var j = 0
+          while (j < dim) { val x = t(j) - cents(c)(j); d += x * x; j += 1 }
+          if (d < bestD) { bestD = d; best = c } // strict < == ties to lower
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += t(j); j += 1 }
+      }
+      cents = Array.tabulate(nCells) { c =>
+        if (counts(c) > 0)
+          Array.tabulate(dim)(j =>
+            math.floor(sums(c)(j).toDouble / counts(c)).toLong)
+        else cents(c) // empty cell keeps its previous centroid
+      }
+    }
+    cents.map(_.toIndexedSeq).toIndexedSeq
+  }
+
+  /** Cells ranked by ascending integer squared-L2 distance from the
+    * QUANTIZED vector to integer centroids, ties to the lower cell.
+    * dist = q.q - 2*q.c + c.c — every term an exact integer-valued
+    * double (< 2^53), so the comparison is engine-independent. Same
+    * sorted-struct shape as [[cellsByAffinity]] (one Literal per
+    * centroid; no 2^n when/otherwise fold). */
+  private[operators] def cellsByIntDistance(
+      cents: IndexedSeq[IndexedSeq[Long]], vec: Column): Column = {
+    val q = quantized(vec)
+    val qq = Vectors.dot(q, q)
+    val scored = array(cents.zipWithIndex.map { case (ctr, i) =>
+      val cc = ctr.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      val dist = qq - lit(2.0) * Vectors.dot(q, typedLit(ctr.map(_.toDouble))) +
+        lit(cc)
+      struct(dist.as("dist"), lit(i).as("cell"))
+    }: _*)
+    transform(array_sort(scored), x => x.getField("cell"))
+  }
+
+  /** IVF with the [[lloydRefinedCentroids]] quantizer: the fitted-cell
+    * quality path that is STILL exactly SQL-replayable — cells, probe
+    * sets, and ranks all replay from the parquet floats (the DuckDB
+    * oracle unrolls the same `iters` Lloyd rounds in integer CTEs).
+    * Same plan shape as [[ivfQuery]]: cell + norm projected scan-side,
+    * ONE corpus shuffle on cell, normalization post-exchange, queries
+    * broadcast with their probe cells exploded, bounded [[TopK]]. */
+  def ivfTopKLloyd(queries: DataFrame, corpus: DataFrame, k: Int,
+                   qId: Column, qVec: Column, cId: Column, cVec: Column,
+                   nCells: Int = 8, nProbe: Int = 3, trainN: Int = 128,
+                   iters: Int = 2, excludeSelf: Boolean = true): DataFrame = {
+    val cents = lloydRefinedCentroids(corpus, cId, cVec, nCells, trainN, iters)
+    val assigned = corpus
+      .select(
+        coalesce(element_at(cellsByIntDistance(cents, cVec), 1), lit(-1))
+          .as("cell"),
+        cId.as("neighbor_id"), cVec.as("__v"), Vectors.norm(cVec).as("__nrm"))
+      .repartition(col("cell"))
+      .select(col("cell"), col("neighbor_id"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("cv"))
+    val q = queries
+      .select(qId.as("query_id"), qVec.as("__v"), Vectors.norm(qVec).as("__nrm"),
+        slice(cellsByIntDistance(cents, qVec), 1, nProbe).as("cells"))
+      // exchange barrier: keeps the divide lambda reading __nrm as a
+      // materialized attribute and the probe-cell battery un-inlined
+      .repartition(col("query_id"))
+      .select(col("query_id"),
+        transform(col("__v"), x => x.cast("double") / col("__nrm")).as("qv"),
+        explode(col("cells")).as("cell"))
+      .select(col("query_id"), col("qv"),
+        coalesce(col("cell"), lit(-2)).as("cell"))
+    val joined = assigned.join(broadcast(q), Seq("cell"))
+    val scored0 = joined.withColumn("score",
+      round(Vectors.dot(col("qv"), col("cv")), 6))
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
+  }
+
   /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated
     * query batches build the index once and persist `assigned` instead:
     * the per-call corpus pass here costs about as much as brute force

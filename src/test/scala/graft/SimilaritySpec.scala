@@ -151,6 +151,53 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => brute((q, n)) shouldBe s }
   }
 
+  test("Lloyd refinement: deterministic, integer-valued, cost non-increasing") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val refined = Similarity.lloydRefinedCentroids(
+      emb, $"vec_id", $"embedding", nCells = 8, trainN = 128, iters = 2)
+    val again = Similarity.lloydRefinedCentroids(
+      emb, $"vec_id", $"embedding", nCells = 8, trainN = 128, iters = 2)
+    refined shouldBe again // bit-deterministic across calls
+    refined.length shouldBe 8
+    refined.foreach(_.length shouldBe 64)
+    // |lane| <= 2^20 by construction (means of quantized lanes)
+    refined.flatten.foreach(v => math.abs(v) should be <= 1048576L)
+
+    // refinement must not WORSEN the quantizer: train-slice SSE under
+    // the refined centroids <= SSE under the iter=0 (anchored) seeds.
+    // (Floor-rounding the means costs < dim per cell — noise at 2^40
+    // distance scale; true Lloyd monotonicity dominates.)
+    val init = Similarity.lloydRefinedCentroids(
+      emb, $"vec_id", $"embedding", nCells = 8, trainN = 128, iters = 0)
+    val train = emb.select($"vec_id", $"embedding".cast("array<double>"))
+      .orderBy("vec_id").limit(128).collect()
+      .map(_.getSeq[Double](1).map(d => math.floor(d * 1048576.0).toLong))
+    def sse(cents: IndexedSeq[IndexedSeq[Long]]): BigInt =
+      train.map { t =>
+        cents.map(c => t.zip(c).map { case (a, b) =>
+          BigInt(a - b) * BigInt(a - b) }.sum).min
+      }.sum
+    sse(refined) should be <= sse(init)
+  }
+
+  test("Lloyd IVF: hit scores equal brute force; full result set") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val ivf = Similarity.ivfTopKLloyd(
+      queries, emb, k = 5, $"vec_id", $"embedding", $"vec_id", $"embedding",
+      nCells = 8, nProbe = 3, trainN = 128, iters = 2)
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+    ivf.length shouldBe 50 // 10 queries x 5 (corpus >> probed cells)
+    val brute = Similarity.bruteForceTopK(
+      queries, emb, k = 500, $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id", "score")
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    // probing changes WHICH neighbors surface, never their scores
+    ivf.foreach { case (q, n, s) => brute((q, n)) shouldBe s }
+  }
+
   test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
     val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
     val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
