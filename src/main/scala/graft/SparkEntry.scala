@@ -248,6 +248,16 @@ object SparkEntry {
       graft.functions.InvertedIndex.build(Tables(s, dir, "documents"),
         col("text"), col("doc_id"), minDf = 5L, cap = 20)
     },
+    // Conjunctive (AND) retrieval — the serving query the index above
+    // exists for: docs containing ALL query terms, ranked by the
+    // log-free integer tf-idf surrogate sum(tf * (N - df)). Query-term
+    // occurrences are filtered BEFORE the explode (|Q|-sparse stream),
+    // df/N broadcast back, bounded TopK ranking.
+    "search_boolean_documents" -> { (s, dir) =>
+      graft.functions.Search.booleanAnd(Tables(s, dir, "documents"),
+        col("doc_id"), col("text"),
+        terms = Seq("dup", "join", "window"), k = 20)
+    },
     // Tokenizer-vocab precursor: corpus-wide token frequency top-k with
     // the cumulative coverage curve (what fraction of all occurrences a
     // vocab truncated at each rank covers). One corpus shuffle of
@@ -1833,6 +1843,9 @@ object SparkEntry {
         |FROM ranked WHERE rank <= 10""".stripMargin,
     "text_inverted_index" ->
       graft.functions.InvertedIndex.Sql.query(minDf = 5L, cap = 20),
+    "search_boolean_documents" ->
+      graft.functions.Search.Sql.query(
+        terms = Seq("dup", "join", "window"), k = 20),
     "vocab_top_tokens" ->
       // same full ordering key (cnt DESC, token) everywhere, so window
       // RANGE peers are singletons and the running sum is ROWS-exact;

@@ -1,0 +1,48 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Search
+
+class SearchSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("booleanAnd: hand-computed scores on a tiny corpus") {
+    // N=4 docs; df(a)=3, df(b)=2 -> weights: a->1, b->2
+    val df = Seq(
+      (1L, "a b a"),   // tf(a)=2, tf(b)=1 -> score 2*1 + 1*2 = 4
+      (2L, "a b b b"), // tf(a)=1, tf(b)=3 -> score 1*1 + 3*2 = 7
+      (3L, "a x"),     // missing b -> excluded
+      (4L, "x y")      // missing both -> excluded
+    ).toDF("doc_id", "text")
+    val got = Search.booleanAnd(df, $"doc_id", $"text", Seq("a", "b"), k = 10)
+      .select("doc_id", "rank", "score", "n_terms")
+      .as[(Long, Int, Long, Long)].collect().sortBy(_._2)
+    got shouldBe Array((2L, 1, 7L, 2L), (1L, 2, 4L, 2L))
+  }
+
+  test("booleanAnd on documents: AND semantics, rank order, cap") {
+    val docs = Tables(spark, sf0001, "documents")
+    val terms = Seq("dup", "join", "window")
+    val rows = Search.booleanAnd(docs, $"doc_id", $"text", terms, k = 5)
+      .collect()
+    rows.length should be <= 5
+    rows.map(_.getAs[Int]("rank")).sorted.toSeq shouldBe (1 to rows.length)
+    // every hit really contains ALL terms
+    val ids = rows.map(_.getAs[Long]("doc_id")).toSet
+    val texts = docs.filter($"doc_id".isInCollection(ids))
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    ids.foreach { id =>
+      val toks = texts(id).split("\\s+").toSet
+      terms.foreach(t => toks should contain(t))
+    }
+    // scores non-increasing in rank
+    val scores = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score"))
+    scores.zip(scores.tail).foreach { case (a, b) => a should be >= b }
+    // duplicate query terms collapse (same result as distinct)
+    val dup = Search.booleanAnd(docs, $"doc_id", $"text",
+      terms ++ Seq("dup"), k = 5).collect()
+    dup.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq shouldBe
+      rows.map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score"))).toSeq
+  }
+}
