@@ -101,6 +101,33 @@ object Splits {
     val perSource = df.groupBy(sourceCol.as("__src"))
       .agg(count(lit(1)).as("__n"))
       .withColumn("__w", w)
+    mixWithWeights(df, idCol, sourceCol, perSource, targetNum, targetDen)
+  }
+
+  /** TEMPERATURE-flattened mixture at T=2 (the mC4/XLM-R multilingual
+    * re-balancing: sample groups proportionally to n^(1/T) instead of
+    * n, boosting low-resource groups' share): weights are DERIVED from
+    * the corpus as w_g = floor(sqrt(n_g)) rather than given. isqrt is
+    * the one temperature exponent that stays engine-exact — for counts
+    * < 2^50, floor of the correctly-rounded IEEE sqrt equals the true
+    * integer sqrt in every engine (general n^(1/T) needs pow/exp,
+    * whose last-ulp varies by libm — the repo's log-free discipline).
+    * Same survival rule and one-broadcast shape as [[mixSources]]. */
+  def mixTemperatureSqrt(df: DataFrame, idCol: Column, groupCol: Column,
+                         targetNum: Long, targetDen: Long): DataFrame = {
+    val perSource = df.groupBy(groupCol.as("__src"))
+      .agg(count(lit(1)).as("__n"))
+      .withColumn("__w",
+        floor(sqrt(col("__n").cast("double"))).cast("long"))
+    mixWithWeights(df, idCol, groupCol, perSource, targetNum, targetDen)
+  }
+
+  /** Shared mixture tail: per-source integer targets from (__n, __w)
+    * and the u32-md5 membership filter (see [[mixSources]] scaladoc
+    * for the envelope proof). */
+  private def mixWithWeights(df: DataFrame, idCol: Column,
+                             sourceCol: Column, perSource: DataFrame,
+                             targetNum: Long, targetDen: Long): DataFrame = {
     // driver-free scalar totals via a single-row cross (broadcast) join
     val totals = perSource.agg(sum(col("__n")).as("__total"),
       sum(col("__w")).as("__sumw"))

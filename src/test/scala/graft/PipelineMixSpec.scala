@@ -60,6 +60,34 @@ class PipelineMixSpec extends SparkSpec {
     small.select("doc_id").except(once.select("doc_id")).count() shouldBe 0L
   }
 
+  test("mixTemperatureSqrt: flattens shares toward low-resource langs") {
+    val docs = Tables(spark, sf001, "documents")
+      .select(col("doc_id"), col("lang"))
+    val mixed = Splits.mixTemperatureSqrt(docs, col("doc_id"), col("lang"),
+      targetNum = 1L, targetDen = 2L)
+    val again = Splits.mixTemperatureSqrt(docs, col("doc_id"), col("lang"),
+      targetNum = 1L, targetDen = 2L)
+    mixed.select("doc_id").except(again.select("doc_id")).count() shouldBe 0L
+    val before = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = mixed.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T=2 flattening: the dominant language's SHARE must shrink and the
+    // rarest language's share must grow
+    val totB = before.values.sum.toDouble
+    val totA = after.values.sum.toDouble
+    val top = before.maxBy(_._2)._1
+    val bottom = before.minBy(_._2)._1
+    (after(top) / totA) should be < (before(top) / totB)
+    (after(bottom) / totA) should be > (before(bottom) / totB)
+    // monotone: a smaller target is a subset of a larger one (same
+    // md5 membership rule as mixSources; exact counts are the DuckDB
+    // oracle's job — per-lang targets carry binomial sampling noise)
+    val small = Splits.mixTemperatureSqrt(docs, col("doc_id"), col("lang"),
+      targetNum = 1L, targetDen = 4L)
+    small.select("doc_id").except(mixed.select("doc_id")).count() shouldBe 0L
+  }
+
   // ----------------------------------------- md5-anchored Dirichlet
 
   test("byDirichletMd5: deterministic, bounded groups, label-conditional") {

@@ -36,6 +36,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_ann_embeddings",
     "rag_retrieval_pipeline",
     "mix_sources_weighted",
+    "mix_temperature_lang", // same single-row totals broadcast as mix_sources
     "cohort_rounds_documents",
     "vocab_top_tokens")
 
