@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -515,6 +515,18 @@ object SparkEntry {
         col("doc_id"), col("source"),
         weights = evens, defaultWeight = 1L, targetNum = 1L, targetDen = 2L)
         .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_sampled"),
+          min(col("doc_id")).as("min_doc_id"))
+    },
+    // Temperature-flattened multilingual mixture (T=2): per-language
+    // weights DERIVED as floor(sqrt(n)) — the mC4/XLM-R low-resource
+    // boost — then the same integer survival rule as mixSources. isqrt
+    // is engine-exact for counts < 2^50, so the membership replays.
+    "mix_temperature_lang" -> { (s, dir) =>
+      Splits.mixTemperatureSqrt(
+        Tables(s, dir, "documents").select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"), targetNum = 1L, targetDen = 2L)
+        .groupBy(col("lang"))
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_doc_id"))
     },
@@ -1295,6 +1307,14 @@ object SparkEntry {
     },
     "events_tumbling_5min" -> Relational.eventsTumbling _,
     "events_json_props" -> Relational.eventsJsonProps _,
+    // Iterative graph analytics: integer fixed-point PageRank (5
+    // rounds, d=17/20, BIGINT micro-ranks) over the item-transition
+    // graph of consecutive events per user — page/domain quality
+    // weighting for corpus curation. One src-join + one dst-agg per
+    // round; every step integer-exact, oracle unrolls the rounds.
+    "graph_pagerank_events" -> { (s, dir) =>
+      PageRank.overEventTransitions(Tables(s, dir, "events"), iters = 5)
+    },
     // As-of join: each purchase gets the user's most recent click at or
     // before it. Spark lacks a native as-of join; this is the linear
     // tag+union+running-window shape (one exchange on user_id), oracled
@@ -1553,6 +1573,27 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_events"),
           countDistinct(col("user_id")).as("n_users"),
           Relational.exactValueSumE4.as("total_value_e4"))
+    },
+    // EXACTLY-ONCE foreachBatch upsert sink: the source is re-laid as 4
+    // files streamed one per micro-batch, each batch MERGED into a
+    // keyed snapshot table under a batchId commit marker — then the
+    // WHOLE stream replays under a fresh checkpoint and every batch is
+    // absorbed by its marker (idempotent). Output = the final table;
+    // exact integer sums make it byte-identical however batched.
+    "events_stream_upsert_totals" -> { (s, dir) =>
+      val files = scratchDir("upsert-files")
+      Tables(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(files)
+      val schema = s.read.parquet(files).schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(files)
+      val table = scratchDir("upsert-table")
+      EventStream.upsertTotalsRun(stream, table, scratchDir("upsert-cp1"))
+      // full replay, fresh checkpoint: markers must absorb every batch
+      EventStream.upsertTotalsRun(stream, table, scratchDir("upsert-cp2"))
+      EventStream.latestSnapshot(s, table).get
     },
     // Sessionization via ARBITRARY KEYED STATE (flatMapGroupsWithState,
     // streaming): the custom-state twin of events_session_window_* —
@@ -2417,6 +2458,13 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS total_value_e4
         |FROM events GROUP BY event_type""".stripMargin,
+    // upsert-table replay: the final merged snapshot equals the plain
+    // per-user aggregate, however the stream was micro-batched
+    "events_stream_upsert_totals" ->
+      """SELECT user_id, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
+        |    AS value_e4
+        |FROM events GROUP BY user_id""".stripMargin,
     "decontaminate_documents" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -2685,6 +2733,24 @@ object SparkEntry {
          |      * tgt.n < tgt.t * 4294967296
          |GROUP BY 1""".stripMargin
     },
+    // same survival-rule replay as mix_sources_weighted, with weights
+    // computed as floor(sqrt(n)) per language instead of given
+    "mix_temperature_lang" ->
+      """WITH c AS (
+        |  SELECT lang, count(*) AS n,
+        |    CAST(floor(sqrt(count(*))) AS BIGINT) AS w
+        |  FROM documents GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS total,
+        |               CAST(sum(w) AS BIGINT) AS sumw FROM c),
+        |tgt AS (SELECT c.lang, c.n,
+        |               least(total * 1 // 2 * c.w // sumw, c.n) AS t
+        |        FROM c, tot)
+        |SELECT d.lang AS lang, count(*) AS n_sampled,
+        |  min(d.doc_id) AS min_doc_id
+        |FROM documents d JOIN tgt ON d.lang = tgt.lang
+        |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
+        |      * tgt.n < tgt.t * 4294967296
+        |GROUP BY 1""".stripMargin,
     "group_counts_dirichlet" -> {
       val grp = Grouper.dirichletOracleSelect("vec_id", "label",
         labels = 0 until 10, numGroups = 8, alpha = 0.5, seed = 7L)
@@ -3133,6 +3199,7 @@ object SparkEntry {
         |  CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) AS ppm_stage2,
         |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
         |FROM c""".stripMargin,
+    "graph_pagerank_events" -> PageRank.Sql.query(iters = 5),
     "events_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,
