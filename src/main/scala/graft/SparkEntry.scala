@@ -268,6 +268,25 @@ object SparkEntry {
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
     },
+    // DSIR-style data selection: rank docs by target-domain likeness
+    // under hashed-bigram bag models (u32-md5 buckets), scored by the
+    // log-free integer ppm-frequency discriminant — the importance-
+    // resampling step that tilts a corpus toward a domain without a
+    // trained classifier. One corpus pass; 256-row weight table
+    // broadcast back; bounded TopK.
+    "dsir_select_documents" -> { (s, dir) =>
+      graft.functions.Dsir.topKByImportance(Tables(s, dir, "documents"),
+        col("doc_id"), col("text"), isTarget = col("lang") === "zh",
+        k = 50, nBuckets = 256)
+    },
+    // Tokenizer APPLY: encode the corpus against the trained top-20
+    // vocab (OOV -> 0) — per-doc id counts + md5 sequence digest. The
+    // k-entry vocab embeds as ONE map literal, so encoding is a pure
+    // zero-shuffle projection (no token-granular dictionary join).
+    "tokenizer_encode_documents" -> { (s, dir) =>
+      graft.functions.Vocab.encode(Tables(s, dir, "documents"),
+        col("doc_id"), col("text"), k = 20)
+    },
     // BPE tokenizer training, iteration one: corpus collapses to the
     // word-frequency table ONCE, adjacent char pairs count over the
     // VOCAB weighted by word freq — the next-merge ranking. Every
@@ -370,6 +389,28 @@ object SparkEntry {
       val tmp = scratchDir("orc")
       docs.write.mode("overwrite").orc(tmp)
       s.read.schema(docs.schema).orc(tmp)
+    },
+    // SCHEMA EVOLUTION read: an old export (doc_id, lang) and a new one
+    // that grew n_chars coexist in one logical table via mergeSchema —
+    // old rows surface the added column as null. The ingest-compat
+    // contract every long-lived corpus store needs (readers never
+    // break on a widened producer). Footer-only schema merge; no data
+    // rewrite of the old files.
+    "source_schema_evolution" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val v1 = scratchDir("schema-v1")
+      val v2 = scratchDir("schema-v2")
+      docs.filter(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(v1)
+      docs.filter(col("doc_id") >= 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+        .write.mode("overwrite").parquet(v2)
+      s.read.option("mergeSchema", "true").parquet(v1, v2)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("n_chars")).as("n_evolved"),
+          sum(col("n_chars")).as("sum_chars"))
     },
     // CSV interchange roundtrip: standard RFC-style quoting (escape =
     // doubled quote, not Spark's nonstandard backslash default) +
@@ -1136,6 +1177,25 @@ object SparkEntry {
           lit(3L).as("seq"), lit("I").as("op"), md5(col("text")).as("fp"))
       Cdc.scd2History(upd.unionByName(del).unionByName(ins),
         "doc_id", "seq", "op")
+    },
+    // TIME TRAVEL to seq=2 over the same change log: updates (seq 1)
+    // and deletes (seq 2) visible, inserts (seq 3) not yet — "rebuild
+    // the exact corpus run X trained on". Latest-per-key struct-max
+    // over the log only; the base snapshot never shuffles.
+    "corpus_asof_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val base = docs.select(col("doc_id"), md5(col("text")).as("fp"))
+      val upd = docs.filter(col("doc_id") % 10 === 0)
+        .select(col("doc_id"), lit(1L).as("seq"), lit("U").as("op"),
+          md5(concat(col("text"), lit(" rev1"))).as("fp"))
+      val del = docs.filter(col("doc_id") % 17 === 0)
+        .select(col("doc_id"), lit(2L).as("seq"), lit("D").as("op"),
+          lit(null).cast("string").as("fp"))
+      val ins = docs.filter(col("doc_id") < 40)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          lit(3L).as("seq"), lit("I").as("op"), md5(col("text")).as("fp"))
+      Cdc.asOf(base, upd.unionByName(del).unionByName(ins),
+        "doc_id", "seq", "op", atSeq = 2L)
     },
     // FLAGSHIP composition — the corpus REFRESH a production pipeline
     // runs per ingest cycle: CDC changeset applied to the snapshot ->
@@ -1905,6 +1965,11 @@ object SparkEntry {
         |    AS coverage
         |FROM top, tot
         |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    "tokenizer_encode_documents" ->
+      graft.functions.Vocab.Sql.encodeQuery(k = 20),
+    "dsir_select_documents" ->
+      graft.functions.Dsir.Sql.query(targetLang = "zh", k = 50,
+        nBuckets = 256),
     // BPE iteration-one replay: word-frequency table, then adjacent
     // code-point pairs weighted by word freq (substr is code-point
     // indexed in both engines); ties by pair string ASC
@@ -2187,6 +2252,31 @@ object SparkEntry {
         |  (lead(seq_from) OVER w IS NULL AND op <> 'D') AS is_current
         |FROM ch
         |WINDOW w AS (PARTITION BY doc_id ORDER BY seq_from)""".stripMargin,
+    // as-of replay: latest change per key at seq<=2 via a window pick
+    // (different algorithm, same unique-seq order), untouched base
+    // rows anti-joined through
+    "corpus_asof_documents" ->
+      """WITH ch AS (
+        |  SELECT doc_id, CAST(1 AS BIGINT) AS seq, 'U' AS op,
+        |    md5(text || ' rev1') AS fp
+        |  FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'D', NULL FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, 3, 'I', md5(text)
+        |  FROM documents WHERE doc_id < 40),
+        |latest AS (
+        |  SELECT doc_id, op, fp FROM (
+        |    SELECT *, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY seq DESC) AS rn
+        |    FROM ch WHERE seq <= 2) WHERE rn = 1),
+        |alive AS (SELECT doc_id, fp FROM latest WHERE op <> 'D'),
+        |untouched AS (
+        |  SELECT d.doc_id, md5(d.text) AS fp
+        |  FROM documents d LEFT JOIN latest l ON l.doc_id = d.doc_id
+        |  WHERE l.doc_id IS NULL)
+        |SELECT doc_id, fp FROM untouched
+        |UNION ALL SELECT doc_id, fp FROM alive""".stripMargin,
     // incremental-maintenance contract: merged base+delta state must
     // equal the FULL recompute — which is exactly this oracle
     "agg_incremental_update" ->
@@ -2546,6 +2636,13 @@ object SparkEntry {
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "source_orc_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // merged-read replay: old-file rows carry NULL for the added column
+    "source_schema_evolution" ->
+      """SELECT lang, count(*) AS n_rows,
+        |  count(*) FILTER (WHERE doc_id >= 250) AS n_evolved,
+        |  CAST(sum(n_chars) FILTER (WHERE doc_id >= 250) AS BIGINT)
+        |    AS sum_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "source_avro_roundtrip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "dedup_incremental_documents" -> {

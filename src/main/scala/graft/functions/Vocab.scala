@@ -50,4 +50,69 @@ object Vocab {
         (sum(col("cnt")).over(w).cast("double") / col("__total"))
           .as("coverage"))
   }
+
+  /** The APPLY side of vocabulary training: encode every document
+    * against the top-`k` vocab (token → its rank; out-of-vocabulary →
+    * 0) and report per doc the token count, OOV count, and an md5
+    * digest of the comma-joined id sequence — the integrity artifact
+    * for a tokenized-corpus export.
+    *
+    * Scale shape: the trained vocab is DRIVER-BOUNDED (k entries) and
+    * embedded as one map literal, so encoding is a pure projection —
+    * zero shuffles, zero joins, one corpus scan; a token-granular
+    * explode+join formulation would shuffle |corpus tokens| rows just
+    * to do a k-entry dictionary lookup. Vocab ranks tie-break (cnt
+    * desc, token asc), so the id assignment — and therefore every
+    * digest — is deterministic and SQL-replayable. */
+  def encode(df: DataFrame, idCol: Column, textCol: Column,
+             k: Int): DataFrame = {
+    val vocab = topTokens(df, textCol, k)
+      .select(col("token"), col("rank"))
+      .collect() // bounded: k rows
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    val vmap = typedLit(vocab)
+    val toks = TextAnalysis.tokens(lower(textCol))
+    df.select(idCol.as("doc_id"), toks.as("__toks"))
+      .select(col("doc_id"),
+        transform(col("__toks"),
+          t => coalesce(element_at(vmap, t), lit(0))).as("__ids"),
+        size(col("__toks")).cast("long").as("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("__ids"), i => i === 0)).cast("long").as("n_oov"),
+        md5(array_join(transform(col("__ids"), _.cast("string")), ","))
+          .as("ids_digest"))
+  }
+
+  /** DuckDB replay of [[encode]] over `documents(doc_id, text)`:
+    * the vocab CTE re-ranks, ids re-derive via a position-aligned
+    * left join, digests re-hash in token order. */
+  object Sql {
+    def encodeQuery(k: Int): String =
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.Sql.tokens("lower(text)")} AS l
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(l) AS token FROM toks) GROUP BY 1),
+         |vocab AS (
+         |  SELECT token, CAST(row_number() OVER
+         |    (ORDER BY cnt DESC, token) AS INT) AS rank
+         |  FROM cnt ORDER BY cnt DESC, token LIMIT $k),
+         |pos AS (
+         |  SELECT doc_id, unnest(l) AS token,
+         |    generate_subscripts(l, 1) AS p
+         |  FROM toks),
+         |enc AS (
+         |  SELECT pos.doc_id, count(*) AS n_tokens,
+         |    count(*) FILTER (WHERE v.rank IS NULL) AS n_oov,
+         |    md5(string_agg(CAST(coalesce(v.rank, 0) AS VARCHAR), ','
+         |        ORDER BY pos.p)) AS ids_digest
+         |  FROM pos LEFT JOIN vocab v ON v.token = pos.token
+         |  GROUP BY pos.doc_id)
+         |SELECT t.doc_id AS doc_id, coalesce(e.n_tokens, 0) AS n_tokens,
+         |  coalesce(e.n_oov, 0) AS n_oov,
+         |  coalesce(e.ids_digest, md5('')) AS ids_digest
+         |FROM toks t LEFT JOIN enc e ON e.doc_id = t.doc_id""".stripMargin
+  }
 }

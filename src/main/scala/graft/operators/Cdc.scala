@@ -73,4 +73,34 @@ object Cdc {
         col("seq_to").isNull && col(op) =!= "D")
       .withColumnRenamed(seq, "seq_from")
   }
+
+  /** TIME TRAVEL: reconstruct the corpus as of change-sequence
+    * `atSeq` from the base snapshot + the change log — the
+    * reproducibility primitive a training platform needs ("rebuild the
+    * exact corpus run X trained on") without storing a full snapshot
+    * per version. A key's state at `atSeq` is its latest change with
+    * seq <= atSeq (dropped if that change is a delete); keys the log
+    * never touched come from the base unchanged.
+    *
+    * Shape: the change log filters to <= atSeq and reduces to
+    * latest-per-key via ONE struct-max aggregation (no window over the
+    * corpus; map-side partials carry one struct per key) — then a
+    * broadcast-friendly anti join pulls the untouched base through.
+    * The base is scanned once and never shuffles. `seq` must be unique
+    * per key (as in [[applyChangeset]]); payload columns = every
+    * changeset column except (id, seq, op), and the base must carry
+    * the same payload columns. */
+  def asOf(base: DataFrame, changes: DataFrame, id: String, seq: String,
+           op: String, atSeq: Long): DataFrame = {
+    val payload = changes.columns.filterNot(c => c == id || c == seq || c == op)
+    val latest = changes.filter(col(seq) <= atSeq)
+      .groupBy(col(id))
+      .agg(max_by(struct((op +: payload.toSeq).map(col): _*), col(seq))
+        .as("__last"))
+    val changedAlive = latest.filter(col("__last")(op) =!= "D")
+      .select(col(id) +: payload.toSeq.map(c => col("__last")(c).as(c)): _*)
+    val untouched = base.join(latest.select(col(id)), Seq(id), "left_anti")
+      .select((id +: payload.toSeq).map(col): _*)
+    untouched.unionByName(changedAlive)
+  }
 }

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Dsir, Vocab}
+import graft.operators.Cdc
+
+/** Data-selection + corpus-versioning operators: tokenizer-apply
+  * encoding, DSIR importance ranking, SCD2 time travel. */
+class SelectionSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Vocab.encode: hand-computed ids, OOV as 0, digest replays") {
+    // corpus: "a" x3, "b" x2, "c" x1 -> vocab(k=2): a->1, b->2; c OOV
+    val df = Seq((1L, "a b a"), (2L, "b c a")).toDF("doc_id", "text")
+    val got = Vocab.encode(df, $"doc_id", $"text", k = 2)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov", "ids_digest")
+      .as[(Long, Long, Long, String)].collect()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    got shouldBe Array(
+      (1L, 3L, 0L, md5hex("1,2,1")),
+      (2L, 3L, 1L, md5hex("2,0,1")))
+  }
+
+  test("Vocab.encode: empty and all-OOV docs survive") {
+    val df = Seq((1L, "x x"), (2L, " ")).toDF("doc_id", "text")
+    // k=1 vocab = {x}; doc 2 tokenizes to zero tokens
+    val got = Vocab.encode(df, $"doc_id", $"text", k = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "n_oov").as[(Long, Long, Long)]
+      .collect()
+    got shouldBe Array((1L, 2L, 0L), (2L, 0L, 0L))
+  }
+
+  test("Dsir: target-heavy docs outrank raw-typical docs") {
+    // target rows share the 'q r' bigram; raw rows share 's t'
+    val rows = (1L to 20L).map { i =>
+      if (i <= 5) (i, "q r q r q r", true) // in-domain
+      else (i, "s t s t s t", false)
+    } ++ Seq((21L, "q r q r s t", false), (22L, "s t s t q r", false))
+    val df = rows.toDF("doc_id", "text", "tgt")
+    val top = Dsir.topKByImportance(df, $"doc_id", $"text", $"tgt",
+      k = 22, nBuckets = 16)
+      .orderBy("rank").select("doc_id", "rank", "score")
+      .as[(Long, Int, Long)].collect()
+    // every target doc must outrank every pure-raw doc; the mixed docs
+    // sit in between (21 leans target, 22 leans raw)
+    val rankOf = top.map(r => r._1 -> r._2).toMap
+    (1L to 5L).foreach { t =>
+      (6L to 20L).foreach { r => rankOf(t) should be < rankOf(r) }
+    }
+    rankOf(21L) should be < rankOf(22L)
+    // deterministic across runs
+    val again = Dsir.topKByImportance(df, $"doc_id", $"text", $"tgt",
+      k = 22, nBuckets = 16)
+      .orderBy("rank").select("doc_id", "rank", "score")
+      .as[(Long, Int, Long)].collect()
+    again shouldBe top
+  }
+
+  test("Cdc.asOf: updates/deletes visible at their seq, inserts later") {
+    val base = Seq((1L, "v0-1"), (2L, "v0-2"), (3L, "v0-3"))
+      .toDF("doc_id", "fp")
+    val changes = Seq(
+      (1L, 1L, "U", "v1-1"), // update doc 1 at seq 1
+      (2L, 2L, "D", null), // delete doc 2 at seq 2
+      (4L, 3L, "I", "v3-4"), // insert doc 4 at seq 3
+      (1L, 4L, "D", null) // re-delete doc 1 at seq 4
+    ).toDF("doc_id", "seq", "op", "fp")
+    def at(t: Long) = Cdc.asOf(base, changes, "doc_id", "seq", "op", t)
+      .orderBy("doc_id").as[(Long, String)].collect().toSeq
+    at(0L) shouldBe Seq((1L, "v0-1"), (2L, "v0-2"), (3L, "v0-3"))
+    at(1L) shouldBe Seq((1L, "v1-1"), (2L, "v0-2"), (3L, "v0-3"))
+    at(2L) shouldBe Seq((1L, "v1-1"), (3L, "v0-3"))
+    at(3L) shouldBe Seq((1L, "v1-1"), (3L, "v0-3"), (4L, "v3-4"))
+    at(4L) shouldBe Seq((3L, "v0-3"), (4L, "v3-4"))
+  }
+
+  test("Cdc.asOf at max seq == applyChangeset current snapshot size") {
+    val docs = Tables(spark, sf0001, "documents")
+    val base = docs.select($"doc_id", md5($"text").as("fp"))
+    val upd = docs.filter($"doc_id" % 10 === 0)
+      .select($"doc_id", lit(1L).as("seq"), lit("U").as("op"),
+        md5(concat($"text", lit(" rev1"))).as("fp"))
+    val del = docs.filter($"doc_id" % 17 === 0)
+      .select($"doc_id", lit(2L).as("seq"), lit("D").as("op"),
+        lit(null).cast("string").as("fp"))
+    val ins = docs.filter($"doc_id" < 40)
+      .select(($"doc_id" + 100000L).as("doc_id"),
+        lit(3L).as("seq"), lit("I").as("op"), md5($"text").as("fp"))
+    val ch = upd.unionByName(del).unionByName(ins)
+    val full = Cdc.asOf(base, ch, "doc_id", "seq", "op", atSeq = 3L)
+    // 500 - 30 deleted + 40 inserted
+    full.count() shouldBe 510L
+    // monotone visibility: seq=2 view has no inserted ids
+    Cdc.asOf(base, ch, "doc_id", "seq", "op", atSeq = 2L)
+      .filter($"doc_id" >= 100000L).count() shouldBe 0L
+  }
+}
