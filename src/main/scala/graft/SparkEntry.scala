@@ -231,6 +231,25 @@ object SparkEntry {
       graft.functions.HashedLinear.score(
         Tables(s, dir, "documents"), col("doc_id"), col("text"))
     },
+    // MERGEABLE-SUMMARY profile: KMV sketches of two OVERLAPPING corpus
+    // versions built in one pass, then union + inclusion-exclusion
+    // intersection estimated from the sketches alone — the property
+    // that lets shards/snapshots profile incrementally without
+    // rescanning (sketch union = k smallest distinct of the concat).
+    "profile_sketch_union" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      graft.functions.Kmv.sketchUnionEstimate(docs,
+        graft.functions.Kmv.u32(col("text")),
+        inA = col("doc_id") < 300, inB = col("doc_id") >= 200, k = 256)
+    },
+    // Calibration sweep: confusion matrix + ppm precision/recall of
+    // the hashed-linear classifier vs the Gopher rule labels at 7
+    // integer per-mille thresholds — how a quality gate's operating
+    // point gets picked before filtering 100 TB on it.
+    "classifier_threshold_sweep" -> { (s, dir) =>
+      graft.functions.ClassifierEval.thresholdSweep(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+    },
 
     // Per-language distinctive terms by log-free tf-idf (tf/df — one
     // IEEE division of two exact integers, bit-identical in DuckDB) with
@@ -1761,6 +1780,31 @@ object SparkEntry {
       |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s
       |  CROSS JOIN cb)""".stripMargin
 
+  /** The hashed-linear classifier replay (shared by
+    * `quality_classifier_documents` and the calibration sweep). */
+  private lazy val classifierOracleSql: String =
+    s"""WITH t AS (
+       |  SELECT doc_id, ${TextAnalysis.Sql.tokens("lower(text)")} AS tk
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id,
+       |    tk || [tk[i] || ' ' || tk[i + 1]
+       |           FOR i IN range(1, len(tk))] AS fs
+       |  FROM t),
+       |w AS (
+       |  SELECT doc_id, len(fs) AS nf,
+       |    COALESCE(CAST(list_sum([
+       |      ('0x' || substr(md5('w:' || CAST(
+       |         ('0x' || substr(md5('f:' || x), 1, 8))::BIGINT % 4096
+       |       AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000
+       |      FOR x IN fs]) AS BIGINT), 0) AS w_sum
+       |  FROM f)
+       |SELECT doc_id, CAST(nf AS INT) AS n_feats, w_sum,
+       |  round(CASE WHEN nf = 0 THEN 0.0
+       |             ELSE w_sum / (1000.0 * nf) END, 6) AS score,
+       |  CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
+       |FROM w""".stripMargin
+
   /** One integer Lloyd round of the `similarity_ivf_lloyd` replay:
     * assign the train slice to `prev` cells (BIGINT squared-L2 over the
     * quantized lanes, ties to the lower cell) and floor-mean each
@@ -1882,28 +1926,43 @@ object SparkEntry {
     "text_quality_gopher" -> graft.functions.Gopher.Sql.query,
     // hashed-linear replay: same tokens contract, same u32(md5) slot /
     // weight formulas, exact integer sum, one round-6 division
-    "quality_classifier_documents" ->
-      s"""WITH t AS (
-         |  SELECT doc_id, ${TextAnalysis.Sql.tokens("lower(text)")} AS tk
-         |  FROM documents),
-         |f AS (
-         |  SELECT doc_id,
-         |    tk || [tk[i] || ' ' || tk[i + 1]
-         |           FOR i IN range(1, len(tk))] AS fs
-         |  FROM t),
-         |w AS (
-         |  SELECT doc_id, len(fs) AS nf,
-         |    COALESCE(CAST(list_sum([
-         |      ('0x' || substr(md5('w:' || CAST(
-         |         ('0x' || substr(md5('f:' || x), 1, 8))::BIGINT % 4096
-         |       AS VARCHAR)), 1, 8))::BIGINT % 2001 - 1000
-         |      FOR x IN fs]) AS BIGINT), 0) AS w_sum
-         |  FROM f)
-         |SELECT doc_id, CAST(nf AS INT) AS n_feats, w_sum,
-         |  round(CASE WHEN nf = 0 THEN 0.0
-         |             ELSE w_sum / (1000.0 * nf) END, 6) AS score,
-         |  CASE WHEN w_sum >= 0 THEN 'keep' ELSE 'drop' END AS label
-         |FROM w""".stripMargin,
+    "quality_classifier_documents" -> classifierOracleSql,
+    // sketch-union replay: per-side k smallest distinct u32(md5)
+    // hashes, union = k smallest distinct of the concatenation, the
+    // KMV integer estimate on each
+    "profile_sketch_union" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ('0x' || substr(md5(text), 1, 8))::BIGINT AS u
+        |  FROM documents),
+        |sa AS (SELECT DISTINCT u FROM h WHERE doc_id < 300
+        |       ORDER BY u LIMIT 256),
+        |sb AS (SELECT DISTINCT u FROM h WHERE doc_id >= 200
+        |       ORDER BY u LIMIT 256),
+        |su AS (SELECT DISTINCT u FROM
+        |         (SELECT u FROM sa UNION ALL SELECT u FROM sb)
+        |       ORDER BY u LIMIT 256),
+        |ea AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |         ELSE 255 * 4294967296 // greatest(max(u), 1) END
+        |         AS est_a FROM sa),
+        |eb AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |         ELSE 255 * 4294967296 // greatest(max(u), 1) END
+        |         AS est_b FROM sb),
+        |eu AS (SELECT CASE WHEN count(*) < 256 THEN count(*)
+        |         ELSE 255 * 4294967296 // greatest(max(u), 1) END
+        |         AS est_union FROM su)
+        |SELECT CAST(256 AS INT) AS k, CAST(est_a AS BIGINT) AS est_a,
+        |  CAST(est_b AS BIGINT) AS est_b,
+        |  CAST(est_union AS BIGINT) AS est_union,
+        |  CAST(greatest(est_a + est_b - est_union, 0) AS BIGINT)
+        |    AS est_intersect
+        |FROM ea, eb, eu""".stripMargin,
+    // calibration sweep: composes the classifier and Gopher oracles
+    // verbatim as subqueries — truth and scores are BY CONSTRUCTION
+    // identical to the per-doc queries'
+    "classifier_threshold_sweep" ->
+      graft.functions.ClassifierEval.Sql.query(
+        classifierOracleSql, graft.functions.Gopher.Sql.query),
     "text_novelty_bigram" ->
       """WITH toks AS (
         |  SELECT doc_id,

@@ -101,4 +101,68 @@ object Kmv {
       implicitly[Encoder[Long]](
         org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
   }
+
+  /** [[KmvAggregator]] that finishes to the SKETCH itself (the sorted
+    * k smallest distinct hashes) instead of the estimate — the
+    * mergeable-summary form: sketches of two corpus versions (or two
+    * shards, or yesterday and today) union by "k smallest distinct of
+    * the concatenation" WITHOUT rescanning either input, which is what
+    * makes incremental / federated profiling possible at 100 TB. */
+  final class KmvSketchAggregator(k: Int)
+      extends Aggregator[Long, ArrayBuffer[Long], Seq[Long]] {
+    private val inner = new KmvAggregator(k)
+    override def zero: ArrayBuffer[Long] = inner.zero
+    override def reduce(b: ArrayBuffer[Long], h: Long): ArrayBuffer[Long] =
+      inner.reduce(b, h)
+    override def merge(a: ArrayBuffer[Long], b: ArrayBuffer[Long]): ArrayBuffer[Long] =
+      inner.merge(a, b)
+    override def finish(b: ArrayBuffer[Long]): Seq[Long] =
+      b.distinct.sorted.take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[Long]] =
+      implicitly[Encoder[ArrayBuffer[Long]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+    override def outputEncoder: Encoder[Seq[Long]] =
+      implicitly[Encoder[Seq[Long]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+  }
+
+  /** KMV estimate from a finished sketch ATTRIBUTE (named column,
+    * sorted ascending, <= k entries): exact below k, else
+    * (k-1)*2^32 div h_k — the same integer arithmetic as
+    * [[KmvAggregator.finish]], expressed over columns so MERGED
+    * sketches can be estimated in-plan. */
+  def estFromSketch(sketchName: String, k: Int): Column =
+    when(size(col(sketchName)) < k, size(col(sketchName)).cast("long"))
+      .otherwise(
+        expr(s"${(k - 1).toLong * 4294967296L}L div " +
+          s"greatest(element_at($sketchName, $k), 1L)"))
+
+  /** Union of two finished sketches: the k smallest distinct of the
+    * concatenation — a valid KMV sketch of the UNION of the underlying
+    * sets (semilattice merge; no rescan of either input). */
+  def unionSketch(a: Column, b: Column, k: Int): Column =
+    slice(array_sort(array_distinct(concat(a, b))), 1, k)
+
+  /** One-pass sketch-union profile: hashes flagged `inA` sketch into
+    * side A, `inB` into side B (rows can be in both — overlapping
+    * versions), then the union sketch and inclusion-exclusion
+    * intersection estimate derive IN-PLAN from the two sketches. ONE
+    * corpus scan, one single-row aggregate, no joins. Output row:
+    * (k, est_a, est_b, est_union, est_intersect). */
+  def sketchUnionEstimate(df: org.apache.spark.sql.DataFrame,
+                          hash: Column, inA: Column, inB: Column,
+                          k: Int): org.apache.spark.sql.DataFrame = {
+    val agg = udaf(new KmvSketchAggregator(k))
+    df.select(
+        when(inA, hash).otherwise(lit(-1L)).as("__ha"),
+        when(inB, hash).otherwise(lit(-1L)).as("__hb"))
+      .agg(agg(col("__ha")).as("sk_a"), agg(col("__hb")).as("sk_b"))
+      .withColumn("sk_u", unionSketch(col("sk_a"), col("sk_b"), k))
+      .select(lit(k).as("k"),
+        estFromSketch("sk_a", k).as("est_a"),
+        estFromSketch("sk_b", k).as("est_b"),
+        estFromSketch("sk_u", k).as("est_union"))
+      .withColumn("est_intersect",
+        greatest(col("est_a") + col("est_b") - col("est_union"), lit(0L)))
+  }
 }

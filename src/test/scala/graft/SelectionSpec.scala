@@ -78,6 +78,51 @@ class SelectionSpec extends SparkSpec {
     at(4L) shouldBe Seq((3L, "v0-3"), (4L, "v3-4"))
   }
 
+  test("ClassifierEval sweep: cells partition the corpus, tp monotone") {
+    val docs = Tables(spark, sf0001, "documents")
+    val sweep = graft.functions.ClassifierEval.thresholdSweep(
+      docs, $"doc_id", $"text")
+      .orderBy("threshold")
+      .select("threshold", "tp", "fp", "fn", "tn")
+      .as[(Int, Long, Long, Long, Long)].collect()
+    sweep.length shouldBe graft.functions.ClassifierEval.Thresholds.length
+    val n = docs.count()
+    sweep.foreach { case (_, tp, fp, fn, tn) =>
+      tp + fp + fn + tn shouldBe n
+    }
+    // positives (tp+fn) are threshold-independent; tp non-increasing
+    sweep.map(r => r._2 + r._4).distinct.length shouldBe 1
+    val tps = sweep.map(_._2)
+    tps.zip(tps.tail).foreach { case (a, b) => a should be >= b }
+  }
+
+  test("KMV sketch union: exact below k, inclusion-exclusion exact") {
+    import graft.functions.Kmv
+    // A = {1..30}, B = {21..50}: |A|=30 |B|=30 |A∪B|=50 |A∩B|=10 —
+    // all below k, so every estimate is EXACT (distinct u32 hashes;
+    // md5 collisions at 50 values are vanishingly unlikely and would
+    // fold identically anyway)
+    val df = (1L to 50L).toDF("id")
+    val out = Kmv.sketchUnionEstimate(df, Kmv.u32($"id"),
+      inA = $"id" <= 30, inB = $"id" >= 21, k = 256)
+      .select("est_a", "est_b", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Long)].head()
+    out shouldBe ((30L, 30L, 50L, 10L))
+  }
+
+  test("KMV sketch union: estimate within error when sketches saturate") {
+    import graft.functions.Kmv
+    val df = (1L to 4000L).toDF("id")
+    val out = Kmv.sketchUnionEstimate(df, Kmv.u32($"id"),
+      inA = $"id" <= 3000, inB = $"id" >= 1001, k = 256)
+      .select("est_a", "est_b", "est_union", "est_intersect")
+      .as[(Long, Long, Long, Long)].head()
+    // ~1/sqrt(k-2) ≈ 6.3%; assert within 4 sigma
+    math.abs(out._1 - 3000L) should be < 760L
+    math.abs(out._2 - 3000L) should be < 760L
+    math.abs(out._3 - 4000L) should be < 1010L
+  }
+
   test("Cdc.asOf at max seq == applyChangeset current snapshot size") {
     val docs = Tables(spark, sf0001, "documents")
     val base = docs.select($"doc_id", md5($"text").as("fp"))
