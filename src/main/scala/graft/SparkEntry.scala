@@ -818,6 +818,46 @@ object SparkEntry {
         docs.filter(col("doc_id") % 97 === 0),
         col("text"), col("doc_id"), col("text"), col("doc_id"), n = 4)
     },
+    // FILTER-FATE AUDIT — pipeline observability: every document gets
+    // the FIRST rule that removes it (quality gate > contamination >
+    // exact-dup loser > kept; eval-slice docs are 'eval_holdout'),
+    // summarized per fate. The "why did my corpus shrink 40%?"
+    // breakdown a production pipeline publishes with every run.
+    // Quality + fingerprint compute in ONE battery pass behind a
+    // barrier and materialize once (two consumers: the per-fp keeper
+    // aggregate and the fate projection); the contaminated id set is
+    // small by construction (eval-overlap docs) and broadcasts.
+    "corpus_filter_fates" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val isEval = col("doc_id") % 97 === 0
+      val corpus = docs.filter(col("doc_id") % 97 =!= 0)
+        .select(col("doc_id"), col("text"))
+      val scored = corpus.repartition(col("doc_id"))
+        .select(col("doc_id"),
+          TextAnalysis.qualityScoreOf(TextAnalysis.profile(col("text")))
+            .as("quality"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+        .localCheckpoint()
+      val keepers = scored.groupBy(col("fp"))
+        .agg(min(col("doc_id")).as("keeper"))
+      val contam = Decontaminate.ngramOverlap(
+        corpus, docs.filter(isEval),
+        col("text"), col("doc_id"), col("text"), col("doc_id"), n = 4)
+        .select(col("doc_id"), lit(true).as("contaminated"))
+      val fates = scored
+        .join(keepers, "fp")
+        .join(broadcast(contam), Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          when(col("quality") < 0.3, "low_quality")
+            .when(coalesce(col("contaminated"), lit(false)), "contaminated")
+            .when(col("doc_id") =!= col("keeper"), "duplicate")
+            .otherwise("kept").as("fate"))
+      fates
+        .unionByName(docs.filter(isEval)
+          .select(col("doc_id"), lit("eval_holdout").as("fate")))
+        .groupBy(col("fate"))
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc_id"))
+    },
     // Deterministic hash-stratified sampling: per-language keep rates
     // decided by an md5-derived uniform of doc_id — stable under
     // repartitioning, monotone in the rate, exact cross-engine oracle.
@@ -1531,6 +1571,24 @@ object SparkEntry {
         size(frames).cast("long").as("n_sampled"),
         md5(array_join(transform(frames, f => f.cast("string")), ""))
           .as("frames_digest"))
+    },
+    // PERCEPTUAL-HASH near-dup over media payloads: decode lane
+    // energies (batch-shaped stub decoder) -> 64-bit block-energy
+    // pHash -> Hamming<=6 pairs via the SimHash segment-pigeonhole
+    // join (exact recall, linear topology — reused via the pluggable
+    // hashFn). Near-dups by construction: 20 payloads get a 3-byte
+    // append twin; the pair set replays exactly in SQL.
+    "multimodal_phash_neardup" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val variants = docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + lit(100000L)).as("doc_id"),
+          concat(col("text"), lit(" xx")).as("text"))
+      val all = docs.select(col("doc_id"), col("text"))
+        .unionByName(variants)
+      val hashed = Multimodal.phash64(
+        Multimodal.syntheticMedia(all, col("doc_id"), col("text")))
+      Dedup.simhashPairs(hashed, col("ph"), col("media_id"),
+        maxHamming = 6, hashFn = c => c)
     },
     // Batch-shaped feature extraction over opaque media payloads (the
     // decode itself is a deterministic stub). The declared row emits
@@ -2614,6 +2672,45 @@ object SparkEntry {
         |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000 AS BIGINT)
         |    AS value_e4
         |FROM events GROUP BY user_id""".stripMargin,
+    // fate replay: the quality/fingerprint battery, per-fp keeper, and
+    // the decontaminate shingle CTEs verbatim, folded into one CASE
+    "corpus_filter_fates" -> {
+      import TextAnalysis.Sql._
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id % 97 <> 0),
+         |q AS (
+         |  SELECT doc_id, ${qualityScore("text")} AS quality,
+         |    ${fingerprint("text")} AS fp
+         |  FROM corpus),
+         |k AS (SELECT fp, min(doc_id) AS keeper FROM q GROUP BY 1),
+         |toks AS (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |sh AS (
+         |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' '
+         |    || t[i+2] || ' ' || t[i+3] FOR i IN range(1, len(t) - 2)]) AS s
+         |  FROM toks WHERE len(t) >= 4),
+         |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+         |contam AS (
+         |  SELECT DISTINCT c.doc_id
+         |  FROM (SELECT doc_id, g FROM ex WHERE doc_id % 97 <> 0) c
+         |  JOIN (SELECT DISTINCT g FROM ex WHERE doc_id % 97 = 0) e
+         |    USING (g)),
+         |fates AS (
+         |  SELECT q.doc_id,
+         |    CASE WHEN q.quality < 0.3 THEN 'low_quality'
+         |         WHEN ct.doc_id IS NOT NULL THEN 'contaminated'
+         |         WHEN q.doc_id <> k.keeper THEN 'duplicate'
+         |         ELSE 'kept' END AS fate
+         |  FROM q JOIN k USING (fp)
+         |  LEFT JOIN contam ct ON ct.doc_id = q.doc_id
+         |  UNION ALL
+         |  SELECT doc_id, 'eval_holdout' FROM documents
+         |  WHERE doc_id % 97 = 0)
+         |SELECT fate, count(*) AS n_docs, min(doc_id) AS min_doc_id
+         |FROM fates GROUP BY 1""".stripMargin
+    },
     "decontaminate_documents" ->
       """WITH toks AS (
         |  SELECT doc_id,
@@ -3525,6 +3622,38 @@ object SparkEntry {
         |    range(0, CAST(ceil(strlen(text) / 64.0) AS BIGINT), 4),
         |    i -> substr(text, CAST(i * 64 + 1 AS BIGINT), 64)), '')) AS frames_digest
         |FROM documents""".stripMargin,
+    // pHash replay: 64 lane byte-sums per (possibly twinned) payload,
+    // bit j set iff lane*64 >= total (sum of disjoint bit values ==
+    // the OR pattern; only the j=63 term is negative, so the
+    // arithmetic sum stays in BIGINT range), then ALL-pairs Hamming —
+    // a different algorithm than the pigeonhole join, same exact set
+    "multimodal_phash_neardup" ->
+      """WITH src AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' xx'
+        |  FROM documents WHERE doc_id < 20),
+        |lanes AS (
+        |  SELECT doc_id AS media_id,
+        |    list_transform(range(0, 64), j ->
+        |      CAST(coalesce(list_sum(list_transform(
+        |        range(1 + j, strlen(text) + 1, 64),
+        |        i -> ord(substr(text, CAST(i AS BIGINT), 1)))), 0)
+        |        AS BIGINT)) AS ls
+        |  FROM src),
+        |ph AS (
+        |  SELECT media_id,
+        |    CAST(list_sum(list_transform(range(0, 64), j ->
+        |      CASE WHEN ls[CAST(j + 1 AS BIGINT)] * 64 >= list_sum(ls)
+        |           THEN CASE WHEN j = 63 THEN -9223372036854775808
+        |                ELSE (1::BIGINT << CAST(j AS INT)) END
+        |           ELSE 0 END))
+        |      AS BIGINT) AS h
+        |  FROM lanes)
+        |SELECT a.media_id AS id_a, b.media_id AS id_b,
+        |  CAST(bit_count(xor(a.h, b.h)) AS BIGINT) AS hamming
+        |FROM ph a JOIN ph b ON a.media_id < b.media_id
+        |WHERE bit_count(xor(a.h, b.h)) <= 6""".stripMargin,
     // lane j (0-based, dim=8) sums bytes at 1-based positions j+1, j+9, …
     // — exact integers, so the digest is engine-independent (text is
     // pure ASCII: ord(char) == payload byte)

@@ -89,4 +89,27 @@ object Multimodal {
   def resizeStub(payload: Column, factor: Int): Column =
     aggregate(sampleFrames(payload, 1, factor),
       lit(Array.emptyByteArray), (acc, x) => concat(acc, x))
+
+  /** 64-bit PERCEPTUAL-HASH stub from the decoded lane energies: bit j
+    * is set iff lane j's byte-sum is >= the mean lane energy
+    * (lane_sum * 64 >= total — all integer, so the hash replays
+    * exactly in SQL). This is the block-energy-vs-global-mean shape of
+    * a real pHash (DCT of a downscaled image thresholded at the
+    * median); a real implementation swaps [[decodeFeatures]]'s decoder
+    * and this threshold, the topology — decode once, hash per row,
+    * near-dup via [[Dedup.simhashPairs]] segment pigeonhole — stays.
+    * The 64-element fold re-evaluates the O(64) total per lane (4k
+    * integer ops/row — noise next to the decode). Empty payloads hash
+    * to all-ones (0 >= 0); filter them upstream if that's not wanted. */
+  def phash64(media: Dataset[Media]): DataFrame = {
+    val lanes = col("lane_sums")
+    val total = aggregate(lanes, lit(0L), (a, x) => a + x)
+    val bitVals = typedLit((0 until 64).map(j => 1L << j))
+    decodeFeatures(media, dim = 64).toDF()
+      .select(col("media_id"),
+        aggregate(
+          zip_with(lanes, bitVals, (x, b) =>
+            when(x * 64L >= total, b).otherwise(0L)),
+          lit(0L), (a, b) => a.bitwiseOR(b)).as("ph"))
+  }
 }

@@ -59,4 +59,36 @@ class MultimodalSpec extends SparkSpec {
       .as[Array[Byte]].head()
     new String(out, "UTF-8") shouldBe "aceg"
   }
+
+  test("phash64: hand-computed bits, identical payloads collide, twins near") {
+    // 64 'a' bytes + one 'z': lane 0 sums 'a'+'z'=219, lanes 1..63 sum
+    // 97; total = 97*64 + 122. Only lane 0 reaches the mean -> bit 0.
+    val one = Multimodal.syntheticMedia(
+      Seq((2L, "a" * 64 + "z")).toDF("id", "t"), $"id", $"t")
+    Multimodal.phash64(one).select($"ph").as[Long].head() shouldBe 1L
+
+    val docs = Tables(spark, sf0001, "documents").limit(50)
+      .select($"doc_id", $"text")
+    val self = docs.unionByName(
+      docs.select(($"doc_id" + 1000L).as("doc_id"), $"text"))
+    val ph = Multimodal.phash64(
+      Multimodal.syntheticMedia(self, $"doc_id", $"text"))
+      .as[(Long, Long)].collect().toMap
+    // identical payloads hash identically
+    (0L until 50L).foreach { id =>
+      if (ph.contains(id)) ph(id) shouldBe ph(id + 1000L)
+    }
+    // a small byte append moves the hash by few bits
+    val tw = docs.select(($"doc_id" + 2000L).as("doc_id"),
+      concat($"text", lit(" xx")).as("text"))
+    val ph2 = Multimodal.phash64(
+      Multimodal.syntheticMedia(docs.unionByName(tw), $"doc_id", $"text"))
+      .as[(Long, Long)].collect().toMap
+    val dists = (0L until 50L).flatMap { id =>
+      for (a <- ph2.get(id); b <- ph2.get(id + 2000L))
+        yield java.lang.Long.bitCount(a ^ b)
+    }
+    dists should not be empty
+    (dists.sum.toDouble / dists.size) should be < 8.0
+  }
 }

@@ -123,6 +123,36 @@ class SelectionSpec extends SparkSpec {
     math.abs(out._3 - 4000L) should be < 1010L
   }
 
+  test("corpus_filter_fates: fates partition the corpus; dup branch fires") {
+    val out = SparkEntry.queries("corpus_filter_fates")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    out.values.sum shouldBe 500L // every doc gets exactly one fate
+    out.keySet should contain allOf ("kept", "low_quality", "eval_holdout")
+    // exact-dup branch on a corpus with a real duplicate: doc 3 copies
+    // doc 1's text; the higher id must lose (priority below quality
+    // and contamination, which don't fire here)
+    val docs = Seq(
+      (1L, ("the to of and " * 30).trim), // quality-passing
+      (3L, ("the to of and " * 30).trim),
+      (5L, ("be that have with " * 30).trim)
+    ).toDF("doc_id", "text")
+    val scored = docs.repartition($"doc_id")
+      .select($"doc_id",
+        graft.functions.TextAnalysis.qualityScoreOf(
+          graft.functions.TextAnalysis.profile($"text")).as("quality"),
+        graft.functions.TextAnalysis.fingerprint($"text").as("fp"))
+    val keepers = scored.groupBy($"fp").agg(min($"doc_id").as("keeper"))
+    val fates = scored.join(keepers, "fp")
+      .select($"doc_id",
+        when($"quality" < 0.3, "low_quality")
+          .when($"doc_id" =!= $"keeper", "duplicate")
+          .otherwise("kept").as("fate"))
+      .as[(Long, String)].collect().toMap
+    fates(1L) shouldBe "kept"
+    fates(3L) shouldBe "duplicate"
+    fates(5L) shouldBe "kept"
+  }
+
   test("Cdc.asOf at max seq == applyChangeset current snapshot size") {
     val docs = Tables(spark, sf0001, "documents")
     val base = docs.select($"doc_id", md5($"text").as("fp"))
