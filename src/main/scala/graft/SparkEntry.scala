@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -286,6 +286,20 @@ object SparkEntry {
     "vocab_top_tokens" -> { (s, dir) =>
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
+    },
+    // Language-ID CONFUSION MATRIX: the n-gram-marker predictor vs the
+    // labeled lang column — the eval table that decides whether the
+    // heuristic is good enough to route 100 TB by. One battery pass
+    // behind a barrier, one small aggregate.
+    "eval_langid_confusion" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(col("lang"), col("text"))
+        .repartition(col("lang"))
+        .select(col("lang"),
+          TextAnalysis.langIdOf(TextAnalysis.profile(col("text")))
+            .as("lang_pred"))
+        .groupBy(col("lang"), col("lang_pred"))
+        .agg(count(lit(1)).as("n_docs"))
     },
     // DSIR-style data selection: rank docs by target-domain likeness
     // under hashed-bigram bag models (u32-md5 buckets), scored by the
@@ -656,6 +670,31 @@ object SparkEntry {
         .select(col("doc_id"))
       Retention.deleteAudit(docs, deletes, col("doc_id"), col("source"))
         .withColumnRenamed("group", "source")
+    },
+    // Keyed pseudonymization with REFERENTIAL INTEGRITY: events and
+    // the customer dimension are pseudonymized INDEPENDENTLY with the
+    // same salt, then joined on the pseudonym — same cardinalities as
+    // the raw join, no raw id in the output. Salt stays out of the
+    // export; rotate it to unlink releases. Pure projections + one
+    // broadcast join.
+    "privacy_pseudonymize_events" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+        .select(Privacy.pseudonym(col("user_id"), "release1").as("puid"),
+          col("value"))
+      val cust = Tables(s, dir, "customer")
+        .select(Privacy.pseudonym(col("c_custkey"), "release1").as("puid"),
+          col("c_mktsegment").as("segment"))
+      ev.join(broadcast(cust), "puid")
+        .groupBy(col("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("puid")).as("n_users"),
+          Relational.exactValueSumE4.as("total_value_e4"))
+    },
+    // k-anonymity audit over customer quasi-identifiers: QI cells
+    // below k=5 rows are re-identifiable and flagged for suppression.
+    "privacy_k_anonymity" -> { (s, dir) =>
+      Privacy.kAnonymityAudit(Tables(s, dir, "customer"), k = 5L,
+        col("c_nationkey"), col("c_mktsegment"))
     },
     // QUALITY-ranked per-source selection: the 5 highest-quality docs
     // per source (ties by id) via the bounded top-k aggregate — "best
@@ -2518,6 +2557,31 @@ object SparkEntry {
     // deletion-audit replay: marker join against the request list,
     // exact integer counts and the order-independent u32(md5) survivor
     // digest
+    // pseudonym replay: same salt+md5 on both sides, join on pseudonym
+    "privacy_pseudonymize_events" ->
+      """WITH ev AS (
+        |  SELECT md5('release1:' || CAST(user_id AS VARCHAR)) AS puid,
+        |    value
+        |  FROM events),
+        |cu AS (
+        |  SELECT md5('release1:' || CAST(c_custkey AS VARCHAR)) AS puid,
+        |    c_mktsegment AS segment
+        |  FROM customer)
+        |SELECT segment, count(*) AS n_events,
+        |  count(DISTINCT ev.puid) AS n_users,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS total_value_e4
+        |FROM ev JOIN cu USING (puid) GROUP BY segment""".stripMargin,
+    "privacy_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+        |  count(*) < 5 AS suppressed
+        |FROM customer GROUP BY 1, 2""".stripMargin,
+    "eval_langid_confusion" -> {
+      import TextAnalysis.Sql._
+      s"""SELECT lang, ${langId("text")} AS lang_pred,
+         |  count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    },
     "gdpr_delete_documents" ->
       """WITH d AS (SELECT doc_id FROM documents WHERE doc_id % 97 = 3),
         |m AS (SELECT c.source, c.doc_id,

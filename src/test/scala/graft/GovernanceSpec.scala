@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusDiff, Retention}
+import graft.operators.{CorpusDiff, Privacy, Retention}
 import graft.functions.BpePairs
 
 /** Governance / maintenance operators: targeted deletion audit, BPE
@@ -114,5 +114,38 @@ class GovernanceSpec extends SparkSpec {
     // shares are exact integer ppm: each side sums to <= 1e6
     got.values.map(_._3).sum should be <= 1000000L
     got.values.map(_._4).sum should be <= 1000000L
+  }
+
+  test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
+    val ev = Tables(spark, sf0001, "events")
+    val cust = Tables(spark, sf0001, "customer")
+    // deterministic and salt-keyed
+    val a = ev.select(Privacy.pseudonym($"user_id", "s1").as("p"))
+      .distinct().as[String].collect().toSet
+    val b = ev.select(Privacy.pseudonym($"user_id", "s1").as("p"))
+      .distinct().as[String].collect().toSet
+    val c = ev.select(Privacy.pseudonym($"user_id", "s2").as("p"))
+      .distinct().as[String].collect().toSet
+    a shouldBe b
+    (a intersect c) shouldBe empty // rotating the salt unlinks releases
+    // referential integrity: pseudonymized join == raw join row count
+    val raw = ev.join(cust, ev("user_id") === cust("c_custkey")).count()
+    val pseudo = ev.select(Privacy.pseudonym($"user_id", "s1").as("p"))
+      .join(cust.select(Privacy.pseudonym($"c_custkey", "s1").as("p")), "p")
+      .count()
+    pseudo shouldBe raw
+  }
+
+  test("kAnonymityAudit: suppression boundary at exactly k") {
+    val df = (Seq.fill(5)(("US", "A")) ++ Seq.fill(4)(("US", "B")) ++
+      Seq.fill(1)(("FR", "A"))).toDF("country", "seg")
+    val out = Privacy.kAnonymityAudit(df, k = 5L, $"country", $"seg")
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    out(("US", "A")) shouldBe ((5L, false)) // exactly k: kept
+    out(("US", "B")) shouldBe ((4L, true))
+    out(("FR", "A")) shouldBe ((1L, true))
+    // audit partitions the table
+    out.values.map(_._1).sum shouldBe 10L
   }
 }
