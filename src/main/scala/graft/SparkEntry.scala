@@ -1018,6 +1018,17 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 8, nProbe = 3, trainN = 128, iters = 2)
     },
+    // Contrastive TRIPLET mining (anchor, nearest-neighbor positive,
+    // md5-sampled negatives) — the training-data assembly step for
+    // embedding models; negatives are deterministic so the triplet
+    // set replays exactly. Anchors broadcast; bounded TopK both legs.
+    "train_triplets_embeddings" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.contrastiveTriplets(
+        emb.filter(col("vec_id") < 16), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nNegatives = 3)
+    },
     // Product quantization codes (32x embedding compression): 8
     // subspaces x 16 anchored centroids, long-format (vec_id, subspace,
     // code, round-6 quantization error). One codegen'd scan — the
@@ -3403,6 +3414,41 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // triplet replay: brute top-1 positive per anchor; negatives by
+    // u32(md5('anchor:cand')) ascending with anchor/positive excluded,
+    // re-ranked dense 1..3
+    "train_triplets_embeddings" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |pos AS (
+         |  SELECT anchor_id, neighbor_id AS positive_id, score
+         |    AS pos_score
+         |  FROM (
+         |    SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         |      round(list_sum([q.e[i] * c.e[i]
+         |        FOR i IN range(1, len(q.e) + 1)]), 6) AS score,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY round(list_sum([q.e[i] * c.e[i]
+         |          FOR i IN range(1, len(q.e) + 1)]), 6) DESC, c.vec_id)
+         |        AS rk
+         |    FROM v q JOIN v c
+         |      ON q.vec_id < 16 AND q.vec_id <> c.vec_id)
+         |  WHERE rk = 1),
+         |neg AS (
+         |  SELECT p.anchor_id, p.positive_id, p.pos_score,
+         |    e.vec_id AS negative_id,
+         |    row_number() OVER (PARTITION BY p.anchor_id
+         |      ORDER BY ('0x' || substr(md5(
+         |        CAST(p.anchor_id AS VARCHAR) || ':' ||
+         |        CAST(e.vec_id AS VARCHAR)), 1, 8))::BIGINT, e.vec_id)
+         |      AS neg_rank
+         |  FROM pos p CROSS JOIN embeddings e
+         |  WHERE e.vec_id <> p.anchor_id AND e.vec_id <> p.positive_id)
+         |SELECT anchor_id, positive_id, pos_score,
+         |  CAST(neg_rank AS INT) AS neg_rank, negative_id
+         |FROM neg WHERE neg_rank <= 3""".stripMargin,
 
     "rel_revenue_by_region" ->
       """SELECT r_name AS region_name,

@@ -547,6 +547,57 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
   }
 
+  /** CONTRASTIVE TRIPLET mining — the training-data assembly step for
+    * embedding models: every anchor pairs with its nearest neighbor as
+    * the POSITIVE and `nNegatives` md5-sampled corpus rows as
+    * NEGATIVES (random negatives, the standard InfoNCE baseline;
+    * hard-negative mining would rank by cosine instead of md5 — same
+    * topology, swap the negative score). Negatives are deterministic
+    * (u32-md5 of "anchor:candidate" ranks the corpus per anchor), so
+    * the whole triplet set replays exactly in SQL.
+    *
+    * Shape: positives ride [[bruteForceTopK]] (broadcast anchors, one
+    * corpus pass, bounded TopK); negatives broadcast the anchor roster
+    * against the corpus ID STREAM (ids only — vectors are dead weight
+    * here) and reduce through the same bounded TopK — no per-anchor
+    * window over the corpus. Anchor batches are small by contract
+    * (they are broadcast); mine big anchor sets in batches. */
+  def contrastiveTriplets(anchors: DataFrame, corpus: DataFrame,
+                          aId: Column, aVec: Column,
+                          cId: Column, cVec: Column,
+                          nNegatives: Int = 3): DataFrame = {
+    val pos = bruteForceTopK(anchors, corpus, k = 1, aId, aVec, cId, cVec)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("positive_id"),
+        col("score").as("pos_score"))
+    val roster = anchors.select(aId.cast("long").as("anchor_id"))
+    val candidates = corpus.select(cId.cast("long").as("cand_id"))
+      .crossJoin(broadcast(roster))
+    // rank candidates per anchor by u32(md5("anchor:cand")) ASC ==
+    // TopK score DESC on the negated hash; ties impossible below u32
+    // collision, and the id tiebreak is deterministic anyway
+    val ranked = TopK.perQuery(
+      candidates.select(col("anchor_id").as("query_id"),
+        col("cand_id").as("neighbor_id"),
+        (-conv(substring(md5(concat(col("anchor_id").cast("string"),
+          lit(":"), col("cand_id").cast("string"))), 1, 8), 16, 10)
+          .cast("double")).as("score")),
+      // +2 spare slots: anchor itself and the positive are filtered out
+      nNegatives + 2)
+    ranked.join(broadcast(pos), ranked("query_id") === pos("anchor_id"))
+      .filter(col("neighbor_id") =!= col("anchor_id") &&
+        col("neighbor_id") =!= col("positive_id"))
+      // re-rank after the exclusions so neg_rank is dense 1..n
+      .select(col("anchor_id"), col("positive_id"), col("pos_score"),
+        col("neighbor_id").as("negative_id"), col("rank"))
+      .withColumn("neg_rank",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("anchor_id")).orderBy(col("rank"))))
+      .filter(col("neg_rank") <= nNegatives)
+      .select(col("anchor_id"), col("positive_id"), col("pos_score"),
+        col("neg_rank"), col("negative_id"))
+  }
+
   /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated
     * query batches build the index once and persist `assigned` instead:
     * the per-call corpus pass here costs about as much as brute force

@@ -34,6 +34,8 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_pq_adc",
     "similarity_topk_embeddings",
     "similarity_ann_embeddings",
+    "train_triplets_embeddings", // bounded anchor roster broadcast
+
     "rag_retrieval_pipeline",
     "mix_sources_weighted",
     "mix_temperature_lang", // same single-row totals broadcast as mix_sources

@@ -198,6 +198,35 @@ class SimilaritySpec extends SparkSpec {
     ivf.foreach { case (q, n, s) => brute((q, n)) shouldBe s }
   }
 
+  test("contrastiveTriplets: true top-1 positive, clean negatives, dense ranks") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val anchors = emb.filter($"vec_id" < 16)
+    val trip = Similarity.contrastiveTriplets(anchors, emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", nNegatives = 3)
+      .collect()
+    trip.length shouldBe 48 // 16 anchors x 3 negatives
+    val top1 = Similarity.bruteForceTopK(anchors, emb, 1,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)]
+      .collect().toMap
+    trip.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rows) =>
+      rows.foreach { r =>
+        r.getAs[Long]("positive_id") shouldBe top1(a)
+        val neg = r.getAs[Long]("negative_id")
+        neg should not be a
+        neg should not be top1(a)
+      }
+      rows.map(_.getAs[Int]("neg_rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
+      // negatives are distinct within an anchor
+      rows.map(_.getAs[Long]("negative_id")).distinct.length shouldBe 3
+    }
+    // deterministic across runs
+    val again = Similarity.contrastiveTriplets(anchors, emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", nNegatives = 3)
+      .collect()
+    again.map(_.toString).sorted shouldBe trip.map(_.toString).sorted
+  }
+
   test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
     val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
     val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
