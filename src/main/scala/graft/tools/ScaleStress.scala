@@ -328,6 +328,24 @@ object ScaleStress {
         .select(col("id"))
       Retention.deleteAudit(docs, dels, col("id"), col("key")).count()
     }
+    time(s"pagerank 5 rounds, $rows edges / 100k nodes") {
+      val edges = docs.select(
+        pmod(xxhash64(col("id")), lit(100000)).as("src"),
+        pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("dst"))
+      PageRank.run(edges, iters = 5).count()
+    }
+    time(s"boolean 3-term search over $rows docs") {
+      graft.functions.Search.booleanAnd(docs, col("id"), col("text"),
+        Seq("w1", "w2", "w3"), k = 20).count()
+    }
+    time(s"dsir importance scoring over $rows docs") {
+      graft.functions.Dsir.topKByImportance(docs, col("id"), col("text"),
+        pmod(col("id"), lit(10)) === 0, k = 50).count()
+    }
+    time(s"tokenizer encode (500-word vocab) over $rows docs") {
+      graft.functions.Vocab.encode(docs, col("id"), col("text"),
+        k = 500).count()
+    }
     spark.stop()
   }
 }
