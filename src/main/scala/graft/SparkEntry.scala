@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -670,6 +670,43 @@ object SparkEntry {
         .select(col("doc_id"))
       Retention.deleteAudit(docs, deletes, col("doc_id"), col("source"))
         .withColumnRenamed("group", "source")
+    },
+    // Declarative VALIDATION SUITE (Deequ-style contract gate): five
+    // row-local rules fold into ONE conditional-sum scan, uniqueness is
+    // one keyed aggregation, FK integrity one anti-join — a |rules|-row
+    // report with a pass verdict per rule. quantity_le_25 is a
+    // deliberately tight rule so the failure path shows real counts.
+    "validate_lineitem_contract" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      Validation.suite(
+        Validation.rowRules(li, Seq(
+          "quantity_in_1_50" -> !col("l_quantity").between(1, 50),
+          "quantity_le_25" -> (col("l_quantity") > 25),
+          "price_positive" -> (col("l_extendedprice") <= 0),
+          "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+          "shipdate_not_null" -> col("l_shipdate").isNull)),
+        Validation.uniqueness(li, "pk_unique",
+          col("l_orderkey"), col("l_linenumber")),
+        Validation.referential(li, col("l_orderkey"),
+          orders, col("o_orderkey"), "fk_orders"))
+    },
+    // Fuzzy ENTITY MATCHING: candidate pairs blocked by nation (the
+    // classic blocking-key topology — pairs only within a block, never
+    // corpus x corpus), scored by edit distance; levenshtein is the
+    // same DP integer in every engine, so the match set replays.
+    "entity_match_customers" -> { (s, dir) =>
+      val c = Tables(s, dir, "customer")
+        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
+      c.as("a").join(c.as("b"),
+          col("a.c_nationkey") === col("b.c_nationkey") &&
+            col("a.c_custkey") < col("b.c_custkey") &&
+            levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
+        .select(col("a.c_custkey").as("custkey_a"),
+          col("b.c_custkey").as("custkey_b"),
+          col("a.c_nationkey").as("nationkey"),
+          levenshtein(col("a.c_name"), col("b.c_name")).cast("long")
+            .as("name_dist"))
     },
     // Keyed pseudonymization with REFERENTIAL INTEGRITY: events and
     // the customer dimension are pseudonymized INDEPENDENTLY with the
@@ -2568,6 +2605,34 @@ object SparkEntry {
     // deletion-audit replay: marker join against the request list,
     // exact integer counts and the order-independent u32(md5) survivor
     // digest
+    "validate_lineitem_contract" ->
+      """SELECT rule, n_violations, n_violations = 0 AS passed FROM (
+        |  SELECT 'quantity_in_1_50' AS rule, CAST(count(*) FILTER
+        |    (NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+        |    AS n_violations FROM lineitem
+        |  UNION ALL SELECT 'quantity_le_25', count(*) FILTER
+        |    (l_quantity > 25) FROM lineitem
+        |  UNION ALL SELECT 'price_positive', count(*) FILTER
+        |    (l_extendedprice <= 0) FROM lineitem
+        |  UNION ALL SELECT 'returnflag_domain', count(*) FILTER
+        |    (l_returnflag NOT IN ('A', 'N', 'R')) FROM lineitem
+        |  UNION ALL SELECT 'shipdate_not_null', count(*) FILTER
+        |    (l_shipdate IS NULL) FROM lineitem
+        |  UNION ALL SELECT 'pk_unique', CAST(coalesce(sum(cnt - 1), 0)
+        |    AS BIGINT) FROM (SELECT count(*) AS cnt FROM lineitem
+        |                     GROUP BY l_orderkey, l_linenumber)
+        |  UNION ALL SELECT 'fk_orders', count(*) FROM lineitem l
+        |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
+        |) t""".stripMargin,
+    "entity_match_customers" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |  a.c_nationkey AS nationkey,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey
+        | AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     // pseudonym replay: same salt+md5 on both sides, join on pseudonym
     "privacy_pseudonymize_events" ->
       """WITH ev AS (

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{CorpusDiff, Privacy, Retention}
+import graft.operators.{CorpusDiff, Privacy, Retention, Validation}
 import graft.functions.BpePairs
 
 /** Governance / maintenance operators: targeted deletion audit, BPE
@@ -114,6 +114,44 @@ class GovernanceSpec extends SparkSpec {
     // shares are exact integer ppm: each side sums to <= 1e6
     got.values.map(_._3).sum should be <= 1000000L
     got.values.map(_._4).sum should be <= 1000000L
+  }
+
+  test("validation suite: hand-computed violations, empty-table guard") {
+    val df = Seq((1L, 10.0, "A"), (2L, 60.0, "X"), (2L, 5.0, "N"))
+      .toDF("id", "qty", "flag")
+    val report = Validation.suite(
+      Validation.rowRules(df, Seq(
+        "qty_le_50" -> ($"qty" > 50),
+        "flag_domain" -> !$"flag".isin("A", "N", "R"))),
+      Validation.uniqueness(df, "id_unique", $"id"),
+      Validation.referential(df, $"id",
+        Seq(1L).toDF("pid"), $"pid", "fk_parent"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    report("qty_le_50") shouldBe ((1L, false))
+    report("flag_domain") shouldBe ((1L, false))
+    report("id_unique") shouldBe ((1L, false)) // id 2 twice -> 1 extra
+    report("fk_parent") shouldBe ((2L, false)) // both id-2 rows orphaned
+    // empty table: all zero, all passed (the coalesce guard)
+    val empty = df.filter($"id" < 0)
+    Validation.suite(Validation.rowRules(empty, Seq(
+      "qty_le_50" -> ($"qty" > 50))))
+      .as[(String, Long, Boolean)].head() shouldBe (("qty_le_50", 0L, true))
+  }
+
+  test("entity matching: levenshtein pairs stay inside their block") {
+    val c = Tables(spark, sf0001, "customer")
+    val pairs = SparkEntry.queries("entity_match_customers")(spark, sf0001)
+      .collect()
+    pairs should not be empty
+    val nation = c.select($"c_custkey", $"c_nationkey")
+      .as[(Long, Long)].collect().toMap
+    pairs.foreach { r =>
+      val (a, b) = (r.getAs[Long]("custkey_a"), r.getAs[Long]("custkey_b"))
+      a should be < b
+      nation(a) shouldBe nation(b) // blocking respected
+      r.getAs[Long]("name_dist") should be <= 2L
+    }
   }
 
   test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
