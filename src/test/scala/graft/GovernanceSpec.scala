@@ -152,6 +152,26 @@ class GovernanceSpec extends SparkSpec {
       nation(a) shouldBe nation(b) // blocking respected
       r.getAs[Long]("name_dist") should be <= 2L
     }
+    // contract: segment blocking is pigeonhole-COMPLETE for
+    // substitution distance (every hamming<=2 pair survives) and a
+    // SUBSET of the unrestricted levenshtein truth (indel-SHIFTED
+    // pairs like key 123 vs 1230 — lev 2 but many positional diffs —
+    // need PassJoin's shifted probes and are out of contract)
+    val full = c.as("a").join(c.as("b"),
+        $"a.c_nationkey" === $"b.c_nationkey" &&
+          $"a.c_custkey" < $"b.c_custkey" &&
+          levenshtein($"a.c_name", $"b.c_name") <= 2)
+      .select($"a.c_custkey", $"b.c_custkey", $"a.c_name", $"b.c_name")
+      .as[(Long, Long, String, String)].collect()
+    val fullSet = full.map(p => (p._1, p._2)).toSet
+    val hammingSet = full.filter { case (_, _, na, nb) =>
+      na.length == nb.length &&
+        na.zip(nb).count { case (x, y) => x != y } <= 2
+    }.map(p => (p._1, p._2)).toSet
+    val got = pairs.map(r => (r.getAs[Long]("custkey_a"),
+      r.getAs[Long]("custkey_b"))).toSet
+    got.subsetOf(fullSet) shouldBe true // every match verified real
+    hammingSet.subsetOf(got) shouldBe true // substitution-complete
   }
 
   test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
