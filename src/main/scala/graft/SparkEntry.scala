@@ -712,6 +712,18 @@ object SparkEntry {
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
           col("block").as("nationkey"), col("name_dist"))
     },
+    // FULL-edit-distance entity matching (FastSS deletion
+    // neighborhoods): complete for lev<=2 INCLUDING the indel-shifted
+    // pairs aligned-segment blocking misses. The oracle is the
+    // brute-force within-block levenshtein join — the hash-match
+    // PROVES the blocking lossless on this corpus.
+    "entity_match_indel_customers" -> { (s, dir) =>
+      EntityMatch.deletionNeighborhoodPairs(
+        Tables(s, dir, "customer"),
+        col("c_custkey"), col("c_name"), col("c_nationkey"))
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("block").as("nationkey"), col("name_dist"))
+    },
     // Keyed pseudonymization with REFERENTIAL INTEGRITY: events and
     // the customer dimension are pseudonymized INDEPENDENTLY with the
     // same salt, then joined on the pseudonym — same cardinalities as
@@ -2646,6 +2658,15 @@ object SparkEntry {
         |SELECT custkey_a, custkey_b, nationkey,
         |  CAST(levenshtein(na, nb) AS BIGINT) AS name_dist
         |FROM cand WHERE levenshtein(na, nb) <= 2""".stripMargin,
+    // the GROUND TRUTH, not a blocking replay: matching it proves the
+    // deletion-neighborhood candidates lossless for lev<=2
+    "entity_match_indel_customers" ->
+      """SELECT a.c_custkey AS custkey_a, b.c_custkey AS custkey_b,
+        |  a.c_nationkey AS nationkey,
+        |  CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS name_dist
+        |FROM customer a JOIN customer b
+        |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
     // pseudonym replay: same salt+md5 on both sides, join on pseudonym
     "privacy_pseudonymize_events" ->
       """WITH ev AS (

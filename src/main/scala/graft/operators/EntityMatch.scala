@@ -28,6 +28,69 @@ object EntityMatch {
     * actually discriminate — constant prefixes make every row collide
     * and give the quadratic block back). Output:
     * (id_a, id_b, block, name_dist). */
+  /** Every string reachable from `s` by deleting at most `maxDist`
+    * single characters (FastSS / deletion-neighborhood blocking,
+    * Bocek et al. 2007): if lev(a, b) <= d then some string is
+    * reachable from BOTH by <= d deletions (delete, from each side,
+    * the positions the optimal alignment edits), so an equi-join on
+    * the variant value finds every pair — INCLUDING indel-shifted
+    * ones that evade aligned-segment blocking ([[blockedPairs]]'
+    * documented gap). Variants keep every undeleted character, so
+    * the join key carries the string's full entropy minus <= d chars:
+    * no universal hot key even on zero-padded tails, where contiguous
+    * PassJoin segments collide on the constant run. Cost: 1 + L +
+    * L*(L-1)/2 variant rows per string of length L (172 for L = 18) —
+    * a bounded blow-up of the short KEY column, never of the corpus
+    * payload. maxDist is fixed at 2 (the explode is hand-unrolled;
+    * d >= 3 neighborhoods grow combinatorially and PassJoin wins). */
+  private[graft] def deletionVariants(s: Column): Column = {
+    val len = length(s)
+    val emptyArr = array().cast("array<string>")
+    // sequence(0, -1) DESCENDS in Spark — guard the short-string ends
+    val del1 = when(len >= 1, transform(sequence(lit(0), len - 1), i =>
+      concat(s.substr(lit(1), i), s.substr(i + lit(2), len))))
+      .otherwise(emptyArr)
+    // delete 0-based positions i < j: three surviving runs
+    val del2 = when(len >= 2,
+      flatten(transform(sequence(lit(0), len - 2), i =>
+        transform(sequence(i + 1, len - 1), j =>
+          concat(s.substr(lit(1), i),
+            s.substr(i + lit(2), j - i - 1),
+            s.substr(j + lit(2), len))))))
+      .otherwise(emptyArr)
+    array_distinct(concat(array(s), del1, del2))
+  }
+
+  /** Candidate pairs complete for FULL edit distance <= 2 (not just
+    * substitutions): same `block`, deletion neighborhoods intersect,
+    * verified `levenshtein(str) <= 2`. The gate-side oracle for this
+    * operator is the brute-force within-block levenshtein join — a
+    * hash-match against it proves the blocking lossless on real data.
+    * Output: (id_a, id_b, block, name_dist). */
+  def deletionNeighborhoodPairs(df: DataFrame, idCol: Column,
+                                strCol: Column,
+                                blockCol: Column): DataFrame = {
+    val base = df.select(idCol.as("id"), strCol.as("name"),
+      blockCol.as("blk"))
+    val varred = base
+      .select(col("id"), col("name"), col("blk"),
+        explode(deletionVariants(col("name"))).as("variant"))
+      .repartition(col("blk"), col("variant"))
+    varred.as("a")
+      .join(varred.as("b"),
+        col("a.blk") === col("b.blk") &&
+          col("a.variant") === col("b.variant") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        col("a.blk").as("block"),
+        col("a.name").as("__na"), col("b.name").as("__nb"))
+      .distinct()
+      .withColumn("name_dist",
+        levenshtein(col("__na"), col("__nb")).cast("long"))
+      .filter(col("name_dist") <= 2)
+      .drop("__na", "__nb")
+  }
+
   def blockedPairs(df: DataFrame, idCol: Column, nameCol: Column,
                    blockCol: Column, segs: Column => Seq[Column],
                    maxDist: Int): DataFrame = {

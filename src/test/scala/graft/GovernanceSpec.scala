@@ -174,6 +174,72 @@ class GovernanceSpec extends SparkSpec {
     hammingSet.subsetOf(got) shouldBe true // substitution-complete
   }
 
+  test("deletionVariants: exact neighborhood; short strings safe") {
+    import graft.operators.EntityMatch
+    def variants(s: String): Set[String] =
+      Seq(s).toDF("s")
+        .select(EntityMatch.deletionVariants($"s").as("v"))
+        .as[Seq[String]].head().toSet
+    // reference neighborhood by direct enumeration
+    def ref(s: String): Set[String] = {
+      val d1 = s.indices.map(i => s.take(i) + s.drop(i + 1)).toSet
+      val d2 = for (a <- d1; i <- a.indices)
+        yield a.take(i) + a.drop(i + 1)
+      d2 ++ d1 + s
+    }
+    for (s <- Seq("", "a", "ab", "abc", "1230", "Customer#000000042"))
+      variants(s) shouldBe ref(s)
+    variants("abcde").size shouldBe (1 + 5 + 10)
+  }
+
+  test("deletionNeighborhoodPairs: complete for lev<=2 incl. indels") {
+    import graft.operators.EntityMatch
+    // the documented aligned-segment gap: key 123 vs 1230 (lev 1,
+    // every position after the shift differs)
+    val rows = Seq(
+      (1L, "Customer#000000123", 0L), (2L, "Customer#000001230", 0L),
+      (3L, "Customer#000000999", 0L), (4L, "Customer#000000124", 0L),
+      (5L, "Customer#000000123", 1L), // other block: never paired
+      // random-ish tails, some within 2 edits
+      (6L, "Customer#00451198", 0L), (7L, "Customer#000451198", 0L),
+      (8L, "Customer#770000001", 0L))
+      .toDF("id", "name", "blk")
+    val got = EntityMatch.deletionNeighborhoodPairs(
+      rows, $"id", $"name", $"blk")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    // brute-force truth within block
+    val all = rows.as[(Long, String, Long)].collect()
+    val truth = (for {
+      a <- all; b <- all
+      if a._3 == b._3 && a._1 < b._1
+      d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a._2, b._2).toLong
+      if d <= 2
+    } yield (a._1, b._1) -> d).toMap
+    got shouldBe truth
+    got.keySet should contain((1L, 2L)) // the indel-shifted pair
+    // fuzz: random digit tails, completeness vs brute force
+    val rnd = new scala.util.Random(7)
+    val fuzz = (0 until 120).map { i =>
+      (i.toLong, "C#" + (0 until rnd.nextInt(4) + 6)
+        .map(_ => ('0' + rnd.nextInt(3)).toChar).mkString, i.toLong % 2)
+    }
+    val fdf = fuzz.toDF("id", "name", "blk")
+    val fgot = EntityMatch.deletionNeighborhoodPairs(
+      fdf, $"id", $"name", $"blk")
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val ftruth = (for {
+      a <- fuzz; b <- fuzz
+      if a._3 == b._3 && a._1 < b._1
+      d = org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a._2, b._2).toLong
+      if d <= 2
+    } yield (a._1, b._1) -> d).toMap
+    fgot shouldBe ftruth
+  }
+
   test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
     val ev = Tables(spark, sf0001, "events")
     val cust = Tables(spark, sf0001, "customer")
