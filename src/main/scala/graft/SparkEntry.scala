@@ -354,6 +354,40 @@ object SparkEntry {
       graft.functions.CountMin.heavyHitters(toks, col("term"),
         depth = 4, width = 1024, phiNum = 1L, phiDen = 100L)
     },
+    // Join-SIZE estimation from CMS sketches alone (AMS inner product):
+    // |orders ⋈ events ON o_custkey = user_id| estimated from two
+    // 4x1024 sketches — neither table is touched beyond its one
+    // sketch-building pass, the estimate is min over hash rows of the
+    // cell-wise inner product (only ever OVERcounts). The exact twin
+    // rides per-key count tables (never materializing the join), tagged
+    // d=-1 into the same union so the final one-row result needs no
+    // single-row cross join. Planner use case: size every candidate
+    // join from per-column sketches built once in the profiling pass.
+    "profile_join_cardinality" -> { (s, dir) =>
+      val cm = graft.functions.CountMin
+      // width rule: the inner product's excess is ~(|A|·|B|)/width per
+      // row — size width to the PRODUCT of stream lengths over the
+      // tolerable absolute error, not to the distinct-key count
+      val skO = cm.sketch(Tables(s, dir, "orders"),
+        col("o_custkey").cast("string"), depth = 4, width = 65536)
+      val skE = cm.sketch(Tables(s, dir, "events"),
+        col("user_id").cast("string"), depth = 4, width = 65536)
+      val ip = cm.joinCardinalityByRow(skO, skE)
+        .select(col("d"), col("ip").as("v"))
+      val exact = Tables(s, dir, "orders")
+        .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("ca"))
+        .join(Tables(s, dir, "events")
+          .groupBy(col("user_id").as("k")).agg(count(lit(1)).as("cb")),
+          "k")
+        .agg(sum(col("ca") * col("cb")).as("v"))
+        .select(lit(-1).as("d"), coalesce(col("v"), lit(0L)).as("v"))
+      ip.union(exact)
+        .agg(min(when(col("d") >= 0, col("v"))).as("est_join_rows"),
+          max(when(col("d") === -1, col("v"))).as("exact_join_rows"))
+        .select(col("est_join_rows"), col("exact_join_rows"),
+          expr("(est_join_rows - exact_join_rows) * 1000000L" +
+            " div exact_join_rows").as("overcount_ppm"))
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -1059,6 +1093,21 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4)
     },
+    // IVF index PERSISTENCE: build the anchored index once, write it
+    // partitioned BY CELL, re-open, query — the amortization path that
+    // makes IVF beat brute force (the per-batch cost is the probed
+    // cells' FILES, never the corpus). Same oracle as ivf_anchored:
+    // the round-trip through parquet must change nothing.
+    "similarity_ivf_persisted" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val tmp = scratchDir("ivf-index")
+      Similarity.writeIvfIndex(
+        Similarity.ivfIndexAnchored(emb, col("vec_id"), col("embedding"),
+          nCells = 16, nProbe = 4), tmp)
+      val idx = Similarity.readIvfIndex(s, tmp, nProbe = 4)
+      Similarity.ivfQuery(idx, emb.filter(col("vec_id") < 10), k = 5,
+        col("vec_id"), col("embedding"))
+    },
     // IVF with a FITTED-and-still-exact quantizer: 2 Lloyd rounds over
     // integer-quantized lanes of the first-128 train slice (floor-mean
     // centroids, BIGINT distances, ties to the lower cell) — k-means
@@ -1078,6 +1127,17 @@ object SparkEntry {
     "train_triplets_embeddings" -> { (s, dir) =>
       val emb = Tables(s, dir, "embeddings")
       Similarity.contrastiveTriplets(
+        emb.filter(col("vec_id") < 16), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nNegatives = 3)
+    },
+    // HARD-negative triplets: negatives are the closest corpus rows
+    // after the positive (cosine-ranked, DPR-style) instead of
+    // md5-sampled — one bruteForceTopK pass serves both legs, and
+    // neg_score is emitted for semi-hard band filtering downstream.
+    "train_hard_negatives" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.hardNegativeTriplets(
         emb.filter(col("vec_id") < 16), emb,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nNegatives = 3)
@@ -2237,6 +2297,35 @@ object SparkEntry {
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
+    // AMS join-size replay: same md5 cells, row-wise inner products,
+    // min over rows; exact twin from per-key count tables
+    "profile_join_cardinality" ->
+      """WITH ds AS (SELECT unnest(range(0, 4)) AS d),
+        |ska AS (
+        |  SELECT d,
+        |    ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||
+        |      CAST(o_custkey AS VARCHAR)),1,8))::BIGINT % 65536 AS cell,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM orders CROSS JOIN ds GROUP BY 1, 2),
+        |skb AS (
+        |  SELECT d,
+        |    ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||
+        |      CAST(user_id AS VARCHAR)),1,8))::BIGINT % 65536 AS cell,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN ds GROUP BY 1, 2),
+        |ip AS (
+        |  SELECT a.d, sum(a.cnt * b.cnt) AS v
+        |  FROM ska a JOIN skb b USING (d, cell) GROUP BY 1),
+        |ex AS (
+        |  SELECT coalesce(sum(ca * cb), 0) AS v
+        |  FROM (SELECT o_custkey AS k, count(*) AS ca
+        |        FROM orders GROUP BY 1) oa
+        |  JOIN (SELECT user_id AS k, count(*) AS cb
+        |        FROM events GROUP BY 1) eb USING (k))
+        |SELECT CAST((SELECT min(v) FROM ip) AS BIGINT) AS est_join_rows,
+        |  CAST((SELECT v FROM ex) AS BIGINT) AS exact_join_rows,
+        |  CAST(((SELECT min(v) FROM ip) - (SELECT v FROM ex)) * 1000000
+        |    // (SELECT v FROM ex) AS BIGINT) AS overcount_ppm""".stripMargin,
     // DuckDB `//` == Spark `DIV` (integer division); u32*2^20 < 2^63.
     "sample_weighted_documents" ->
       """WITH w AS (
@@ -3380,6 +3469,37 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // persisted-index replay == the anchored-index replay: the parquet
+    // round trip of (cell, neighbor_id, normalized cv) is lossless
+    "similarity_ivf_persisted" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+         |cellrank AS (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE) * c.e[i]
+         |        FOR i IN range(1, len(c.e) + 1)]) DESC, c.cell) AS rnk
+         |  FROM embeddings q CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |probes AS (SELECT vec_id, cell FROM cellrank
+         |           WHERE rnk <= 4 AND vec_id < 10),
+         |scored AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id,
+         |    round(list_sum([qe.e[i] * ce.e[i]
+         |      FOR i IN range(1, len(qe.e) + 1)]), 6) AS score
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+         |  JOIN v qe ON qe.vec_id = p.vec_id
+         |  JOIN v ce ON ce.vec_id = a.vec_id)
+         |SELECT query_id, neighbor_id, rank, score FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
+         |WHERE rank <= 5""".stripMargin,
     // fitted-quantizer replay: quantize lanes to BIGINT (floor * 2^20),
     // unroll the 2 Lloyd rounds over the first-128 train slice in
     // integer CTEs (argmin ties to the lower cell; floor-mean lanes),
@@ -3548,6 +3668,28 @@ object SparkEntry {
          |SELECT anchor_id, positive_id, pos_score,
          |  CAST(neg_rank AS INT) AS neg_rank, negative_id
          |FROM neg WHERE neg_rank <= 3""".stripMargin,
+    // hard-negative replay: one cosine ranking per anchor; rank 1 is
+    // the positive, ranks 2..4 the negatives (dense neg_rank = rk-1)
+    "train_hard_negatives" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS anchor_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q.e[i] * c.e[i]
+         |      FOR i IN range(1, len(q.e) + 1)]), 6) AS score,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY round(list_sum([q.e[i] * c.e[i]
+         |        FOR i IN range(1, len(q.e) + 1)]), 6) DESC, c.vec_id)
+         |      AS rk
+         |  FROM v q JOIN v c ON q.vec_id < 16 AND q.vec_id <> c.vec_id)
+         |SELECT s.anchor_id, p.neighbor_id AS positive_id,
+         |  p.score AS pos_score, CAST(s.rk - 1 AS INT) AS neg_rank,
+         |  s.neighbor_id AS negative_id, s.score AS neg_score
+         |FROM scored s JOIN scored p
+         |  ON s.anchor_id = p.anchor_id AND p.rk = 1
+         |WHERE s.rk BETWEEN 2 AND 4""".stripMargin,
 
     "rel_revenue_by_region" ->
       """SELECT r_name AS region_name,

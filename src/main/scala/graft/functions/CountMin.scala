@@ -73,6 +73,26 @@ object CountMin {
       .filter(col("cms_count") * phiDen >= lit(n) * phiNum)
   }
 
+  /** Equi-join SIZE estimation from two sketches built with the SAME
+    * (depth, width) over the two join-key occurrence streams (AMS /
+    * Alon-Gian-Matias-Szegedy style, via the CMS inner product —
+    * Cormode & Muthukrishnan §4.2): |A ⋈ B on k| = Σ_v fA(v)·fB(v),
+    * and each hash row's cell-wise inner product Σ_c AT[d,c]·BT[d,c]
+    * equals that sum PLUS non-negative collision cross-terms — so
+    * every row OVERestimates and min over rows is the tightest bound.
+    * Returns (d, ip): one row per hash row; min(ip) is the estimate.
+    *
+    * The planner use case: size a join from two sketch-sized inputs
+    * (depth*width rows each) WITHOUT touching either table — at 100 TB
+    * the sketches are built once per column in the profiling pass and
+    * every candidate join sizes from them for free. */
+  def joinCardinalityByRow(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("d"), col("cell"), col("cnt").as("__ca"))
+      .join(b.select(col("d"), col("cell"), col("cnt").as("__cb")),
+        Seq("d", "cell"))
+      .groupBy(col("d"))
+      .agg(sum(col("__ca") * col("__cb")).as("ip"))
+
   /** Point-query the sketch for every row of `candidates`: min over the
     * term's `depth` cells (missing cell = 0 occurrences hashed there,
     * so the estimate — and hence the true count — is 0). The sketch is

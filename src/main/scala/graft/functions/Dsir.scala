@@ -47,8 +47,15 @@ object Dsir {
       .select(col("id"), col("__tgt"),
         (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
           % nBuckets).as("bucket"))
+    // materialized once: docBucket feeds BOTH the weight table and the
+    // scoring join. ReuseExchange USUALLY dedups the two subtrees, but
+    // that is a physical-planner courtesy, not a contract — a second
+    // tokenize+explode pass over the raw corpus is the one cost that
+    // must never happen at 100 TB, so pin it. The pinned table is
+    // (doc × ≤nBuckets) counts — orders of magnitude under the corpus.
     val docBucket = pairs.groupBy(col("id"), col("__tgt"), col("bucket"))
       .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val bucketStats = docBucket.groupBy(col("bucket"))
       .agg(sum(col("c")).as("cnt_raw"),
         sum(when(col("__tgt"), col("c")).otherwise(0L)).as("cnt_tgt"))

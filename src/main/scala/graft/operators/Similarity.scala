@@ -406,8 +406,7 @@ object Similarity {
                       qId: Column, qVec: Column, cId: Column, cVec: Column,
                       nCells: Int = 16, nProbe: Int = 4,
                       excludeSelf: Boolean = true): DataFrame = {
-    val cents = anchoredUnitCentroids(corpus, cId, cVec, nCells)
-    val index = IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
+    val index = ivfIndexAnchored(corpus, cId, cVec, nCells, nProbe)
     ivfQuery(index, queries, k, qId, qVec, excludeSelf)
   }
 
@@ -596,6 +595,80 @@ object Similarity {
       .filter(col("neg_rank") <= nNegatives)
       .select(col("anchor_id"), col("positive_id"), col("pos_score"),
         col("neg_rank"), col("negative_id"))
+  }
+
+  /** Hard-negative mining: the SAME triplet assembly as
+    * [[contrastiveTriplets]] but negatives are the CLOSEST corpus rows
+    * after the positive (cosine-ranked), not md5-sampled — the
+    * hard-negative regime of contrastive training (DPR-style). ONE
+    * [[bruteForceTopK]] pass serves both legs: rank 1 is the positive,
+    * ranks 2..n+1 the hardest negatives (vs contrastiveTriplets' two
+    * corpus passes); neg_score rides along so a trainer can band-filter
+    * (semi-hard: keep neg_score < pos_score). Output: (anchor_id,
+    * positive_id, pos_score, neg_rank, negative_id, neg_score). */
+  def hardNegativeTriplets(anchors: DataFrame, corpus: DataFrame,
+                           aId: Column, aVec: Column,
+                           cId: Column, cVec: Column,
+                           nNegatives: Int = 3): DataFrame = {
+    // pinned: both the positive slice and the negative slice read this
+    // k+1-row-per-anchor table; without the pin each consumer re-runs
+    // the corpus scan under its own aggregate subtree
+    val top = bruteForceTopK(anchors, corpus, k = nNegatives + 1,
+      aId, aVec, cId, cVec).localCheckpoint()
+    val pos = top.filter(col("rank") === 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("positive_id"),
+        col("score").as("pos_score"))
+    top.filter(col("rank") > 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"),
+        (col("rank") - 1).cast("int").as("neg_rank"),
+        col("score").as("neg_score"))
+      .join(broadcast(pos), "anchor_id")
+      .select(col("anchor_id"), col("positive_id"), col("pos_score"),
+        col("neg_rank"), col("negative_id"), col("neg_score"))
+  }
+
+  /** The [[ivfTopKAnchored]] build step exposed as an index: the
+    * deterministic seed-vector quantizer, so a persisted copy serves
+    * exact-oracle queries. */
+  def ivfIndexAnchored(corpus: DataFrame, cId: Column, cVec: Column,
+                       nCells: Int = 16, nProbe: Int = 4): IvfIndex = {
+    val cents = anchoredUnitCentroids(corpus, cId, cVec, nCells)
+    IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
+  }
+
+  /** Persist a built [[IvfIndex]]: `assigned` partitioned BY CELL — the
+    * probe key becomes a partition directory, so a query batch touches
+    * only its nProbe cells' FILES — plus the nCells-row centroid table.
+    * This is the amortization path the [[ivfTopK]] scaladoc prescribes:
+    * build once (one corpus pass), write, serve many query batches
+    * without ever re-assigning the corpus. */
+  def writeIvfIndex(index: IvfIndex, path: String): Unit = {
+    index.assigned.write.mode("overwrite")
+      .partitionBy("cell").parquet(s"$path/assigned")
+    val spark = index.assigned.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq.toDF("cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Re-open a persisted IVF index. The centroid read is driver-bounded
+    * (nCells rows); `assigned` stays a LAZY partitioned scan —
+    * [[ivfQuery]]'s broadcast cell join reaches it as a partition-column
+    * filter, so only probed cells' files are read. */
+  def readIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                   nProbe: Int): IvfIndex = {
+    val cents = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Double](1).toIndexedSeq).toIndexedSeq
+    // the partition column comes back as a directory-inferred INT at
+    // the END of the schema; restore the written column order
+    val assigned = spark.read.parquet(s"$path/assigned")
+      .select(col("cell").cast("int").as("cell"),
+        col("neighbor_id"), col("cv"))
+    IvfIndex(assigned, cents, nProbe)
   }
 
   /** One-shot IVF top-k = [[ivfIndex]] + [[ivfQuery]]. For repeated

@@ -58,6 +58,44 @@ class PipelineStatsSpec extends SparkSpec {
     est("zz") shouldBe 4L // even for a term never inserted
   }
 
+  test("joinCardinalityByRow: rows only overestimate; exact without collisions") {
+    val as = (0 until 300).map(_ => s"k${rng.nextInt(30)}")
+    val bs = (0 until 200).map(_ => s"k${rng.nextInt(50)}")
+    val fa = as.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val fb = bs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val trueSize = fa.keySet.intersect(fb.keySet)
+      .toSeq.map(k => fa(k) * fb(k)).sum
+    val ska = CountMin.sketch(as.toDF("k"), $"k", depth = 4, width = 2048)
+    val skb = CountMin.sketch(bs.toDF("k"), $"k", depth = 4, width = 2048)
+    val rows = CountMin.joinCardinalityByRow(ska, skb)
+      .as[(Int, Long)].collect().toMap
+    rows.keySet shouldBe Set(0, 1, 2, 3)
+    rows.values.foreach(_ should be >= trueSize) // AMS: never under
+    // pure-Scala replay of the same md5 cells: the operator's per-row
+    // inner products must match exactly (no probability assumptions —
+    // cross-pair collisions make w.h.p.-exactness claims wrong here)
+    def cellOf(d: Int, t: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$d:$t".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 2048L
+    }
+    val expect = (0 until 4).map { d =>
+      val ca = fa.toSeq.groupBy(kv => cellOf(d, kv._1))
+        .view.mapValues(_.map(_._2).sum).toMap
+      val cb = fb.toSeq.groupBy(kv => cellOf(d, kv._1))
+        .view.mapValues(_.map(_._2).sum).toMap
+      d -> ca.keySet.intersect(cb.keySet)
+        .toSeq.map(c => ca(c) * cb(c)).sum
+    }.toMap
+    rows shouldBe expect
+    // width=1 degenerate: every row's inner product = |A| * |B|
+    val s1a = CountMin.sketch(as.toDF("k"), $"k", depth = 2, width = 1)
+    val s1b = CountMin.sketch(bs.toDF("k"), $"k", depth = 2, width = 1)
+    CountMin.joinCardinalityByRow(s1a, s1b)
+      .as[(Int, Long)].collect().foreach(_._2 shouldBe 300L * 200L)
+  }
+
   test("CountMin absent term estimates 0 in a wide sketch") {
     val sk = CountMin.sketch(Seq("a", "b").toDF("term"), $"term",
       depth = 4, width = 2048)

@@ -227,6 +227,63 @@ class SimilaritySpec extends SparkSpec {
     again.map(_.toString).sorted shouldBe trip.map(_.toString).sorted
   }
 
+  test("hardNegativeTriplets: negatives are ranks 2..n+1 of brute force") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val anchors = emb.filter($"vec_id" < 16)
+    val trip = Similarity.hardNegativeTriplets(anchors, emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", nNegatives = 3)
+      .collect()
+    trip.length shouldBe 48 // 16 anchors x 3 negatives
+    val top4 = Similarity.bruteForceTopK(anchors, emb, 4,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id", "rank", "score")
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3)).toMap
+    trip.groupBy(_.getAs[Long]("anchor_id")).foreach { case (a, rows) =>
+      val expect = top4(a)
+      rows.foreach { r =>
+        r.getAs[Long]("positive_id") shouldBe expect.head._2
+        r.getAs[Double]("pos_score") shouldBe expect.head._4
+        val nr = r.getAs[Int]("neg_rank")
+        r.getAs[Long]("negative_id") shouldBe expect(nr)._2
+        r.getAs[Double]("neg_score") shouldBe expect(nr)._4
+        // hardest-first: negative scores never exceed the positive's
+        r.getAs[Double]("neg_score") should be <= r.getAs[Double]("pos_score")
+      }
+      rows.map(_.getAs[Int]("neg_rank")).sorted.toSeq shouldBe Seq(1, 2, 3)
+    }
+  }
+
+  test("IVF index round-trips through parquet; persisted query == live query") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val built = Similarity.ivfIndexAnchored(emb, $"vec_id", $"embedding",
+      nCells = 8, nProbe = 3)
+    val dir = java.nio.file.Files
+      .createTempDirectory("ivf-spec").toString
+    Similarity.writeIvfIndex(built, dir)
+    val reopened = Similarity.readIvfIndex(spark, dir, nProbe = 3)
+    reopened.centroids shouldBe built.centroids
+    reopened.nProbe shouldBe 3
+    // assigned content identical (cell, id, normalized vector)
+    val live = built.assigned.select("cell", "neighbor_id", "cv")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._2)
+    val disk = reopened.assigned.select("cell", "neighbor_id", "cv")
+      .as[(Int, Long, Seq[Double])].collect().sortBy(_._2)
+    disk shouldBe live
+    // and the served result is bit-identical to the live index's
+    val q = emb.filter($"vec_id" < 10)
+    val a = Similarity.ivfQuery(built, q, 5, $"vec_id", $"embedding")
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfQuery(reopened, q, 5, $"vec_id", $"embedding")
+      .collect().map(_.toString).sorted
+    b shouldBe a
+    // the persisted layout is one directory per cell (partition pruning
+    // has file-level grain)
+    new java.io.File(s"$dir/assigned").list()
+      .count(_.startsWith("cell=")) shouldBe
+      built.assigned.select("cell").distinct().count()
+  }
+
   test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
     val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
     val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
