@@ -538,6 +538,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8),
         col("text"), col("doc_id"))
     },
+    // Incremental NEAR-dup (MinHash-LSH index maintenance): the base
+    // corpus is distilled ONCE into its band + shingle-set tables; the
+    // delta batch bands itself, probes the index, self-joins for
+    // delta-delta pairs, and exact-verifies candidates. The base text
+    // is never re-shingled — the per-batch cost at 100 TB is
+    // delta-sized. Oracle = the exact-Jaccard ground truth restricted
+    // to delta-involving pairs (LSH at (64,16) recovers every J>=0.8
+    // pair on this corpus, same claim the one-shot minhash query pins).
+    "dedup_incremental_minhash" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val idx = Dedup.minhashIndexBuild(
+        docs.filter(col("doc_id") % 10 < 8), col("text"), col("doc_id"))
+      Dedup.minhashIncrementalPairs(idx,
+        docs.filter(col("doc_id") % 10 >= 8), col("text"), col("doc_id"))
+    },
     // Same contract through the BLOOM-prefiltered path: a filter built
     // from the delta roster is broadcast and the base scan keeps only
     // bloom-positive fingerprints before the exact anti-join confirm.
@@ -2815,6 +2830,19 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
+    // ground truth restricted to delta-involving pairs; id_new is the
+    // delta member (for delta-delta, the later id)
+    "dedup_incremental_minhash" ->
+      s"""WITH $NgramPairsCtes
+         |SELECT CASE WHEN id_b % 10 >= 8 THEN id_b ELSE id_a END
+         |    AS id_new,
+         |  CASE WHEN id_b % 10 >= 8 THEN id_a ELSE id_b END
+         |    AS id_matched,
+         |  (CASE WHEN id_b % 10 >= 8 THEN id_a ELSE id_b END) % 10 < 8
+         |    AS in_base,
+         |  jaccard
+         |FROM pairs
+         |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin,
     "dedup_clusters_documents" -> NgramClustersOracle,
     "dedup_keep_best_documents" -> NgramKeepBestOracle,
     // bit-for-bit md5-simhash recomputation: 60-bit token hash = top 15

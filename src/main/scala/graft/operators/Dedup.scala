@@ -209,37 +209,42 @@ object Dedup {
     * dedup topology. The exact verification joins shingle SETS (array
     * intersection per candidate pair), not the full inverted index.
     */
-  def minhashLshPairs(df: DataFrame, textCol: Column, idCol: Column,
-                      n: Int = 3, k: Int = 64, bands: Int = 16,
-                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
-    require(k % bands == 0, "k must be divisible by bands")
-    val rows = k / bands
-    // barrier before the filter (same CollapseProject hazard as ngram);
-    // the exchange output is reused by banding + both verification joins
-    // shuffle the RAW rows first, then compute shingles post-exchange:
-    // a single-row-group parquet scan is ONE task, so computing the HOF
-    // in the scan stage serializes it; the exchange also doubles as the
-    // ReuseExchange barrier for every downstream join side
-    val sets = df.select(idCol.as("id"), textCol.as("__text"))
+  /** (id, sh) shingle-set table — the exchange-bracketed shingle
+    * computation shared by the one-shot LSH pairs and the incremental
+    * index. Barrier rationale: shuffle the RAW rows first (a single-
+    * row-group parquet scan is ONE task, so computing the HOF in the
+    * scan stage serializes it); pre-filter on the cheap token count
+    * BEFORE the shingle expr (a post-projection size filter would
+    * collapse onto the projection and evaluate it twice per row); a
+    * second (tiny) exchange AFTER the computation so every downstream
+    * consumer reuses the materialized arrays. */
+  private[graft] def shingleSets(df: DataFrame, textCol: Column,
+                                 idCol: Column, n: Int): DataFrame =
+    df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
-      // pre-filter on the cheap token count BEFORE the shingle expr: a
-      // post-projection size filter would collapse onto the projection
-      // and evaluate it twice per row
       .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
       .select(col("id"), shingles(col("__text"), n).as("sh"))
-      // second (tiny) exchange AFTER the computation: every downstream
-      // consumer (freq, inverted index, both verification joins) reuses
-      // the materialized arrays instead of re-running the expression
       .repartition(col("id"))
-    // one codegen pass per row straight to band buckets — slicing a sig
-    // column would re-evaluate the whole signature once per band after
-    // projection collapse
-    val banded = sets.select(col("id"),
+
+  /** (id, band, bucket) LSH band table over shingle sets — one codegen
+    * pass per row straight to band buckets (slicing a sig column would
+    * re-evaluate the whole signature once per band after projection
+    * collapse), co-partitioned on the join key. */
+  private[graft] def bandTable(sets: DataFrame, k: Int, bands: Int,
+                               seed: Long): DataFrame =
+    sets.select(col("id"),
       posexplode(graft.expressions.MinHashBands(
         transform(col("sh"), x => pmod(xxhash64(x), lit(MinhashPrime))),
         k, bands, seed)))
       .select(col("id"), col("pos").as("band"), col("col").as("bucket"))
-      .repartition(col("band"), col("bucket")) // join co-partitioned
+      .repartition(col("band"), col("bucket"))
+
+  def minhashLshPairs(df: DataFrame, textCol: Column, idCol: Column,
+                      n: Int = 3, k: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.8, seed: Long = 42L): DataFrame = {
+    require(k % bands == 0, "k must be divisible by bands")
+    val sets = shingleSets(df, textCol, idCol, n)
+    val banded = bandTable(sets, k, bands, seed)
     val candidates = banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -256,6 +261,71 @@ object Dedup {
           (size(col("sh_a")) + size(col("sh_b")) - col("n_inter")).cast("double"), 6))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** A persistable MinHash-LSH index of a base corpus: the band table
+    * (|base|·nBands rows of (id, band, bucket)) plus the shingle sets
+    * needed to verify candidates. Build ONCE per corpus (write both
+    * tables out, like [[graft.operators.Similarity.writeIvfIndex]]);
+    * each new batch then joins against these two tables and the base
+    * TEXT is never re-shingled — the new-crawl-vs-100 TB-base topology
+    * where per-batch cost is delta-sized banding plus candidate-sized
+    * probes into the index. */
+  final case class MinhashLshIndex(bands: DataFrame, sets: DataFrame,
+                                   n: Int, k: Int, nBands: Int, seed: Long)
+
+  def minhashIndexBuild(df: DataFrame, textCol: Column, idCol: Column,
+                        n: Int = 3, k: Int = 64, nBands: Int = 16,
+                        seed: Long = 42L): MinhashLshIndex = {
+    require(k % nBands == 0, "k must be divisible by nBands")
+    val sets = shingleSets(df, textCol, idCol, n)
+    MinhashLshIndex(bandTable(sets, k, nBands, seed), sets, n, k, nBands, seed)
+  }
+
+  /** Incremental NEAR-dup detection: every delta doc's near-duplicates
+    * in base ∪ delta (ids must be disjoint across the two corpora).
+    * Delta-vs-base candidates come from the delta bands probing the
+    * index bands; delta-vs-delta from the delta band self-join; both
+    * verified by exact shingle Jaccard (candidates only). Output
+    * (id_new, id_matched, in_base, jaccard) — id_new is always the
+    * delta doc (for delta-delta pairs, the LATER id: a new doc
+    * duplicates the earlier one, matching [[incremental]]'s
+    * keep-the-earlier convention). */
+  def minhashIncrementalPairs(index: MinhashLshIndex, delta: DataFrame,
+                              textCol: Column, idCol: Column,
+                              threshold: Double = 0.8): DataFrame = {
+    val dsets = shingleSets(delta, textCol, idCol, index.n)
+    val dbands = bandTable(dsets, index.k, index.nBands, index.seed)
+    val candBase = dbands.as("d")
+      .join(index.bands.as("b"),
+        col("d.band") === col("b.band") &&
+          col("d.bucket") === col("b.bucket"))
+      .select(col("d.id").as("id_new"), col("b.id").as("id_matched"))
+      .distinct()
+      .withColumn("in_base", lit(true))
+    val candDelta = dbands.as("a")
+      .join(dbands.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("b.id").as("id_new"), col("a.id").as("id_matched"))
+      .distinct()
+      .withColumn("in_base", lit(false))
+    val matchedSets = dsets.union(index.sets)
+      .select(col("id").as("id_matched"), col("sh").as("sh_m"))
+    candBase.union(candDelta)
+      .join(dsets.select(col("id").as("id_new"), col("sh").as("sh_new")),
+        "id_new")
+      .join(matchedSets, "id_matched")
+      .withColumn("n_inter",
+        size(array_intersect(col("sh_new"), col("sh_m"))).cast("long"))
+      .withColumn("jaccard", round(
+        col("n_inter").cast("double") /
+          (size(col("sh_new")) + size(col("sh_m")) - col("n_inter"))
+            .cast("double"), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_new"), col("id_matched"), col("in_base"),
+        col("jaccard"))
   }
 
   // ------------------------------------------------------------- SimHash

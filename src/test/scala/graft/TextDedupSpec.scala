@@ -81,6 +81,45 @@ class TextDedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("minhashIncrementalPairs: delta-involving subset of one-shot LSH; sides labeled") {
+    val docs = Tables(spark, sf0001, "documents")
+    val base = docs.filter($"doc_id" % 10 < 8)
+    val delta = docs.filter($"doc_id" % 10 >= 8)
+    val idx = Dedup.minhashIndexBuild(base, $"text", $"doc_id")
+    val inc = Dedup.minhashIncrementalPairs(idx, delta, $"text", $"doc_id")
+      .as[(Long, Long, Boolean, Double)].collect()
+    // ground truth: one-shot pairs over the WHOLE corpus, restricted to
+    // pairs touching the delta, renamed to the incremental convention
+    val all = Dedup.minhashLshPairs(docs, $"text", $"doc_id")
+      .as[(Long, Long, Double)].collect()
+    val expect = all.flatMap { case (a, b, j) =>
+      val (aD, bD) = (a % 10 >= 8, b % 10 >= 8)
+      if (bD) Some((b, a, !aD, j))
+      else if (aD) Some((a, b, !bD, j))
+      else None
+    }.toSet
+    inc.toSet shouldBe expect
+    inc should not be empty // generator plants near-dups across the cut
+    inc.foreach { case (idNew, idM, inBase, _) =>
+      (idNew % 10 >= 8) shouldBe true  // id_new always a delta doc
+      (idM % 10 < 8) shouldBe inBase   // label matches the side
+      if (!inBase) idM should be < idNew // delta-delta: later duplicates earlier
+    }
+    // synthetic guarantee of both sides: a delta twin of a base doc and
+    // a delta twin of another delta doc
+    val toy = Seq(
+      (10L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (18L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (28L, "iota kappa lambda mu nu xi omicron pi"),
+      (38L, "iota kappa lambda mu nu xi omicron pi")).toDF("doc_id", "text")
+    val tIdx = Dedup.minhashIndexBuild(
+      toy.filter($"doc_id" % 10 < 8), $"text", $"doc_id")
+    val tInc = Dedup.minhashIncrementalPairs(tIdx,
+      toy.filter($"doc_id" % 10 >= 8), $"text", $"doc_id")
+      .as[(Long, Long, Boolean, Double)].collect().toSet
+    tInc shouldBe Set((18L, 10L, true, 1.0), (38L, 28L, false, 1.0))
+  }
+
   test("incrementalBloom == incremental: exact result through the prefilter") {
     val docs = Tables(spark, sf0001, "documents")
     val base = docs.filter($"doc_id" % 10 < 8)
