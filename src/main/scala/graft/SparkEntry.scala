@@ -438,6 +438,18 @@ object SparkEntry {
       asg.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
+    // LEAKAGE-SAFE splits: train/val/test keyed by the near-dup CLUSTER
+    // id, so a test doc can never have a train-side twin (doc-keyed
+    // hashing leaks every duplicate pair across the split boundary).
+    // 80/10/10 by the integer-exact md5 uniform of cluster_id.
+    "split_leakage_safe_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      val asg = Dedup.clusters(docs, col("doc_id"), pairs)
+      Splits.splitByCluster(asg, col("id"), col("cluster_id"), 80, 10)
+        .select(col("id").as("doc_id"), col("cluster_id"), col("split"))
+    },
 
     // JSONL interchange roundtrip: write the corpus as JSON-lines shards
     // (the standard LLM-corpus interchange format), read back with the
@@ -2844,6 +2856,17 @@ object SparkEntry {
          |FROM pairs
          |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    // same transitive closure, then the cluster-keyed md5 split bucket
+    "split_leakage_safe_documents" ->
+      s"""WITH RECURSIVE $NgramClusterCtes
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN b < 80 THEN 'train'
+         |       WHEN b < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, cluster_id,
+         |        ('0x'||substr(md5(CAST(cluster_id AS VARCHAR)),1,8))
+         |          ::BIGINT * 100 // 4294967296 AS b
+         |      FROM asg)""".stripMargin,
     "dedup_keep_best_documents" -> NgramKeepBestOracle,
     // bit-for-bit md5-simhash recomputation: 60-bit token hash = top 15
     // md5 hex chars; per-bit +-1 vote; pairs at hamming <= 3

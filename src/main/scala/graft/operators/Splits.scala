@@ -73,6 +73,36 @@ object Splits {
     df.filter(u < lit(rate))
   }
 
+  /** LEAKAGE-SAFE train/val/test assignment: the split key is the
+    * near-dup CLUSTER id (from [[Dedup.clusters]]), not the doc id, so
+    * near-duplicates can never straddle splits — a test doc whose twin
+    * sits in train silently inflates eval scores, and doc-keyed hashing
+    * does exactly that to every duplicate pair. Buckets are the
+    * integer-exact md5 uniform of the cluster id scaled to 0..99
+    * (u32 · 100 div 2^32 — replayable in any engine): [0, train) →
+    * 'train', [train, train+val) → 'val', rest → 'test'. Singleton
+    * clusters (the vast majority) split independently, so proportions
+    * still land near the requested percents.
+    *
+    * Shape: one projection over the (id, cluster_id) assignment table —
+    * the corpus-sized work already happened in the clustering pass. */
+  def splitByCluster(assignments: DataFrame, idCol: Column,
+                     clusterCol: Column, trainPercent: Int,
+                     valPercent: Int): DataFrame = {
+    require(trainPercent > 0 && valPercent >= 0 &&
+      trainPercent + valPercent < 100,
+      s"invalid split ($trainPercent, $valPercent)")
+    // u32·100 < 2^39 and nonnegative, so >> 32 IS floor division by
+    // 2^32 (a double-divide-then-cast could misround at bucket edges)
+    val b = shiftright(
+      conv(substring(md5(clusterCol.cast("string")), 1, 8), 16, 10)
+        .cast("long") * 100L, 32)
+    assignments.select(idCol.as("id"), clusterCol.as("cluster_id"),
+      when(b < trainPercent, "train")
+        .when(b < trainPercent + valPercent, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Deterministic weighted source MIXTURE: downsample each source so the
     * output approximates `targetNum/targetDen` of the corpus distributed
     * across sources proportionally to integer `weights` — the

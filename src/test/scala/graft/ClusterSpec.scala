@@ -55,6 +55,33 @@ class ClusterSpec extends SparkSpec {
     local shouldBe dist
   }
 
+  test("splitByCluster: cluster members co-travel; buckets replay md5 exactly") {
+    import graft.operators.Splits
+    val asg = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L),
+      (6L, 6L), (7L, 7L), (8L, 8L), (9L, 9L), (10L, 10L))
+      .toDF("id", "cluster_id")
+    val out = Splits.splitByCluster(asg, $"id", $"cluster_id", 80, 10)
+      .as[(Long, Long, String)].collect()
+    out.length shouldBe 10
+    // near-dups never straddle: one split value per cluster
+    out.groupBy(_._2).values.foreach(
+      _.map(_._3).distinct.length shouldBe 1)
+    // independent md5 replay of the bucket → split mapping
+    def bucket(c: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(c.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) * 100L >> 32
+    }
+    out.foreach { case (_, c, s) =>
+      val b = bucket(c)
+      s shouldBe (if (b < 80) "train" else if (b < 90) "val" else "test")
+    }
+    // invalid percents rejected
+    an[IllegalArgumentException] should be thrownBy
+      Splits.splitByCluster(asg, $"id", $"cluster_id", 90, 10)
+  }
+
   test("randomized graphs match driver-side union-find") {
     val rnd = new Random(7)
     for (trial <- 1 to 3) {
