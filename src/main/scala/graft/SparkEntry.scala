@@ -665,6 +665,18 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_sampled"),
           min(col("doc_id")).as("min_doc_id"))
     },
+    // Token-budget EPOCH PLANNING: per-language token mass -> isqrt
+    // temperature weights -> a 10M-token budget divided w-proportionally
+    // -> epochs_ppm per source (>1e6 = the plan repeats that source's
+    // data). The curator-facing table read before committing a mixture;
+    // all integer, one aggregation to |langs| rows.
+    "mix_epochs_budget" -> { (s, dir) =>
+      Splits.epochsPlan(
+        Tables(s, dir, "documents")
+          .select(col("lang"),
+            size(TextAnalysis.tokens(col("text"))).cast("long").as("n")),
+        col("lang"), col("n"), budget = 10000000L)
+    },
     // Fixed-SIZE deterministic sample: exactly 100 docs (md5-smallest
     // ids) — fixed-budget eval sets; TakeOrdered, corpus never sorts.
     "sample_fixed_k_documents" -> { (s, dir) =>
@@ -3318,6 +3330,22 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
         |      * tgt.n < tgt.t * 4294967296
         |GROUP BY 1""".stripMargin,
+    // epoch-plan replay: token mass per lang, isqrt weights, integer
+    // budget division; floor∘sqrt is IEEE-exact in both engines
+    "mix_epochs_budget" ->
+      s"""WITH t AS (
+         |  SELECT lang, len(${TextAnalysis.Sql.tokens("text")}) AS n
+         |  FROM documents),
+         |ps AS (SELECT lang AS source, CAST(sum(n) AS BIGINT) AS n_tokens,
+         |         CAST(floor(sqrt(CAST(sum(n) AS BIGINT))) AS BIGINT)
+         |           AS weight
+         |       FROM t GROUP BY 1),
+         |tot AS (SELECT CAST(sum(weight) AS BIGINT) AS sumw FROM ps)
+         |SELECT source, n_tokens, weight,
+         |  10000000 * weight // sumw AS tokens_target,
+         |  (10000000 * weight // sumw) * 1000000 // n_tokens
+         |    AS epochs_ppm
+         |FROM ps, tot""".stripMargin,
     "group_counts_dirichlet" -> {
       val grp = Grouper.dirichletOracleSelect("vec_id", "label",
         labels = 0 until 10, numGroups = 8, alpha = 0.5, seed = 7L)

@@ -152,6 +152,40 @@ object Splits {
     mixWithWeights(df, idCol, groupCol, perSource, targetNum, targetDen)
   }
 
+  /** Mixture PLANNING under a token budget — the "how many epochs of
+    * each source" table (LLaMA-style sampling-proportion planning, with
+    * the mC4/XLM-R isqrt temperature weights): per-source token counts
+    * n_s get weights w_s = isqrt(n_s); a token budget B divides
+    * w-proportionally into targets t_s = B·w_s div Σw; epochs_ppm =
+    * t_s·10^6 div n_s is how many PASSES over the source the plan
+    * implies (> 10^6 means the low-resource boost repeats data — the
+    * number a curator reads before committing to a mixture). All
+    * integer (sqrt is IEEE-correctly-rounded, so floor∘sqrt of a long
+    * is engine-exact), so the plan replays bit-for-bit in SQL.
+    *
+    * Shape: ONE aggregation to |sources| rows; the weight total rides
+    * the same single-row broadcast cross join as the mixture
+    * operators. Budget · max weight must stay under 2^63 (asserted). */
+  def epochsPlan(df: DataFrame, groupCol: Column, tokensCol: Column,
+                 budget: Long): DataFrame = {
+    require(budget > 0, "budget must be positive")
+    val perSource = df.groupBy(groupCol.as("source"))
+      .agg(sum(tokensCol).as("n_tokens"))
+      .withColumn("weight",
+        floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+    val guarded = perSource.select(col("source"), col("n_tokens"),
+      when(col("weight") > lit(Long.MaxValue / budget),
+        raise_error(concat(lit("epochsPlan: budget * weight overflows for "),
+          col("source"))).cast("long"))
+        .otherwise(col("weight")).as("weight"))
+    val totals = guarded.agg(sum(col("weight")).as("__sumw"))
+    guarded.crossJoin(broadcast(totals))
+      .select(col("source"), col("n_tokens"), col("weight"),
+        expr(s"$budget * weight DIV __sumw").as("tokens_target"))
+      .withColumn("epochs_ppm",
+        expr("tokens_target * 1000000 DIV n_tokens"))
+  }
+
   /** Shared mixture tail: per-source integer targets from (__n, __w)
     * and the u32-md5 membership filter (see [[mixSources]] scaladoc
     * for the envelope proof). */

@@ -90,6 +90,33 @@ class PipelineMixSpec extends SparkSpec {
 
   // ----------------------------------------- md5-anchored Dirichlet
 
+  test("epochsPlan: golden integer plan; repeats flagged above 1e6 ppm") {
+    // source A: 100 tokens -> weight 10; source B: 10000 -> weight 100
+    val df = (Seq.fill(10)(("A", 10L)) ++ Seq.fill(10)(("B", 1000L)))
+      .toDF("src", "n")
+    val plan = Splits.epochsPlan(df, $"src", $"n", budget = 1100L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // targets: 1100*10//110 = 100; 1100*100//110 = 1000
+    plan("A") shouldBe ((100L, 10L, 100L, 1000000L))  // exactly 1 epoch
+    plan("B") shouldBe ((10000L, 100L, 1000L, 100000L)) // 0.1 epochs
+    // doubling the budget doubles-ish targets, monotone
+    val plan2 = Splits.epochsPlan(df, $"src", $"n", budget = 2200L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._4).toMap
+    plan2("A") shouldBe 200L
+    plan2("A") should be > plan("A")._3
+    // a low-resource boost: epochs_ppm beyond 1e6 means repeating data
+    val skew = (Seq.fill(1)(("tiny", 4L)) ++ Seq.fill(10)(("big", 10000L)))
+      .toDF("src", "n")
+    val boosted = Splits.epochsPlan(skew, $"src", $"n", budget = 100000L)
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r._5).toMap
+    boosted("tiny") should be > 1000000L
+    an[IllegalArgumentException] should be thrownBy
+      Splits.epochsPlan(df, $"src", $"n", budget = 0L)
+  }
+
   test("byDirichletMd5: deterministic, bounded groups, label-conditional") {
     val emb = Tables(spark, sf001, "embeddings")
     val g = Grouper.byDirichletMd5(col("label"), col("vec_id"),

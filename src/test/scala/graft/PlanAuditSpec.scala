@@ -39,6 +39,7 @@ class PlanAuditSpec extends SparkSpec {
     "rag_retrieval_pipeline",
     "mix_sources_weighted",
     "mix_temperature_lang", // same single-row totals broadcast as mix_sources
+    "mix_epochs_budget", // single-row weight-total broadcast onto |langs| rows
     "dsir_select_documents", // single-row totals broadcast onto 256 buckets
     "cohort_rounds_documents",
     "vocab_top_tokens")
