@@ -1170,6 +1170,20 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nNegatives = 3)
     },
+    // Margin-based BITEXT MINING (the parallel-corpus assembly step):
+    // even vec_ids play the source language, odd the target; a pair is
+    // mined only when its cosine beats BOTH sides' avg top-4
+    // neighborhoods (ratio margin > 1) — integer-ppm margins, best
+    // target per source. Bounded TopK both directions; the backward
+    // pass scores only the forward candidates.
+    "mine_bitext_margin" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mineBitextMargin(
+        emb.filter(col("vec_id") % 2 === 0 && col("vec_id") < 64),
+        emb.filter(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 4)
+    },
     // HARD-negative triplets: negatives are the closest corpus rows
     // after the positive (cosine-ranked, DPR-style) instead of
     // md5-sampled — one bruteForceTopK pass serves both legs, and
@@ -3747,6 +3761,54 @@ object SparkEntry {
          |SELECT anchor_id, positive_id, pos_score,
          |  CAST(neg_rank AS INT) AS neg_rank, negative_id
          |FROM neg WHERE neg_rank <= 3""".stripMargin,
+    // margin replay: forward top-4 per even-id anchor into the odd
+    // side, backward top-4 for forward candidates only, e6-integer
+    // scores, margin_ppm = 8·s·10^6 // (Σx + Σy), best-by-margin > 1e6
+    "mine_bitext_margin" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |src AS (SELECT vec_id, e FROM v
+         |        WHERE vec_id % 2 = 0 AND vec_id < 64),
+         |tgt AS (SELECT vec_id, e FROM v WHERE vec_id % 2 = 1),
+         |fwd AS (
+         |  SELECT s.vec_id AS src_id, t.vec_id AS tgt_id,
+         |    CAST(round(round(list_sum([s.e[i] * t.e[i]
+         |      FOR i IN range(1, len(s.e) + 1)]), 6) * 1000000)
+         |      AS BIGINT) AS s_e6,
+         |    row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY round(list_sum([s.e[i] * t.e[i]
+         |        FOR i IN range(1, len(s.e) + 1)]), 6) DESC, t.vec_id)
+         |      AS rk
+         |  FROM src s CROSS JOIN tgt t),
+         |f4 AS (SELECT src_id, tgt_id, s_e6 FROM fwd WHERE rk <= 4),
+         |sx AS (SELECT src_id, CAST(sum(s_e6) AS BIGINT) AS sum_x
+         |       FROM f4 GROUP BY 1),
+         |bwd AS (
+         |  SELECT t.vec_id AS tgt_id, s.vec_id,
+         |    CAST(round(round(list_sum([t.e[i] * s.e[i]
+         |      FOR i IN range(1, len(t.e) + 1)]), 6) * 1000000)
+         |      AS BIGINT) AS b_e6,
+         |    row_number() OVER (PARTITION BY t.vec_id
+         |      ORDER BY round(list_sum([t.e[i] * s.e[i]
+         |        FOR i IN range(1, len(t.e) + 1)]), 6) DESC, s.vec_id)
+         |      AS rk
+         |  FROM (SELECT DISTINCT g.tgt_id AS vec_id, t0.e
+         |        FROM f4 g JOIN tgt t0 ON t0.vec_id = g.tgt_id) t
+         |  CROSS JOIN src s),
+         |sy AS (SELECT tgt_id, CAST(sum(b_e6) AS BIGINT) AS sum_y
+         |       FROM bwd WHERE rk <= 4 GROUP BY 1),
+         |scored AS (
+         |  SELECT f.src_id, f.tgt_id, f.s_e6,
+         |    CAST(8 * f.s_e6 * 1000000 // (sx.sum_x + sy.sum_y)
+         |      AS BIGINT) AS margin_ppm
+         |  FROM f4 f JOIN sx ON f.src_id = sx.src_id
+         |            JOIN sy ON f.tgt_id = sy.tgt_id)
+         |SELECT src_id, tgt_id, s_e6, margin_ppm FROM (
+         |  SELECT *, row_number() OVER (PARTITION BY src_id
+         |    ORDER BY margin_ppm DESC, tgt_id) AS rk FROM scored)
+         |WHERE rk = 1 AND margin_ppm > 1000000""".stripMargin,
     // hard-negative replay: one cosine ranking per anchor; rank 1 is
     // the positive, ranks 2..4 the negatives (dense neg_rank = rk-1)
     "train_hard_negatives" ->

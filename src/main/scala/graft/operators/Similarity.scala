@@ -629,6 +629,59 @@ object Similarity {
         col("neg_rank"), col("negative_id"), col("neg_score"))
   }
 
+  /** Margin-based bitext mining (Artetxe & Schwenk 2019, ACL — the
+    * ratio-margin criterion behind mined parallel corpora like
+    * CCMatrix/WikiMatrix): a candidate pair (x, y) is kept only when
+    * its score stands out from BOTH sides' neighborhoods,
+    *   margin(x,y) = 2·cos(x,y) / (avg_k(x→tgt) + avg_k(y→src)) > 1 —
+    * absolute-cosine thresholds can't separate true translations from
+    * dense hubs, the margin can. Integer-exact: round-6 scores scale to
+    * e6 longs and margin_ppm = 2k·s_e6·10^6 div (Σtopk_x + Σtopk_y)
+    * (equal k on both sides folds the /k of each average into the 2k),
+    * so the mined set replays bit-for-bit in SQL.
+    *
+    * Shape: the forward pass is one bounded [[bruteForceTopK]] (the
+    * src BATCH is broadcast — mine a big src side in batches; the
+    * batch also defines the backward neighborhood, so batch membership
+    * is part of the mining contract). Backward neighborhoods are
+    * computed ONLY for the ≤ |src|·k distinct forward candidates — the
+    * standard trick: y's average is needed just for pairs that already
+    * exist. At corpus scale swap both TopK calls for the IVF/LSH
+    * paths; the margin arithmetic is unchanged. Output: best tgt per
+    * src by margin (ties to the lower tgt id), kept iff
+    * margin_ppm > 10^6. Columns (src_id, tgt_id, s_e6, margin_ppm). */
+  def mineBitextMargin(src: DataFrame, tgt: DataFrame,
+                       sId: Column, sVec: Column,
+                       tId: Column, tVec: Column, k: Int = 4): DataFrame = {
+    // pinned: the forward table feeds per-pair rows, per-src sums, and
+    // the backward candidate roster
+    val fwd = bruteForceTopK(src, tgt, k, sId, sVec, tId, tVec,
+      excludeSelf = false)
+      .select(col("query_id").as("src_id"), col("neighbor_id").as("tgt_id"),
+        round(col("score") * 1e6).cast("long").as("s_e6"))
+      .localCheckpoint()
+    val sumX = fwd.groupBy(col("src_id")).agg(sum(col("s_e6")).as("sum_x"))
+    val candVecs = fwd.select(col("tgt_id")).distinct()
+      .join(tgt.select(tId.as("tgt_id"), tVec.as("__v")), "tgt_id")
+    val sumY = bruteForceTopK(candVecs, src, k,
+      col("tgt_id"), col("__v"), sId, sVec, excludeSelf = false)
+      .select(col("query_id").as("tgt_id"),
+        round(col("score") * 1e6).cast("long").as("b_e6"))
+      .groupBy(col("tgt_id")).agg(sum(col("b_e6")).as("sum_y"))
+    val scored = fwd
+      .join(broadcast(sumX), "src_id")
+      .join(broadcast(sumY), "tgt_id")
+      .withColumn("margin_ppm",
+        expr(s"${2 * k} * s_e6 * 1000000 DIV (sum_x + sum_y)"))
+    scored
+      .withColumn("__rk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_id"))
+          .orderBy(col("margin_ppm").desc, col("tgt_id"))))
+      .filter(col("__rk") === 1 && col("margin_ppm") > 1000000L)
+      .select(col("src_id"), col("tgt_id"), col("s_e6"), col("margin_ppm"))
+  }
+
   /** The [[ivfTopKAnchored]] build step exposed as an index: the
     * deterministic seed-vector quantizer, so a persisted copy serves
     * exact-oracle queries. */

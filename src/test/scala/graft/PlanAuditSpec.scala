@@ -35,6 +35,9 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk_embeddings",
     "similarity_ann_embeddings",
     "train_triplets_embeddings", // bounded anchor roster broadcast
+    // src batch broadcast fwd; bwd queries = the <=|src|*k candidate
+    // roster, also broadcast — both sides bounded by contract
+    "mine_bitext_margin",
 
     "rag_retrieval_pipeline",
     "mix_sources_weighted",
@@ -87,6 +90,7 @@ class PlanAuditSpec extends SparkSpec {
     // the duplication bug.
     val pushedTokenPrefilterByDesign: Set[String] = Set(
       "dedup_minhash_documents",
+      "dedup_incremental_minhash", // same shingleSets prefilter as minhash
       "dedup_ngram_documents",
       "dedup_simhash_documents",
       "text_novelty_bigram")

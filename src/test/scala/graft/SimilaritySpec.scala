@@ -284,6 +284,74 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.select("cell").distinct().count()
   }
 
+  test("mineBitextMargin: matches a driver-side replay; hub targets rejected") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val src = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 64)
+    val tgt = emb.filter($"vec_id" % 2 === 1)
+    val got = Similarity.mineBitextMargin(src, tgt,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", k = 4)
+      .as[(Long, Long, Long, Long)].collect().toSet
+
+    // driver replay with the same arithmetic
+    def load(df: org.apache.spark.sql.DataFrame) =
+      df.select($"vec_id", $"embedding").as[(Long, Seq[Float])].collect()
+        .map { case (id, v) =>
+          val d = v.map(_.toDouble).toArray
+          val n = math.sqrt(d.map(x => x * x).sum)
+          id -> d.map(_ / n)
+        }
+    val sv = load(src); val tv = load(tgt)
+    def e6(a: Array[Double], b: Array[Double]): Long =
+      math.round(BigDecimal(a.zip(b).map { case (x, y) => x * y }.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble * 1e6)
+    val fwd = sv.map { case (x, xv) =>
+      x -> tv.map { case (y, yv) => (y, e6(xv, yv)) }
+        .sortBy { case (y, s) => (-s, y) }.take(4)
+    }.toMap
+    val sumX = fwd.view.mapValues(_.map(_._2).sum).toMap
+    val cands = fwd.values.flatten.map(_._1).toSet
+    val sumY = cands.map { y =>
+      val yv = tv.find(_._1 == y).get._2
+      y -> sv.map { case (x, xv) => (x, e6(yv, xv)) }
+        .sortBy { case (x, s) => (-s, x) }.take(4).map(_._2).sum
+    }.toMap
+    val expect = fwd.flatMap { case (x, top) =>
+      val scored = top.map { case (y, s) =>
+        (x, y, s, 8L * s * 1000000L / (sumX(x) + sumY(y)))
+      }
+      scored.sortBy { case (_, y, _, m) => (-m, y) }.headOption
+        .filter(_._4 > 1000000L)
+    }.toSet
+    got shouldBe expect
+    got should not be empty
+
+    // hub rejection: y_hub is everyone's neighbor, so its backward
+    // average is as high as any forward score — margin <= 1 kills it;
+    // the axis-aligned true translation survives with a wide margin
+    def row(id: Long, v: Seq[Float]) = (id, v)
+    val srcToy = Seq(
+      row(0L, Seq(1f, 0f, 0f, 0f)), row(2L, Seq(0f, 1f, 0f, 0f)),
+      row(4L, Seq(0f, 0f, 1f, 0f)), row(6L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val h = 0.5f
+    val tgtToy = Seq(
+      row(1L, Seq(1f, 0f, 0f, 0f)),      // true pair of 0
+      row(3L, Seq(h, h, h, h)),          // hub
+      row(5L, Seq(h, h, -h, -h)), row(7L, Seq(h, -h, h, -h)),
+      row(9L, Seq(h, -h, -h, h)))
+      .toDF("vec_id", "embedding")
+    val toy = Similarity.mineBitextMargin(srcToy, tgtToy,
+      $"vec_id", $"embedding", $"vec_id", $"embedding", k = 4)
+      .as[(Long, Long, Long, Long)].collect()
+    val mined = toy.map(r => r._1 -> r._2).toMap
+    mined.get(0L) shouldBe Some(1L) // the true translation, not the hub
+    // the hub scores 0.5 against EVERY source (top-2 candidate for all
+    // of them), but its backward neighborhood average is just as high —
+    // the margin never lets it win; an absolute-cosine threshold would
+    // have paired it four times
+    mined.values should not contain 3L
+  }
+
   test("md5 sign planes: deterministic, ±1-valued, table-decorrelated") {
     val p0 = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
     val p0again = Similarity.md5SignPlanes(nBits = 8, dim = 64, table = 0)
