@@ -277,6 +277,31 @@ object SparkEntry {
         col("doc_id"), col("text"),
         terms = Seq("dup", "join", "window"), k = 20)
     },
+    // Exact PHRASE retrieval through positional postings: term i must
+    // sit at anchor + i. The postings stream is |phrase|-sparse (term
+    // filter rides before the explode); alignment is two equi-joins on
+    // (doc, shifted pos) — index-shaped, never a substring scan.
+    "search_phrase_documents" -> { (s, dir) =>
+      graft.functions.Search.phrase(Tables(s, dir, "documents"),
+        col("doc_id"), col("text"), Seq("small", "query", "line"))
+    },
+    // Pareto-FRONT data selection: the (quality, length) skyline — docs
+    // no other doc beats on both axes — instead of a single weighted
+    // threshold. Per-score aggregate + a window over the value-domain-
+    // bounded score table; the corpus itself never sorts globally.
+    "select_pareto_documents" -> { (s, dir) =>
+      val scored = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), col("text"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("n_chars"),
+          round(TextAnalysis.qualityScoreOf(
+            TextAnalysis.profile(col("text"))) * 1e6)
+            .cast("long").as("q_e6"))
+      Splits.selectPareto(scored, col("doc_id"), col("q_e6"),
+        col("n_chars"))
+        .select(col("id").as("doc_id"), col("x").as("q_e6"),
+          col("y").as("n_chars"))
+    },
     // Tokenizer-vocab precursor: corpus-wide token frequency top-k with
     // the cumulative coverage curve (what fraction of all occurrences a
     // vocab truncated at each rank covers). One corpus shuffle of
@@ -2280,6 +2305,28 @@ object SparkEntry {
     "search_boolean_documents" ->
       graft.functions.Search.Sql.query(
         terms = Seq("dup", "join", "window"), k = 20),
+    "search_phrase_documents" ->
+      graft.functions.Search.Sql.phraseQuery(Seq("small", "query", "line")),
+    // skyline replay: per-score max length, strictly-better running max
+    // over scores descending, survivors equal their tier's best and
+    // beat every higher tier's
+    "select_pareto_documents" -> {
+      val qs = TextAnalysis.Sql.qualityScore("text")
+      s"""WITH s AS (
+         |  SELECT doc_id, n_chars,
+         |    CAST(round($qs * 1000000) AS BIGINT) AS q_e6
+         |  FROM documents),
+         |px AS (SELECT q_e6, max(n_chars) AS best_y FROM s GROUP BY 1),
+         |fr AS (SELECT q_e6, best_y,
+         |         max(best_y) OVER (ORDER BY q_e6 DESC
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+         |           AS better
+         |       FROM px)
+         |SELECT s.doc_id, s.q_e6, s.n_chars
+         |FROM s JOIN fr USING (q_e6)
+         |WHERE s.n_chars = fr.best_y
+         |  AND (fr.better IS NULL OR s.n_chars > fr.better)""".stripMargin
+    },
     "vocab_top_tokens" ->
       // same full ordering key (cnt DESC, token) everywhere, so window
       // RANGE peers are singletons and the running sum is ROWS-exact;

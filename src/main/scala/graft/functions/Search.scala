@@ -67,6 +67,40 @@ object Search {
         lit(q.length.toLong).as("n_terms"))
   }
 
+  /** Exact PHRASE search through a positional postings stream: the
+    * i-th phrase term must occur at anchor position + i. The (pos,
+    * term) pairs are filtered to phrase terms BEFORE the explode (the
+    * index-shaped |phrase|-sparse stream, never a corpus-wide token
+    * explode), and alignment is |phrase|−1 equi-joins on (doc,
+    * shifted position) — at 100 TB this touches the postings of the
+    * phrase's terms only, like a positional inverted index would.
+    * Output: (doc_id, n_matches, first_pos); overlapping occurrences
+    * each count. */
+  def phrase(df: DataFrame, idCol: Column, textCol: Column,
+             terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty, "empty phrase")
+    val termSet = terms.distinct
+    val hits = df
+      .select(idCol.cast("long").as("id"),
+        filter(transform(TextAnalysis.tokens(textCol),
+          (t, i) => struct(i.cast("long").as("pos"), t.as("term"))),
+          s => s.getField("term").isInCollection(termSet)).as("__h"))
+      // explode_outer: see booleanAnd's InferFiltersFromGenerate note
+      .select(col("id"), explode_outer(col("__h")).as("h"))
+      .filter(col("h").isNotNull)
+      .select(col("id"), col("h.pos").as("pos"), col("h.term").as("term"))
+      .repartition(col("id"))
+    val anchor = hits.filter(col("term") === terms.head)
+      .select(col("id"), col("pos"))
+    val aligned = terms.zipWithIndex.drop(1).foldLeft(anchor) {
+      case (acc, (t, i)) =>
+        acc.join(hits.filter(col("term") === t)
+          .select(col("id"), (col("pos") - i).as("pos")), Seq("id", "pos"))
+    }
+    aligned.groupBy(col("id").as("doc_id"))
+      .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
+  }
+
   /** DuckDB replay over `documents(doc_id, text)`. */
   object Sql {
     def query(terms: Seq[String], k: Int = 20): String = {
@@ -90,6 +124,28 @@ object Search {
          |FROM (SELECT *, row_number() OVER
          |        (ORDER BY score DESC, id) AS rank FROM matched)
          |WHERE rank <= $k""".stripMargin
+    }
+
+    /** Positional replay: parallel unnest zips (term, pos); alignment
+      * joins mirror [[Search.phrase]]. */
+    def phraseQuery(terms: Seq[String]): String = {
+      val joins = terms.zipWithIndex.drop(1).map { case (t, i) =>
+        s"JOIN p p$i ON p$i.doc_id = a.doc_id AND p$i.term = '$t'" +
+          s" AND p$i.pos = a.pos + $i"
+      }.mkString("\n  ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, ${TextAnalysis.Sql.tokens("text")} AS l
+         |  FROM documents),
+         |p AS (
+         |  SELECT doc_id, unnest(l) AS term,
+         |    unnest(range(0, len(l))) AS pos
+         |  FROM toks),
+         |a AS (SELECT doc_id, pos FROM p WHERE term = '${terms.head}'),
+         |m AS (SELECT a.doc_id, a.pos FROM a
+         |  $joins)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_matches,
+         |  min(pos) AS first_pos
+         |FROM m GROUP BY 1""".stripMargin
     }
   }
 }

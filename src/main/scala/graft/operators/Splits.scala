@@ -152,6 +152,34 @@ object Splits {
     mixWithWeights(df, idCol, groupCol, perSource, targetNum, targetDen)
   }
 
+  /** 2-D Pareto-front (skyline) selection: keep exactly the rows not
+    * DOMINATED by any other (x' >= x ∧ y' >= y with at least one
+    * strict) — the data-selection frontier, e.g. "the longest document
+    * at every quality tier" instead of a single weighted threshold.
+    * Ties on both axes are mutually non-dominating and all kept.
+    *
+    * Shape: one per-x aggregate (|distinct x| rows — value-domain
+    * bounded for scores, NOT corpus bounded), one ordered window over
+    * that x-level table for the strictly-better running max (the
+    * unpartitioned window is over the bounded aggregate, the
+    * curriculum-histogram precedent), one broadcast join back. A row
+    * survives iff y == bestY(x) and y > max bestY over all x' > x. */
+  def selectPareto(df: DataFrame, idCol: Column,
+                   xCol: Column, yCol: Column): DataFrame = {
+    val base = df.select(idCol.as("id"), xCol.cast("long").as("x"),
+      yCol.cast("long").as("y"))
+    val perX = base.groupBy(col("x")).agg(max(col("y")).as("__best_y"))
+    val win = org.apache.spark.sql.expressions.Window
+      .orderBy(col("x").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, -1)
+    val front = perX.withColumn("__better", max(col("__best_y")).over(win))
+    base.join(broadcast(front), "x")
+      .filter(col("y") === col("__best_y") &&
+        (col("__better").isNull || col("y") > col("__better")))
+      .select(col("id"), col("x"), col("y"))
+  }
+
   /** Mixture PLANNING under a token budget — the "how many epochs of
     * each source" table (LLaMA-style sampling-proportion planning, with
     * the mC4/XLM-R isqrt temperature weights): per-source token counts

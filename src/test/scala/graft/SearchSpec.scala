@@ -21,6 +21,46 @@ class SearchSpec extends SparkSpec {
     got shouldBe Array((2L, 1, 7L, 2L), (1L, 2, 4L, 2L))
   }
 
+  test("phrase: exact alignment, overlaps counted, repeated terms handled") {
+    val docs = Seq(
+      (1L, "a b c d a b c"),      // "a b c" twice
+      (2L, "a b x c"),            // broken phrase: no match
+      (3L, "c b a"),              // reversed: no match
+      (4L, "a a a"),              // overlapping "a a": positions 0 and 1
+      (5L, "x y a b c"),          // one match at pos 2
+      (6L, "")).toDF("doc_id", "text")
+    val abc = Search.phrase(docs, $"doc_id", $"text", Seq("a", "b", "c"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    abc shouldBe Map(1L -> ((2L, 0L)), 5L -> ((1L, 2L)))
+    val aa = Search.phrase(docs, $"doc_id", $"text", Seq("a", "a"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    aa shouldBe Map(4L -> ((2L, 0L)))
+    // single-term phrase degenerates to term occurrence counting
+    val a1 = Search.phrase(docs, $"doc_id", $"text", Seq("a"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> r._2).toMap
+    a1 shouldBe Map(1L -> 2L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 1L)
+    // driver cross-check on the real corpus: sliding-window count
+    val corpus = Tables(spark, sf0001, "documents")
+    val got = Search.phrase(corpus, $"doc_id", $"text",
+      Seq("small", "query", "line"))
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val expect = corpus.select($"doc_id", $"text")
+      .as[(Long, String)].collect().flatMap { case (id, t) =>
+        val toks = t.split("\\s+").filter(_.nonEmpty)
+        val hits = toks.indices.dropRight(2).filter(i =>
+          toks(i) == "small" && toks(i + 1) == "query" &&
+            toks(i + 2) == "line")
+        if (hits.isEmpty) None
+        else Some(id -> ((hits.length.toLong, hits.head.toLong)))
+      }.toMap
+    got shouldBe expect
+    got should not be empty
+  }
+
   test("booleanAnd on documents: AND semantics, rank order, cap") {
     val docs = Tables(spark, sf0001, "documents")
     val terms = Seq("dup", "join", "window")

@@ -34,6 +34,41 @@ class SelectionSpec extends SparkSpec {
     got shouldBe Array((1L, 2L, 0L), (2L, 0L, 0L))
   }
 
+  test("selectPareto: exactly the non-dominated set, ties kept") {
+    import graft.operators.Splits
+    val pts = Seq(
+      (1L, 10L, 100L), (2L, 10L, 90L),   // 2 dominated by 1 (same x)
+      (3L, 20L, 80L), (4L, 20L, 80L),    // tie on both axes: both kept
+      (5L, 30L, 50L), (6L, 25L, 60L),
+      (7L, 5L, 120L), (8L, 5L, 100L),    // 8 dominated by 7; 1 NOT by 7
+      (9L, 30L, 50L), (10L, 15L, 100L))  // 10 dominated by 1 (y tie, x<)
+      .toDF("id", "x", "y")
+    val got = Splits.selectPareto(pts, $"id", $"x", $"y")
+      .as[(Long, Long, Long)].collect().map(_._1).toSet
+    // brute-force dominance
+    val all = Seq((1L, 10L, 100L), (2L, 10L, 90L), (3L, 20L, 80L),
+      (4L, 20L, 80L), (5L, 30L, 50L), (6L, 25L, 60L), (7L, 5L, 120L),
+      (8L, 5L, 100L), (9L, 30L, 50L), (10L, 15L, 100L))
+    val expect = all.filterNot { case (i, x, y) =>
+      all.exists { case (j, x2, y2) =>
+        j != i && x2 >= x && y2 >= y && (x2 > x || y2 > y)
+      }
+    }.map(_._1).toSet
+    got shouldBe expect
+    got should contain allOf (3L, 4L) // the both-axes tie survives twice
+    // fuzz vs brute force
+    val rnd = new scala.util.Random(11)
+    val fz = (1 to 300).map(i =>
+      (i.toLong, rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val fgot = Splits.selectPareto(fz.toDF("id", "x", "y"),
+      $"id", $"x", $"y").as[(Long, Long, Long)].collect().map(_._1).toSet
+    val fexp = fz.filterNot { case (i, x, y) =>
+      fz.exists { case (j, x2, y2) =>
+        j != i && x2 >= x && y2 >= y && (x2 > x || y2 > y) }
+    }.map(_._1).toSet
+    fgot shouldBe fexp
+  }
+
   test("Dsir: target-heavy docs outrank raw-typical docs") {
     // target rows share the 'q r' bigram; raw rows share 's t'
     val rows = (1L to 20L).map { i =>
