@@ -463,6 +463,26 @@ object SparkEntry {
       asg.join(sizes, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("cluster_size"))
     },
+    // Cross-SOURCE duplication matrix: which feeds duplicate each
+    // other (diagonal = within-source rate) — the report that sets
+    // crawl-dedup priorities. Runs off the near-dup PAIR graph (pair-
+    // sized joins), never a corpus self-join.
+    "profile_source_overlap" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      CorpusDiff.sourceOverlap(pairs, docs, col("doc_id"), col("source"))
+    },
+    // Recency-DECAYED per-type totals (trending leaderboard): value
+    // halves per 3-day half-life from the latest event — exponential
+    // decay with zero transcendentals (whole half-lives, 10^6 >> k ppm
+    // weights, e4 decimal accumulation: bit-exact replay). One
+    // map-combined aggregation.
+    "events_decay_totals" -> { (s, dir) =>
+      Retention.decayTotals(Tables(s, dir, "events"), col("ts"),
+        col("event_type"), col("value"),
+        halfLifeNs = 259200L * 1000000000L)
+    },
     // LEAKAGE-SAFE splits: train/val/test keyed by the near-dup CLUSTER
     // id, so a test doc can never have a train-side twin (doc-keyed
     // hashing leaks every duplicate pair across the split boundary).
@@ -2929,6 +2949,28 @@ object SparkEntry {
          |FROM pairs
          |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    // pair graph joined to sources, unordered pair counts
+    "profile_source_overlap" ->
+      s"""WITH $NgramPairsCtes
+         |SELECT least(da.source, db.source) AS source_a,
+         |  greatest(da.source, db.source) AS source_b,
+         |  CAST(count(*) AS BIGINT) AS n_dup_pairs
+         |FROM pairs p
+         |JOIN documents da ON p.id_a = da.doc_id
+         |JOIN documents db ON p.id_b = db.doc_id
+         |GROUP BY 1, 2""".stripMargin,
+    // decay replay: scalar-subquery anchor, integer half-life count,
+    // 10^6 >> k weights (clamped at 20), e4-decimal accumulation
+    "events_decay_totals" ->
+      """WITH a AS (SELECT max(epoch_ns(ts)) AS t0 FROM events),
+        |w AS (SELECT event_type, value,
+        |        (t0 - epoch_ns(ts)) // 259200000000000 AS k
+        |      FROM events, a)
+        |SELECT event_type AS key, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)) *
+        |    (CASE WHEN k >= 20 THEN 0 ELSE 1000000 >> k END)) * 10000
+        |    AS BIGINT) AS decayed_value_e10
+        |FROM w GROUP BY 1""".stripMargin,
     // same transitive closure, then the cluster-keyed md5 split bucket
     "split_leakage_safe_documents" ->
       s"""WITH RECURSIVE $NgramClusterCtes

@@ -68,6 +68,30 @@ object CorpusDiff {
     * collapse to one driver row off it, and the share arithmetic
     * inlines them as literals — no re-aggregation of either corpus, no
     * broadcast-nested-loop of a totals row (the assignShards idiom). */
+  /** Cross-source duplication matrix from a duplicate-PAIR graph (any
+    * (id_a, id_b) pairs table — exact-fp, n-gram, MinHash, SimHash):
+    * for every unordered source pair, how many duplicate pairs connect
+    * them — the "which feeds duplicate each other" report that sets
+    * crawl-dedup priorities (e.g. a CC snapshot vs C4). The diagonal
+    * (source_a == source_b) is the within-source duplication rate.
+    *
+    * Shape: the pairs table (|dup pairs| rows, orders of magnitude
+    * under the corpus) joins the (id, source) membership twice on id,
+    * then reduces to a |sources|² matrix — never a corpus self-join;
+    * the corpus contributes only its id→source projection. */
+  def sourceOverlap(pairs: DataFrame, corpus: DataFrame,
+                    idCol: Column, srcCol: Column): DataFrame = {
+    val m = corpus.select(idCol.as("__id"), srcCol.as("__src"))
+    pairs
+      .join(m.select(col("__id").as("id_a"), col("__src").as("sa")),
+        "id_a")
+      .join(m.select(col("__id").as("id_b"), col("__src").as("sb")),
+        "id_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_dup_pairs"))
+  }
+
   def drift(oldDf: DataFrame, newDf: DataFrame, dim: Column): DataFrame = {
     val a = oldDf.groupBy(dim.as("dim")).agg(count(lit(1)).as("n_v1"))
     val b = newDf.groupBy(dim.as("dim")).agg(count(lit(1)).as("n_v2"))

@@ -49,4 +49,34 @@ object Retention {
                 key: Column): DataFrame =
     corpus.join(broadcast(deletes.select(key.as("__k"))),
       key === col("__k"), "left_anti")
+
+  /** Time-DECAYED totals per key — the recency-weighted leaderboard
+    * (trending keys, hot users) — with EXPONENTIAL decay and not one
+    * transcendental: the elapsed WHOLE half-life count k is integer,
+    * the weight is 10^6 >> k (power-of-two decay is exact; k >= 20
+    * clamps to 0), and values accumulate as e4 decimals × ppm weights,
+    * so the result replays bit-for-bit in SQL. The decay anchor is the
+    * corpus' max timestamp — ONE driver-side scalar inlined as a plan
+    * literal (the Profiler.outliers idiom; a joined 1-row anchor would
+    * plan as a nested loop). One aggregation, map-combined.
+    * Output: (key, n_events, decayed_value_e10). */
+  def decayTotals(df: DataFrame, tsCol: Column, keyCol: Column,
+                  valueCol: Column, halfLifeNs: Long): DataFrame = {
+    require(halfLifeNs > 0, "half-life must be positive")
+    val anchorRow = df.agg(max(tsCol)).head()
+    val anchor =
+      if (anchorRow.isNullAt(0)) 0L else anchorRow.getLong(0)
+    val dt = lit(anchor) - tsCol
+    // exact integer floor(dt / h): subtract the remainder first — the
+    // double division of an exact multiple is exact below 2^53
+    val k = ((dt - pmod(dt, lit(halfLifeNs))) / lit(halfLifeNs.toDouble))
+      .cast("long")
+    val weight = (0 until 20).foldLeft(when(k >= 20L, lit(0L))) {
+      (acc, i) => acc.when(k === i.toLong, lit(1000000L >> i))
+    }.otherwise(lit(0L))
+    df.groupBy(keyCol.as("key"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(valueCol, 4).cast("decimal(18,4)") * weight) * 10000)
+          .cast("long").as("decayed_value_e10"))
+  }
 }

@@ -174,6 +174,47 @@ class GovernanceSpec extends SparkSpec {
     hammingSet.subsetOf(got) shouldBe true // substitution-complete
   }
 
+  test("decayTotals: golden power-of-two weights; anchor row undecayed") {
+    val h = 1000L // half-life in ns
+    val ev = Seq(
+      (1000L, "a", 2.0),  // anchor (max ts): k=0, weight 1e6
+      (0L, "a", 4.0),     // one half-life: k=1, weight 500000
+      (1L, "a", 8.0),     // 999ns elapsed: k=0 (whole half-lives only)
+      (1000L - 25000L, "b", 1.0)) // k=25 -> clamped weight 0
+      .toDF("ts", "typ", "value")
+    val out = Retention.decayTotals(ev, col("ts"), col("typ"),
+      col("value"), h)
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // a: 2.0*1e6 + 4.0*5e5 + 8.0*1e6 = 12e6 -> e10 scale *1e4
+    out("a") shouldBe ((3L, 120000000000L))
+    out("b") shouldBe ((1L, 0L))
+    // fractional values keep e4 exactness:
+    // round(0.12345, 4) = 0.1235; x 500000 (k=1) = 61750; e10 -> x 1e4
+    val ev2 = Seq((1000L, "x", 0.0), (0L, "x", 0.12345))
+      .toDF("ts", "typ", "value")
+    Retention.decayTotals(ev2, col("ts"), col("typ"), col("value"), h)
+      .as[(String, Long, Long)].collect()
+      .head shouldBe (("x", 2L, 617500000L))
+  }
+
+  test("sourceOverlap: unordered matrix with diagonal; pair-graph driven") {
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
+      .toDF("id_a", "id_b")
+    val corpus = Seq(
+      (1L, "s1"), (2L, "s2"), (3L, "s2"), (4L, "s1"),
+      (5L, "s1"), (6L, "s1"), (7L, "s3"), (8L, "s2"))
+      .toDF("doc_id", "source")
+    val m = CorpusDiff.sourceOverlap(pairs, corpus,
+      col("doc_id"), col("source"))
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    m shouldBe Map(
+      ("s1", "s2") -> 2L,  // both directions fold onto one cell
+      ("s1", "s1") -> 1L,  // within-source diagonal
+      ("s2", "s3") -> 1L)
+  }
+
   test("deletionVariants: exact neighborhood; short strings safe") {
     import graft.operators.EntityMatch
     def variants(s: String): Set[String] =
