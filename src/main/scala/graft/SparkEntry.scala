@@ -413,6 +413,23 @@ object SparkEntry {
           expr("(est_join_rows - exact_join_rows) * 1000000L" +
             " div exact_join_rows").as("overcount_ppm"))
     },
+    // Join-strategy ADVISOR: per candidate join, profiling stats (one
+    // groupBy-counts pass per side) + the AMS size estimate from
+    // sketches built off those SAME counts, folded through an integer
+    // rule ladder into broadcast / salt / pre-aggregate / sort-merge
+    // advice — the planner table consulted before running anything.
+    "profile_join_advisor" -> { (s, dir) =>
+      val p = graft.functions.Profiler
+      p.joinAdvice("lineitem_orders",
+          Tables(s, dir, "lineitem"), col("l_orderkey"),
+          Tables(s, dir, "orders"), col("o_orderkey"))
+        .union(p.joinAdvice("customer_nation",
+          Tables(s, dir, "customer"), col("c_nationkey"),
+          Tables(s, dir, "nation"), col("n_nationkey")))
+        .union(p.joinAdvice("orders_events",
+          Tables(s, dir, "orders"), col("o_custkey"),
+          Tables(s, dir, "events"), col("user_id")))
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -2417,6 +2434,49 @@ object SparkEntry {
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
+    // advisor replay: per-candidate counts, weighted-sketch AMS
+    // estimate, and the same integer rule ladder; one block per
+    // candidate, UNION ALL
+    "profile_join_advisor" -> Seq(
+      ("lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("customer_nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("orders_events", "orders", "o_custkey", "events", "user_id"))
+      .map { case (nm, lt, lk, rt, rk) =>
+        s"""(WITH lc AS (SELECT CAST($lk AS VARCHAR) AS k, count(*) AS c
+           |      FROM $lt GROUP BY 1),
+           |rc AS (SELECT CAST($rk AS VARCHAR) AS k, count(*) AS c
+           |      FROM $rt GROUP BY 1),
+           |ls AS (SELECT CAST(sum(c) AS BIGINT) n,
+           |         CAST(count(*) AS BIGINT) dk,
+           |         CAST(max(c) AS BIGINT) mf FROM lc),
+           |rs AS (SELECT CAST(sum(c) AS BIGINT) n,
+           |         CAST(count(*) AS BIGINT) dk,
+           |         CAST(max(c) AS BIGINT) mf FROM rc),
+           |ska AS (SELECT dd, ('0x'||substr(md5(CAST(dd AS VARCHAR)
+           |          ||':'||k),1,8))::BIGINT % 65536 AS cell,
+           |          CAST(sum(c) AS BIGINT) AS cnt
+           |        FROM lc CROSS JOIN (SELECT unnest(range(0,4)) AS dd)
+           |        GROUP BY 1, 2),
+           |skb AS (SELECT dd, ('0x'||substr(md5(CAST(dd AS VARCHAR)
+           |          ||':'||k),1,8))::BIGINT % 65536 AS cell,
+           |          CAST(sum(c) AS BIGINT) AS cnt
+           |        FROM rc CROSS JOIN (SELECT unnest(range(0,4)) AS dd)
+           |        GROUP BY 1, 2),
+           |e AS (SELECT CAST(min(v) AS BIGINT) est FROM (
+           |        SELECT a.dd, sum(a.cnt * b.cnt) AS v
+           |        FROM ska a JOIN skb b USING (dd, cell) GROUP BY 1))
+           |SELECT '$nm' AS join_name, ls.n AS n_left, rs.n AS n_right,
+           |  ls.dk AS distinct_left, rs.dk AS distinct_right,
+           |  ls.mf AS max_freq_left, rs.mf AS max_freq_right,
+           |  e.est AS est_join_rows,
+           |  CASE WHEN rs.n <= 1000 THEN 'broadcast_right'
+           |       WHEN ls.n <= 1000 THEN 'broadcast_left'
+           |       WHEN ls.mf * 100 > ls.n * 1
+           |         OR rs.mf * 100 > rs.n * 1 THEN 'salt_skewed'
+           |       WHEN e.est > (ls.n + rs.n) * 10 THEN 'pre_aggregate'
+           |       ELSE 'sort_merge' END AS advice
+           |FROM ls, rs, e)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     // AMS join-size replay: same md5 cells, row-wise inner products,
     // min over rows; exact twin from per-key count tables
     "profile_join_cardinality" ->

@@ -73,6 +73,22 @@ object CountMin {
       .filter(col("cms_count") * phiDen >= lit(n) * phiNum)
   }
 
+  /** [[sketch]] from a PRE-AGGREGATED (term, count) table instead of
+    * the raw occurrence stream — when a groupBy-counts table already
+    * exists (profiling pass), the sketch build is key-domain-sized
+    * instead of corpus-sized. Identical output to [[sketch]] over the
+    * stream the counts summarize. */
+  def sketchWeighted(counts: DataFrame, termCol: Column, cntCol: Column,
+                     depth: Int, width: Int): DataFrame = {
+    require(depth > 0 && width > 0, "depth and width must be positive")
+    counts.select(termCol.as("__t"), cntCol.as("__c"))
+      .withColumn("d", explode(sequence(lit(0), lit(depth - 1))))
+      .select(col("d"), cellOf(col("d"), col("__t"), width).as("cell"),
+        col("__c"))
+      .groupBy(col("d"), col("cell"))
+      .agg(sum(col("__c")).as("cnt"))
+  }
+
   /** Equi-join SIZE estimation from two sketches built with the SAME
     * (depth, width) over the two join-key occurrence streams (AMS /
     * Alon-Gian-Matias-Szegedy style, via the CMS inner product —

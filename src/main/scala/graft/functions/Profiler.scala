@@ -279,4 +279,59 @@ object Profiler {
       .agg(count(lit(1)).as("n_rows"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
+
+  /** Join-strategy ADVICE for one candidate equi-join, from profiling
+    * stats alone — the planner table an engine consults before running
+    * anything: per-side row counts, key cardinalities, and max key
+    * frequency (all from ONE groupBy-counts pass per side), plus the
+    * AMS join-size estimate from sketches built off those SAME counts
+    * ([[CountMin.sketchWeighted]] — key-domain-sized, the corpus is
+    * never rescanned). The advice ladder is integer-exact:
+    *   1. a side fits the broadcast limit        → broadcast_right/left
+    *   2. one key holds > skewPct% of either side → salt_skewed
+    *   3. estimate > 10x combined input           → pre_aggregate
+    *   4. otherwise                               → sort_merge
+    * One result row; the scalar stats meet through a tagged UNION into
+    * a single aggregation — no single-row cross join. */
+  def joinAdvice(name: String, left: DataFrame, lKey: Column,
+                 right: DataFrame, rKey: Column,
+                 broadcastLimit: Long = 1000L, skewPct: Long = 1L,
+                 depth: Int = 4, width: Int = 65536): DataFrame = {
+    def counts(df: DataFrame, k: Column) =
+      df.groupBy(k.cast("string").as("k")).agg(count(lit(1)).as("c"))
+        .localCheckpoint() // feeds the stats row AND the sketch
+    val lc = counts(left, lKey)
+    val rc = counts(right, rKey)
+    def stats(c: DataFrame, tag: String) =
+      c.agg(sum(col("c")).as("v1"),
+          count(lit(1)).as("v2"), max(col("c")).as("v3"))
+        .select(lit(tag).as("tag"), col("v1").cast("long"),
+          col("v2").cast("long"), col("v3").cast("long"))
+    val est = CountMin.joinCardinalityByRow(
+      CountMin.sketchWeighted(lc, col("k"), col("c"), depth, width),
+      CountMin.sketchWeighted(rc, col("k"), col("c"), depth, width))
+      .agg(min(col("ip")).as("v1"))
+      .select(lit("E").as("tag"), col("v1").cast("long"),
+        lit(null).cast("long").as("v2"), lit(null).cast("long").as("v3"))
+    stats(lc, "L").union(stats(rc, "R")).union(est)
+      .agg(max(when(col("tag") === "L", col("v1"))).as("n_left"),
+        max(when(col("tag") === "R", col("v1"))).as("n_right"),
+        max(when(col("tag") === "L", col("v2"))).as("distinct_left"),
+        max(when(col("tag") === "R", col("v2"))).as("distinct_right"),
+        max(when(col("tag") === "L", col("v3"))).as("max_freq_left"),
+        max(when(col("tag") === "R", col("v3"))).as("max_freq_right"),
+        max(when(col("tag") === "E", col("v1"))).as("est_join_rows"))
+      .select(lit(name).as("join_name"), col("n_left"), col("n_right"),
+        col("distinct_left"), col("distinct_right"),
+        col("max_freq_left"), col("max_freq_right"),
+        col("est_join_rows"),
+        when(col("n_right") <= broadcastLimit, "broadcast_right")
+          .when(col("n_left") <= broadcastLimit, "broadcast_left")
+          .when(col("max_freq_left") * 100L > col("n_left") * skewPct ||
+            col("max_freq_right") * 100L > col("n_right") * skewPct,
+            "salt_skewed")
+          .when(col("est_join_rows") >
+            (col("n_left") + col("n_right")) * 10L, "pre_aggregate")
+          .otherwise("sort_merge").as("advice"))
+  }
 }

@@ -96,6 +96,37 @@ class PipelineStatsSpec extends SparkSpec {
       .as[(Int, Long)].collect().foreach(_._2 shouldBe 300L * 200L)
   }
 
+  test("joinAdvice: every rung of the ladder; stats and estimate exact") {
+    def df(pairs: Seq[Long]) = pairs.map(k => Tuple1(k)).toDF("k")
+    def advice(l: Seq[Long], r: Seq[Long], limit: Long = 10L,
+               skew: Long = 1L): (String, Long) = {
+      val row = Profiler.joinAdvice("t", df(l), $"k", df(r), $"k",
+        broadcastLimit = limit, skewPct = skew).collect().head
+      (row.getAs[String]("advice"), row.getAs[Long]("est_join_rows"))
+    }
+    // tiny right side -> broadcast_right (takes precedence)
+    advice((1L to 100L), (1L to 5L))._1 shouldBe "broadcast_right"
+    // tiny left side only -> broadcast_left
+    advice((1L to 5L), (1L to 100L))._1 shouldBe "broadcast_left"
+    // one key holds 50% of the left -> salt_skewed
+    val skewed = Seq.fill(50)(7L) ++ (1L to 50L)
+    advice(skewed, (1L to 100L))._1 shouldBe "salt_skewed"
+    // high-fanout many-to-many, no single hot key -> pre_aggregate
+    val fan = (1L to 20L).flatMap(k => Seq.fill(30)(k))
+    val (adv, est) = advice(fan, fan, skew = 10L)
+    adv shouldBe "pre_aggregate"
+    est shouldBe 20L * 30L * 30L // no collisions at this width: exact
+    // big unique-keyed sides -> sort_merge
+    advice((1L to 500L), (1L to 500L))._1 shouldBe "sort_merge"
+    // stats columns are the exact profile
+    val row = Profiler.joinAdvice("t", df(skewed), $"k",
+      df((1L to 30L)), $"k").collect().head
+    row.getAs[Long]("n_left") shouldBe 100L
+    row.getAs[Long]("distinct_left") shouldBe 50L // key 7 is in 1..50
+    row.getAs[Long]("max_freq_left") shouldBe 51L // 50 fills + 1 range hit
+    row.getAs[Long]("n_right") shouldBe 30L
+  }
+
   test("CountMin absent term estimates 0 in a wide sketch") {
     val sk = CountMin.sketch(Seq("a", "b").toDF("term"), $"term",
       depth = 4, width = 2048)
