@@ -346,6 +346,50 @@ object ScaleStress {
       graft.functions.Vocab.encode(docs, col("id"), col("text"),
         k = 500).count()
     }
+    time("entity match: deletion neighborhoods (1M 9-digit keys, 1k blocks)") {
+      val names = docs.limit(1000000).select(col("id"),
+        lpad(pmod(xxhash64(col("id")), lit(100000)).cast("string"),
+          9, "0").as("name"),
+        pmod(col("id"), lit(1000)).as("blk"))
+      EntityMatch.deletionNeighborhoodPairs(names,
+        col("id"), col("name"), col("blk")).count()
+    }
+    time("incremental minhash: 1% delta vs persisted band index") {
+      val idx = Dedup.minhashIndexBuild(
+        docs.filter(pmod(col("id"), lit(100)) =!= 0),
+        col("text"), col("id"))
+      Dedup.minhashIncrementalPairs(idx,
+        docs.filter(pmod(col("id"), lit(100)) === 0),
+        col("text"), col("id")).count()
+    }
+    time(s"phrase search (3-term positional) over $rows docs") {
+      graft.functions.Search.phrase(docs, col("id"), col("text"),
+        Seq("w1", "w2", "w3")).count()
+    }
+    time(s"decay totals over $rows events-shaped rows") {
+      val ev = docs.select(pmod(xxhash64(col("id")), lit(1000000000L))
+          .as("ts"), col("key"),
+        (pmod(col("id"), lit(1000)).cast("double") / 10.0).as("v"))
+      Retention.decayTotals(ev, col("ts"), col("key"), col("v"),
+        halfLifeNs = 100000000L).count()
+    }
+    time(s"pareto skyline over $rows docs (1k x-tiers)") {
+      val pts = docs.select(col("id"),
+        pmod(xxhash64(col("id"), lit(7)), lit(1000)).as("x"),
+        length(col("text")).cast("long").as("y"))
+      Splits.selectPareto(pts, col("id"), col("x"), col("y")).count()
+    }
+    time(s"join advisor over two $rows-row sides") {
+      graft.functions.Profiler.joinAdvice("stress",
+        docs, col("key"), docs, pmod(col("id"), lit(500))).count()
+    }
+    time("bitext margin mining (100 anchors vs 500k tgt)") {
+      Similarity.mineBitextMargin(
+        vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
+        vecs.filter(col("vec_id") % 2 === 1),
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        k = 4).count()
+    }
     spark.stop()
   }
 }

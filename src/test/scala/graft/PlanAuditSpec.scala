@@ -92,6 +92,7 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_minhash_documents",
       "dedup_incremental_minhash", // same shingleSets prefilter as minhash
       "dedup_ngram_documents",
+      "profile_source_overlap", // composes ngramJaccardPairs, same prefilter
       "dedup_simhash_documents",
       "text_novelty_bigram")
     val offences = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
