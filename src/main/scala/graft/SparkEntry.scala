@@ -1237,6 +1237,16 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nNegatives = 3)
     },
+    // MMR diversified re-rank (the RAG answer to near-duplicate
+    // passages crowding a context window): greedy argmax of
+    // relevance − max-sim-to-selected over a bounded top-20 candidate
+    // set, 5 static plan steps, integer-e6 arithmetic throughout.
+    "rag_mmr_rerank" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.mmrRerank(emb.filter(col("vec_id") < 8), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCandidates = 20, k = 5)
+    },
     // Margin-based BITEXT MINING (the parallel-corpus assembly step):
     // even vec_ids play the source language, odd the target; a pair is
     // mined only when its cosine beats BOTH sides' avg top-4
@@ -3915,6 +3925,64 @@ object SparkEntry {
          |SELECT anchor_id, positive_id, pos_score,
          |  CAST(neg_rank AS INT) AS neg_rank, negative_id
          |FROM neg WHERE neg_rank <= 3""".stripMargin,
+    // MMR replay: bounded top-20 candidates, candidate-pair sims, and
+    // the 5 greedy steps unrolled as CTEs (argmax of rel − max sim to
+    // the selected prefix, ties to the lower id)
+    "rag_mmr_rerank" -> {
+      val dot = (l: String, r: String) =>
+        s"round(list_sum([$l.e[i] * $r.e[i] " +
+          s"FOR i IN range(1, len($l.e) + 1)]), 6)"
+      val steps = (2 to 5).map { t =>
+        s"""s$t AS (
+           |  SELECT query_id, $t AS mmr_rank, neighbor_id, rel_e6 FROM (
+           |    SELECT r.query_id, r.neighbor_id, r.rel_e6,
+           |      row_number() OVER (PARTITION BY r.query_id
+           |        ORDER BY r.rel_e6 - coalesce(m.ms, 0) DESC,
+           |          r.neighbor_id) AS rn
+           |    FROM cand r
+           |    LEFT JOIN p${t - 1} pv ON pv.query_id = r.query_id
+           |      AND pv.neighbor_id = r.neighbor_id
+           |    LEFT JOIN (
+           |      SELECT p.query_id, p.a, max(p.sim_e6) AS ms
+           |      FROM ps p JOIN p${t - 1} s ON p.query_id = s.query_id
+           |        AND p.b = s.neighbor_id
+           |      GROUP BY 1, 2) m
+           |      ON m.query_id = r.query_id AND m.a = r.neighbor_id
+           |    WHERE pv.neighbor_id IS NULL)
+           |  WHERE rn = 1),
+           |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)"""
+          .stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT query_id, neighbor_id, rel_e6 FROM (
+         |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |      CAST(round(${dot("q", "c")} * 1000000) AS BIGINT)
+         |        AS rel_e6,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${dot("q", "c")} DESC, c.vec_id) AS rk
+         |    FROM v q JOIN v c ON q.vec_id < 8 AND q.vec_id <> c.vec_id)
+         |  WHERE rk <= 20),
+         |ps AS (
+         |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         |    CAST(round(${dot("vx", "vy")} * 1000000) AS BIGINT)
+         |      AS sim_e6
+         |  FROM cand x JOIN v vx ON vx.vec_id = x.neighbor_id
+         |  JOIN cand y ON x.query_id = y.query_id
+         |    AND x.neighbor_id <> y.neighbor_id
+         |  JOIN v vy ON vy.vec_id = y.neighbor_id),
+         |s1 AS (SELECT query_id, 1 AS mmr_rank, neighbor_id, rel_e6
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel_e6 DESC, neighbor_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |p1 AS (SELECT * FROM s1),
+         |$steps
+         |SELECT query_id, mmr_rank, neighbor_id, rel_e6 FROM p5"""
+        .stripMargin
+    },
     // margin replay: forward top-4 per even-id anchor into the odd
     // side, backward top-4 for forward candidates only, e6-integer
     // scores, margin_ppm = 8·s·10^6 // (Σx + Σy), best-by-margin > 1e6

@@ -682,6 +682,67 @@ object Similarity {
       .select(col("src_id"), col("tgt_id"), col("s_e6"), col("margin_ppm"))
   }
 
+  /** Maximal-Marginal-Relevance re-rank (Carbonell & Goldstein 1998,
+    * SIGIR) — diversified retrieval: greedily pick `k` of the top-N
+    * candidates, each step taking argmax(relevance − maxSimToSelected)
+    * (with e6-integer scores this IS the λ=0.5 MMR argmax, the ½
+    * scaling out of the comparison), ties to the lower id. The RAG
+    * answer to near-duplicate passages crowding a context window.
+    *
+    * Shape: ONE [[bruteForceTopK]] bounds candidates to N per query;
+    * candidate-pair sims are |queries|·N² bounded rows; each greedy
+    * step is an anti-join + max-sim join + bounded argmax — k STATIC
+    * plan steps over checkpointed candidate tables, no driver loop
+    * over data. Output: (query_id, mmr_rank, neighbor_id, rel_e6). */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame,
+                qId: Column, qVec: Column, cId: Column, cVec: Column,
+                nCandidates: Int = 20, k: Int = 5): DataFrame = {
+    require(k >= 1 && nCandidates >= k, "need nCandidates >= k >= 1")
+    val cand = bruteForceTopK(queries, corpus, nCandidates,
+      qId, qVec, cId, cVec)
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("score") * 1e6).cast("long").as("rel_e6"))
+      .localCheckpoint()
+    val cvecs = normalized(corpus, cId, cVec, "neighbor_id", "nv")
+    val candV = cand.select(col("query_id"), col("neighbor_id"))
+      .join(cvecs, "neighbor_id")
+    val psim = candV.as("x")
+      .join(candV.as("y"),
+        col("x.query_id") === col("y.query_id") &&
+          col("x.neighbor_id") =!= col("y.neighbor_id"))
+      .select(col("x.query_id").as("query_id"),
+        col("x.neighbor_id").as("a"), col("y.neighbor_id").as("b"),
+        round(round(Vectors.dot(col("x.nv"), col("y.nv")), 6) * 1e6)
+          .cast("long").as("sim_e6"))
+      .localCheckpoint()
+    def argmax(df: DataFrame, score: Column, rank: Int): DataFrame =
+      df.withColumn("__rn",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("query_id"))
+          .orderBy(score.desc, col("neighbor_id"))))
+        .filter(col("__rn") === 1)
+        .select(col("query_id"), lit(rank).as("mmr_rank"),
+          col("neighbor_id"), col("rel_e6"))
+    var selected = argmax(cand, col("rel_e6"), 1).localCheckpoint()
+    for (t <- 2 to k) {
+      val remaining = cand.join(
+        selected.select(col("query_id"), col("neighbor_id")),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      val maxSim = psim
+        .join(selected.select(col("query_id"),
+          col("neighbor_id").as("b")), Seq("query_id", "b"))
+        .groupBy(col("query_id"), col("a").as("neighbor_id"))
+        .agg(max(col("sim_e6")).as("__ms"))
+      val pick = argmax(
+        remaining.join(maxSim, Seq("query_id", "neighbor_id"), "left")
+          .withColumn("__mmr",
+            col("rel_e6") - coalesce(col("__ms"), lit(0L))),
+        col("__mmr"), t)
+      selected = selected.union(pick).localCheckpoint()
+    }
+    selected
+  }
+
   /** The [[ivfTopKAnchored]] build step exposed as an index: the
     * deterministic seed-vector quantizer, so a persisted copy serves
     * exact-oracle queries. */

@@ -284,6 +284,46 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.select("cell").distinct().count()
   }
 
+  test("mmrRerank: diversifies past a redundant twin; first pick = top-1") {
+    // query along x; two near-identical high-relevance docs (1, 2), a
+    // moderately relevant diverse doc (3), fillers. Pure top-2 picks
+    // the twin; MMR must pick the diverse doc second.
+    val q = Seq((100L, Seq(1f, 0f, 0f, 0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (1L, Seq(0.99f, 0.1f, 0f, 0f)),
+      (2L, Seq(0.99f, 0.11f, 0f, 0f)),  // twin of 1
+      (3L, Seq(0.7f, 0f, 0.7f, 0f)),    // diverse, lower relevance
+      (4L, Seq(0f, 1f, 0f, 0f)), (5L, Seq(0f, 0f, 0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.mmrRerank(q, corpus,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      nCandidates = 5, k = 3)
+      .orderBy("mmr_rank").as[(Long, Int, Long, Long)].collect()
+      .map(r => r._3)
+    picks(0) shouldBe 1L // pure relevance leader
+    picks(1) shouldBe 3L // NOT the twin (2): redundancy penalized
+    // property pass on the corpus: rank-1 = brute top-1, 5 distinct
+    // picks per query drawn from the top-20 candidates
+    val emb = Tables(spark, sf0001, "embeddings")
+    val queries = emb.filter($"vec_id" < 8)
+    val out = Similarity.mmrRerank(queries, emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .as[(Long, Int, Long, Long)].collect()
+    out.length shouldBe 40
+    val top20 = Similarity.bruteForceTopK(queries, emb, 20,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect()
+    val top1 = top20.filter(_._3 == 1).map(t => t._1 -> t._2).toMap
+    val candSet = top20.map(t => (t._1, t._2)).toSet
+    out.groupBy(_._1).foreach { case (qid, rows) =>
+      rows.map(_._2).sorted.toSeq shouldBe (1 to 5)
+      rows.find(_._2 == 1).get._3 shouldBe top1(qid)
+      rows.map(_._3).distinct.length shouldBe 5
+      rows.foreach(r => candSet should contain((qid, r._3)))
+    }
+  }
+
   test("mineBitextMargin: matches a driver-side replay; hub targets rejected") {
     val emb = Tables(spark, sf0001, "embeddings")
     val src = emb.filter($"vec_id" % 2 === 0 && $"vec_id" < 64)
