@@ -1000,6 +1000,16 @@ object SparkEntry {
         col("lang"), col("doc_id"),
         TextAnalysis.tokens(col("text")), seqLen = 128)
     },
+    // Deterministic INTERLEAVED training order: per-source md5 shuffle
+    // rank, round-robin across sources by FORMULA (global_pos =
+    // rank·|sources| + srcIdx) — every batch window sees the same
+    // source mix; no global sort, no single-partition window.
+    "order_interleaved_documents" -> { (s, dir) =>
+      Splits.interleavedOrder(Tables(s, dir, "documents"),
+        col("doc_id"), col("source"))
+        .select(col("id").as("doc_id"), col("source"),
+          col("rank_in_source"), col("global_pos"))
+    },
     // Group-granular holdout (federated eval on held-out CLIENTS):
     // whole sources enter or leave the train split together, decided by
     // the md5 uniform of the source value.
@@ -3508,6 +3518,23 @@ object SparkEntry {
         |WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT
         |      * tgt.n < tgt.t * 4294967296
         |GROUP BY 1""".stripMargin,
+    // interleave replay: per-source md5 rank window, source index from
+    // the sorted distinct list, position formula
+    "order_interleaved_documents" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |        ::BIGINT, doc_id) - 1 AS rank_in_source
+        |  FROM documents),
+        |s AS (SELECT source, row_number() OVER (ORDER BY source) - 1
+        |        AS si
+        |      FROM (SELECT DISTINCT source FROM documents)),
+        |n AS (SELECT count(*) AS ns FROM s)
+        |SELECT r.doc_id, r.source,
+        |  CAST(r.rank_in_source AS BIGINT) AS rank_in_source,
+        |  CAST(r.rank_in_source * n.ns + s.si AS BIGINT) AS global_pos
+        |FROM r JOIN s USING (source) CROSS JOIN n""".stripMargin,
     // epoch-plan replay: token mass per lang, isqrt weights, integer
     // budget division; floor∘sqrt is IEEE-exact in both engines
     "mix_epochs_budget" ->

@@ -301,6 +301,65 @@ object Splits {
     spark.createDataFrame(sliced, schema)
   }
 
+  /** Deterministic INTERLEAVED training order: within each source,
+    * rows take a stable md5 shuffle rank; across sources, rank r of
+    * source s lands at global_pos = r·|sources| + index(s) — strict
+    * round-robin BY FORMULA, so every contiguous batch window of the
+    * global order sees the same source mix, with NO global sort and no
+    * single-partition window anywhere (positions gap once a shorter
+    * source exhausts; ORDER semantics are unaffected). The per-source
+    * dense rank uses the [[sliceByPosition]] topology: range-partition
+    * on (source, md5, id), per-partition per-source counts to the
+    * driver (bounded: partitions × sources), offsets broadcast back,
+    * one imperative pass per partition. Output:
+    * (id, source, rank_in_source, global_pos). */
+  def interleavedOrder(df: DataFrame, idCol: Column,
+                       sourceCol: Column): DataFrame = {
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val base = df.select(idCol.cast("long").as("id"),
+      sourceCol.cast("string").as("source"),
+      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+        .cast("long").as("__u"))
+    val parts = base
+      .repartitionByRange(col("source"), col("__u"), col("id"))
+      .sortWithinPartitions(col("source"), col("__u"), col("id"))
+    val counts: Array[(Int, String, Long)] =
+      parts.rdd.mapPartitionsWithIndex { (i, it) =>
+        val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+        it.foreach { r =>
+          val s = r.getString(1); m(s) = m.getOrElse(s, 0L) + 1L
+        }
+        m.iterator.map { case (s, n) => (i, s, n) }
+      }.collect()
+    val srcs = counts.map(_._2).distinct.sorted
+    val srcIdx = srcs.zipWithIndex.toMap
+    val nSrc = srcs.length.toLong
+    val offsets: Map[(Int, String), Long] =
+      counts.groupBy(_._2).flatMap { case (s, rows) =>
+        var acc = 0L
+        rows.sortBy(_._1).map { case (pid, _, n) =>
+          val o = ((pid, s), acc); acc += n; o
+        }
+      }
+    val out = parts.rdd.mapPartitionsWithIndex { (i, it) =>
+      var cur: String = null
+      var rank = 0L
+      it.map { r =>
+        val s = r.getString(1)
+        if (s != cur) { cur = s; rank = offsets.getOrElse((i, s), 0L) }
+        val row = org.apache.spark.sql.Row(
+          r.getLong(0), s, rank, rank * nSrc + srcIdx(s))
+        rank += 1
+        row
+      }
+    }
+    spark.createDataFrame(out, StructType(Seq(
+      StructField("id", LongType), StructField("source", StringType),
+      StructField("rank_in_source", LongType),
+      StructField("global_pos", LongType))))
+  }
+
   /** Deterministic fixed-SIZE global sample: exactly min(k, n) rows —
     * the md5-smallest ids corpus-wide — for fixed-budget eval / probe
     * sets where a RATE sample ([[stratifiedSample]]) can't promise an

@@ -90,6 +90,41 @@ class PipelineMixSpec extends SparkSpec {
 
   // ----------------------------------------- md5-anchored Dirichlet
 
+  test("interleavedOrder: dense md5 ranks, formula positions, partition-invariant") {
+    val docs = Tables(spark, sf0001, "documents")
+    val out = Splits.interleavedOrder(docs, $"doc_id", $"source")
+      .as[(Long, String, Long, Long)].collect()
+    out.length shouldBe docs.count()
+    val srcs = out.map(_._2).distinct.sorted
+    val si = srcs.zipWithIndex.toMap
+    def u32(id: Long): BigInt = BigInt(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    out.groupBy(_._2).foreach { case (s, rows) =>
+      // dense 0..n-1, ordered by (u32(md5(id)), id)
+      rows.map(_._3).sorted.toSeq shouldBe (0L until rows.length)
+      rows.sortBy(_._3).map(_._1).toSeq shouldBe
+        rows.map(_._1).sortBy(id => (u32(id), id)).toSeq
+    }
+    // position formula and uniqueness
+    out.foreach { case (_, s, r, p) =>
+      p shouldBe r * srcs.length + si(s)
+    }
+    out.map(_._4).distinct.length shouldBe out.length
+    // batch-mix property: any prefix of the global order has balanced
+    // sources until one exhausts
+    val ordered = out.sortBy(_._4).map(_._2)
+    val minSrcSize = out.groupBy(_._2).values.map(_.length).min
+    val window = ordered.take(srcs.length * math.min(5, minSrcSize))
+    window.groupBy(identity).values.map(_.size).toSet.size shouldBe 1
+    // invariant under input partitioning
+    val re = Splits.interleavedOrder(docs.repartition(17, $"lang"),
+      $"doc_id", $"source")
+      .as[(Long, String, Long, Long)].collect()
+    re.sortBy(_._1).toSeq shouldBe out.sortBy(_._1).toSeq
+  }
+
   test("epochsPlan: golden integer plan; repeats flagged above 1e6 ppm") {
     // source A: 100 tokens -> weight 10; source B: 10000 -> weight 100
     val df = (Seq.fill(10)(("A", 10L)) ++ Seq.fill(10)(("B", 1000L)))
