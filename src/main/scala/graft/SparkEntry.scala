@@ -500,6 +500,14 @@ object SparkEntry {
         col("event_type"), col("value"),
         halfLifeNs = 259200L * 1000000000L)
     },
+    // Robust rate-anomaly detection: hourly per-type counts, flagged
+    // beyond 3 MADs from the median — median/MAD because mean/σ is
+    // poisoned by the outliers it hunts. Exact percentiles over the
+    // bounded window-count series; anomalous windows only.
+    "events_anomaly_windows" -> { (s, dir) =>
+      Retention.anomalyWindows(Tables(s, dir, "events"), col("ts"),
+        col("event_type"), windowNs = 3600L * 1000000000L)
+    },
     // LEAKAGE-SAFE splits: train/val/test keyed by the near-dup CLUSTER
     // id, so a test doc can never have a train-side twin (doc-keyed
     // hashing leaks every duplicate pair across the split boundary).
@@ -3034,6 +3042,24 @@ object SparkEntry {
          |FROM pairs
          |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    // anomaly replay: same window floor, quantile_cont medians, same
+    // driver-computed 3x1.4826 factor
+    "events_anomaly_windows" ->
+      """WITH wc AS (
+        |  SELECT event_type AS key,
+        |    epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS window_start,
+        |    count(*) AS cnt
+        |  FROM events GROUP BY 1, 2),
+        |st AS (SELECT key, quantile_cont(cnt, 0.5) AS med
+        |       FROM wc GROUP BY 1),
+        |dev AS (SELECT wc.key, window_start, cnt, med,
+        |          abs(cnt - med) AS ad
+        |        FROM wc JOIN st USING (key)),
+        |md AS (SELECT key, quantile_cont(ad, 0.5) AS mad
+        |       FROM dev GROUP BY 1)
+        |SELECT dev.key, window_start, cnt, med, mad
+        |FROM dev JOIN md USING (key)
+        |WHERE ad > 3 * 1.4826 * mad""".stripMargin,
     // pair graph joined to sources, unordered pair counts
     "profile_source_overlap" ->
       s"""WITH $NgramPairsCtes

@@ -50,6 +50,36 @@ object Retention {
     corpus.join(broadcast(deletes.select(key.as("__k"))),
       key === col("__k"), "left_anti")
 
+  /** Robust time-series ANOMALY detection per key: fixed windows of
+    * `windowNs`, a window's event count flagged when
+    * |count − median| > nMads·1.4826·MAD — the median/MAD rule,
+    * because a mean/σ z-score is poisoned by the very outliers it
+    * hunts on heavy-tailed rates. Both medians are exact interpolated
+    * percentiles over the per-key WINDOW-COUNT series (bounded by
+    * windows-per-key, never event count — the repo's
+    * quantile_cont-parity path), each |keys|-row table broadcast
+    * back. The 1.4826 σ-consistency factor multiplies nMads
+    * driver-side, so both engines compare against the identical
+    * double. Output: the anomalous windows only,
+    * (key, window_start, cnt, med, mad). */
+  def anomalyWindows(df: DataFrame, tsCol: Column, keyCol: Column,
+                     windowNs: Long, nMads: Double = 3.0): DataFrame = {
+    require(windowNs > 0, "window must be positive")
+    val wstart = tsCol - pmod(tsCol, lit(windowNs))
+    val wc = df.groupBy(keyCol.as("key"), wstart.as("window_start"))
+      .agg(count(lit(1)).as("cnt"))
+    val med = wc.groupBy(col("key"))
+      .agg(expr("percentile(cnt, 0.5)").as("med"))
+    val dev = wc.join(broadcast(med), "key")
+      .withColumn("ad", abs(col("cnt") - col("med")))
+    val mad = dev.groupBy(col("key"))
+      .agg(expr("percentile(ad, 0.5)").as("mad"))
+    dev.join(broadcast(mad), "key")
+      .filter(col("ad") > lit(nMads * 1.4826) * col("mad"))
+      .select(col("key"), col("window_start"), col("cnt"),
+        col("med"), col("mad"))
+  }
+
   /** Time-DECAYED totals per key — the recency-weighted leaderboard
     * (trending keys, hot users) — with EXPONENTIAL decay and not one
     * transcendental: the elapsed WHOLE half-life count k is integer,

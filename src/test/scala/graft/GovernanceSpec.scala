@@ -198,6 +198,31 @@ class GovernanceSpec extends SparkSpec {
       .head shouldBe (("x", 2L, 617500000L))
   }
 
+  test("anomalyWindows: spike flagged, steady rate quiet, 0-MAD strictness") {
+    // key "a": 9 windows of 10 events + 1 window of 100 (the spike);
+    // key "b": identical 5-event windows everywhere (MAD 0 -> quiet)
+    val ev = (
+      (0 until 9).flatMap(w => (0 until 10).map(i =>
+        (w * 100L + i % 100, "a"))) ++
+      (0 until 100).map(i => (900L + i % 100, "a")) ++
+      (0 until 10).flatMap(w => (0 until 5).map(i =>
+        (w * 100L + i % 100, "b"))))
+      .toDF("ts", "key")
+    val out = Retention.anomalyWindows(ev, $"ts", $"key",
+      windowNs = 100L)
+      .as[(String, Long, Long, Double, Double)].collect()
+    out.length shouldBe 1
+    val (k, w, c, med, mad) = out.head
+    k shouldBe "a"
+    w shouldBe 900L
+    c shouldBe 100L
+    med shouldBe 10.0
+    mad shouldBe 0.0 +- 1e-12 // 9 of 10 deviations are zero
+    // with MAD 0, ANY deviation is an anomaly — and only the spike
+    // deviates; the steady key never fires
+    out.count(_._1 == "b") shouldBe 0
+  }
+
   test("sourceOverlap: unordered matrix with diagonal; pair-graph driven") {
     val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L), (7L, 8L))
       .toDF("id_a", "id_b")
