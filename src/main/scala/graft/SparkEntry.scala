@@ -834,6 +834,24 @@ object SparkEntry {
         Validation.referential(li, col("l_orderkey"),
           orders, col("o_orderkey"), "fk_orders"))
     },
+    // FUNCTIONAL-DEPENDENCY discovery over candidate determinants:
+    // which columns determine which (key discovery / denormalization
+    // audit) — n_groups, violating groups, and worst fan-out per
+    // candidate. One lhs-granular aggregate per row.
+    "profile_fd_candidates" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val orders = Tables(s, dir, "orders")
+      Validation.functionalDependency(orders, "o_orderkey->o_custkey",
+          col("o_orderkey"), col("o_custkey"))
+        .union(Validation.functionalDependency(li,
+          "l_orderkey->l_suppkey", col("l_orderkey"), col("l_suppkey")))
+        .union(Validation.functionalDependency(li,
+          "l_suppkey->l_returnflag", col("l_suppkey"),
+          col("l_returnflag")))
+        .union(Validation.functionalDependency(orders,
+          "o_custkey->o_orderpriority", col("o_custkey"),
+          col("o_orderpriority")))
+    },
     // Fuzzy ENTITY MATCHING with two-level blocking: nation bounds the
     // universe, 3 INTERLEAVED digit segments of the name's varying tail
     // bound candidates inside it (disjoint segments: <=2 substitutions
@@ -2943,6 +2961,24 @@ object SparkEntry {
         |    LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
         |    ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL
         |) t""".stripMargin,
+    // FD replay: one block per candidate, UNION ALL
+    "profile_fd_candidates" -> Seq(
+      ("o_orderkey->o_custkey", "orders", "o_orderkey", "o_custkey"),
+      ("l_orderkey->l_suppkey", "lineitem", "l_orderkey", "l_suppkey"),
+      ("l_suppkey->l_returnflag", "lineitem", "l_suppkey",
+        "l_returnflag"),
+      ("o_custkey->o_orderpriority", "orders", "o_custkey",
+        "o_orderpriority"))
+      .map { case (nm, t, l, r) =>
+        s"""(SELECT '$nm' AS fd, CAST(count(*) AS BIGINT) AS n_groups,
+           |  CAST(coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0)
+           |    AS BIGINT) AS n_violating,
+           |  CAST(coalesce(max(d), 0) AS BIGINT) AS max_fanout,
+           |  coalesce(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END), 0) = 0
+           |    AS holds
+           |FROM (SELECT $l, count(DISTINCT $r) AS d FROM $t
+           |      GROUP BY 1))""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     // segment-blocked replay: interleaved digit segments, pairs
     // sharing (nation, segment), verified by levenshtein
     "entity_match_customers" ->

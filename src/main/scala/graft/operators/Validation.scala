@@ -47,6 +47,26 @@ object Validation {
       .agg(count(lit(1)).as("n_violations"))
       .select(lit(name).as("rule"), col("n_violations"))
 
+  /** Functional-dependency CHECK lhs → rhs (schema profiling / key
+    * discovery): a dependency holds when every lhs value maps to
+    * exactly one rhs value. Reports the determinant group count, how
+    * many groups violate, and the worst fan-out — the numbers that
+    * separate "this is a key" from "this is 99% a key" (which usually
+    * means dirty data, cf. the (l_orderkey, l_linenumber) duplicates
+    * [[uniqueness]] caught in the driver corpus). One groupBy to lhs
+    * granularity with a distinct-rhs aggregate, then a scalar rollup.
+    * Output: (fd, n_groups, n_violating, max_fanout, holds). */
+  def functionalDependency(df: DataFrame, name: String, lhs: Column,
+                           rhs: Column): DataFrame =
+    df.groupBy(lhs.as("__l"))
+      .agg(countDistinct(rhs).as("__d"))
+      .agg(count(lit(1)).as("n_groups"),
+        coalesce(sum(when(col("__d") > 1L, 1L).otherwise(0L)), lit(0L))
+          .as("n_violating"),
+        coalesce(max(col("__d")), lit(0L)).as("max_fanout"))
+      .select(lit(name).as("fd"), col("n_groups"), col("n_violating"),
+        col("max_fanout"), (col("n_violating") === 0L).as("holds"))
+
   /** Union rule reports into the final (rule, n_violations, passed)
     * contract table. */
   def suite(reports: DataFrame*): DataFrame =

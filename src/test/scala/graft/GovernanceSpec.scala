@@ -139,6 +139,28 @@ class GovernanceSpec extends SparkSpec {
       .as[(String, Long, Boolean)].head() shouldBe (("qty_le_50", 0L, true))
   }
 
+  test("functionalDependency: holds/violations/fan-out; empty-safe") {
+    val df = Seq((1L, "x"), (1L, "x"), (2L, "y"), (2L, "z"),
+      (3L, "x"), (3L, "y"), (3L, "z")).toDF("a", "b")
+    val r = Validation.functionalDependency(df, "a->b", $"a", $"b")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    r shouldBe (("a->b", 3L, 2L, 3L, false))
+    // the reverse direction: b -> a has b=x mapping to {1,3} etc.
+    val rev = Validation.functionalDependency(df, "b->a", $"b", $"a")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    rev shouldBe (("b->a", 3L, 3L, 2L, false))
+    // a genuine dependency
+    val ok = Validation.functionalDependency(
+      df.select($"a", ($"a" * 2).as("c")), "a->c", $"a", $"c")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    ok shouldBe (("a->c", 3L, 0L, 1L, true))
+    // empty input: zero groups, holds vacuously
+    val empty = Validation.functionalDependency(
+      df.filter($"a" < 0), "e", $"a", $"b")
+      .as[(String, Long, Long, Long, Boolean)].collect().head
+    empty shouldBe (("e", 0L, 0L, 0L, true))
+  }
+
   test("entity matching: levenshtein pairs stay inside their block") {
     val c = Tables(spark, sf0001, "customer")
     val pairs = SparkEntry.queries("entity_match_customers")(spark, sf0001)
