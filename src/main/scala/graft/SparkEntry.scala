@@ -500,6 +500,42 @@ object SparkEntry {
         col("event_type"), col("value"),
         halfLifeNs = 259200L * 1000000000L)
     },
+    // POINT-IN-TIME SCD2 join: every event pairs with the dimension
+    // VERSION valid at ITS timestamp (a plain equi-join with the
+    // validity interval as residual — never a range join). The dim is
+    // a deterministic 3-version-per-user tier history over the events'
+    // 30-day span, md5-derived so the whole construction replays.
+    "events_scd2_pointintime" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events")
+      val t0 = 1704067200000000000L // 2024-01-01T00:00Z epoch-ns
+      val tenDays = 864000000000000L
+      val dim = ev.select(col("user_id").as("uid")).distinct()
+        .select(col("uid"), explode(sequence(lit(0), lit(2))).as("v"))
+        .select(col("uid"), col("v"),
+          (lit(t0) + col("v") * tenDays).as("valid_from"),
+          when(col("v") < 2, lit(t0) + (col("v") + 1) * tenDays)
+            .cast("long").as("valid_to"),
+          concat(lit("tier"),
+            pmod(conv(substring(md5(concat(col("uid").cast("string"),
+              lit(":"), col("v").cast("string"))), 1, 8), 16, 10)
+              .cast("long"), lit(3L))).as("tier"))
+      Cdc.pointInTime(ev, col("user_id"), col("ts"),
+          dim, col("uid"), col("valid_from"), col("valid_to"))
+        .groupBy(col("tier"), col("v"))
+        .agg(count(lit(1)).as("n_events"),
+          Relational.exactValueSumE4.as("total_value_e4"))
+    },
+    // OLAP ROLLUP over orders: (priority, status) -> priority subtotals
+    // -> grand total in ONE pass (Expand with 3 projections, inside
+    // the plan-audit bound); grouping_id distinguishes the levels.
+    "rel_orders_rollup" -> { (s, dir) =>
+      Tables(s, dir, "orders")
+        .rollup(col("o_orderpriority"), col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_orders"),
+          (sum(round(col("o_totalprice"), 2).cast("decimal(18,2)")) * 100)
+            .cast("long").as("total_e2"),
+          grouping_id().as("level"))
+    },
     // Robust rate-anomaly detection: hourly per-type counts, flagged
     // beyond 3 MADs from the median — median/MAD because mean/σ is
     // poisoned by the outliers it hunts. Exact percentiles over the
@@ -3078,6 +3114,34 @@ object SparkEntry {
          |FROM pairs
          |WHERE id_a % 10 >= 8 OR id_b % 10 >= 8""".stripMargin,
     "dedup_clusters_documents" -> NgramClustersOracle,
+    // point-in-time replay: same md5 tier history, interval-residual
+    // join, e4-decimal value sum
+    "events_scd2_pointintime" ->
+      """WITH dim AS (
+        |  SELECT uid, v,
+        |    1704067200000000000 + v * 864000000000000 AS valid_from,
+        |    CASE WHEN v < 2 THEN 1704067200000000000
+        |      + (v + 1) * 864000000000000 END AS valid_to,
+        |    'tier' || CAST(('0x'||substr(md5(CAST(uid AS VARCHAR)||':'||
+        |      CAST(v AS VARCHAR)),1,8))::BIGINT % 3 AS VARCHAR) AS tier
+        |  FROM (SELECT DISTINCT user_id AS uid FROM events)
+        |  CROSS JOIN (SELECT unnest(range(0, 3)) AS v))
+        |SELECT tier, CAST(v AS INT) AS v, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS total_value_e4
+        |FROM events e JOIN dim d ON e.user_id = d.uid
+        |  AND epoch_ns(e.ts) >= d.valid_from
+        |  AND (d.valid_to IS NULL OR epoch_ns(e.ts) < d.valid_to)
+        |GROUP BY 1, 2""".stripMargin,
+    // rollup replay: DuckDB ROLLUP + GROUPING id, e2-decimal totals
+    "rel_orders_rollup" ->
+      """SELECT o_orderpriority, o_orderstatus, count(*) AS n_orders,
+        |  CAST(sum(CAST(round(o_totalprice, 2) AS DECIMAL(18,2))) * 100
+        |    AS BIGINT) AS total_e2,
+        |  CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+        |    AS level
+        |FROM orders
+        |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     // anomaly replay: same window floor, quantile_cont medians, same
     // driver-computed 3x1.4826 factor
     "events_anomaly_windows" ->

@@ -74,6 +74,21 @@ object Cdc {
       .withColumnRenamed(seq, "seq_from")
   }
 
+  /** POINT-IN-TIME join of facts against an SCD2 dimension: each fact
+    * row pairs with the dimension VERSION valid at its timestamp
+    * (valid_from <= ts < valid_to, open-ended current version) — the
+    * correctness rule that prevents attributing events to attributes
+    * the entity only acquired later. The join key stays the equi
+    * dimension key; the validity interval is a residual predicate, so
+    * this plans as a plain shuffled/broadcast hash join (per-key
+    * version counts are small by SCD2 construction), never a range
+    * join. */
+  def pointInTime(facts: DataFrame, factKey: Column, factTs: Column,
+                  dim: DataFrame, dimKey: Column, validFrom: Column,
+                  validTo: Column): DataFrame =
+    facts.join(dim, factKey === dimKey && factTs >= validFrom &&
+      (validTo.isNull || factTs < validTo))
+
   /** TIME TRAVEL: reconstruct the corpus as of change-sequence
     * `atSeq` from the base snapshot + the change log — the
     * reproducibility primitive a training platform needs ("rebuild the

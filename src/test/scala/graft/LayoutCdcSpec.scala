@@ -150,6 +150,48 @@ class LayoutCdcSpec extends SparkSpec {
 
   // --------------------------------------------- CMS pipeline
 
+  test("pointInTime: boundary semantics, open current version, no double match") {
+    val dim = Seq(
+      (1L, 0, 100L, Some(200L), "bronze"),
+      (1L, 1, 200L, Some(300L), "silver"),
+      (1L, 2, 300L, None, "gold"),
+      (2L, 0, 150L, None, "flat"))
+      .toDF("uid", "v", "valid_from", "valid_to", "tier")
+      .select($"uid", $"v", $"valid_from",
+        $"valid_to".cast("long").as("valid_to"), $"tier")
+    val facts = Seq(
+      (1L, 100L), // == valid_from: inclusive -> bronze
+      (1L, 199L), // bronze
+      (1L, 200L), // == valid_to: exclusive -> silver
+      (1L, 999L), // open-ended current -> gold
+      (1L, 50L),  // before any version: drops
+      (2L, 150L), (3L, 500L)) // unknown key drops
+      .toDF("uid_f", "ts")
+    val out = Cdc.pointInTime(facts, $"uid_f", $"ts",
+      dim, $"uid", $"valid_from", $"valid_to")
+      .select($"uid_f", $"ts", $"tier")
+      .as[(Long, Long, String)].collect().toSet
+    out shouldBe Set(
+      (1L, 100L, "bronze"), (1L, 199L, "bronze"),
+      (1L, 200L, "silver"), (1L, 999L, "gold"), (2L, 150L, "flat"))
+    // SCD2 intervals are disjoint, so no fact matches twice
+    out.size shouldBe out.map(t => (t._1, t._2)).size
+  }
+
+  test("rollup levels: leaf counts roll into subtotals and the grand total") {
+    val out = SparkEntry.queries("rel_orders_rollup")(spark, sf0001)
+      .as[(String, String, Long, Long, Long)].collect()
+    val leaves = out.filter(_._5 == 0L)
+    val bySubtotal = out.filter(_._5 == 1L)
+    val grand = out.filter(_._5 == 3L)
+    grand.length shouldBe 1
+    grand.head._3 shouldBe leaves.map(_._3).sum
+    grand.head._4 shouldBe leaves.map(_._4).sum
+    bySubtotal.foreach { s =>
+      s._3 shouldBe leaves.filter(_._1 == s._1).map(_._3).sum
+    }
+  }
+
   test("heavyHitters returns a superset of the true phi-heavy hitters") {
     val terms = (Seq.fill(300)("hot1") ++ Seq.fill(150)("hot2") ++
       (0 until 550).map(i => s"cold${i % 200}")).toDF("term")
