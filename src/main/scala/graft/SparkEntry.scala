@@ -656,6 +656,14 @@ object SparkEntry {
         docs.filter(col("doc_id") % 10 >= 8),
         col("text"), col("doc_id"))
     },
+    // CONTAINMENT dedup: |A∩B|/|A| >= 0.9 — the asymmetric overlap
+    // that catches a doc QUOTED inside a longer one (symmetric Jaccard
+    // can't). Asymmetric prefix filter: rare-shingle probes against
+    // the full index; exact verification.
+    "dedup_containment_documents" -> { (s, dir) =>
+      Dedup.ngramContainmentPairs(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), n = 3, threshold = 0.9)
+    },
     // Incremental NEAR-dup (MinHash-LSH index maintenance): the base
     // corpus is distilled ONCE into its band + shingle-set tables; the
     // delta batch bands itself, probes the index, self-joins for
@@ -3100,6 +3108,32 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
+    // containment ground truth: symmetric intersections from the a<b
+    // self-join, emitted in BOTH directions with each side's own size
+    "dedup_containment_documents" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(text, '\s+'), x -> x <> '') AS t
+        |  FROM documents),
+        |sh AS (
+        |  SELECT doc_id, list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+        |    FOR i IN range(1, len(t) - 1)]) AS s
+        |  FROM toks WHERE len(t) >= 3),
+        |ex AS (SELECT doc_id, unnest(s) AS g FROM sh),
+        |inter AS (
+        |  SELECT a.doc_id AS ida, b.doc_id AS idb, count(*) AS i
+        |  FROM ex a JOIN ex b ON a.g = b.g AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sizes AS (SELECT doc_id, len(s) AS n FROM sh),
+        |dirs AS (
+        |  SELECT ida AS id_a, idb AS id_b,
+        |    round(i * 1.0 / sa.n, 6) AS containment
+        |  FROM inter JOIN sizes sa ON ida = sa.doc_id
+        |  UNION ALL
+        |  SELECT idb, ida, round(i * 1.0 / sb.n, 6)
+        |  FROM inter JOIN sizes sb ON idb = sb.doc_id)
+        |SELECT id_a, id_b, containment FROM dirs
+        |WHERE containment >= 0.9""".stripMargin,
     // ground truth restricted to delta-involving pairs; id_new is the
     // delta member (for delta-delta, the later id)
     "dedup_incremental_minhash" ->

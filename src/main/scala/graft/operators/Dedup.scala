@@ -263,6 +263,56 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** CONTAINMENT near-dup pairs: |A ∩ B| / |A| >= threshold — the
+    * ASYMMETRIC overlap that catches a document mostly QUOTED inside a
+    * longer one, which symmetric Jaccard structurally misses (a 100-
+    * shingle doc inside a 10000-shingle doc has J <= 0.01 at full
+    * containment). Output (id_a, id_b, containment): id_a is the
+    * contained side; mutual near-twins appear in both directions.
+    *
+    * Candidate scheme: the asymmetric prefix filter — the PROBE side
+    * uses only its floor((1-t)|A|)+1 rarest shingles (if all of them
+    * miss B, overlap < t·|A| is forced), but the INDEX side must carry
+    * ALL its shingles (containment puts no lower bound on |B|, so
+    * B-side prefixes are unsound). Probes are rare by construction;
+    * posting lists of rare shingles bound the candidate fan-out the
+    * same way the inverted-index query's do. Verification is the exact
+    * set intersection on candidates only. */
+  def ngramContainmentPairs(df: DataFrame, textCol: Column, idCol: Column,
+                            n: Int, threshold: Double): DataFrame = {
+    val sets = shingleSets(df, textCol, idCol, n)
+    val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    val ordered = exploded.join(freq, "g")
+      .groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("f"), col("g")))),
+        x => x.getField("g")).as("osh"))
+      // same FP-boundary slack as the Jaccard path
+      .withColumn("plen",
+        (floor(size(col("osh")) * lit(1.0 - threshold) + lit(1e-9)) + 2)
+          .cast("int"))
+      .repartition(col("id"))
+    val probes = ordered.select(col("id"),
+      explode(slice(col("osh"), lit(1), col("plen"))).as("g"))
+    val index = exploded
+    val candidates = probes.as("a")
+      .join(index.as("b"),
+        col("a.g") === col("b.g") && col("a.id") =!= col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(sets.select(col("id").as("id_a"), col("sh").as("sh_a")),
+        "id_a")
+      .join(sets.select(col("id").as("id_b"), col("sh").as("sh_b")),
+        "id_b")
+      .withColumn("containment", round(
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(col("sh_a")).cast("double"), 6))
+      .filter(col("containment") >= threshold)
+      .select(col("id_a"), col("id_b"), col("containment"))
+  }
+
   /** A persistable MinHash-LSH index of a base corpus: the band table
     * (|base|·nBands rows of (id, band, bucket)) plus the shingle sets
     * needed to verify candidates. Build ONCE per corpus (write both

@@ -91,6 +91,7 @@ class PlanAuditSpec extends SparkSpec {
     val pushedTokenPrefilterByDesign: Set[String] = Set(
       "dedup_minhash_documents",
       "dedup_incremental_minhash", // same shingleSets prefilter as minhash
+      "dedup_containment_documents", // same shingleSets prefilter
       "dedup_ngram_documents",
       "profile_source_overlap", // composes ngramJaccardPairs, same prefilter
       "dedup_simhash_documents",

@@ -81,6 +81,48 @@ class TextDedupSpec extends SparkSpec {
     lsh shouldBe exact
   }
 
+  test("ngramContainmentPairs: quoted doc found where Jaccard is blind") {
+    val small = "alpha beta gamma delta epsilon zeta"
+    val bigTail = (1 to 60).map(i => s"w$i").mkString(" ")
+    val otherTail = (1 to 60).map(i => s"v$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                    // 4 shingles
+      (2L, small + " " + bigTail),    // quotes doc 1 wholesale
+      (3L, "iota kappa " + otherTail)) // unrelated long doc
+      .toDF("doc_id", "text")
+    val cont = Dedup.ngramContainmentPairs(docs, $"text", $"doc_id",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    cont((1L, 2L)) shouldBe 1.0 // every shingle of 1 is inside 2
+    cont.keySet should not contain ((2L, 1L)) // direction matters
+    // Jaccard at any usable threshold misses it: 4 / (4+63-4) ~ 0.06
+    Dedup.ngramJaccardPairs(docs, $"text", $"doc_id", 3, 0.5)
+      .count() shouldBe 0L
+    // mutual twins appear in both directions
+    val twins = Seq((10L, small), (11L, small)).toDF("doc_id", "text")
+    val t = Dedup.ngramContainmentPairs(twins, $"text", $"doc_id",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    t shouldBe Set((10L, 11L), (11L, 10L))
+    // driver-side brute force differential on the corpus
+    val corpus = Tables(spark, sf0001, "documents")
+    val got = Dedup.ngramContainmentPairs(corpus, $"text", $"doc_id",
+      n = 3, threshold = 0.9)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet
+    val shs = corpus.select($"doc_id", $"text").as[(Long, String)]
+      .collect().flatMap { case (id, t0) =>
+        val toks = t0.split("\\s+").filter(_.nonEmpty)
+        if (toks.length < 3) None
+        else Some(id -> toks.sliding(3).map(_.mkString(" ")).toSet)
+      }
+    val expect = (for {
+      (a, sa) <- shs; (b, sb) <- shs
+      if a != b && sa.intersect(sb).size.toDouble / sa.size >= 0.9
+    } yield (a, b)).toSet
+    got shouldBe expect
+  }
+
   test("minhashIncrementalPairs: delta-involving subset of one-shot LSH; sides labeled") {
     val docs = Tables(spark, sf0001, "documents")
     val base = docs.filter($"doc_id" % 10 < 8)
