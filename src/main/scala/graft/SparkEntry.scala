@@ -1317,6 +1317,16 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nNegatives = 3)
     },
+    // MATRYOSHKA truncation curve: top-5 recall of prefix-sliced
+    // embeddings (8/16/32/64 lanes) vs the full vectors — how short
+    // the serving index can go. One bounded TopK per dim, integer ppm.
+    "similarity_matryoshka_recall" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      Similarity.matryoshkaRecall(
+        emb.filter(col("vec_id") < 16), emb,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dims = Seq(8, 16, 32, 64), k = 5)
+    },
     // MMR diversified re-rank (the RAG answer to near-duplicate
     // passages crowding a context window): greedy argmax of
     // relevance − max-sim-to-selected over a bounded top-20 candidate
@@ -4112,6 +4122,36 @@ object SparkEntry {
          |SELECT anchor_id, positive_id, pos_score,
          |  CAST(neg_rank AS INT) AS neg_rank, negative_id
          |FROM neg WHERE neg_rank <= 3""".stripMargin,
+    // matryoshka replay: one sliced-normalized CTE + top-5 per dim,
+    // hits joined against the full-dim top-5
+    "similarity_matryoshka_recall" -> {
+      val dims = Seq(8, 16, 32, 64)
+      val ctes = dims.map { d =>
+        s"""v$d AS (SELECT vec_id,
+           |  [CAST(embedding[i] AS DOUBLE) /
+           |    sqrt(list_sum([CAST(embedding[j] AS DOUBLE) * embedding[j]
+           |      FOR j IN range(1, ${d + 1})]))
+           |   FOR i IN range(1, ${d + 1})] AS e
+           |  FROM embeddings),
+           |t$d AS (
+           |  SELECT query_id, neighbor_id FROM (
+           |    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           |      row_number() OVER (PARTITION BY q.vec_id
+           |        ORDER BY round(list_sum([q.e[i] * c.e[i]
+           |          FOR i IN range(1, len(q.e) + 1)]), 6) DESC,
+           |          c.vec_id) AS rk
+           |    FROM v$d q JOIN v$d c
+           |      ON q.vec_id < 16 AND q.vec_id <> c.vec_id)
+           |  WHERE rk <= 5)""".stripMargin
+      }.mkString(",\n")
+      val rows = dims.map { d =>
+        s"""(SELECT $d AS dim, CAST(count(*) AS BIGINT) AS n_hits,
+           |  CAST(count(*) * 1000000 // 80 AS BIGINT) AS recall_ppm
+           |FROM t$d a JOIN t64 b USING (query_id, neighbor_id))"""
+          .stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"WITH $ctes\n$rows"
+    },
     // MMR replay: bounded top-20 candidates, candidate-pair sims, and
     // the 5 greedy steps unrolled as CTEs (argmax of rel − max sim to
     // the selected prefix, ties to the lower id)

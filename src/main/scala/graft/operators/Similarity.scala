@@ -629,6 +629,37 @@ object Similarity {
         col("neg_rank"), col("negative_id"), col("neg_score"))
   }
 
+  /** MATRYOSHKA truncation evaluation (Kusupati et al. 2022, NeurIPS:
+    * MRL embeddings are served TRUNCATED to cut index cost — but only
+    * if recall holds): for each prefix length d, run top-k with
+    * vectors sliced to their first d lanes and report
+    * recall_ppm(d) = |topk_d ∩ topk_full|·10^6 div (|queries|·k) —
+    * the dimension-vs-recall curve that decides how short the serving
+    * index can go. One bounded [[bruteForceTopK]] per dim (queries
+    * broadcast), match counting on (query, neighbor) pairs; all
+    * integer. Output one row per dim: (dim, n_hits, recall_ppm). */
+  def matryoshkaRecall(queries: DataFrame, corpus: DataFrame,
+                       qId: Column, qVec: Column, cId: Column,
+                       cVec: Column, dims: Seq[Int],
+                       k: Int = 5): DataFrame = {
+    require(dims.nonEmpty, "need at least one truncation dim")
+    val nQ = queries.count() // bounded side by contract (broadcast)
+    val full = bruteForceTopK(queries, corpus, k, qId, qVec, cId, cVec)
+      .select(col("query_id"), col("neighbor_id"))
+      .localCheckpoint()
+    dims.map { d =>
+      val topD = bruteForceTopK(
+        queries.select(qId.as("__qid"), slice(qVec, 1, d).as("__qv")),
+        corpus.select(cId.as("__cid"), slice(cVec, 1, d).as("__cv")),
+        k, col("__qid"), col("__qv"), col("__cid"), col("__cv"))
+        .select(col("query_id"), col("neighbor_id"))
+      topD.join(full, Seq("query_id", "neighbor_id"), "left_semi")
+        .agg(count(lit(1)).as("n_hits"))
+        .select(lit(d).as("dim"), col("n_hits"),
+          expr(s"n_hits * 1000000 DIV ${nQ * k}").as("recall_ppm"))
+    }.reduce(_ union _)
+  }
+
   /** Margin-based bitext mining (Artetxe & Schwenk 2019, ACL — the
     * ratio-margin criterion behind mined parallel corpora like
     * CCMatrix/WikiMatrix): a candidate pair (x, y) is kept only when

@@ -284,6 +284,25 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.select("cell").distinct().count()
   }
 
+  test("matryoshkaRecall: full dim is perfect; recall rises with dim here") {
+    val emb = Tables(spark, sf0001, "embeddings")
+    val out = Similarity.matryoshkaRecall(
+      emb.filter($"vec_id" < 16), emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      dims = Seq(8, 32, 64), k = 5)
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> r._3).toMap
+    out(64) shouldBe 1000000L // truncating to the full dim is identity
+    out.values.foreach { r => r should be >= 0L; r should be <= 1000000L }
+    out(8) should be <= out(64)
+    // hits consistency: ppm = hits*1e6 div (16*5)
+    val hits = Similarity.matryoshkaRecall(
+      emb.filter($"vec_id" < 16), emb,
+      $"vec_id", $"embedding", $"vec_id", $"embedding",
+      dims = Seq(8), k = 5)
+      .as[(Int, Long, Long)].collect().head
+    hits._3 shouldBe hits._2 * 1000000L / 80L
+  }
+
   test("mmrRerank: diversifies past a redundant twin; first pick = top-1") {
     // query along x; two near-identical high-relevance docs (1, 2), a
     // moderately relevant diverse doc (3), fillers. Pure top-2 picks
