@@ -544,6 +544,34 @@ object SparkEntry {
       Retention.anomalyWindows(Tables(s, dir, "events"), col("ts"),
         col("event_type"), windowNs = 3600L * 1000000000L)
     },
+    // Duplicate-cluster SIZE distribution + corpus mass per size — the
+    // "how duplicated is this corpus" report (a long tail of pairs vs
+    // a few mega-clusters demand different dedup strategies).
+    "graph_component_stats" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val pairs = Dedup.ngramJaccardPairs(docs,
+        col("text"), col("doc_id"), n = 3, threshold = 0.8)
+      val total = docs.count()
+      Dedup.clusters(docs, col("doc_id"), pairs)
+        .groupBy(col("cluster_id")).agg(count(lit(1)).as("sz"))
+        .groupBy(col("sz").as("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"))
+        .select(col("cluster_size"), col("n_clusters"),
+          expr(s"cluster_size * n_clusters * 1000000 DIV $total")
+            .as("corpus_ppm"))
+    },
+    // Tokenizer FERTILITY by language: BPE-ish subword count over
+    // whitespace word count, in exact integer ppm — the "how many
+    // tokens does this language cost" table multilingual budgeting
+    // needs. One projection pass, two regex counters per row.
+    "tokenizer_fertility_lang" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .groupBy(col("lang"))
+        .agg(sum(TextAnalysis.bpeTokenCount(col("text"))).as("n_subwords"),
+          sum(TextAnalysis.tokenCount(col("text"))).as("n_words"))
+        .select(col("lang"), col("n_subwords"), col("n_words"),
+          expr("n_subwords * 1000000 DIV n_words").as("fertility_ppm"))
+    },
     // LEAKAGE-SAFE splits: train/val/test keyed by the near-dup CLUSTER
     // id, so a test doc can never have a train-side twin (doc-keyed
     // hashing leaks every duplicate pair across the split boundary).
@@ -3226,6 +3254,26 @@ object SparkEntry {
         |    (CASE WHEN k >= 20 THEN 0 ELSE 1000000 >> k END)) * 10000
         |    AS BIGINT) AS decayed_value_e10
         |FROM w GROUP BY 1""".stripMargin,
+    // component-size histogram off the same transitive closure
+    "graph_component_stats" ->
+      s"""WITH RECURSIVE $NgramClusterCtes,
+         |cs AS (SELECT cluster_id, count(*) AS sz FROM asg GROUP BY 1),
+         |tot AS (SELECT count(*) AS n FROM documents)
+         |SELECT sz AS cluster_size,
+         |  CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sz * count(*) * 1000000 // (SELECT n FROM tot)
+         |    AS BIGINT) AS corpus_ppm
+         |FROM cs GROUP BY 1""".stripMargin,
+    // fertility replay: same BPE-ish regex and whitespace split
+    "tokenizer_fertility_lang" -> {
+      val bpe = TextAnalysis.Sql.bpeTokenCount("text")
+      val words = TextAnalysis.Sql.tokenCount("text")
+      s"""SELECT lang, CAST(sum($bpe) AS BIGINT) AS n_subwords,
+         |  CAST(sum($words) AS BIGINT) AS n_words,
+         |  CAST(sum($bpe) * 1000000 // sum($words) AS BIGINT)
+         |    AS fertility_ppm
+         |FROM documents GROUP BY 1""".stripMargin
+    },
     // same transitive closure, then the cluster-keyed md5 split bucket
     "split_leakage_safe_documents" ->
       s"""WITH RECURSIVE $NgramClusterCtes

@@ -55,6 +55,17 @@ class ClusterSpec extends SparkSpec {
     local shouldBe dist
   }
 
+  test("component stats: size histogram mass covers the whole corpus") {
+    val out = SparkEntry.queries("graph_component_stats")(spark, sf0001)
+      .as[(Long, Long, Long)].collect()
+    val total = Tables(spark, sf0001, "documents").count()
+    out.map(r => r._1 * r._2).sum shouldBe total // partition of corpus
+    out.map(_._1) should contain(1L) // singletons exist
+    out.foreach { case (sz, n, ppm) =>
+      ppm shouldBe sz * n * 1000000L / total
+    }
+  }
+
   test("splitByCluster: cluster members co-travel; buckets replay md5 exactly") {
     import graft.operators.Splits
     val asg = Seq((1L, 1L), (2L, 1L), (3L, 3L), (4L, 4L), (5L, 4L),
