@@ -64,8 +64,13 @@ object Vocab {
     * to do a k-entry dictionary lookup. Vocab ranks tie-break (cnt
     * desc, token asc), so the id assignment — and therefore every
     * digest — is deterministic and SQL-replayable. */
-  def encode(df: DataFrame, idCol: Column, textCol: Column,
-             k: Int): DataFrame = {
+  /** The raw (doc_id, ids, n_tokens) encoding — the library surface a
+    * training-block assembler consumes ([[graft.operators.Pack
+    * .inputTargetBlocks]]); [[encode]] is its digest-rendered declared
+    * twin. Same zero-shuffle map-literal projection. OOV encodes as
+    * id 0 — which downstream doubles as the zero-class-weight mark. */
+  def encodeIds(df: DataFrame, idCol: Column, textCol: Column,
+                k: Int): DataFrame = {
     val vocab = topTokens(df, textCol, k)
       .select(col("token"), col("rank"))
       .collect() // bounded: k rows
@@ -75,13 +80,17 @@ object Vocab {
     df.select(idCol.as("doc_id"), toks.as("__toks"))
       .select(col("doc_id"),
         transform(col("__toks"),
-          t => coalesce(element_at(vmap, t), lit(0))).as("__ids"),
+          t => coalesce(element_at(vmap, t), lit(0))).as("ids"),
         size(col("__toks")).cast("long").as("n_tokens"))
-      .select(col("doc_id"), col("n_tokens"),
-        size(filter(col("__ids"), i => i === 0)).cast("long").as("n_oov"),
-        md5(array_join(transform(col("__ids"), _.cast("string")), ","))
-          .as("ids_digest"))
   }
+
+  def encode(df: DataFrame, idCol: Column, textCol: Column,
+             k: Int): DataFrame =
+    encodeIds(df, idCol, textCol, k)
+      .select(col("doc_id"), col("n_tokens"),
+        size(filter(col("ids"), i => i === 0)).cast("long").as("n_oov"),
+        md5(array_join(transform(col("ids"), _.cast("string")), ","))
+          .as("ids_digest"))
 
   /** DuckDB replay of [[encode]] over `documents(doc_id, text)`:
     * the vocab CTE re-ranks, ids re-derive via a position-aligned

@@ -263,7 +263,20 @@ object Pack {
   /** Shared tail of the fixed-context packers: input carries
     * (group_id, __toks, __k, __start); explode each doc into the
     * examples it overlaps, slice the pieces, glue per example. */
-  private def glueSpans(withStart: DataFrame, seqLen: Int): DataFrame = {
+  private def glueSpans(withStart: DataFrame, seqLen: Int): DataFrame =
+    gluedParts(withStart, seqLen)
+      .select(
+        col("group_id"),
+        col("example_id"),
+        col("n_tokens"),
+        col("n_docs"),
+        md5(concat_ws(" ", col("__blk"))).as("digest"))
+
+  /** The span-glue core shared by [[packFixedContext]]'s digest view
+    * and [[inputTargetBlocks]]' id view: (group_id, example_id,
+    * n_tokens, n_docs, __blk = the glued token array in stream
+    * order). */
+  private def gluedParts(withStart: DataFrame, seqLen: Int): DataFrame = {
     val L = lit(seqLen.toLong)
     val spans = withStart
       // zero-token docs are dropped HERE (explode of null emits no
@@ -294,8 +307,42 @@ object Pack {
         col("example_id"),
         col("n_tokens"),
         col("n_docs"),
-        md5(concat_ws(" ", flatten(
-          transform(col("__parts"), p => p.getField("__piece"))))).as("digest"))
+        flatten(transform(col("__parts"), p => p.getField("__piece")))
+          .as("__blk"))
+  }
+
+  /** LM TRAINING BLOCKS with the next-token shift (the reference's
+    * group_and_split_input_target_fn — examples/training/
+    * dataset_utils.py:112-140): each group's token-ID stream packs
+    * into FULL blocks of seqLen+1 ids (the ragged remainder drops,
+    * matching the reference), then input = block[0:L], target =
+    * block[1:L+1], and class_weights mark non-padding targets (id 0 =
+    * padding/OOV → weight 0). Same one-window glue as
+    * [[packFixedContext]] (the scalable-offset twin applies
+    * unchanged). Output: (group_id, example_id, input_ids, target_ids,
+    * class_weights) — arrays; digest them for row-hash gates. */
+  def inputTargetBlocks(df: DataFrame, groupCol: Column, idCol: Column,
+                        idsCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val B = seqLen + 1
+    val base = df
+      .select(groupCol.as("group_id"), idCol.cast("long").as("id"),
+        idsCol.as("__toks"))
+      .withColumn("__k", size(col("__toks")).cast("long"))
+      .repartition(col("group_id"))
+    val w = Window.partitionBy(col("group_id")).orderBy(col("id"))
+    gluedParts(
+      base
+        .withColumn("__end", sum(col("__k")).over(w))
+        .withColumn("__start", col("__end") - col("__k"))
+        .drop("__end"),
+      B)
+      .filter(col("n_tokens") === B.toLong) // full blocks only
+      .select(col("group_id"), col("example_id"),
+        slice(col("__blk"), 1, seqLen).as("input_ids"),
+        slice(col("__blk"), 2, seqLen).as("target_ids"),
+        transform(slice(col("__blk"), 2, seqLen),
+          x => when(x =!= 0, 1).otherwise(0)).as("class_weights"))
   }
 
   /** Uncapped fast path — plain `collect_list` (the built-in Spark shape

@@ -139,6 +139,38 @@ class PackSpec extends SparkSpec {
       (2L, 1L, 1L, md5hex("i")))
   }
 
+  test("inputTargetBlocks: next-token shift, padding weights, remainder drops") {
+    // id stream per group: doc1 [1,2,3], doc2 [4,5,0,6], doc3 [7,8,9]
+    // -> concat [1,2,3,4,5,0,6,7,8,9]; L=3, B=4: blocks [1,2,3,4],
+    // [5,0,6,7]; remainder [8,9] drops
+    val df = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5, 0, 6)), (3L, Seq(7, 8, 9)))
+      .toDF("doc_id", "ids").withColumn("g", lit("g"))
+    val out = Pack.inputTargetBlocks(df, $"g", $"doc_id", $"ids",
+        seqLen = 3)
+      .orderBy("example_id")
+      .as[(String, Long, Seq[Int], Seq[Int], Seq[Int])].collect().toSeq
+    out shouldBe Seq(
+      ("g", 0L, Seq(1, 2, 3), Seq(2, 3, 4), Seq(1, 1, 1)),
+      ("g", 1L, Seq(5, 0, 6), Seq(0, 6, 7), Seq(0, 1, 1)))
+    // the shift identity on the corpus: target == input shifted left
+    // within the underlying block, for every emitted example
+    val docs = Tables(spark, sf0001, "documents")
+    val enc = graft.functions.Vocab.encodeIds(docs,
+        $"doc_id", $"text", k = 200)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val blocks = Pack.inputTargetBlocks(enc, $"lang", $"doc_id",
+        $"ids", seqLen = 64)
+      .as[(String, Long, Seq[Int], Seq[Int], Seq[Int])].collect()
+    blocks should not be empty
+    blocks.foreach { case (_, _, in, tg, wt) =>
+      in.length shouldBe 64
+      tg.length shouldBe 64
+      in.drop(1) shouldBe tg.dropRight(1)
+      wt shouldBe tg.map(t => if (t != 0) 1 else 0)
+    }
+  }
+
   test("packFixedContextScalable == window path: golden and driver corpus") {
     val golden = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
       .toDF("doc_id", "text").withColumn("g", lit("g"))
