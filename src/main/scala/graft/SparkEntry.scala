@@ -1365,6 +1365,14 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nNegatives = 3)
     },
+    // Greedy k-CENTER coreset (farthest-point traversal): 8 maximally
+    // diverse embeddings; each pick's max-cosine at selection time is
+    // the shrinking cover radius. k static corpus passes against the
+    // broadcast selected set.
+    "select_kcenter_embeddings" -> { (s, dir) =>
+      Similarity.selectKCenter(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), k = 8)
+    },
     // MATRYOSHKA truncation curve: top-5 recall of prefix-sliced
     // embeddings (8/16/32/64 lanes) vs the full vectors — how short
     // the serving index can go. One bounded TopK per dim, integer ppm.
@@ -4231,6 +4239,37 @@ object SparkEntry {
          |SELECT anchor_id, positive_id, pos_score,
          |  CAST(neg_rank AS INT) AS neg_rank, negative_id
          |FROM neg WHERE neg_rank <= 3""".stripMargin,
+    // k-center replay: seed = lowest id, then 7 unrolled
+    // farthest-point steps (argmin of max round-6-e6 cosine to the
+    // selected prefix, ties to the lower id)
+    "select_kcenter_embeddings" -> {
+      val dot = "round(list_sum([c.e[i] * s.e[i] " +
+        "FOR i IN range(1, len(c.e) + 1)]), 6)"
+      val steps = (2 to 8).map { t =>
+        s"""p$t AS (
+           |  SELECT $t AS pick_rank, id, ms AS max_sim_e6 FROM (
+           |    SELECT c.vec_id AS id,
+           |      max(CAST(round($dot * 1000000) AS BIGINT)) AS ms
+           |    FROM v c JOIN v s
+           |      ON s.vec_id IN (SELECT id FROM s${t - 1})
+           |     AND c.vec_id NOT IN (SELECT id FROM s${t - 1})
+           |    GROUP BY c.vec_id)
+           |  ORDER BY ms, id LIMIT 1),
+           |s$t AS (SELECT id FROM s${t - 1} UNION ALL
+           |        SELECT id FROM p$t)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |p1 AS (SELECT 1 AS pick_rank, vec_id AS id,
+         |         CAST(-1000000 AS BIGINT) AS max_sim_e6
+         |       FROM v ORDER BY vec_id LIMIT 1),
+         |s1 AS (SELECT id FROM p1),
+         |$steps
+         |${(1 to 8).map(t => s"SELECT * FROM p$t")
+             .mkString("\nUNION ALL\n")}""".stripMargin
+    },
     // matryoshka replay: one sliced-normalized CTE + top-5 per dim,
     // hits joined against the full-dim top-5
     "similarity_matryoshka_recall" -> {

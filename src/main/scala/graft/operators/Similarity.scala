@@ -629,6 +629,47 @@ object Similarity {
         col("neg_rank"), col("negative_id"), col("neg_score"))
   }
 
+  /** Greedy k-CENTER coreset selection (Gonzalez 1985 farthest-point
+    * traversal — the 2-approximation to the k-center cover, the
+    * standard diversity-coreset picker for training-data subsetting):
+    * seed with the lowest id, then repeatedly take the point FARTHEST
+    * from the selected set (argmin over candidates of max cosine to
+    * selected, ties to the lower id). Emits each pick's max-cosine at
+    * selection time — pick k+1's value is the COVER RADIUS of the
+    * first k (how well k centers span the corpus).
+    *
+    * Shape: k static steps; each is one corpus pass against the ≤k
+    * BROADCAST selected vectors reduced by a TakeOrdered(1) — no
+    * per-step shuffle of the corpus. At extreme scale pre-sample
+    * candidates; the greedy is the same. Output:
+    * (pick_rank, id, max_sim_e6). */
+  def selectKCenter(corpus: DataFrame, cId: Column, cVec: Column,
+                    k: Int): DataFrame = {
+    require(k >= 1, "k must be positive")
+    val v = normalized(corpus, cId, cVec, "id", "nv").localCheckpoint()
+    val seed = v.orderBy(col("id")).limit(1)
+      .select(lit(1).as("pick_rank"), col("id"), col("nv"),
+        lit(-1000000L).as("max_sim_e6"))
+      .localCheckpoint()
+    var selected = seed
+    for (t <- 2 to k) {
+      val sel = selected.select(col("id").as("__sid"),
+        col("nv").as("__sv"))
+      val next = v
+        .join(selected.select(col("id")), Seq("id"), "left_anti")
+        .join(broadcast(sel))
+        .groupBy(col("id"))
+        .agg(max(round(round(Vectors.dot(col("nv"), col("__sv")), 6)
+          * 1e6).cast("long")).as("max_sim_e6"))
+        .orderBy(col("max_sim_e6").asc, col("id").asc).limit(1)
+        .join(v, "id")
+        .select(lit(t).as("pick_rank"), col("id"), col("nv"),
+          col("max_sim_e6"))
+      selected = selected.union(next).localCheckpoint()
+    }
+    selected.select(col("pick_rank"), col("id"), col("max_sim_e6"))
+  }
+
   /** MATRYOSHKA truncation evaluation (Kusupati et al. 2022, NeurIPS:
     * MRL embeddings are served TRUNCATED to cut index cost — but only
     * if recall holds): for each prefix length d, run top-k with

@@ -284,6 +284,28 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.select("cell").distinct().count()
   }
 
+  test("selectKCenter: axes picked before their twins; radius non-decreasing") {
+    // four orthogonal axes, each with a near-twin right next to it:
+    // farthest-point must cover all four axes before taking any twin
+    val vecs = Seq(
+      (0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0.99f, 0.14f, 0f, 0f)),
+      (2L, Seq(0f, 1f, 0f, 0f)), (3L, Seq(0.14f, 0.99f, 0f, 0f)),
+      (4L, Seq(0f, 0f, 1f, 0f)), (5L, Seq(0f, 0.14f, 0.99f, 0f)),
+      (6L, Seq(0f, 0f, 0f, 1f)), (7L, Seq(0f, 0f, 0.14f, 0.99f)))
+      .toDF("vec_id", "embedding")
+    val picks = Similarity.selectKCenter(vecs, $"vec_id", $"embedding",
+        k = 6)
+      .orderBy("pick_rank").as[(Int, Long, Long)].collect()
+    picks.head._2 shouldBe 0L // lowest-id seed
+    // first four picks are one per axis family (ids {0,1},{2,3},...)
+    picks.take(4).map(_._2 / 2).toSet shouldBe Set(0L, 1L, 2L, 3L)
+    // the selection-time max-sim only grows as space fills up
+    val radii = picks.map(_._3)
+    radii.toSeq shouldBe radii.sorted.toSeq
+    // twins arrive only after the axes are covered
+    picks.drop(4).foreach(_._3 should be > 900000L)
+  }
+
   test("matryoshkaRecall: full dim is perfect; recall rises with dim here") {
     val emb = Tables(spark, sf0001, "embeddings")
     val out = Similarity.matryoshkaRecall(
