@@ -156,6 +156,35 @@ object SparkEntry {
         docs.schema)
     },
 
+    // The full training-data EXIT PATH: the shifted LM blocks
+    // serialize to tf.Example (int64 feature lists), pack per group
+    // into SequenceExamples, land as TFRecords, load back, decode —
+    // and must digest IDENTICALLY to the never-serialized blocks (the
+    // oracle is train_blocks_documents' SQL verbatim). pack -> encode
+    // -> store -> load -> parse, one gate.
+    "train_blocks_roundtrip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val enc = graft.functions.Vocab.encodeIds(docs,
+          col("doc_id"), col("text"), k = 500)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val blocks = Pack.inputTargetBlocks(enc, col("lang"),
+        col("doc_id"), col("ids"), seqLen = 128)
+      val tmp = scratchDir("train-blocks")
+      PartitionedDataset.writeTFRecords(
+        PartitionedDataset.packExamples(blocks,
+          Grouper.byColumn("group_id")), tmp)
+      PartitionedDataset.decodeExamples(
+        PartitionedDataset.loadTFRecords(s, s"$tmp/groups.tfrecord-*"),
+        blocks.schema)
+        .select(col("group_id"), col("example_id"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")),
+            ",")).as("input_digest"),
+          md5(array_join(transform(col("target_ids"), _.cast("string")),
+            ",")).as("target_digest"),
+          aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
+            .as("n_weight1"))
+    },
+
     // ----------------------------------------------------- text analysis
     "text_stats_documents" -> { (s, dir) =>
       val t = col("text")
@@ -2359,6 +2388,46 @@ object SparkEntry {
       |v2 AS (SELECT doc_id, lang, source, text FROM m
       |       WHERE op IS NULL OR op <> 'D')""".stripMargin
 
+  private lazy val TrainBlocksOracle: String =
+
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.Sql.tokens("lower(text)")} AS l
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest(l) AS token FROM toks) GROUP BY 1),
+         |vocab AS (
+         |  SELECT token, CAST(row_number() OVER
+         |    (ORDER BY cnt DESC, token) AS INT) AS rank
+         |  FROM cnt ORDER BY cnt DESC, token LIMIT 500),
+         |pos AS (
+         |  SELECT doc_id, unnest(l) AS token,
+         |    generate_subscripts(l, 1) AS p
+         |  FROM toks),
+         |stream AS (
+         |  SELECT d.lang, coalesce(v.rank, 0) AS tid,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY pos.doc_id, pos.p) - 1 AS gp
+         |  FROM pos JOIN documents d ON d.doc_id = pos.doc_id
+         |  LEFT JOIN vocab v ON v.token = pos.token),
+         |blk AS (SELECT lang, gp // 129 AS example_id, gp % 129 AS o,
+         |          tid
+         |        FROM stream),
+         |outb AS (
+         |  SELECT lang AS group_id, example_id,
+         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
+         |      FILTER (WHERE o < 128)) AS input_digest,
+         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
+         |      FILTER (WHERE o >= 1)) AS target_digest,
+         |    CAST(count(*) FILTER (WHERE o >= 1 AND tid <> 0) AS BIGINT)
+         |      AS n_weight1,
+         |    count(*) AS nb
+         |  FROM blk GROUP BY 1, 2)
+         |SELECT group_id, CAST(example_id AS BIGINT) AS example_id,
+         |  input_digest, target_digest, n_weight1
+         |FROM outb WHERE nb = 129""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     "group_counts_documents" ->
       s"""SELECT lang AS group_id,
@@ -3527,44 +3596,9 @@ object SparkEntry {
     // train-block replay: vocab ids per token position, per-lang
     // global stream order (doc_id, pos), 129-id blocks, shifted
     // digests, non-padding target count; partial tail blocks drop
-    "train_blocks_documents" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id,
-         |    ${TextAnalysis.Sql.tokens("lower(text)")} AS l
-         |  FROM documents),
-         |cnt AS (
-         |  SELECT token, count(*) AS cnt
-         |  FROM (SELECT unnest(l) AS token FROM toks) GROUP BY 1),
-         |vocab AS (
-         |  SELECT token, CAST(row_number() OVER
-         |    (ORDER BY cnt DESC, token) AS INT) AS rank
-         |  FROM cnt ORDER BY cnt DESC, token LIMIT 500),
-         |pos AS (
-         |  SELECT doc_id, unnest(l) AS token,
-         |    generate_subscripts(l, 1) AS p
-         |  FROM toks),
-         |stream AS (
-         |  SELECT d.lang, coalesce(v.rank, 0) AS tid,
-         |    row_number() OVER (PARTITION BY d.lang
-         |      ORDER BY pos.doc_id, pos.p) - 1 AS gp
-         |  FROM pos JOIN documents d ON d.doc_id = pos.doc_id
-         |  LEFT JOIN vocab v ON v.token = pos.token),
-         |blk AS (SELECT lang, gp // 129 AS example_id, gp % 129 AS o,
-         |          tid
-         |        FROM stream),
-         |outb AS (
-         |  SELECT lang AS group_id, example_id,
-         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
-         |      FILTER (WHERE o < 128)) AS input_digest,
-         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
-         |      FILTER (WHERE o >= 1)) AS target_digest,
-         |    CAST(count(*) FILTER (WHERE o >= 1 AND tid <> 0) AS BIGINT)
-         |      AS n_weight1,
-         |    count(*) AS nb
-         |  FROM blk GROUP BY 1, 2)
-         |SELECT group_id, CAST(example_id AS BIGINT) AS example_id,
-         |  input_digest, target_digest, n_weight1
-         |FROM outb WHERE nb = 129""".stripMargin,
+    "train_blocks_roundtrip" -> TrainBlocksOracle,
+    "train_blocks_documents" -> TrainBlocksOracle,
+
     // identical semantics, different distribution strategy -> same SQL
     "pack_fixed_context_scalable" -> fixedContextOracle,
     "split_group_holdout" ->

@@ -258,6 +258,27 @@ class SerializationSpec extends SparkSpec {
     }
   }
 
+  test("training blocks survive the TFRecord SequenceExample path byte-exactly") {
+    val docs = Tables(spark, sf0001, "documents")
+    val enc = graft.functions.Vocab.encodeIds(docs,
+        $"doc_id", $"text", k = 200)
+      .join(docs.select($"doc_id", $"lang"), "doc_id")
+    val blocks = Pack.inputTargetBlocks(enc, $"lang", $"doc_id",
+      $"ids", seqLen = 64)
+    val tmp = Files.createTempDirectory("blocks-rt").toString
+    PartitionedDataset.writeTFRecords(
+      PartitionedDataset.packExamples(blocks,
+        Grouper.byColumn("group_id")), tmp)
+    val back = PartitionedDataset.decodeExamples(
+      PartitionedDataset.loadTFRecords(spark, s"$tmp/groups.tfrecord-*"),
+      blocks.schema)
+    def norm(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Seq[Int], Seq[Int], Seq[Int])]
+        .collect().sortBy(r => (r._1, r._2)).toSeq
+    norm(back) shouldBe norm(blocks)
+    norm(blocks) should not be empty
+  }
+
   test("mapGroups: per-group consumption without driver collect") {
     val nation = Tables(spark, sf0001, "nation")
     val packed = PartitionedDataset.packExamples(
