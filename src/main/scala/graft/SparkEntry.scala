@@ -185,6 +185,55 @@ object SparkEntry {
             .as("n_weight1"))
     },
 
+    // The DATASET CARD: one (section, metric, value) long table a
+    // curator publishes with a corpus — volume, composition shares,
+    // duplication, and quality pass rate in a single gate-checked
+    // artifact. Every number integer (shares in ppm), every section a
+    // small aggregate; the near-dup pair count rides the standard
+    // candidate pipeline, never a corpus self-join.
+    "dataset_card_documents" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val total = docs.count()
+      val volume = docs.agg(
+        count(lit(1)).as("n_docs"),
+        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
+        .select(explode(array(
+          struct(lit("corpus").as("section"), lit("n_docs").as("metric"),
+            col("n_docs").as("value")),
+          struct(lit("corpus").as("section"),
+            lit("n_tokens").as("metric"),
+            col("n_tokens").as("value")))))
+        .select(col("col.*"))
+      val langShares = docs.groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("lang_share_ppm").as("section"),
+          col("lang").as("metric"),
+          expr(s"n * 1000000 DIV $total").as("value"))
+      val srcShares = docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .select(lit("source_share_ppm").as("section"),
+          col("source").as("metric"),
+          expr(s"n * 1000000 DIV $total").as("value"))
+      val exactDups = docs
+        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg((count(lit(1)) - countDistinct(col("fp"))).as("v"))
+        .select(lit("dedup").as("section"),
+          lit("exact_dup_docs").as("metric"), col("v").as("value"))
+      val nearPairs = Dedup.ngramJaccardPairs(docs,
+          col("text"), col("doc_id"), n = 3, threshold = 0.8)
+        .agg(count(lit(1)).as("v"))
+        .select(lit("dedup").as("section"),
+          lit("neardup_pairs").as("metric"), col("v").as("value"))
+      val quality = graft.functions.Gopher.stats(docs,
+          col("doc_id"), col("text"))
+        .agg(sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("p"))
+        .select(lit("quality").as("section"),
+          lit("gopher_pass_ppm").as("metric"),
+          expr(s"p * 1000000 DIV $total").as("value"))
+      volume.union(langShares).union(srcShares)
+        .union(exactDups).union(nearPairs).union(quality)
+    },
+
     // ----------------------------------------------------- text analysis
     "text_stats_documents" -> { (s, dir) =>
       val t = col("text")
@@ -3243,6 +3292,42 @@ object SparkEntry {
          |FROM documents GROUP BY 1""".stripMargin,
     "dedup_ngram_documents" -> NgramJaccardOracle,
     "dedup_minhash_documents" -> NgramJaccardOracle,
+    // dataset-card replay: each section a small aggregate; near-dup
+    // pairs reuse the exact pair CTEs; gopher pass rate reuses the
+    // full signal battery as a subquery
+    "dataset_card_documents" -> {
+      val gq = graft.functions.Gopher.Sql.query
+      s"""WITH $NgramPairsCtes
+         |SELECT 'corpus' AS section, 'n_docs' AS metric,
+         |  CAST(count(*) AS BIGINT) AS value FROM documents
+         |UNION ALL
+         |SELECT 'corpus', 'n_tokens',
+         |  CAST(sum(${TextAnalysis.Sql.tokenCount("text")}) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'lang_share_ppm', lang,
+         |  CAST(count(*) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT 'source_share_ppm', source,
+         |  CAST(count(*) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM documents GROUP BY source
+         |UNION ALL
+         |SELECT 'dedup', 'exact_dup_docs',
+         |  CAST(count(*) - count(DISTINCT
+         |    ${TextAnalysis.Sql.fingerprint("text")}) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'dedup', 'neardup_pairs', CAST(count(*) AS BIGINT)
+         |FROM pairs
+         |UNION ALL
+         |SELECT 'quality', 'gopher_pass_ppm',
+         |  CAST(count(*) FILTER (WHERE gopher_pass) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM ($gq)""".stripMargin
+    },
     // containment ground truth: symmetric intersections from the a<b
     // self-join, emitted in BOTH directions with each side's own size
     "dedup_containment_documents" ->

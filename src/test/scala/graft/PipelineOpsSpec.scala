@@ -8,6 +8,26 @@ import graft.operators.{Decontaminate, Dedup, Splits}
 /** LLM-pipeline hygiene operators: decontamination, deterministic
   * stratified sampling, PII redaction. */
 class PipelineOpsSpec extends SparkSpec {
+
+  test("dataset card: shares sum to ~1e6, sections complete, volume exact") {
+    import spark.implicits._
+    val card = SparkEntry.queries("dataset_card_documents")(spark, sf0001)
+      .as[(String, String, Long)].collect()
+    val docs = Tables(spark, sf0001, "documents")
+    val bySec = card.groupBy(_._1)
+    bySec.keySet shouldBe Set("corpus", "lang_share_ppm",
+      "source_share_ppm", "dedup", "quality")
+    card.find(r => r._1 == "corpus" && r._2 == "n_docs").get._3 shouldBe
+      docs.count()
+    // integer-floor shares: within |groups| ppm of exactly 1e6
+    Seq("lang_share_ppm", "source_share_ppm").foreach { sec =>
+      val vs = bySec(sec).map(_._3)
+      vs.sum should be <= 1000000L
+      vs.sum should be > 1000000L - vs.length.toLong
+    }
+    val q = card.find(r => r._2 == "gopher_pass_ppm").get._3
+    q should (be >= 0L and be <= 1000000L)
+  }
   import spark.implicits._
 
   test("decontamination: overlap stats match a driver-side recompute") {

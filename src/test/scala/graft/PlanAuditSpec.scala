@@ -93,6 +93,7 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_minhash_documents",
       "dedup_incremental_minhash", // same shingleSets prefilter as minhash
       "dedup_containment_documents", // same shingleSets prefilter
+      "dataset_card_documents", // composes ngramJaccardPairs
       "dedup_ngram_documents",
       "profile_source_overlap", // composes ngramJaccardPairs, same prefilter
       "dedup_simhash_documents",
