@@ -383,6 +383,30 @@ object ScaleStress {
       graft.functions.Profiler.joinAdvice("stress",
         docs, col("key"), docs, pmod(col("id"), lit(500))).count()
     }
+    time("containment pairs (1M docs, asymmetric prefix vs full index)") {
+      Dedup.ngramContainmentPairs(docs.limit(1000000), col("text"),
+        col("id"), n = 3, threshold = 0.9).count()
+    }
+    time(s"interleaved order over $rows docs (1001 sources)") {
+      Splits.interleavedOrder(docs, col("id"), col("key")).count()
+    }
+    time(s"LM train blocks (1M docs, L=128, two-pass vocab encode)") {
+      val sub = docs.limit(1000000)
+      val enc = graft.functions.Vocab.encodeIds(sub, col("id"),
+          col("text"), k = 500)
+        .join(sub.select(col("id"), col("key")), "id")
+      Pack.inputTargetBlocks(enc, col("key"), col("id"), col("ids"),
+        seqLen = 128).count()
+    }
+    time("k-center coreset (8 picks over 1M vectors)") {
+      Similarity.selectKCenter(vecs, col("vec_id"), col("embedding"),
+        k = 8).count()
+    }
+    time("MMR rerank (20 queries, top-20 candidates, k=5)") {
+      Similarity.mmrRerank(vecs.filter(col("vec_id") < 20), vecs,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCandidates = 20, k = 5).count()
+    }
     time("bitext margin mining (100 anchors vs 500k tgt)") {
       Similarity.mineBitextMargin(
         vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
