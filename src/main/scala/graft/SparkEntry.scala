@@ -355,6 +355,25 @@ object SparkEntry {
         col("doc_id"), col("text"),
         terms = Seq("dup", "join", "window"), k = 20)
     },
+    // HYBRID retrieval via Reciprocal-Rank Fusion: the keyword top-20
+    // (integer tf-idf) fuses with the dense top-20 (cosine from the
+    // vec-0 query embedding; vec_id == doc_id is the corpus linkage)
+    // by rank only — no score calibration across systems. All
+    // integer; fusion cost is two <=20-row lists.
+    "search_hybrid_rrf" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val lex = graft.functions.Search.booleanAnd(docs,
+          col("doc_id"), col("text"),
+          terms = Seq("dup", "join", "window"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val dense = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, 20,
+          col("vec_id"), col("embedding"), col("vec_id"),
+          col("embedding"))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.functions.Search.rrfFusion(lex, dense, kRrf = 60, topN = 10)
+    },
     // Exact PHRASE retrieval through positional postings: term i must
     // sit at anchor + i. The postings stream is |phrase|-sparse (term
     // filter rides before the explode); alignment is two equi-joins on
@@ -2623,6 +2642,38 @@ object SparkEntry {
         terms = Seq("dup", "join", "window"), k = 20),
     "search_phrase_documents" ->
       graft.functions.Search.Sql.phraseQuery(Seq("small", "query", "line")),
+    // RRF replay: the boolean-search oracle as a subquery, the dense
+    // top-20 from vec 0, full-outer fuse, integer 1e6 // (60 + rank)
+    "search_hybrid_rrf" -> {
+      val lexQ = graft.functions.Search.Sql.query(
+        terms = Seq("dup", "join", "window"), k = 20)
+      s"""WITH lex AS (
+         |  SELECT doc_id, CAST(rank AS INT) AS lex_rank FROM ($lexQ)),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |dense AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rk AS INT) AS dense_rank
+         |  FROM (
+         |    SELECT c.vec_id AS neighbor_id,
+         |      row_number() OVER (ORDER BY round(list_sum([q.e[i] * c.e[i]
+         |        FOR i IN range(1, len(q.e) + 1)]), 6) DESC, c.vec_id)
+         |        AS rk
+         |    FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0)
+         |  WHERE rk <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    l.lex_rank, d.dense_rank,
+         |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0) +
+         |      coalesce(1000000 // (60 + d.dense_rank), 0) AS BIGINT)
+         |      AS rrf_e6
+         |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         |SELECT doc_id, lex_rank, dense_rank, rrf_e6, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin
+    },
     // skyline replay: per-score max length, strictly-better running max
     // over scores descending, survivors equal their tier's best and
     // beat every higher tier's

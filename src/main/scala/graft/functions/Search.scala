@@ -101,6 +101,34 @@ object Search {
       .agg(count(lit(1)).as("n_matches"), min(col("pos")).as("first_pos"))
   }
 
+  /** Reciprocal-Rank Fusion (Cormack, Clarke & Buettcher 2009, SIGIR)
+    * of two ranked lists — the hybrid-retrieval combiner: keyword and
+    * dense scores are incomparable, but RANKS fuse without
+    * calibration, score = Σ_systems 10^6 div (kRrf + rank) (the
+    * integer surrogate of the 1/(k+r) classic; div keeps it
+    * engine-exact, and k = 60 is the published default). Inputs are
+    * (doc_id, rank) lists ALREADY bounded by their producers' top-k —
+    * the fusion is a full-outer join of two ≤k-row lists plus a
+    * bounded TopK; at scale the cost lives in the producers. Output:
+    * (doc_id, lex_rank, dense_rank, rrf_e6, rank). */
+  def rrfFusion(a: DataFrame, b: DataFrame, kRrf: Int = 60,
+                topN: Int = 10): DataFrame = {
+    val fa = a.select(col("doc_id"), col("rank").as("lex_rank"))
+    val fb = b.select(col("doc_id"), col("rank").as("dense_rank"))
+    val fused = fa.join(fb, Seq("doc_id"), "full_outer")
+      .withColumn("rrf_e6",
+        coalesce(expr(s"1000000 DIV ($kRrf + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000 DIV ($kRrf + dense_rank)"), lit(0L)))
+    TopK.perQuery(
+      fused.select(lit(0L).as("query_id"),
+        col("doc_id").as("neighbor_id"),
+        col("rrf_e6").cast("double").as("score")), topN)
+      .select(col("neighbor_id").as("doc_id"), col("rank"))
+      .join(fused, "doc_id")
+      .select(col("doc_id"), col("lex_rank"), col("dense_rank"),
+        col("rrf_e6"), col("rank"))
+  }
+
   /** DuckDB replay over `documents(doc_id, text)`. */
   object Sql {
     def query(terms: Seq[String], k: Int = 20): String = {

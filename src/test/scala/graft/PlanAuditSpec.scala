@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk_embeddings",
     "similarity_ann_embeddings",
     "similarity_matryoshka_recall", // bounded 16-query broadcast per dim
+    "search_hybrid_rrf", // dense leg = single-query broadcast topk
     "train_triplets_embeddings", // bounded anchor roster broadcast
     // src batch broadcast fwd; bwd queries = the <=|src|*k candidate
     // roster, also broadcast — both sides bounded by contract

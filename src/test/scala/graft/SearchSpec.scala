@@ -61,6 +61,30 @@ class SearchSpec extends SparkSpec {
     got should not be empty
   }
 
+  test("rrfFusion: both-list docs beat single-list docs; golden scores") {
+    val lex = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val dense = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val out = Search.rrfFusion(lex, dense, kRrf = 60, topN = 10)
+      .as[(Long, Option[Int], Option[Int], Long, Int)].collect()
+      .sortBy(_._5)
+    // golden: 1e6 div (60+r) per side
+    def s(r: Int) = 1000000L / (60 + r)
+    val byDoc = out.map(r => r._1 -> r._4).toMap
+    byDoc(20L) shouldBe s(2) + s(1) // in both lists
+    byDoc(10L) shouldBe s(1)
+    byDoc(30L) shouldBe s(3)
+    byDoc(40L) shouldBe s(2)
+    // doc 20 (both lists) outranks every single-list doc, even the
+    // lexical #1 — the hybrid consensus effect
+    out.head._1 shouldBe 20L
+    // per-system ranks surface, with nulls for the missing side
+    val d40 = out.find(_._1 == 40L).get
+    d40._2 shouldBe None
+    d40._3 shouldBe Some(2)
+    // topN caps the fused list
+    Search.rrfFusion(lex, dense, topN = 2).count() shouldBe 2L
+  }
+
   test("booleanAnd on documents: AND semantics, rank order, cap") {
     val docs = Tables(spark, sf0001, "documents")
     val terms = Seq("dup", "join", "window")
