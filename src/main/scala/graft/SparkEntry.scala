@@ -510,6 +510,13 @@ object SparkEntry {
           expr("(est_join_rows - exact_join_rows) * 1000000L" +
             " div exact_join_rows").as("overcount_ppm"))
     },
+    // WINSORIZED aggregates: values clamp to the Tukey fences before
+    // summing — the robust total a contaminated column needs. Two
+    // scans for all three columns; e4-decimal clipped sums.
+    "profile_winsorize_lineitem" -> { (s, dir) =>
+      graft.functions.Profiler.winsorize(Tables(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    },
     // Join-strategy ADVISOR: per candidate join, profiling stats (one
     // groupBy-counts pass per side) + the AMS size estimate from
     // sketches built off those SAME counts, folded through an integer
@@ -2764,6 +2771,25 @@ object SparkEntry {
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
+    // winsorize replay: quantile_cont fences, clamp, e4-decimal sum
+    "profile_winsorize_lineitem" ->
+      Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
+        s"""(WITH f AS (
+           |  SELECT q[1] - 1.5*(q[2]-q[1]) AS lo,
+           |         q[2] + 1.5*(q[2]-q[1]) AS hi
+           |  FROM (SELECT quantile_cont($c, [0.25, 0.75]) AS q
+           |        FROM lineitem))
+           |SELECT '$c' AS col_name, lo AS lo_fence, hi AS hi_fence,
+           |  CAST(sum(CASE WHEN $c < lo THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_lo,
+           |  CAST(sum(CASE WHEN $c > hi THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_clipped_hi,
+           |  CAST(sum(CAST(round(least(greatest(CAST($c AS DOUBLE), lo),
+           |    hi), 4) AS DECIMAL(28,4))) * 10000 AS BIGINT)
+           |    AS clipped_sum_e4,
+           |  CAST(count($c) AS BIGINT) AS n_rows
+           |FROM lineitem, f GROUP BY lo, hi)""".stripMargin
+      }.mkString("\nUNION ALL\n"),
     // advisor replay: per-candidate counts, weighted-sketch AMS
     // estimate, and the same integer rule ladder; one block per
     // candidate, UNION ALL

@@ -280,6 +280,66 @@ object Profiler {
         min(col("v")).as("lo"), max(col("v")).as("hi"))
   }
 
+  /** WINSORIZED aggregates: values clamp to the Tukey fences
+    * ([[outliers]]' driver-inlined cuts) before aggregation — the
+    * robust mean/sum a contaminated column needs (a single corrupt
+    * 1e12 row poisons a plain mean forever; clamped, it contributes
+    * one fence-value). Clipped sums accumulate as e4 DECIMALs (the
+    * exactValueSumE4 idiom), so the result replays bit-for-bit.
+    * Output per column: (col_name, lo_fence, hi_fence, n_clipped_lo,
+    * n_clipped_hi, clipped_sum_e4, n_rows). Two scans total for ALL
+    * columns (one percentile pass, one clamp pass). */
+  def winsorize(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val qAggs = cols.map { c =>
+      expr(s"percentile(`$c`, array(0.25, 0.75))").as(s"${c}__q")
+    }
+    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+    val fences: Seq[(String, Option[(Double, Double)])] = cols.map { c =>
+      val i = qRow.fieldIndex(s"${c}__q")
+      if (qRow.isNullAt(i)) (c, None)
+      else {
+        val qs = qRow.getSeq[Double](i)
+        val iqr = qs(1) - qs(0)
+        (c, Some((qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)))
+      }
+    }
+    val aggs = fences.flatMap {
+      case (c, Some((lo, hi))) =>
+        val clamped = least(greatest(col(c).cast("double"), lit(lo)),
+          lit(hi))
+        Seq(
+          coalesce(sum(when(col(c) < lit(lo), 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}__lo"),
+          coalesce(sum(when(col(c) > lit(hi), 1L).otherwise(0L)), lit(0L))
+            .as(s"${c}__hi"),
+          (sum(when(col(c).isNotNull,
+            round(clamped, 4).cast("decimal(28,4)"))) * 10000)
+            .cast("long").as(s"${c}__sum"),
+          count(col(c)).as(s"${c}__n"))
+      case (c, None) => Seq(
+        coalesce(max(lit(0L)), lit(0L)).as(s"${c}__lo"),
+        coalesce(max(lit(0L)), lit(0L)).as(s"${c}__hi"),
+        lit(null).cast("long").as(s"${c}__sum"),
+        count(col(c)).as(s"${c}__n"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(fences.map { case (c, fo) =>
+        val (lo, hi) = fo match {
+          case Some((l, h)) => (lit(l), lit(h))
+          case None =>
+            val n = lit(null).cast("double"); (n, n)
+        }
+        struct(lit(c).as("col_name"), lo.as("lo_fence"), hi.as("hi_fence"),
+          col(s"${c}__lo").cast("long").as("n_clipped_lo"),
+          col(s"${c}__hi").cast("long").as("n_clipped_hi"),
+          col(s"${c}__sum").as("clipped_sum_e4"),
+          col(s"${c}__n").cast("long").as("n_rows"))
+      }: _*)).as("p"))
+      .select(col("p.col_name"), col("p.lo_fence"), col("p.hi_fence"),
+        col("p.n_clipped_lo"), col("p.n_clipped_hi"),
+        col("p.clipped_sum_e4"), col("p.n_rows"))
+  }
+
   /** Join-strategy ADVICE for one candidate equi-join, from profiling
     * stats alone — the planner table an engine consults before running
     * anything: per-side row counts, key cardinalities, and max key

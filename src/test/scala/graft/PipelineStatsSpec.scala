@@ -180,6 +180,29 @@ class PipelineStatsSpec extends SparkSpec {
 
   // ---------------------------------------------- Profiler.outliers
 
+  test("winsorize golden: outlier clamps to the fence, sum robust") {
+    // 1..7 plus a 1e6 outlier: quartiles of 8 sorted values ->
+    // q1 2.75, q3 6.25 (outliers-spec numbers), fences -2.5 / 11.5;
+    // the outlier contributes 11.5, not 1e6
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000000L)).toDF("v")
+    val r = Profiler.winsorize(df, Seq("v")).collect().head
+    r.getString(0) shouldBe "v"
+    r.getDouble(1) shouldBe -2.5
+    r.getDouble(2) shouldBe 11.5
+    r.getLong(3) shouldBe 0L
+    r.getLong(4) shouldBe 1L
+    // sum = 1+..+7 + 11.5 = 39.5 -> e4
+    r.getLong(5) shouldBe 395000L
+    r.getLong(6) shouldBe 8L
+    // empty column: null fences and sum, zero counts
+    val e = Profiler.winsorize(df.filter($"v" < 0), Seq("v"))
+      .collect().head
+    e.isNullAt(1) shouldBe true
+    e.isNullAt(5) shouldBe true
+    e.getLong(3) shouldBe 0L
+    e.getLong(6) shouldBe 0L
+  }
+
   test("outliers golden: hand-derived Tukey fences and tail counts") {
     val df = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 100L).toDF("v")
     val r = Profiler.outliers(df, Seq("v")).collect()
