@@ -394,8 +394,8 @@ object ScaleStress {
       val sub = docs.limit(1000000)
       val enc = graft.functions.Vocab.encodeIds(sub, col("id"),
           col("text"), k = 500)
-        .join(sub.select(col("id"), col("key")), "id")
-      Pack.inputTargetBlocks(enc, col("key"), col("id"), col("ids"),
+        .join(sub.select(col("id").as("doc_id"), col("key")), "doc_id")
+      Pack.inputTargetBlocks(enc, col("key"), col("doc_id"), col("ids"),
         seqLen = 128).count()
     }
     time("k-center coreset (8 picks over 1M vectors)") {
