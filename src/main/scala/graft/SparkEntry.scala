@@ -923,6 +923,15 @@ object SparkEntry {
             size(TextAnalysis.tokens(col("text"))).cast("long").as("n")),
         col("lang"), col("n"), budget = 10000000L)
     },
+    // BALANCED fixed-k eval sets: exactly 20 md5-smallest docs PER
+    // LANGUAGE through the bounded TopK aggregate (never a per-group
+    // window); per-group samples nest across k.
+    "sample_fixed_k_per_lang" -> { (s, dir) =>
+      Splits.sampleFixedKPerGroup(Tables(s, dir, "documents"),
+          col("doc_id"), col("lang"), k = 20)
+        .select(col("group").as("lang"), col("id").as("doc_id"),
+          col("rank"))
+    },
     // Fixed-SIZE deterministic sample: exactly 100 docs (md5-smallest
     // ids) — fixed-budget eval sets; TakeOrdered, corpus never sorts.
     "sample_fixed_k_documents" -> { (s, dir) =>
@@ -2862,6 +2871,13 @@ object SparkEntry {
         |  CAST((SELECT v FROM ex) AS BIGINT) AS exact_join_rows,
         |  CAST(((SELECT min(v) FROM ip) - (SELECT v FROM ex)) * 1000000
         |    // (SELECT v FROM ex) AS BIGINT) AS overcount_ppm""".stripMargin,
+    // per-group md5 rank replay; TopK's (score desc, id) == (u32 asc, id)
+    "sample_fixed_k_per_lang" ->
+      """SELECT lang, doc_id, CAST(rk AS INT) AS rank FROM (
+        |  SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+        |    ORDER BY ('0x'||substr(md5(CAST(doc_id AS VARCHAR)),1,8))
+        |      ::BIGINT, doc_id) AS rk
+        |  FROM documents) WHERE rk <= 20""".stripMargin,
     // DuckDB `//` == Spark `DIV` (integer division); u32*2^20 < 2^63.
     "sample_weighted_documents" ->
       """WITH w AS (

@@ -360,6 +360,25 @@ object Splits {
       StructField("global_pos", LongType))))
   }
 
+  /** Deterministic fixed-size sample PER GROUP: the md5-smallest k ids
+    * of every group (balanced eval sets — exactly k docs per language,
+    * not a rate that wobbles with group size). Same md5 rank key as
+    * [[sampleFixedK]], so per-group samples NEST across k; the rank
+    * rides the bounded [[graft.functions.TopK]] aggregate (map-side
+    * ≤k-entry partials per group), never a per-group window that drags
+    * a whole group onto one reducer. Output: (group, id, rank). */
+  def sampleFixedKPerGroup(df: DataFrame, idCol: Column,
+                           groupCol: Column, k: Int): DataFrame = {
+    require(k > 0, "k must be positive")
+    graft.functions.TopK.perQuery(
+      df.select(groupCol.as("query_id"),
+        idCol.cast("long").as("neighbor_id"),
+        (-conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+          .cast("double")).as("score")), k)
+      .select(col("query_id").as("group"),
+        col("neighbor_id").as("id"), col("rank"))
+  }
+
   /** Deterministic fixed-SIZE global sample: exactly min(k, n) rows —
     * the md5-smallest ids corpus-wide — for fixed-budget eval / probe
     * sets where a RATE sample ([[stratifiedSample]]) can't promise an

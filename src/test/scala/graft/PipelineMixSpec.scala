@@ -90,6 +90,33 @@ class PipelineMixSpec extends SparkSpec {
 
   // ----------------------------------------- md5-anchored Dirichlet
 
+  test("sampleFixedKPerGroup: exact k per group, nested across k, md5 order") {
+    val docs = Tables(spark, sf0001, "documents")
+    val k5 = Splits.sampleFixedKPerGroup(docs, $"doc_id", $"lang", 5)
+      .as[(String, Long, Int)].collect()
+    k5.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1 to 5)
+    }
+    // nesting: the 5-sample per group is a prefix of the 20-sample
+    val k20 = Splits.sampleFixedKPerGroup(docs, $"doc_id", $"lang", 20)
+      .as[(String, Long, Int)].collect()
+    val k20Set = k20.map(r => (r._1, r._2, r._3)).toSet
+    k5.foreach(r => k20Set should contain((r._1, r._2, r._3)))
+    // order = u32(md5(id)) asc, replayed independently
+    def u32(id: Long): Long = java.lang.Long.parseLong(
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 8), 16)
+    k5.groupBy(_._1).values.foreach { rows =>
+      rows.sortBy(_._3).map(r => u32(r._2)).toSeq shouldBe
+        rows.map(r => u32(r._2)).sorted.toSeq
+    }
+    // a group smaller than k yields the whole group
+    val tiny = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    Splits.sampleFixedKPerGroup(tiny, $"id", $"g", 5)
+      .count() shouldBe 3L
+  }
+
   test("interleavedOrder: dense md5 ranks, formula positions, partition-invariant") {
     val docs = Tables(spark, sf0001, "documents")
     val out = Splits.interleavedOrder(docs, $"doc_id", $"source")
