@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.functions.{Redact, TextAnalysis}
+import graft.functions.{Redact, TextAnalysis, Vectors}
 import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
 import graft.streaming.EventStream
 
@@ -1416,6 +1416,28 @@ object SparkEntry {
     "embedding_centroids_by_label" -> { (s, dir) =>
       graft.functions.VectorAgg.centroidLanes(
         Tables(s, dir, "embeddings"), col("label"), col("embedding"))
+    },
+    // EMBEDDING-SPACE DRIFT per label between two corpus snapshots
+    // (vec_id parity as the version split): centroid cosine + worst
+    // single-lane shift, both from round-6 centroid lanes so the
+    // cross-engine arithmetic runs on identical doubles — the
+    // model-ops monitor for "did my embedding distribution move".
+    "embedding_drift_labels" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      def side(p: Int) = graft.functions.VectorAgg.centroidArrays(
+        emb.filter(col("vec_id") % 2 === p),
+        col("label"), col("embedding"))
+      val a = side(0).select(col("group_id").as("label"),
+        col("centroid").as("ca"), col("n_vectors").as("n_a"))
+      val b = side(1).select(col("group_id").as("label"),
+        col("centroid").as("cb"), col("n_vectors").as("n_b"))
+      a.join(b, "label")
+        .select(col("label"), col("n_a"), col("n_b"),
+          round(round(Vectors.cosine(col("ca"), col("cb")), 6) * 1e6)
+            .cast("long").as("centroid_cos_e6"),
+          round(array_max(zip_with(col("ca"), col("cb"),
+            (x, y) => abs(x - y))) * 1e6)
+            .cast("long").as("max_lane_shift_e6"))
     },
     // Per-lane int8 quantization (4x vector memory cut for ANN): floor
     // mapping with explicit double widening keeps codes bit-identical
@@ -4985,6 +5007,39 @@ object SparkEntry {
         |  count(*) AS n_tokens,
         |  md5(string_agg(tok, ' ' ORDER BY seq)) AS block_digest
         |FROM seqd GROUP BY group_id, (seq - 1) // 128""".stripMargin,
+    // drift replay: round-6 centroid lane lists per parity side, same
+    // dot/(norm*norm) order, worst |lane delta|
+    "embedding_drift_labels" -> {
+      def sideCte(name: String, p: Int) =
+        s"""$name AS (
+           |  SELECT label, list(cv ORDER BY lane) AS c,
+           |    max(n) AS nv
+           |  FROM (
+           |    SELECT label, u.i AS lane,
+           |      round(avg(CAST(u.v AS DOUBLE)), 6) AS cv,
+           |      count(*) AS n
+           |    FROM (SELECT label, unnest([{'i': i, 'v': embedding[i]}
+           |            FOR i IN range(1, len(embedding) + 1)]) AS u
+           |          FROM embeddings WHERE vec_id % 2 = $p)
+           |    GROUP BY 1, 2)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH ${sideCte("aa", 0)},
+         |${sideCte("bb", 1)}
+         |SELECT a.label, CAST(a.nv AS BIGINT) AS n_a,
+         |  CAST(b.nv AS BIGINT) AS n_b,
+         |  CAST(round(round(
+         |    list_sum([a.c[i] * b.c[i]
+         |      FOR i IN range(1, len(a.c) + 1)]) /
+         |    (sqrt(list_sum([a.c[i] * a.c[i]
+         |       FOR i IN range(1, len(a.c) + 1)])) *
+         |     sqrt(list_sum([b.c[i] * b.c[i]
+         |       FOR i IN range(1, len(b.c) + 1)]))), 6) * 1000000)
+         |    AS BIGINT) AS centroid_cos_e6,
+         |  CAST(round(list_max([abs(a.c[i] - b.c[i])
+         |    FOR i IN range(1, len(a.c) + 1)]) * 1000000) AS BIGINT)
+         |    AS max_lane_shift_e6
+         |FROM aa a JOIN bb b USING (label)""".stripMargin
+    },
     "embedding_centroids_by_label" ->
       """SELECT label AS group_id, u.i - 1 AS lane,
         |  count(*) AS n,

@@ -284,6 +284,33 @@ class SimilaritySpec extends SparkSpec {
       built.assigned.select("cell").distinct().count()
   }
 
+  test("embedding drift query: self-split of identical vectors shows zero drift") {
+    // all vectors of a label identical -> both parity centroids equal:
+    // cosine 1e6, lane shift 0. A drifted label shows both signals.
+    val emb = (
+      (0 until 8).map(i => (i.toLong, Seq(1f, 2f, 2f, 0f), 0)) ++
+      (0 until 8).map(i => (100L + i,
+        if (i % 2 == 0) Seq(1f, 0f, 0f, 0f) else Seq(0f, 1f, 0f, 0f), 1)))
+      .toDF("vec_id", "embedding", "label")
+    val side = (p: Int) => graft.functions.VectorAgg.centroidArrays(
+      emb.filter($"vec_id" % 2 === p), col("label"), col("embedding"))
+    val a = side(0).select($"group_id".as("label"),
+      $"centroid".as("ca"), $"n_vectors".as("n_a"))
+    val b = side(1).select($"group_id".as("label"),
+      $"centroid".as("cb"), $"n_vectors".as("n_b"))
+    val out = a.join(b, "label")
+      .select($"label",
+        round(round(graft.functions.Vectors.cosine($"ca", $"cb"), 6)
+          * 1e6).cast("long").as("cos_e6"),
+        round(array_max(zip_with($"ca", $"cb",
+          (x, y) => abs(x - y))) * 1e6).cast("long").as("shift_e6"))
+      .as[(Int, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    out(0) shouldBe ((1000000L, 0L))        // no drift
+    out(1)._1 should be < 1000000L          // drifted label: cos drops
+    out(1)._2 should be > 500000L           // and a lane moved by ~1.0
+  }
+
   test("selectKCenter: axes picked before their twins; radius non-decreasing") {
     // four orthogonal axes, each with a near-twin right next to it:
     // farthest-point must cover all four axes before taking any twin
