@@ -640,6 +640,24 @@ object SparkEntry {
             .cast("long").as("total_e2"),
           grouping_id().as("level"))
     },
+    // Windowed LEADERBOARD: top-3 users by exact e4 value per 1-day
+    // window — per-window ranking through the bounded TopK aggregate
+    // (map-side ≤k partials per window), never a per-window sort of
+    // all users. The batch twin of a streaming trending board.
+    "events_window_topk_users" -> { (s, dir) =>
+      val w = 86400L * 1000000000L
+      val perUser = Tables(s, dir, "events")
+        .groupBy((col("ts") - pmod(col("ts"), lit(w)))
+          .as("window_start"), col("user_id"))
+        .agg(Relational.exactValueSumE4.as("v_e4"))
+      graft.functions.TopK.perQuery(
+        perUser.select(col("window_start").as("query_id"),
+          col("user_id").as("neighbor_id"),
+          col("v_e4").cast("double").as("score")), k = 3)
+        .select(col("query_id").as("window_start"),
+          col("neighbor_id").as("user_id"), col("rank"),
+          col("score").cast("long").as("value_e4"))
+    },
     // Robust rate-anomaly detection: hourly per-type counts, flagged
     // beyond 3 MADs from the median — median/MAD because mean/σ is
     // poisoned by the outliers it hunts. Exact percentiles over the
@@ -3511,6 +3529,20 @@ object SparkEntry {
         |    AS level
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
+    // leaderboard replay: day floor, e4-decimal sums, per-window rank
+    "events_window_topk_users" ->
+      """WITH pu AS (
+        |  SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000
+        |      AS window_start,
+        |    user_id,
+        |    CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+        |      AS BIGINT) AS v_e4
+        |  FROM events GROUP BY 1, 2)
+        |SELECT window_start, user_id, CAST(rk AS INT) AS rank,
+        |  v_e4 AS value_e4
+        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+        |        ORDER BY v_e4 DESC, user_id) AS rk FROM pu)
+        |WHERE rk <= 3""".stripMargin,
     // anomaly replay: same window floor, quantile_cont medians, same
     // driver-computed 3x1.4826 factor
     "events_anomaly_windows" ->

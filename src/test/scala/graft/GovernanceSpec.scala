@@ -220,6 +220,28 @@ class GovernanceSpec extends SparkSpec {
       .head shouldBe (("x", 2L, 617500000L))
   }
 
+  test("window top-k leaderboard: per-window cap, replayed golden window") {
+    val out = SparkEntry.queries("events_window_topk_users")(spark, sf0001)
+      .as[(Long, Long, Int, Long)].collect()
+    out should not be empty
+    out.groupBy(_._1).values.foreach { rows =>
+      rows.map(_._3).sorted.toSeq shouldBe (1 to rows.length)
+      rows.length should be <= 3
+    }
+    // driver replay of one window
+    val w0 = out.map(_._1).min
+    val ev = Tables(spark, sf0001, "events")
+      .filter($"ts" >= w0 && $"ts" < w0 + 86400L * 1000000000L)
+      .select($"user_id", $"value").as[(Long, Double)].collect()
+    val expect = ev.groupBy(_._1).view.mapValues(vs =>
+        vs.map(v => BigDecimal(v._2).setScale(4,
+          BigDecimal.RoundingMode.HALF_UP)).sum * 10000)
+      .toSeq.map { case (u, v) => (u, v.toLong) }
+      .sortBy { case (u, v) => (-v, u) }.take(3)
+    out.filter(_._1 == w0).sortBy(_._3)
+      .map(r => (r._2, r._4)).toSeq shouldBe expect
+  }
+
   test("anomalyWindows: spike flagged, steady rate quiet, 0-MAD strictness") {
     // key "a": 9 windows of 10 events + 1 window of 100 (the spike);
     // key "b": identical 5-event windows everywhere (MAD 0 -> quiet)
