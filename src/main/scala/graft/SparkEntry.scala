@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Rendezvous, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1791,6 +1791,14 @@ object SparkEntry {
           col("n_bytes"))
       Compaction.plan(manifest, "file_id", "n_bytes", targetBytes = 65536L)
     },
+    // RENDEZVOUS (HRW) sharding resize matrix: growing 8 -> 9 shards
+    // moves only the keys the NEW shard wins (~1/9; mod-hash would
+    // reshuffle ~8/9 of a 100 TB layout). Off-diagonal mass = churn;
+    // md5 weights make placement engine-exact.
+    "layout_rendezvous_churn" -> { (s, dir) =>
+      Rendezvous.resizeChurn(Tables(s, dir, "documents"),
+        col("doc_id"), nFrom = 8, nTo = 9)
+    },
     // CDC changeset apply (MERGE INTO semantics): a three-wave delta —
     // rev1 text updates on ids %10, deletes on ids %17 (seq 2 beats the
     // seq-1 update where both hit), inserts at id+100000 — folded into
@@ -3134,6 +3142,18 @@ object SparkEntry {
         |  CAST(max(n_bytes) AS BIGINT) AS max_file_bytes,
         |  CAST(min(n_bytes) AS BIGINT) AS min_file_bytes
         |FROM laid GROUP BY 1""".stripMargin,
+    // HRW replay: struct-sorted (−u32, shard) argmax per layout size
+    "layout_rendezvous_churn" -> {
+      def shard(n: Int) =
+        "list_sort([{'w': -('0x'||substr(md5(CAST(sh AS VARCHAR)" +
+          "||':'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT, " +
+          "'s': CAST(sh AS BIGINT)} " +
+          s"FOR sh IN range(0, $n)])[1].s"
+      s"""SELECT ${shard(8)} AS shard_from,
+         |  ${shard(9)} AS shard_to,
+         |  CAST(count(*) AS BIGINT) AS n_keys
+         |FROM documents GROUP BY 1, 2""".stripMargin
+    },
     // Latest-per-key replay via QUALIFY row_number; the full-outer
     // apply and the D filter mirror Cdc.applyChangeset exactly.
     // SCD2 replay: the changeset's lead() window per key; is_current =

@@ -1,0 +1,43 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Rendezvous (highest-random-weight) sharding — Thaler & Ravishankar
+  * 1996, the consistent-placement scheme behind cache rings and
+  * shard-stable storage layouts: a key lands on the shard whose
+  * md5(shard ":" key) weight is highest. When the shard count grows
+  * n → n+1, ONLY the keys whose new shard wins move (≈ 1/(n+1) of
+  * them) — mod-hashing reshuffles ≈ n/(n+1) of the corpus, which at
+  * 100 TB is the difference between topping up a layout and rewriting
+  * it. md5 weights make placement engine-exact.
+  */
+object Rendezvous {
+
+  /** The winning shard for `id` among shards 0..nShards-1: argmax of
+    * u32(md5(shard ":" id)), ties (impossible below u32 collision) to
+    * the lower shard. One sorted struct array per row — the
+    * cellsByAffinity idiom; nShards md5 evaluations per key, so keep
+    * nShards to physical-shard counts (not hash-space sizes). */
+  def shardOf(id: Column, nShards: Int): Column = {
+    require(nShards > 0, "nShards must be positive")
+    val scored = array((0 until nShards).map { sh =>
+      struct(
+        (-conv(substring(md5(concat(lit(s"$sh:"), id.cast("string"))),
+          1, 8), 16, 10).cast("long")).as("negw"),
+        lit(sh.toLong).as("sh"))
+    }: _*)
+    element_at(transform(array_sort(scored), x => x.getField("sh")), 1)
+  }
+
+  /** The resize TRANSITION MATRIX between an nFrom- and an nTo-shard
+    * layout: (shard_from, shard_to, n_keys). Off-diagonal mass is the
+    * churn the resize pays; rendezvous keeps shard IDENTITY for
+    * unmoved keys, so "unmoved" is literally shard_from == shard_to. */
+  def resizeChurn(df: DataFrame, idCol: Column, nFrom: Int,
+                  nTo: Int): DataFrame =
+    df.select(shardOf(idCol, nFrom).as("shard_from"),
+        shardOf(idCol, nTo).as("shard_to"))
+      .groupBy(col("shard_from"), col("shard_to"))
+      .agg(count(lit(1)).as("n_keys"))
+}

@@ -150,6 +150,30 @@ class LayoutCdcSpec extends SparkSpec {
 
   // --------------------------------------------- CMS pipeline
 
+  test("rendezvous: ~1/(n+1) churn on grow (mod-hash reshuffles ~n/(n+1))") {
+    import graft.operators.Rendezvous
+    val keys = spark.range(4000).toDF("id")
+    val m = Rendezvous.resizeChurn(keys, $"id", nFrom = 8, nTo = 9)
+      .as[(Long, Long, Long)].collect()
+    val total = m.map(_._3).sum
+    total shouldBe 4000L
+    val moved = m.filter(r => r._1 != r._2).map(_._3).sum
+    // expectation 1/9 ~ 444; allow generous slack either side
+    moved.toDouble / total should be < 0.2
+    moved should be > 0L
+    // the same keys under mod-hashing move ~8/9 — the property HRW buys
+    val modMoved = (0L until 4000L).count(k => k % 8 != k % 9)
+    modMoved.toDouble / 4000 should be > 0.8
+    // placement is deterministic and balanced-ish across 8 shards
+    val s8 = keys.select(Rendezvous.shardOf($"id", 8).as("s"))
+      .groupBy("s").count().as[(Long, Long)].collect().toMap
+    s8.keySet shouldBe (0L until 8L).toSet
+    s8.values.foreach { c => c should (be > 300L and be < 700L) }
+    val again = Rendezvous.resizeChurn(keys, $"id", 8, 9)
+      .as[(Long, Long, Long)].collect()
+    again.sortBy(r => (r._1, r._2)) shouldBe m.sortBy(r => (r._1, r._2))
+  }
+
   test("pointInTime: boundary semantics, open current version, no double match") {
     val dim = Seq(
       (1L, 0, 100L, Some(200L), "bronze"),
