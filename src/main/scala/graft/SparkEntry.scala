@@ -1799,6 +1799,16 @@ object SparkEntry {
       Rendezvous.resizeChurn(Tables(s, dir, "documents"),
         col("doc_id"), nFrom = 8, nTo = 9)
     },
+    // WEIGHTED rendezvous (virtual replicas — log-free, unlike the
+    // classic -w/ln(u)): capacities 1/2/4 land keys ~1:2:4; per-shard
+    // counts gate the distribution, the argmax stays md5-exact.
+    "layout_rendezvous_weighted" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Rendezvous.shardOfWeighted(col("doc_id"),
+          Seq(1, 2, 4)).as("shard"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_keys"))
+    },
     // CDC changeset apply (MERGE INTO semantics): a three-wave delta —
     // rev1 text updates on ids %10, deletes on ids %17 (seq 2 beats the
     // seq-1 update where both hit), inserts at id+100000 — folded into
@@ -3153,6 +3163,17 @@ object SparkEntry {
          |  ${shard(9)} AS shard_to,
          |  CAST(count(*) AS BIGINT) AS n_keys
          |FROM documents GROUP BY 1, 2""".stripMargin
+    },
+    // weighted HRW replay: virtual replica keys "s#r:key", same argmax
+    "layout_rendezvous_weighted" -> {
+      val reps = Seq(1, 2, 4).zipWithIndex.flatMap { case (w, sh) =>
+        (0 until w).map(r => s"{'sh': CAST($sh AS BIGINT), 'rk': '$sh#$r:'}")
+      }.mkString("[", ", ", "]")
+      s"""SELECT list_sort([{'w': -('0x'||substr(md5(v.rk
+         |      ||CAST(doc_id AS VARCHAR)),1,8))::BIGINT, 's': v.sh}
+         |    FOR v IN $reps])[1].s AS shard,
+         |  CAST(count(*) AS BIGINT) AS n_keys
+         |FROM documents GROUP BY 1""".stripMargin
     },
     // Latest-per-key replay via QUALIFY row_number; the full-outer
     // apply and the D filter mirror Cdc.applyChangeset exactly.

@@ -30,6 +30,29 @@ object Rendezvous {
     element_at(transform(array_sort(scored), x => x.getField("sh")), 1)
   }
 
+  /** WEIGHTED rendezvous via virtual replicas: shard s with integer
+    * capacity w_s competes with w_s independent md5 weights (replica
+    * keys "s#r:key"), so its win probability is exactly
+    * w_s / Σw — heterogeneous shard capacities without the classic
+    * weighted-HRW -w/ln(u) formula, whose log the repo's exactness
+    * discipline forbids (libm ulps differ across engines). Keys keep
+    * the consistency property: changing ONE shard's weight only moves
+    * keys into or out of that shard. Cost: Σw md5 evaluations per
+    * key — fine for physical-shard counts. */
+  def shardOfWeighted(id: Column, weights: Seq[Int]): Column = {
+    require(weights.nonEmpty && weights.forall(_ >= 1),
+      "weights must be positive")
+    val scored = array(weights.zipWithIndex.flatMap { case (w, sh) =>
+      (0 until w).map { r =>
+        struct(
+          (-conv(substring(md5(concat(lit(s"$sh#$r:"),
+            id.cast("string"))), 1, 8), 16, 10).cast("long")).as("negw"),
+          lit(sh.toLong).as("sh"))
+      }
+    }: _*)
+    element_at(transform(array_sort(scored), x => x.getField("sh")), 1)
+  }
+
   /** The resize TRANSITION MATRIX between an nFrom- and an nTo-shard
     * layout: (shard_from, shard_to, n_keys). Off-diagonal mass is the
     * churn the resize pays; rendezvous keeps shard IDENTITY for

@@ -174,6 +174,27 @@ class LayoutCdcSpec extends SparkSpec {
     again.sortBy(r => (r._1, r._2)) shouldBe m.sortBy(r => (r._1, r._2))
   }
 
+  test("weighted rendezvous: w-proportional load; weight bumps only pull keys in") {
+    import graft.operators.Rendezvous
+    val keys = spark.range(3000).toDF("id")
+    def place(ws: Seq[Int]) = keys
+      .select($"id", Rendezvous.shardOfWeighted($"id", ws).as("s"))
+      .as[(Long, Long)].collect().toMap
+    val p = place(Seq(1, 2, 4))
+    val byShard = p.values.groupBy(identity).view.mapValues(_.size).toMap
+    // expectation 3000 * w/7: 429 / 857 / 1714, generous band
+    byShard(0L).toDouble / 3000 should (be > 0.10 and be < 0.19)
+    byShard(1L).toDouble / 3000 should (be > 0.22 and be < 0.35)
+    byShard(2L).toDouble / 3000 should (be > 0.50 and be < 0.65)
+    // bump shard 1's weight: keys may move INTO shard 1, but never
+    // between shards 0 and 2 (their replica weights are unchanged)
+    val q = place(Seq(1, 3, 4))
+    keys.as[Long].collect().foreach { k =>
+      if (q(k) != p(k)) q(k) shouldBe 1L
+    }
+    (0L until 3000L).count(k => q(k) != p(k)) should be > 0
+  }
+
   test("pointInTime: boundary semantics, open current version, no double match") {
     val dim = Seq(
       (1L, 0, 100L, Some(200L), "bronze"),
