@@ -450,6 +450,14 @@ object SparkEntry {
       graft.functions.BpePairs.topPairs(
         Tables(s, dir, "documents"), col("text"), k = 30)
     },
+    // BPE iteration TWO: the round-1 winner merges into one symbol
+    // (left-to-right replace IS greedy BPE), pairs recount over the
+    // merged vocab — proves the training loop iterates, still
+    // vocab-sized per round.
+    "tokenizer_bpe_round2" -> { (s, dir) =>
+      graft.functions.BpePairs.topPairsAfterMerge(
+        Tables(s, dir, "documents"), col("text"), k = 30)
+    },
     // Count-Min sketch frequency estimation (depth 4 × width 1024,
     // md5-derived cells — engine-replayable): estimates for the exact
     // top-50 tokens, alongside their true counts. Sketch state is
@@ -2808,6 +2816,35 @@ object SparkEntry {
          |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
          |    AS rank, pair, cnt
          |FROM pairs ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
+    // round-2 replay: winner from the round-1 ranking, replace-merged
+    // vocab (chr(1) sentinel), recount, render the symbol back
+    "tokenizer_bpe_round2" ->
+      s"""WITH vocab AS (
+         |  SELECT w, count(*) AS freq FROM (
+         |    SELECT unnest(${TextAnalysis.Sql.tokens("lower(text)")}) AS w
+         |    FROM documents) GROUP BY 1),
+         |p1 AS (
+         |  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+         |        FROM vocab WHERE len(w) >= 2)
+         |  GROUP BY 1),
+         |win AS (SELECT replace(pair, ' ', '') AS m FROM p1
+         |        ORDER BY cnt DESC, pair LIMIT 1),
+         |v2 AS (SELECT replace(w, (SELECT m FROM win), chr(1)) AS w,
+         |         freq
+         |       FROM vocab),
+         |p2 AS (
+         |  SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT w, freq, unnest(range(1, len(w))) AS i
+         |        FROM v2 WHERE len(w) >= 2)
+         |  GROUP BY 1)
+         |SELECT CAST(row_number() OVER (ORDER BY cnt DESC, pair) AS INT)
+         |    AS rank,
+         |  replace(pair, chr(1), '[' || (SELECT m FROM win) || ']')
+         |    AS pair, cnt
+         |FROM p2 ORDER BY cnt DESC, pair LIMIT 30""".stripMargin,
     "sample_fixed_k_documents" ->
       """SELECT doc_id, lang, source FROM documents
         |ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 100""".stripMargin,

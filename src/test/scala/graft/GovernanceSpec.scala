@@ -284,6 +284,28 @@ class GovernanceSpec extends SparkSpec {
       ("s2", "s3") -> 1L)
   }
 
+  test("bpe round 2: greedy merge semantics, merged symbol re-pairs") {
+    import graft.functions.BpePairs
+    // "abab" x2: round-1 pairs ab:4, ba:2 -> winner (a,b).
+    // merged: "abab" -> [ab][ab]; "aab" -> a[ab]; "aaa" untouched
+    val docs = Seq((1L, "abab abab aab aaa")).toDF("doc_id", "text")
+    val r2 = BpePairs.topPairsAfterMerge(docs, $"text", k = 10)
+      .as[(Int, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    r2("[ab] [ab]") shouldBe 2L // the double merge inside "abab", freq 2
+    r2("a [ab]") shouldBe 1L
+    r2("a a") shouldBe 2L       // "aaa" keeps its two aa pairs
+    r2.keySet should not contain "a b" // the merged pair is gone
+    // greedy left-to-right on overlaps: winner (a,a) in "aaaa" -> two
+    // merges, "aaa" -> one merge plus a bare a
+    val over = Seq((1L, "aaaa aaa")).toDF("doc_id", "text")
+    val o2 = BpePairs.topPairsAfterMerge(over, $"text", k = 10)
+      .as[(Int, String, Long)].collect()
+      .map(r => r._2 -> r._3).toMap
+    o2("[aa] [aa]") shouldBe 1L
+    o2("[aa] a") shouldBe 1L
+  }
+
   test("deletionVariants: exact neighborhood; short strings safe") {
     import graft.operators.EntityMatch
     def variants(s: String): Set[String] =
