@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Pq, Privacy, Relational, Rendezvous, Retention, Similarity, SortedExport, Splits, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1437,6 +1437,20 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         dim = 64, nBits = 8, probeHamming = 2)
     },
+    // ANN accept/reject gate: the anchored-LSH index's lists scored
+    // against brute-force truth — rank of the true top-1 (rr in ppm)
+    // and top-5 overlap per query. Three query-sized equi-joins; the
+    // corpus is scanned only by the two indexes being compared.
+    "eval_mrr_retrieval" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val q = emb.filter(col("vec_id") < 10)
+      val ann = Similarity.lshTopKAnchored(q, emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        dim = 64, nBits = 8, probeHamming = 2)
+      val truth = Similarity.bruteForceTopK(q, emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+      RetrievalEval.perQuery(ann, truth)
+    },
     // Grouped vector aggregation: element-wise per-label centroids of
     // the embedding column (exploded lane shape, exact oracle).
     "embedding_centroids_by_label" -> { (s, dir) =>
@@ -2052,6 +2066,28 @@ object SparkEntry {
     "graph_pagerank_events" -> { (s, dir) =>
       PageRank.overEventTransitions(Tables(s, dir, "events"), iters = 5)
     },
+    // Triangle census + local clustering coefficients over the same
+    // transition graph, via degree-ordered orientation (wedges only at
+    // the (deg, node)-minimal vertex -> out-degree bounded O(sqrt(m)),
+    // hubs receive rather than emit). Integer ppm coefficients.
+    "graph_triangles_events" -> { (s, dir) =>
+      Triangles.overEventTransitions(Tables(s, dir, "events"))
+    },
+    // Sequential-pattern census: event-type trigrams walked per user
+    // (two per-user leads, one map-combined groupBy) with exact
+    // distinct-user reach — funnel discovery, not funnel checking.
+    "events_path_trigrams" -> { (s, dir) =>
+      Paths.trigramCensus(Tables(s, dir, "events"), col("user_id"),
+        col("ts"), col("event_id"), col("event_type"))
+    },
+    // Time-series RESAMPLE: hourly per-type grid with gap rows
+    // materialized (sequence explode over each key's own span) and
+    // last-observation-carried-forward sums — per-key windows only,
+    // e4-decimal exact.
+    "events_resample_gapfill" -> { (s, dir) =>
+      Resample.gapFill(Tables(s, dir, "events"), col("event_type"),
+        col("ts"), col("value"), binNs = 3600L * 1000000000L)
+    },
     // As-of join: each purchase gets the user's most recent click at or
     // before it. Spark lacks a native as-of join; this is the linear
     // tag+union+running-window shape (one exchange on user_id), oracled
@@ -2349,6 +2385,28 @@ object SparkEntry {
       // full replay, fresh checkpoint: markers must absorb every batch
       EventStream.upsertTotalsRun(stream, table, scratchDir("upsert-cp2"))
       EventStream.latestSnapshot(s, table).get
+    },
+    // Streaming TRENDING LEADERBOARD: the decay-totals twin maintained
+    // incrementally through the exactly-once foreachBatch snapshot
+    // protocol. Calendar half-life buckets make per-(key, bucket)
+    // state batching-invariant (a sliding anchor is not additive), so
+    // the 4-batch run + a full replay under a fresh checkpoint must
+    // yield the same bit-exact board the one-shot SQL replay computes.
+    "events_stream_decay_totals" -> { (s, dir) =>
+      val h = 259200L * 1000000000L // 3-day half-life, as the batch twin
+      val files = scratchDir("decay-files")
+      Tables(s, dir, "events")
+        .select(col("event_type"), col("ts"), col("value"))
+        .repartition(4)
+        .write.mode("overwrite").parquet(files)
+      val schema = s.read.parquet(files).schema
+      def stream = s.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(files)
+      val table = scratchDir("decay-table")
+      EventStream.decayTotalsRun(stream, table, scratchDir("decay-cp1"), h)
+      // full replay, fresh checkpoint: markers must absorb every batch
+      EventStream.decayTotalsRun(stream, table, scratchDir("decay-cp2"), h)
+      EventStream.decayedLeaderboard(s, table)
     },
     // Sessionization via ARBITRARY KEYED STATE (flatMapGroupsWithState,
     // streaming): the custom-state twin of events_session_window_* —
@@ -3661,6 +3719,20 @@ object SparkEntry {
         |    (CASE WHEN k >= 20 THEN 0 ELSE 1000000 >> k END)) * 10000
         |    AS BIGINT) AS decayed_value_e10
         |FROM w GROUP BY 1""".stripMargin,
+    // streaming decay twin: calendar buckets (k = max_bucket - bucket,
+    // bucket = ts // h) instead of the sliding anchor; snapshot state
+    // replayed as one bucketed aggregation
+    "events_stream_decay_totals" ->
+      """WITH e AS (SELECT event_type AS key,
+        |        epoch_ns(ts) // 259200000000000 AS b, value
+        |      FROM events),
+        |mx AS (SELECT max(b) AS maxb FROM e)
+        |SELECT key, count(*) AS n_events,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4)) *
+        |    (CASE WHEN maxb - b >= 20 THEN 0
+        |          ELSE 1000000 >> (maxb - b) END)) * 10000
+        |    AS BIGINT) AS decayed_value_e10
+        |FROM e, mx GROUP BY 1""".stripMargin,
     // component-size histogram off the same transitive closure
     "graph_component_stats" ->
       s"""WITH RECURSIVE $NgramClusterCtes,
@@ -4351,6 +4423,56 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // retrieval eval: both indexes replayed in full (anchored-LSH ann +
+    // brute-force truth), then three query-sized joins; rr_ppm =
+    // 1e6 // rank of the true top-1 inside the ann list (0 on a miss)
+    "eval_mrr_retrieval" ->
+      s"""WITH ${AnchoredSigCtes(nTables = 1, nBits = 8)},
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |annscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([a.e[i] * b.e[i]
+         |      FOR i IN range(1, len(a.e) + 1)]), 6) AS score
+         |  FROM sigs q
+         |  JOIN sigs c ON q.vec_id < 10 AND q.vec_id <> c.vec_id
+         |    AND CAST(bit_count(xor(q.sig, c.sig)) AS BIGINT) <= 2
+         |  JOIN v a ON a.vec_id = q.vec_id
+         |  JOIN v b ON b.vec_id = c.vec_id),
+         |ann AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS INT) AS rank
+         |    FROM annscored)
+         |  WHERE rank <= 5),
+         |truscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q.e[i] * c.e[i]
+         |      FOR i IN range(1, len(q.e) + 1)]), 6) AS score
+         |  FROM v q JOIN v c ON q.vec_id < 10 AND q.vec_id <> c.vec_id),
+         |truth AS (
+         |  SELECT query_id, neighbor_id, rank FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM truscored)
+         |  WHERE rank <= 5),
+         |top1 AS (SELECT query_id, neighbor_id AS true_top1 FROM truth
+         |         WHERE rank = 1),
+         |ov AS (SELECT a.query_id, count(*) AS n_overlap
+         |       FROM ann a JOIN truth t ON t.query_id = a.query_id
+         |        AND t.neighbor_id = a.neighbor_id
+         |       GROUP BY 1)
+         |SELECT t.query_id, t.true_top1,
+         |  COALESCE(CAST(f.rank AS BIGINT), CAST(-1 AS BIGINT))
+         |    AS found_rank,
+         |  COALESCE(CAST(1000000 AS BIGINT) // CAST(f.rank AS BIGINT),
+         |           CAST(0 AS BIGINT)) AS rr_ppm,
+         |  COALESCE(o.n_overlap, CAST(0 AS BIGINT)) AS n_overlap
+         |FROM top1 t
+         |LEFT JOIN ann f ON f.query_id = t.query_id
+         |  AND f.neighbor_id = t.true_top1
+         |LEFT JOIN ov o ON o.query_id = t.query_id""".stripMargin,
     // deterministic seed-vector IVF, recomputed step for step: cells =
     // first 16 ids normalized; cell rank = RAW-vector dot (desc, cell
     // asc); corpus assigned to rank-1 cell, queries probe rank<=4;
@@ -4886,6 +5008,10 @@ object SparkEntry {
         |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
         |FROM c""".stripMargin,
     "graph_pagerank_events" -> PageRank.Sql.query(iters = 5),
+    "graph_triangles_events" -> Triangles.Sql.query,
+    "events_path_trigrams" -> Paths.Sql.eventsTrigrams,
+    "events_resample_gapfill" ->
+      Resample.Sql.eventsByType(binNs = 3600L * 1000000000L),
     "events_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

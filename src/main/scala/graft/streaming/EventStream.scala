@@ -289,6 +289,83 @@ object EventStream {
     else Some(spark.read.parquet(s"$tableDir/snapshot_${ids.max}"))
   }
 
+  /** Streaming trending leaderboard — the incremental twin of
+    * [[graft.operators.Retention.decayTotals]], maintained through the
+    * same exactly-once foreachBatch snapshot protocol as
+    * [[upsertTotalsRun]] (markers absorb replays; see that scaladoc).
+    *
+    * Decay uses CALENDAR half-life buckets (k = anchor_bucket -
+    * ts_bucket with bucket = ts div h) instead of the batch twin's
+    * sliding anchor: sliding floor((anchor-t)/h) is not additive across
+    * state merges when the anchor moves, but per-(key, bucket) partial
+    * sums are batching-INVARIANT — however the stream is micro-batched,
+    * the final state is byte-identical, and the leaderboard derives
+    * from the snapshot alone. Weights stay the exact power-of-two ppm
+    * ladder (1e6 >> k, clamp at 20), values the e4-decimal longs, so
+    * the leaderboard replays bit-for-bit in SQL.
+    *
+    * State size: |keys| x |live buckets| rows — bounded because buckets
+    * older than 20 half-lives weigh 0 and could be compacted away (kept
+    * here for the exact n_events census). */
+  def decayTotalsRun(events: DataFrame, tableDir: String,
+                     checkpointDir: String, halfLifeNs: Long): Unit = {
+    require(halfLifeNs > 0, "half-life must be positive")
+    val q = events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        decayBatch(batch, batchId, tableDir, halfLifeNs)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Apply one micro-batch of (event_type, ts epoch-ns, value) to the
+    * per-(key, bucket) decay state (same marker protocol as
+    * [[upsertBatch]]; package-visible for crash/replay specs). */
+  private[graft] def decayBatch(batch: DataFrame, batchId: Long,
+                                tableDir: String, halfLifeNs: Long): Unit = {
+    val spark = batch.sparkSession
+    val hfs = fs(spark, tableDir)
+    val marker = new org.apache.hadoop.fs.Path(s"$tableDir/_commits/$batchId")
+    if (hfs.exists(marker)) return // replay/retry of an applied batch
+    val partial = batch
+      .select(col("event_type").as("key"),
+        expr(s"ts div ${halfLifeNs}L").as("bucket"), col("value"))
+      .groupBy(col("key"), col("bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        (sum(round(col("value"), 4).cast("decimal(18,4)")) * 10000)
+          .cast("long").as("value_e4"))
+    val merged = latestSnapshot(spark, tableDir) match {
+      case Some(cur) => cur.unionByName(partial)
+        .groupBy(col("key"), col("bucket"))
+        .agg(sum(col("n_events")).as("n_events"),
+          sum(col("value_e4")).as("value_e4"))
+      case None => partial
+    }
+    merged.write.mode("overwrite").parquet(s"$tableDir/snapshot_$batchId")
+    hfs.mkdirs(marker.getParent)
+    hfs.create(marker, true).close() // the commit point
+  }
+
+  /** The decayed leaderboard from the latest committed snapshot:
+    * (key, n_events, decayed_value_e10) with the snapshot's own max
+    * bucket as the decay anchor (driver-inlined literal — a joined
+    * 1-row anchor would plan as a nested loop). */
+  def decayedLeaderboard(spark: org.apache.spark.sql.SparkSession,
+                         tableDir: String): DataFrame = {
+    val snap = latestSnapshot(spark, tableDir).getOrElse(
+      throw new IllegalStateException(s"no committed snapshot in $tableDir"))
+    val row = snap.agg(max(col("bucket"))).head()
+    val maxb = if (row.isNullAt(0)) 0L else row.getLong(0)
+    snap.groupBy(col("key"))
+      .agg(sum(col("n_events")).as("n_events"),
+        sum(col("value_e4").cast("decimal(28,0)") *
+          expr(s"case when ${maxb}L - bucket >= 20 then 0L " +
+            s"else shiftright(1000000L, cast(${maxb}L - bucket as int)) end"))
+          .cast("long").as("decayed_value_e10"))
+  }
+
   final case class UserRunning(user_id: Long, n_events: Long, total: Double)
 
   /** Arbitrary keyed state via flatMapGroupsWithState: per-user running

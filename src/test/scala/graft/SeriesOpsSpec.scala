@@ -1,0 +1,110 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Paths, Resample, RetrievalEval}
+
+/** Resample/gap-fill, path census, and retrieval-eval specs. */
+class SeriesOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------- Resample
+
+  test("gapFill: gaps materialized, LOCF carries the last observed sum") {
+    // key a: bins 0 and 3 observed -> 1, 2 are gaps carrying bin 0's sum
+    val df = Seq(
+      ("a", 5L, 1.5), ("a", 8L, 2.0),   // bin 0 (binNs = 10)
+      ("a", 31L, 4.25),                 // bin 3
+      ("b", 12L, 7.0)                   // single bin
+    ).toDF("k", "t", "value")
+    val got = Resample.gapFill(df, $"k", $"t", $"value", binNs = 10L)
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2))
+    got shouldBe Array(
+      ("a", 0L, 0L, 2L, 35000L, 35000L, 0L),
+      ("a", 1L, 10L, 0L, 0L, 35000L, 1L),
+      ("a", 2L, 20L, 0L, 0L, 35000L, 1L),
+      ("a", 3L, 30L, 1L, 42500L, 42500L, 0L),
+      ("b", 1L, 10L, 1L, 70000L, 70000L, 0L))
+  }
+
+  test("gapFill: dense series has no gap rows") {
+    val df = Seq(("x", 0L, 1.0), ("x", 10L, 1.0), ("x", 20L, 1.0))
+      .toDF("k", "t", "value")
+    val got = Resample.gapFill(df, $"k", $"t", $"value", binNs = 10L)
+    got.count() shouldBe 3L
+    got.agg(sum("is_gap")).as[Long].head() shouldBe 0L
+  }
+
+  test("gapFill: e4 sums are exact for 4dp values") {
+    val df = Seq(("x", 0L, 0.0001), ("x", 1L, 0.0002))
+      .toDF("k", "t", "value")
+    val got = Resample.gapFill(df, $"k", $"t", $"value", binNs = 10L)
+      .select("value_e4").as[Long].head()
+    got shouldBe 3L
+  }
+
+  // ------------------------------------------------------------- Paths
+
+  test("trigramCensus: per-user windows, ties by the tie column") {
+    val ev = Seq(
+      // user 1 walks a b c d -> (a,b,c), (b,c,d)
+      (1L, 1L, 10L, "a"), (1L, 2L, 11L, "b"),
+      (1L, 3L, 12L, "c"), (1L, 4L, 13L, "d"),
+      // user 2 walks a b c (same ts -> event_id order)
+      (2L, 5L, 20L, "a"), (2L, 5L, 21L, "b"), (2L, 5L, 22L, "c"))
+      .toDF("user_id", "ts", "event_id", "t")
+    val got = Paths.trigramCensus(ev, $"user_id", $"ts", $"event_id", $"t")
+      .as[(String, String, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    got shouldBe Array(
+      ("a", "b", "c", 2L, 2L),
+      ("b", "c", "d", 1L, 1L))
+  }
+
+  test("trigramCensus: n_users counts an entity once per path") {
+    // one user walks a b a b a -> (a,b,a) twice? windows: (a,b,a),
+    // (b,a,b), (a,b,a) -> path (a,b,a) n_paths 2, n_users 1
+    val ev = (1L to 5L).map(i =>
+      (9L, i, i, if (i % 2 == 1) "a" else "b"))
+      .toDF("user_id", "ts", "event_id", "t")
+    val got = Paths.trigramCensus(ev, $"user_id", $"ts", $"event_id", $"t")
+      .as[(String, String, String, Long, Long)]
+      .collect().sortBy(r => (r._1, r._2, r._3))
+    got shouldBe Array(
+      ("a", "b", "a", 2L, 1L),
+      ("b", "a", "b", 1L, 1L))
+  }
+
+  // ----------------------------------------------------- RetrievalEval
+
+  private def lists(rows: Seq[(Long, Long, Int)]) =
+    rows.toDF("query_id", "neighbor_id", "rank")
+
+  test("perQuery: hit at rank r yields rr_ppm = 1e6 div r") {
+    val truth = lists(Seq((1L, 100L, 1), (1L, 101L, 2), (1L, 102L, 3)))
+    val ann = lists(Seq((1L, 101L, 1), (1L, 100L, 2), (1L, 999L, 3)))
+    val got = RetrievalEval.perQuery(ann, truth)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    // true top1=100 found at ann rank 2; overlap {100, 101} = 2
+    got shouldBe Array((1L, 100L, 2L, 500000L, 2L))
+  }
+
+  test("perQuery: miss reports found_rank -1, rr 0, overlap 0") {
+    val truth = lists(Seq((7L, 50L, 1), (7L, 51L, 2)))
+    val ann = lists(Seq((7L, 60L, 1), (7L, 61L, 2)))
+    val got = RetrievalEval.perQuery(ann, truth)
+      .as[(Long, Long, Long, Long, Long)].collect()
+    got shouldBe Array((7L, 50L, -1L, 0L, 0L))
+  }
+
+  test("perQuery: one row per query, perfect index scores 1e6") {
+    val truth = lists(Seq((1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (2L, 21L, 2)))
+    val got = RetrievalEval.perQuery(truth, truth)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array(
+      (1L, 10L, 1L, 1000000L, 2L),
+      (2L, 20L, 1L, 1000000L, 2L))
+  }
+}

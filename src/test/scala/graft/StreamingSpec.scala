@@ -326,4 +326,44 @@ class StreamingSpec extends SparkSpec {
       .agg(sum($"n_events")).as[Long].head()
     after shouldBe once.map(_.getAs[Long]("n_events")).sum + 5
   }
+
+  test("foreachBatch decay: micro-batched state is batching-invariant") {
+    val h = 259200L * 1000000000L
+    val e = Tables(spark, sf0001, "events")
+      .select($"event_type", $"ts", $"value")
+    val files = tmpDir("decay-src")
+    e.repartition(4).write.mode("overwrite").parquet(files)
+    def stream = spark.readStream.schema(e.schema)
+      .option("maxFilesPerTrigger", 1).parquet(files)
+    val table = tmpDir("decay-table")
+    EventStream.decayTotalsRun(stream, table, tmpDir("decay-cp1"), h)
+    val board = EventStream.decayedLeaderboard(spark, table)
+      .orderBy("key").collect().toSeq
+    // the whole table applied as ONE batch into a fresh state dir must
+    // produce the identical leaderboard (per-bucket sums are additive)
+    val oneShot = tmpDir("decay-oneshot")
+    EventStream.decayBatch(e, batchId = 0L, oneShot, h)
+    EventStream.decayedLeaderboard(spark, oneShot)
+      .orderBy("key").collect().toSeq shouldBe board
+    // full replay under a fresh checkpoint changes nothing
+    EventStream.decayTotalsRun(stream, table, tmpDir("decay-cp2"), h)
+    EventStream.decayedLeaderboard(spark, table)
+      .orderBy("key").collect().toSeq shouldBe board
+  }
+
+  test("decayedLeaderboard: power-of-two ppm ladder by hand") {
+    val h = 10L
+    // key a: bucket 2 (anchor) value 1.0, bucket 1 value 2.0 -> weight
+    // 1e6 and 5e5; key b: bucket 2 only
+    val e = Seq(
+      ("a", 25L, 1.0), ("a", 14L, 2.0), ("b", 21L, 4.0))
+      .toDF("event_type", "ts", "value")
+    val table = tmpDir("decay-golden")
+    EventStream.decayBatch(e, batchId = 0L, table, h)
+    val got = EventStream.decayedLeaderboard(spark, table)
+      .as[(String, Long, Long)].collect().sortBy(_._1)
+    got shouldBe Array(
+      ("a", 2L, 1L * 1000000L * 10000L + 2L * 500000L * 10000L),
+      ("b", 1L, 4L * 1000000L * 10000L))
+  }
 }
