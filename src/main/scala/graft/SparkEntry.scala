@@ -1428,6 +1428,30 @@ object SparkEntry {
         Redact.countMatches(aug, Redact.Ipv4Pattern).cast("long").as("n_ips"),
         md5(Redact.redact(aug)).as("redacted_digest"))
     },
+    // PII GOVERNANCE rollup: per-source, per-snapshot-version redaction
+    // audit with drift in basis points — the report that catches an
+    // upstream feed starting to leak contact data between corpus
+    // versions. Planting is deterministic AND version-skewed (odd
+    // doc_ids carry emails at ~60% vs ~40% for even), so the drift
+    // column is non-trivially exercised. One scan, one agg; every cell
+    // integer-exact.
+    "pii_rollup_drift" -> { (s, dir) =>
+      val did = col("doc_id")
+      val aug = concat(col("text"),
+        when(did % 10 < did % 2 * 3 + 3,
+          concat(lit(" reach user"), did.cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(did % 7 < 2,
+          concat(lit(" call 555-"),
+            lpad((did % 1000).cast("string"), 3, "0"), lit("-"),
+            lpad((did % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(did % 3 === 0,
+          concat(lit(" at 192.168."), (did % 256).cast("string"),
+            lit(".7"))).otherwise(lit("")))
+      Redact.auditRollup(Tables(s, dir, "documents"), aug,
+        col("source"), did % 2)
+    },
 
     // --------------------------------------------------------- similarity
     // PRIMARY near-dup entry = the LSH-bucketed linear path (the shape
@@ -4374,6 +4398,65 @@ object SparkEntry {
          |    '$phone', '<PHONE>', 'g'),
          |    '$ip', '<IP>', 'g')) AS redacted_digest
          |FROM aug""".stripMargin
+    },
+    // replay the version-skewed planting, count per class, roll up per
+    // (source, version), integer DIV basis points
+    "pii_rollup_drift" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\d{3}-\\d{3}-\\d{4}"
+      val ip = "\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}"
+      s"""WITH aug AS (
+         |  SELECT source, doc_id % 2 AS ver,
+         |    text
+         |    || CASE WHEN doc_id % 10 < doc_id % 2 * 3 + 3
+         |         THEN ' reach user' || doc_id::VARCHAR || '@example.com'
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 7 < 2
+         |         THEN ' call 555-' || lpad((doc_id % 1000)::VARCHAR, 3, '0')
+         |           || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+         |         ELSE '' END
+         |    || CASE WHEN doc_id % 3 = 0
+         |         THEN ' at 192.168.' || (doc_id % 256)::VARCHAR || '.7'
+         |         ELSE '' END AS a
+         |  FROM documents),
+         |cnt AS (
+         |  SELECT source, ver,
+         |    CAST(len(regexp_extract_all(a, '$email')) AS BIGINT) AS e,
+         |    CAST(len(regexp_extract_all(a, '$phone')) AS BIGINT) AS p,
+         |    CAST(len(regexp_extract_all(a, '$ip')) AS BIGINT) AS i
+         |  FROM aug),
+         |roll AS (
+         |  SELECT source,
+         |    CAST(sum(CASE WHEN ver = 0 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_v0,
+         |    CAST(sum(CASE WHEN ver = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |      AS docs_v1,
+         |    CAST(sum(CASE WHEN ver = 0 AND e + p + i > 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS pii_docs_v0,
+         |    CAST(sum(CASE WHEN ver = 1 AND e + p + i > 0 THEN 1 ELSE 0
+         |      END) AS BIGINT) AS pii_docs_v1,
+         |    CAST(sum(CASE WHEN ver = 0 THEN e ELSE 0 END) AS BIGINT)
+         |      AS emails_v0,
+         |    CAST(sum(CASE WHEN ver = 1 THEN e ELSE 0 END) AS BIGINT)
+         |      AS emails_v1,
+         |    CAST(sum(CASE WHEN ver = 0 THEN p ELSE 0 END) AS BIGINT)
+         |      AS phones_v0,
+         |    CAST(sum(CASE WHEN ver = 1 THEN p ELSE 0 END) AS BIGINT)
+         |      AS phones_v1,
+         |    CAST(sum(CASE WHEN ver = 0 THEN i ELSE 0 END) AS BIGINT)
+         |      AS ips_v0,
+         |    CAST(sum(CASE WHEN ver = 1 THEN i ELSE 0 END) AS BIGINT)
+         |      AS ips_v1
+         |  FROM cnt GROUP BY source)
+         |SELECT *,
+         |  pii_rate_bp_v1 - pii_rate_bp_v0 AS drift_bp
+         |FROM (
+         |  SELECT *,
+         |    (pii_docs_v0 * 10000) // nullif(docs_v0, 0)
+         |      AS pii_rate_bp_v0,
+         |    (pii_docs_v1 * 10000) // nullif(docs_v1, 0)
+         |      AS pii_rate_bp_v1
+         |  FROM roll)""".stripMargin
     },
     // custom-state sessionization computes the identical sessions as
     // the built-in session_window twins -> same oracle

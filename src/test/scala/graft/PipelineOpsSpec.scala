@@ -185,6 +185,33 @@ class PipelineOpsSpec extends SparkSpec {
     out(4L) shouldBe ((0, 0, 2, "x <IP> y <IP> z"))
   }
 
+  test("auditRollup: golden counts, rates in bp, drift; empty cell safe") {
+    // v0 (ver=0): s1 has 2 docs (1 with pii), s2 has 1 doc (0 pii)
+    // v1 (ver=1): s1 has 1 doc (1 with pii, 2 emails), s2 has none
+    val df = Seq(
+      ("s1", 0, "mail a@b.co now"),
+      ("s1", 0, "clean"),
+      ("s1", 1, "a@b.co and c@d.org"),
+      ("s2", 0, "call 1-2 no match")).toDF("src", "ver", "t")
+    val out = Redact.auditRollup(df, $"t", $"src", $"ver")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val s1 = out("s1")
+    s1.getLong(s1.fieldIndex("docs_v0")) shouldBe 2L
+    s1.getLong(s1.fieldIndex("docs_v1")) shouldBe 1L
+    s1.getLong(s1.fieldIndex("pii_docs_v0")) shouldBe 1L
+    s1.getLong(s1.fieldIndex("pii_docs_v1")) shouldBe 1L
+    s1.getLong(s1.fieldIndex("emails_v1")) shouldBe 2L
+    s1.getLong(s1.fieldIndex("pii_rate_bp_v0")) shouldBe 5000L
+    s1.getLong(s1.fieldIndex("pii_rate_bp_v1")) shouldBe 10000L
+    s1.getLong(s1.fieldIndex("drift_bp")) shouldBe 5000L
+    val s2 = out("s2")
+    s2.getLong(s2.fieldIndex("docs_v1")) shouldBe 0L
+    s2.getLong(s2.fieldIndex("pii_rate_bp_v0")) shouldBe 0L
+    // empty v1 cell: rate and drift degrade to null, never divide-by-0
+    s2.isNullAt(s2.fieldIndex("pii_rate_bp_v1")) shouldBe true
+    s2.isNullAt(s2.fieldIndex("drift_bp")) shouldBe true
+  }
+
   test("sampleFixedK: exact size, nested prefixes, md5-determined") {
     val docs = Tables(spark, sf0001, "documents")
       .select($"doc_id", $"source")
