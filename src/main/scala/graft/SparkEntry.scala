@@ -409,6 +409,17 @@ object SparkEntry {
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
     },
+    // Collocation mining: windowed co-occurrence pairs ranked by LIFT
+    // (the PMI argument — log is monotone, so top-k by the exact
+    // integer lift IS top-k by PMI, no cross-engine float log).
+    // minCount=5 prunes the rare-pair PMI pathology AND shrinks the
+    // pair table before the unigram joins; per-doc pair generation is
+    // a local array transform, zero position shuffles.
+    "text_cooccurrence_lift" -> { (s, dir) =>
+      graft.functions.Cooccurrence.topPairsByLift(
+        Tables(s, dir, "documents"), col("text"),
+        window = 3, minCount = 5, k = 50)
+    },
     // Language-ID CONFUSION MATRIX: the n-gram-marker predictor vs the
     // labeled lang column — the eval table that decides whether the
     // heuristic is good enough to route 100 TB by. One battery pass
@@ -2917,6 +2928,39 @@ object SparkEntry {
         |    AS coverage
         |FROM top, tot
         |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    // windowed pairs via the same 1-based list indexing; lift is
+    // BIGINT multiply then integer div — bit-exact both engines
+    "text_cooccurrence_lift" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\s+'),
+        |    x -> x <> '') AS t
+        |  FROM documents),
+        |uni AS (
+        |  SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM uni),
+        |pos AS (
+        |  SELECT t, unnest(range(1, len(t))) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT t[i] AS tok_a, t[j] AS tok_b
+        |  FROM (SELECT t, i,
+        |          unnest(range(i + 1, least(i + 3, len(t)) + 1)) AS j
+        |        FROM pos)),
+        |pc AS (
+        |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |    (n_ab * grand * 1000000) // (a.n * b.n) AS lift_e6
+        |  FROM pc JOIN uni a ON pc.tok_a = a.token
+        |          JOIN uni b ON pc.tok_b = b.token, tot)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY lift_e6 DESC, tok_a, tok_b) AS INT) AS rank,
+        |  tok_a, tok_b, n_ab, n_a, n_b, lift_e6
+        |FROM scored
+        |ORDER BY lift_e6 DESC, tok_a, tok_b
+        |LIMIT 50""".stripMargin,
     "tokenizer_encode_documents" ->
       graft.functions.Vocab.Sql.encodeQuery(k = 20),
     "dsir_select_documents" ->

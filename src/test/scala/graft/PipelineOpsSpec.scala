@@ -212,6 +212,28 @@ class PipelineOpsSpec extends SparkSpec {
     s2.isNullAt(s2.fieldIndex("drift_bp")) shouldBe true
   }
 
+  test("cooccurrence: golden window pairs, minCount prune, lift ties") {
+    import graft.functions.Cooccurrence
+    val docs = Seq((1L, "a B c a b"), (2L, "b c")).toDF("doc_id", "text")
+    // window 2 pairs: doc1 [a b c a b] -> (a,b)x2,(a,c),(b,c),(b,a),
+    // (c,a),(c,b); doc2 -> (b,c). uni: a=2 b=3 c=2, N=7.
+    val out = Cooccurrence.topPairsByLift(docs, $"text",
+      window = 2, minCount = 2, k = 10)
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    // minCount=2 keeps (a,b)=2 and (b,c)=2; both lift
+    // (2*7*1e6) DIV 6 = 2333333 — the tie breaks (tok_a, tok_b) ASC
+    out shouldBe Array(
+      (1, "a", "b", 2L, 2L, 3L, 2333333L),
+      (2, "b", "c", 2L, 3L, 2L, 2333333L))
+    // window 1 (adjacent only): (a,b) doc1 positions 1,4; (b,c) doc1
+    // position 2 + doc2 — the skip pairs (a,c),(b,a),(c,b) are gone
+    val adj = Cooccurrence.topPairsByLift(docs, $"text",
+      window = 1, minCount = 2, k = 10)
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    adj.map(r => (r._2, r._3, r._4)) shouldBe
+      Array(("a", "b", 2L), ("b", "c", 2L))
+  }
+
   test("sampleFixedK: exact size, nested prefixes, md5-determined") {
     val docs = Tables(spark, sf0001, "documents")
       .select($"doc_id", $"source")
