@@ -48,7 +48,9 @@ class PlanAuditSpec extends SparkSpec {
     "mix_epochs_budget", // single-row weight-total broadcast onto |langs| rows
     "dsir_select_documents", // single-row totals broadcast onto 256 buckets
     "cohort_rounds_documents",
-    "vocab_top_tokens")
+    "vocab_top_tokens",
+    // same single-row token-total broadcast as vocab_top_tokens
+    "text_cooccurrence_lift")
 
   /** Expand is legitimate for small grouping-set factors (rollup = d+1
     * projections) — anything wider than this is a blowup. */
