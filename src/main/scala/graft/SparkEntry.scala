@@ -1476,6 +1476,20 @@ object SparkEntry {
         col("vec_id"), col("embedding"), threshold = 0.45,
         dim = 64, nBits = 6, nTables = 8)
     },
+    // MULTI-PROBE LSH near-dup: 2 tables x (home + 8 one-bit-flip
+    // probes) instead of 8 home-only tables — finer buckets (2^8 vs
+    // 2^6) kill within-bucket quadratics while Hamming-1 probing buys
+    // the recall back with transient probe rows, not whole extra
+    // corpus shuffles (measured at sf0.01: 5 verified pairs vs the
+    // 8-table home-only path's 4, with a quarter of the index
+    // copies). Candidates == code pairs with bit_count(xor) <= 1;
+    // md5-anchored, so the whole probe topology replays exactly in
+    // the oracle.
+    "neardup_multiprobe_embeddings" -> { (s, dir) =>
+      Similarity.cosinePairsLshMultiProbe(Tables(s, dir, "embeddings"),
+        col("vec_id"), col("embedding"), threshold = 0.45,
+        dim = 64, nBits = 8, nTables = 2)
+    },
     // Exact-pairs VERIFICATION twin, explicitly bounded to a fixed-size
     // corpus slice so the O(n^2) join can never be the scale path —
     // exists to anchor the exact oracle that the LSH spec measures
@@ -4537,6 +4551,31 @@ object SparkEntry {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sigs a
          |  JOIN sigs b ON a.t = b.t AND a.sig = b.sig AND a.vec_id < b.vec_id
+         |  JOIN ok ON ok.t = a.t AND ok.sig = a.sig),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings)
+         |SELECT c.id_a, c.id_b,
+         |  round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) AS cosine
+         |FROM cand c
+         |JOIN v a ON c.id_a = a.vec_id
+         |JOIN v b ON c.id_b = b.vec_id
+         |WHERE round(list_sum([a.e[i] * b.e[i]
+         |    FOR i IN range(1, len(a.e) + 1)]), 6) >= 0.45""".stripMargin,
+    // multi-probe replay: candidates are code pairs within Hamming 1
+    // per table; hot-bucket exclusion keys on the LOWER id's home sig
+    // (the index side of the asymmetric probe join)
+    "neardup_multiprobe_embeddings" ->
+      s"""WITH ${AnchoredSigCtes(nTables = 2, nBits = 8)},
+         |ok AS (
+         |  SELECT t, sig FROM sigs GROUP BY 1, 2 HAVING count(*) <= 100000),
+         |cand AS (
+         |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |  FROM sigs a
+         |  JOIN sigs b ON a.t = b.t AND a.vec_id < b.vec_id
+         |    AND bit_count(xor(a.sig, b.sig)) <= 1
          |  JOIN ok ON ok.t = a.t AND ok.sig = a.sig),
          |v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y

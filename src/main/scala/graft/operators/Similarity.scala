@@ -188,6 +188,79 @@ object Similarity {
     pairsFromBuckets(v, bucketedRaw, threshold, maxBucketSize)
   }
 
+  /** MULTI-PROBE anchored LSH pairs (Lv et al., VLDB 2007, adapted
+    * from query-time probing to pair mining): each row lands in its
+    * home bucket as an INDEX entry and additionally PROBES the nBits
+    * buckets at Hamming distance 1 (one-bit flips of its code); a pair
+    * becomes a candidate when one side's home bucket appears in the
+    * other side's probe set — i.e. exactly when their codes differ in
+    * <= 1 bit. Why this beats adding tables at 100 TB: recall per
+    * shuffled row. Doubling nBits makes buckets exponentially finer
+    * (killing the B^2 within-bucket quadratics that hot clusters
+    * cause), and the recall those extra bits cost is bought back by
+    * probing — transient probe rows in the exchange — instead of by
+    * standing up more whole tables (every table re-shuffles the full
+    * corpus and adds an index copy). Here 2 tables x (1 home + nBits
+    * probes) replace ~8 home-only tables at comparable recall for
+    * near-threshold pairs.
+    *
+    * Anchored determinism (md5 sign planes + integer-quantized sign
+    * tests) makes codes — and therefore the probe sets and the final
+    * verified pairs — engine-exact, so the declared query carries a
+    * full DuckDB oracle (candidates = code pairs with
+    * bit_count(xor) <= 1). Hot buckets are dropped from index AND
+    * probe streams by the same broadcast anti-join as
+    * [[cosinePairsLsh]]; candidate generation keys on the LOWER id
+    * indexing, so a pair survives iff the lower id's home bucket is
+    * not hot — the asymmetry the oracle replays. */
+  def cosinePairsLshMultiProbe(df: DataFrame, idCol: Column,
+                               vecCol: Column, threshold: Double,
+                               dim: Int, nBits: Int = 8,
+                               nTables: Int = 2,
+                               maxBucketSize: Int = 100000): DataFrame = {
+    val v = normalized(df, idCol, vecCol, "id", "vec")
+    val codeArr = array((0 until nTables).map { t =>
+      bucketExpr(col("__q"), md5SignPlanes(nBits, dim, t))
+    }: _*)
+    // one projection computes every table's code; a second generator
+    // emits home (pidx 0) + the nBits one-bit flips. checkpointed:
+    // three consumers (hot census, index, probes) must not re-run the
+    // sign battery
+    val coded = df.select(idCol.as("id"), quantized(vecCol).as("__q"))
+      .select(col("id"), posexplode(codeArr).as(Seq("tbl", "code")))
+    val probeArr = concat(array(col("code")),
+      array((0 until nBits).map(b =>
+        col("code").bitwiseXOR(lit(1L << b))): _*))
+    val emitted = coded
+      .select(col("id"), col("tbl"),
+        posexplode(probeArr).as(Seq("pidx", "bucket")))
+      .repartition(col("tbl"), col("bucket"))
+      .localCheckpoint()
+    val index = emitted.filter(col("pidx") === 0)
+      .select(col("id"), col("tbl"), col("bucket"))
+    val hot = index.groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("__bsz"))
+      .filter(col("__bsz") > maxBucketSize)
+      .select(col("tbl"), col("bucket"))
+    val idxOk = index.join(broadcast(hot), Seq("tbl", "bucket"),
+      "left_anti")
+    val prbOk = emitted.select(col("id"), col("tbl"), col("bucket"))
+      .join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
+    val candidates = idxOk.as("a")
+      .join(prbOk.as("b"),
+        col("a.tbl") === col("b.tbl") &&
+          col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    candidates
+      .join(v.select(col("id").as("id_a"), col("vec").as("va")), "id_a")
+      .join(v.select(col("id").as("id_b"), col("vec").as("vb")), "id_b")
+      .withColumn("cosine", round(Vectors.dot(col("va"), col("vb")), 6))
+      .filter(col("cosine") >= threshold)
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+
   /** Approximate embedding NEAR-DUP pairs at scale: corpus rows bucket
     * by hyperplane sign bits; only pairs sharing a bucket (multi-probe
     * over band rotations) are scored — linear bucketing + within-bucket

@@ -133,6 +133,24 @@ class SimilaritySpec extends SparkSpec {
     annRecall should be >= 0.3
   }
 
+  test("multi-probe LSH: subset of exact; home-only pairs never lost") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val exact = Similarity.cosinePairs(emb, $"vec_id", $"embedding", 0.45)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val mp = Similarity.cosinePairsLshMultiProbe(emb, $"vec_id",
+      $"embedding", threshold = 0.45, dim = 64, nBits = 8, nTables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // verified candidates only — never a false positive
+    mp.subsetOf(exact) shouldBe true
+    // the home-only scheme at the SAME tables/bits: every pair it
+    // finds has xor(code)=0 <= 1, so probing can only ADD recall
+    val home = Similarity.cosinePairsLshAnchored(emb, $"vec_id",
+      $"embedding", threshold = 0.45, dim = 64, nBits = 8, nTables = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    home.subsetOf(mp) shouldBe true
+    exact should not be empty
+  }
+
   test("anchored IVF: hit scores equal brute force; full result set") {
     val emb = Tables(spark, sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
