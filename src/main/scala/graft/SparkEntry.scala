@@ -623,6 +623,22 @@ object SparkEntry {
         col("event_type"), col("value"),
         halfLifeNs = 259200L * 1000000000L)
     },
+    // WATERMARK-LATENESS audit: would a 15-min watermark drop data?
+    // The testdata arrives in event order, so a deterministic network
+    // delay is planted: md5-jitter up to 30 min (plus an event_id ns
+    // uniquifier so arrival order is total) — then the canonical
+    // watermark rule is replayed via the two-level prefix-max (block
+    // windows + tiny broadcast prefix, no global corpus sort). Per
+    // event type: drop count, rate in bp, and the overshoot a wider
+    // delay would need to absorb. All epoch-ns integer arithmetic.
+    "events_watermark_lateness" -> { (s, dir) =>
+      val jitter = pmod(
+        graft.functions.Kmv.u32(col("event_id")), lit(1800L)) *
+        lit(1000000000L) + col("event_id")
+      Retention.watermarkLateness(Tables(s, dir, "events"),
+        arrivalCol = col("ts") + jitter, tsCol = col("ts"),
+        keyCol = col("event_type"), delayNs = 900L * 1000000000L)
+    },
     // POINT-IN-TIME SCD2 join: every event pairs with the dimension
     // VERSION valid at ITS timestamp (a plain equi-join with the
     // validity interval as residual — never a range join). The dim is
@@ -3895,6 +3911,34 @@ object SparkEntry {
         |          ELSE 1000000 >> (maxb - b) END)) * 10000
         |    AS BIGINT) AS decayed_value_e10
         |FROM e, mx GROUP BY 1""".stripMargin,
+    // watermark replay: jittered arrival order, global prior-max
+    // window (fine at oracle scale), canonical drop rule
+    "events_watermark_lateness" ->
+      """WITH m AS (
+        |  SELECT event_type AS key, epoch_ns(ts) AS t,
+        |    epoch_ns(ts)
+        |      + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 1800) * 1000000000
+        |      + event_id AS a
+        |  FROM events),
+        |p AS (
+        |  SELECT key, t,
+        |    max(t) OVER (ORDER BY a
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior
+        |  FROM m),
+        |f AS (
+        |  SELECT key, t, prior,
+        |    (prior IS NOT NULL AND t < prior - 900000000000) AS late,
+        |    CASE WHEN prior IS NOT NULL AND t < prior - 900000000000
+        |      THEN prior - 900000000000 - t END AS lateness
+        |  FROM p)
+        |SELECT key, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_late,
+        |  CAST(coalesce(max(lateness), 0) AS BIGINT) AS max_late_ns,
+        |  (CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 10000) // count(*) AS late_bp
+        |FROM f GROUP BY key""".stripMargin,
     // component-size histogram off the same transitive closure
     "graph_component_stats" ->
       s"""WITH RECURSIVE $NgramClusterCtes,

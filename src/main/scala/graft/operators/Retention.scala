@@ -90,6 +90,59 @@ object Retention {
     * literal (the Profiler.outliers idiom; a joined 1-row anchor would
     * plan as a nested loop). One aggregation, map-combined.
     * Output: (key, n_events, decayed_value_e10). */
+  /** Watermark-lateness audit — the table that PICKS a streaming
+    * watermark delay before committing 100 TB/day to it: replay the
+    * arrival sequence against event time and count, per key, the rows
+    * a `withWatermark(delay)` pipeline would DROP — those whose event
+    * time is older than the maximum event time across all PRIOR
+    * arrivals minus the delay (the canonical watermark rule). The
+    * output (count, dropped count, drop rate in bp, worst overshoot)
+    * per key is read as: "at this delay, stream X loses N ppm — widen
+    * the delay by the max overshoot to lose none".
+    *
+    * Scale shape: a watermark is an inherently sequential prefix-max,
+    * replayed here as the classic two-level scan — a window
+    * PARTITIONED by arrival block (parallel, no global sort of the
+    * corpus) for the within-block prior max, plus a prefix max over
+    * the tiny block-maxima table (one window over span/blockNs rows)
+    * broadcast back. `arrivalCol` must be unique per row (ties would
+    * make "prior" ambiguous); `blockNs` buckets it. All comparisons
+    * are epoch-ns integers — exact in any engine. */
+  def watermarkLateness(df: DataFrame, arrivalCol: Column, tsCol: Column,
+                        keyCol: Column, delayNs: Long,
+                        blockNs: Long = 3600L * 1000000000L): DataFrame = {
+    require(delayNs >= 0, "delay must be non-negative")
+    require(blockNs > 0, "block width must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(arrivalCol.as("__a"), tsCol.as("__t"),
+      keyCol.as("key"))
+      .withColumn("__blk",
+        ((col("__a") - pmod(col("__a"), lit(blockNs)))
+          / lit(blockNs.toDouble)).cast("long"))
+    val wIn = Window.partitionBy(col("__blk")).orderBy(col("__a"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blkMax = base.groupBy(col("__blk")).agg(max(col("__t")).as("__bm"))
+    // prefix over the BLOCK table only — span/blockNs rows, not the
+    // corpus (the single-partition window is bounded by construction)
+    val wBlk = Window.orderBy(col("__blk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefix = blkMax.select(col("__blk"),
+      max(col("__bm")).over(wBlk).as("__pm"))
+    val marked = base.join(broadcast(prefix), Seq("__blk"))
+      // greatest skips nulls; null only for the very first arrival
+      .withColumn("__prior",
+        greatest(max(col("__t")).over(wIn), col("__pm")))
+      .withColumn("__late", col("__prior").isNotNull &&
+        col("__t") < col("__prior") - lit(delayNs))
+    marked.groupBy(col("key")).agg(
+      count(lit(1)).as("n_events"),
+      sum(when(col("__late"), 1L).otherwise(0L)).as("n_late"),
+      coalesce(max(when(col("__late"),
+        col("__prior") - lit(delayNs) - col("__t"))), lit(0L))
+        .as("max_late_ns"))
+      .withColumn("late_bp", expr("(n_late * 10000) DIV n_events"))
+  }
+
   def decayTotals(df: DataFrame, tsCol: Column, keyCol: Column,
                   valueCol: Column, halfLifeNs: Long): DataFrame = {
     require(halfLifeNs > 0, "half-life must be positive")

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Paths, Resample, RetrievalEval}
+import graft.operators.{Paths, Resample, Retention, RetrievalEval}
 
 /** Resample/gap-fill, path census, and retrieval-eval specs. */
 class SeriesOpsSpec extends SparkSpec {
@@ -106,5 +106,49 @@ class SeriesOpsSpec extends SparkSpec {
     got shouldBe Array(
       (1L, 10L, 1L, 1000000L, 2L),
       (2L, 20L, 1L, 1000000L, 2L))
+  }
+
+  test("watermarkLateness: equals a sequential replay; blocks invisible") {
+    def truth(rows: Seq[(Long, Long, String)], delay: Long)
+        : Map[String, (Long, Long, Long, Long)] = {
+      var prior = Long.MinValue
+      val marked = rows.sortBy(_._1).map { case (_, t, k) =>
+        val late = prior != Long.MinValue && t < prior - delay
+        val lateness = if (late) prior - delay - t else 0L
+        prior = math.max(prior, t)
+        (k, late, lateness)
+      }
+      marked.groupBy(_._1).map { case (k, ms) =>
+        val n = ms.size.toLong
+        val nl = ms.count(_._2).toLong
+        k -> (n, nl, ms.map(_._3).max, nl * 10000 / n)
+      }
+    }
+    def run(rows: Seq[(Long, Long, String)], delay: Long, blk: Long) =
+      Retention.watermarkLateness(rows.toDF("a", "t", "k"),
+        $"a", $"t", $"k", delayNs = delay, blockNs = blk)
+        .as[(String, Long, Long, Long, Long)].collect()
+        .map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    // golden: arrival out of order around a delay-10 watermark
+    val rows = Seq(
+      (1L, 100L, "x"), // first: no prior, never late
+      (2L, 50L, "x"),  // prior 100, 50 < 90 -> late by 40
+      (3L, 95L, "y"),  // 95 >= 90 -> on time
+      (4L, 200L, "y"),
+      (5L, 150L, "x")) // prior 200, 150 < 190 -> late by 40
+    val exp = truth(rows, 10L)
+    run(rows, 10L, 7L) shouldBe exp
+    exp("x") shouldBe ((3L, 2L, 40L, 6666L))
+    // block width must be invisible: one giant block == tiny blocks
+    run(rows, 10L, 1000000L) shouldBe exp
+    // fuzz: random jittered arrivals across many block boundaries
+    val rnd = new scala.util.Random(13)
+    val fuzz = (0 until 400).map { i =>
+      val t = rnd.nextInt(10000).toLong
+      (t * 100 + i, t, if (rnd.nextBoolean()) "a" else "b")
+    }
+    val fexp = truth(fuzz, 500L)
+    run(fuzz, 500L, 333L) shouldBe fexp
+    run(fuzz, 500L, 100000000L) shouldBe fexp
   }
 }
