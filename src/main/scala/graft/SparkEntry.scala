@@ -1169,6 +1169,23 @@ object SparkEntry {
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
           col("block").as("nationkey"), col("name_dist"))
     },
+    // END-TO-END entity resolution: fuzzy blocking (FastSS deletion
+    // neighborhoods, complete for lev<=2 incl. indels) -> connected
+    // components (pairwise matching is not transitive — chains must
+    // merge) -> one golden record per cluster (highest account
+    // balance, lowest key on ties). Emits only multi-record clusters:
+    // the merge worklist a data steward reviews. Three gated operators
+    // composed; the oracle replays blocking ground truth + recursive
+    // closure + the same survivor rule.
+    "entity_resolution_pipeline" -> { (s, dir) =>
+      val cust = Tables(s, dir, "customer")
+      val pairs = EntityMatch.deletionNeighborhoodPairs(cust,
+        col("c_custkey"), substring(col("c_name"), 10, 9),
+        col("c_nationkey"), verifyCol = Some(col("c_name")))
+      val assign = Dedup.clusters(cust, col("c_custkey"), pairs)
+      Dedup.keepBest(assign, cust, col("c_custkey"), col("c_acctbal"))
+        .filter(col("cluster_size") >= 2)
+    },
     // Keyed pseudonymization with REFERENTIAL INTEGRITY: events and
     // the customer dimension are pseudonymized INDEPENDENTLY with the
     // same salt, then joined on the pseudonym — same cardinalities as
@@ -3680,6 +3697,38 @@ object SparkEntry {
         |  CAST(levenshtein(a.ckey, b.dkey) AS BIGINT) AS name_dist
         |FROM base a JOIN dirty b ON a.blk = b.blk
         |WHERE levenshtein(a.ckey, b.dkey) <= 3""".stripMargin,
+    // ER pipeline replay: ground-truth pairs, recursive closure,
+    // min-reachable-id labels, balance-max survivor, clusters >= 2
+    "entity_resolution_pipeline" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT a.c_custkey AS id_a, b.c_custkey AS id_b
+        |  FROM customer a JOIN customer b
+        |    ON a.c_nationkey = b.c_nationkey
+        |   AND a.c_custkey < b.c_custkey
+        |  WHERE levenshtein(a.c_name, b.c_name) <= 2),
+        |edges AS (
+        |  SELECT id_a AS u, id_b AS v FROM pairs
+        |  UNION SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT u, v FROM edges
+        |  UNION
+        |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+        |  WHERE e.v <> r.u),
+        |lbl AS (SELECT u, least(u, min(v)) AS l FROM reach GROUP BY u),
+        |asg AS (
+        |  SELECT c.c_custkey AS id,
+        |    coalesce(l.l, c.c_custkey) AS cluster_id,
+        |    c.c_acctbal AS score
+        |  FROM customer c LEFT JOIN lbl l ON c.c_custkey = l.u),
+        |sel AS (
+        |  SELECT cluster_id, id, score,
+        |    row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY score DESC, id ASC) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_id) AS cluster_size
+        |  FROM asg)
+        |SELECT cluster_id, id AS keeper_id, score AS keeper_score,
+        |  CAST(cluster_size AS BIGINT) AS cluster_size
+        |FROM sel WHERE rk = 1 AND cluster_size >= 2""".stripMargin,
     // pseudonym replay: same salt+md5 on both sides, join on pseudonym
     "privacy_pseudonymize_events" ->
       """WITH ev AS (

@@ -414,6 +414,48 @@ object ScaleStress {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         k = 4).count()
     }
+    // PassJoin at volume: 1M 12-hex keys in 1k blocks, d=3. Probe
+    // fan-out is the bounded per-row constant; hex entropy keeps every
+    // (seg, value) bucket tiny, so the candidate join stays linear.
+    time("passjoin d=3 (1M 12-hex keys, 1k blocks)") {
+      val keys = spark.range(math.min(rows, 1000000L))
+        .select(col("id"),
+          substring(md5(col("id").cast("string")), 1, 12).as("k"),
+          pmod(col("id"), lit(1000)).as("b"))
+      val n = graft.operators.EntityMatch.passJoinPairs(keys, keys,
+        col("id"), col("k"), col("b"),
+        col("id"), col("k"), col("b"), maxDist = 3).count()
+      println(s"[stress]   passjoin pairs found: $n")
+    }
+    // multi-probe at the LSH stress shape: finer 16-bit codes + H<=1
+    // probing, hot-bucket cap engaged by the clustered corpus
+    time("multi-probe LSH pairs (250k vecs, 16 bits, 2 tables, capped)") {
+      val n = Similarity.cosinePairsLshMultiProbe(
+        vecs.filter(col("vec_id") < 250000),
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, dim = 64, nBits = 16, nTables = 2,
+        maxBucketSize = 2000).count()
+      println(s"[stress]   multi-probe pairs found: $n")
+    }
+    // watermark replay over the full row count: the two-level
+    // prefix-max must stay parallel (block windows + tiny prefix),
+    // never a single-partition corpus sort
+    time(s"watermark lateness over $rows jittered arrivals") {
+      val ev = spark.range(rows).select(
+        col("id").as("eid"),
+        (col("id") * 1000000000L).as("t"),
+        concat(lit("k"), pmod(col("id"), lit(5))).as("key"))
+      graft.operators.Retention.watermarkLateness(
+        ev.withColumn("a",
+          col("t") + pmod(xxhash64(col("eid")), lit(1800L)) *
+            1000000000L + col("eid")),
+        col("a"), col("t"), col("key"),
+        delayNs = 900L * 1000000000L).count()
+    }
+    time(s"co-occurrence lift (window 3, minCount 50) over $rows docs") {
+      graft.functions.Cooccurrence.topPairsByLift(
+        docs, col("text"), window = 3, minCount = 50, k = 50).count()
+    }
     spark.stop()
   }
 }

@@ -21,6 +21,38 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("entity resolution pipeline: keeper is the balance-max member of its cluster") {
+    import graft.operators.{Dedup, EntityMatch}
+    import org.apache.spark.sql.functions._
+    val got = SparkEntry.queries("entity_resolution_pipeline")(spark, sf0001)
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2), r.getLong(3)))
+      .toMap
+    got.size should be > 0
+    // recompute assignments and balances independently
+    val cust = graft.Tables(spark, sf0001, "customer")
+    val pairs = EntityMatch.deletionNeighborhoodPairs(cust,
+      col("c_custkey"), substring(col("c_name"), 10, 9),
+      col("c_nationkey"), verifyCol = Some(col("c_name")))
+    val assign = Dedup.clusters(cust, col("c_custkey"), pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val bal = cust.select(col("c_custkey"), col("c_acctbal"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val byCluster = assign.groupBy(_._2).view.mapValues(_.map(_._1)).toMap
+    for ((cid, (keeper, score, size)) <- got) {
+      val members = byCluster(cid)
+      members.length.toLong shouldBe size
+      size should be >= 2L
+      members should contain(keeper)
+      score shouldBe bal(keeper)
+      // keeper rule: max balance, lowest id on ties
+      val best = members.map(m => (bal(m), m)).sortBy(t => (-t._1, t._2)).head
+      keeper shouldBe best._2
+    }
+    // every multi-member cluster is in the output (none dropped)
+    byCluster.count(_._2.length >= 2) shouldBe got.size
+  }
+
   test("preference pairs: chosen beats rejected, ids differ, one pair per source") {
     val got = SparkEntry.queries("preference_pairs_documents")(spark, sf0001)
       .collect()
