@@ -409,6 +409,16 @@ object SparkEntry {
       graft.functions.Vocab.topTokens(
         Tables(s, dir, "documents"), col("text"), k = 50)
     },
+    // Frequency-aware token subsampling (the word2vec rebalancing
+    // pass): stopwords thinned by sqrt(t/f_rel), rare words kept; the
+    // per-occurrence decision is an md5-uniform of (doc, position), so
+    // kept counts are reproducible AND engine-exact (the threshold is
+    // one correctly-rounded sqrt of exact-integer arithmetic).
+    "vocab_subsample_tokens" -> { (s, dir) =>
+      graft.functions.Vocab.subsampleCounts(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        t = 0.001, k = 50)
+    },
     // Collocation mining: windowed co-occurrence pairs ranked by LIFT
     // (the PMI argument — log is monotone, so top-k by the exact
     // integer lift IS top-k by PMI, no cross-engine float log).
@@ -2975,6 +2985,38 @@ object SparkEntry {
         |    AS coverage
         |FROM top, tot
         |WINDOW w AS (ORDER BY cnt DESC, token)""".stripMargin,
+    // subsample replay: same occurrence key, same one-sqrt threshold
+    // (correctly-rounded IEEE from identical exact-integer operands)
+    "vocab_subsample_tokens" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> x <> '') AS t
+        |  FROM documents),
+        |occ AS (
+        |  SELECT doc_id, i - 1 AS pos, t[CAST(i AS INTEGER)] AS token
+        |  FROM (SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+        |        FROM toks)),
+        |cnt AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS f
+        |  FROM occ GROUP BY 1),
+        |tot AS (SELECT CAST(sum(f) AS BIGINT) AS grand FROM cnt),
+        |dec AS (
+        |  SELECT o.token, c.f,
+        |    (('0x' || substr(md5(o.doc_id::VARCHAR || ':'
+        |        || o.pos::VARCHAR), 1, 8))::BIGINT::DOUBLE
+        |      / 4294967296.0)
+        |    < least(1.0, sqrt(0.001 * grand / f)) AS keep
+        |  FROM occ o JOIN cnt c USING (token), tot),
+        |agg AS (
+        |  SELECT token, max(f) AS f,
+        |    CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS kept
+        |  FROM dec GROUP BY token)
+        |SELECT CAST(row_number() OVER (ORDER BY f DESC, token) AS INT)
+        |    AS rank,
+        |  token, f, kept, (kept * 1000000) // f AS keep_ppm
+        |FROM agg ORDER BY f DESC, token LIMIT 50""".stripMargin,
     // windowed pairs via the same 1-based list indexing; lift is
     // BIGINT multiply then integer div — bit-exact both engines
     "text_cooccurrence_lift" ->

@@ -51,6 +51,51 @@ object Vocab {
           .as("coverage"))
   }
 
+  /** Frequency-aware token subsampling (the word2vec recipe, Mikolov
+    * et al. 2013): each token OCCURRENCE is kept with probability
+    * min(1, sqrt(t / f_rel)) where f_rel is the token's corpus-relative
+    * frequency — stopwords are aggressively thinned, rare content
+    * words survive untouched — the standard rebalancing pass before
+    * embedding / LM training on raw text. The keep decision is an
+    * md5-uniform of (doc, position) against the threshold, so the
+    * sample is reproducible under repartitioning AND cross-engine: the
+    * threshold is one sqrt of one division of exact integers (both
+    * IEEE-correctly-rounded — identical doubles in any engine), and
+    * the uniform is the u32 idiom. Reports the top `k` tokens by
+    * frequency with kept counts and the realized keep rate in ppm.
+    *
+    * Shape: one tokenize pass -> token-keyed count aggregation -> the
+    * occurrence stream joins the (checkpointed) count table on token
+    * (linear, map-side combinable) -> top-k sort-limit. */
+  def subsampleCounts(df: DataFrame, idCol: Column, textCol: Column,
+                      t: Double, k: Int): DataFrame = {
+    require(t > 0, "subsample threshold must be positive")
+    require(k > 0, "k must be positive")
+    val occ = df.select(idCol.as("__id"),
+      posexplode(TextAnalysis.tokens(lower(textCol)))
+        .as(Seq("pos", "token")))
+      .localCheckpoint() // two consumers: counts and the decision join
+    val counts = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("f")).as("__N"))
+    val u = (graft.functions.Kmv.u32(
+      concat(col("__id").cast("string"), lit(":"),
+        col("pos").cast("string"))).cast("double")
+      / lit(4294967296.0))
+    val byTok = occ.join(counts, "token")
+      .crossJoin(broadcast(totals))
+      .withColumn("__keep",
+        u < least(lit(1.0), sqrt(lit(t) * col("__N") / col("f"))))
+      .groupBy(col("token"))
+      .agg(max(col("f")).as("f"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("kept"))
+    val top = byTok.orderBy(col("f").desc, col("token").asc).limit(k)
+    val w = Window.orderBy(col("f").desc, col("token").asc)
+    top.select(row_number().over(w).as("rank"), col("token"), col("f"),
+      col("kept"), expr("(kept * 1000000) DIV f").as("keep_ppm"))
+  }
+
   /** The APPLY side of vocabulary training: encode every document
     * against the top-`k` vocab (token → its rank; out-of-vocabulary →
     * 0) and report per doc the token count, OOV count, and an md5

@@ -212,6 +212,42 @@ class PipelineOpsSpec extends SparkSpec {
     s2.isNullAt(s2.fieldIndex("drift_bp")) shouldBe true
   }
 
+  test("subsampleCounts: matches a driver replay; rare kept, frequent thinned") {
+    import graft.functions.Vocab
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    // corpus: "the" dominates, "rara" is a hapax
+    val docs = Seq(
+      (1L, "the the the the the rara the the"),
+      (2L, "the the the the the the the the")).toDF("doc_id", "text")
+    val occ = for {
+      (id, txt) <- Seq((1L, "the the the the the rara the the"),
+        (2L, "the the the the the the the the"))
+      (tok, pos) <- txt.split("\\s+").zipWithIndex
+    } yield (id, pos, tok)
+    val n = occ.size.toDouble
+    val f = occ.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val t = 0.5
+    val expected = occ.groupBy(_._3).map { case (tok, os) =>
+      val p = math.min(1.0, math.sqrt(t * n / f(tok)))
+      val kept = os.count { case (id, pos, _) =>
+        u32(s"$id:$pos").toDouble / 4294967296.0 < p
+      }
+      tok -> (f(tok), kept.toLong)
+    }
+    val got = Vocab.subsampleCounts(docs, $"doc_id", $"text", t, k = 10)
+      .as[(Int, String, Long, Long, Long)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    got shouldBe expected
+    // hapax survives: p = sqrt(0.5*16/1) > 1 -> always kept
+    got("rara") shouldBe ((1L, 1L))
+    // the dominant token is actually thinned
+    got("the")._2 should be < got("the")._1
+  }
+
   test("cooccurrence: golden window pairs, minCount prune, lift ties") {
     import graft.functions.Cooccurrence
     val docs = Seq((1L, "a B c a b"), (2L, "b c")).toDF("doc_id", "text")

@@ -50,7 +50,8 @@ class PlanAuditSpec extends SparkSpec {
     "cohort_rounds_documents",
     "vocab_top_tokens",
     // same single-row token-total broadcast as vocab_top_tokens
-    "text_cooccurrence_lift")
+    "text_cooccurrence_lift",
+    "vocab_subsample_tokens")
 
   /** Expand is legitimate for small grouping-set factors (rollup = d+1
     * projections) — anything wider than this is a blowup. */
