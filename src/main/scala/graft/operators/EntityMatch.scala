@@ -137,12 +137,14 @@ object EntityMatch {
     * segment's bucket quadratic within the block. Pass a
     * discriminative key (trimming a shared constant prefix is exact by
     * the common-prefix property of edit distance, so distances — and
-    * the verify below — are unchanged). Completeness requires keys
-    * longer than maxDist (floor-split then makes every segment
-    * non-empty, so one must survive); route shorter keys — at most
-    * alphabet^maxDist strings — through a trivial short-key all-pairs
-    * join. Output: (id_a, id_b, block, name_dist) with id_a from
-    * `indexed`, id_b from `probes`. */
+    * the verify below — are unchanged). The pigeonhole argument needs
+    * keys longer than maxDist (floor-split then makes every segment
+    * non-empty, so one must survive); indexed keys at or below that —
+    * a bounded family of at most alphabet^maxDist strings — route
+    * through the built-in short-key side path below, keeping the
+    * operator complete for ALL inputs. Output:
+    * (id_a, id_b, block, name_dist) with id_a from `indexed`, id_b
+    * from `probes`. */
   def passJoinPairs(indexed: DataFrame, probes: DataFrame,
                     idI: Column, strI: Column, blkI: Column,
                     idP: Column, strP: Column, blkP: Column,
@@ -207,13 +209,29 @@ object EntityMatch {
           col("sv.seg").as("seg"), col("klen"),
           col("sv.segval").as("segval"))
     }
-    segSide.as("a")
+    val segCand = segSide.as("a")
       .join(probeSide.as("b"),
         col("a.blk") === col("b.blk") && col("a.seg") === col("b.seg") &&
           col("a.klen") === col("b.klen") &&
           col("a.segval") === col("b.segval"))
       .select(col("a.id_a"), col("b.id_b"), col("a.blk").as("block"),
         col("a.__ka"), col("b.__kb"))
+    // SHORT-KEY side path: an indexed key with <= maxDist chars has
+    // empty floor segments, so the pigeonhole guarantee above doesn't
+    // cover it — but there are at most |alphabet|^maxDist such
+    // strings, and any partner within edit distance d is <= 2d chars,
+    // so a broadcast of the short index rows against the length-
+    // filtered probe side is bounded by design (both sides are tiny
+    // fixed families, never corpus-scale)
+    val shortIdx = indexed.select(idI.as("id_a"), strI.as("__ka"),
+      blkI.as("blk")).filter(length(col("__ka")) <= maxDist)
+    val shortCand = probes
+      .select(idP.as("id_b"), strP.as("__kb"), blkP.as("blk"))
+      .filter(length(col("__kb")) <= 2 * maxDist)
+      .join(broadcast(shortIdx), Seq("blk"))
+      .select(col("id_a"), col("id_b"), col("blk").as("block"),
+        col("__ka"), col("__kb"))
+    segCand.union(shortCand)
       .distinct()
       .withColumn("name_dist",
         levenshtein(col("__ka"), col("__kb")).cast("long"))

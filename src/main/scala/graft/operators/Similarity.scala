@@ -190,11 +190,12 @@ object Similarity {
 
   /** MULTI-PROBE anchored LSH pairs (Lv et al., VLDB 2007, adapted
     * from query-time probing to pair mining): each row lands in its
-    * home bucket as an INDEX entry and additionally PROBES the nBits
-    * buckets at Hamming distance 1 (one-bit flips of its code); a pair
-    * becomes a candidate when one side's home bucket appears in the
-    * other side's probe set — i.e. exactly when their codes differ in
-    * <= 1 bit. Why this beats adding tables at 100 TB: recall per
+    * home bucket as an INDEX entry and additionally PROBES the buckets
+    * within Hamming distance `probeHamming` of its code (one-bit
+    * flips; two-bit flips as well at probeHamming=2); a pair becomes a
+    * candidate when one side's home bucket appears in the other side's
+    * probe set — i.e. exactly when their codes differ in
+    * <= probeHamming bits. Why this beats adding tables at 100 TB: recall per
     * shuffled row. Doubling nBits makes buckets exponentially finer
     * (killing the B^2 within-bucket quadratics that hot clusters
     * cause), and the recall those extra bits cost is bought back by
@@ -217,20 +218,31 @@ object Similarity {
                                vecCol: Column, threshold: Double,
                                dim: Int, nBits: Int = 8,
                                nTables: Int = 2,
-                               maxBucketSize: Int = 100000): DataFrame = {
+                               maxBucketSize: Int = 100000,
+                               probeHamming: Int = 1): DataFrame = {
+    require(probeHamming == 1 || probeHamming == 2,
+      s"probeHamming must be 1 or 2, got $probeHamming")
     val v = normalized(df, idCol, vecCol, "id", "vec")
     val codeArr = array((0 until nTables).map { t =>
       bucketExpr(col("__q"), md5SignPlanes(nBits, dim, t))
     }: _*)
     // one projection computes every table's code; a second generator
-    // emits home (pidx 0) + the nBits one-bit flips. checkpointed:
-    // three consumers (hot census, index, probes) must not re-run the
-    // sign battery
+    // emits home (pidx 0) + the one-bit flips (+ two-bit flips at
+    // probeHamming=2 — nBits(nBits-1)/2 extra SHORT rows per vector,
+    // the steeper recall curve when near-threshold pairs straddle two
+    // sign tests). checkpointed: three consumers (hot census, index,
+    // probes) must not re-run the sign battery
     val coded = df.select(idCol.as("id"), quantized(vecCol).as("__q"))
       .select(col("id"), posexplode(codeArr).as(Seq("tbl", "code")))
+    val flips1 = (0 until nBits).map(1L << _)
+    val flips2 =
+      if (probeHamming < 2) Seq.empty[Long]
+      else for {
+        b1 <- 0 until nBits; b2 <- b1 + 1 until nBits
+      } yield (1L << b1) | (1L << b2)
     val probeArr = concat(array(col("code")),
-      array((0 until nBits).map(b =>
-        col("code").bitwiseXOR(lit(1L << b))): _*))
+      array((flips1 ++ flips2).map(m =>
+        col("code").bitwiseXOR(lit(m))): _*))
     val emitted = coded
       .select(col("id"), col("tbl"),
         posexplode(probeArr).as(Seq("pidx", "bucket")))

@@ -400,10 +400,11 @@ class GovernanceSpec extends SparkSpec {
     got((1L, 2L)) shouldBe 1L // the head-deletion shift
     got((3L, 4L)) shouldBe 3L // three deletions
     // fuzz: low-entropy strings (alphabet 3) force dense near-pairs;
-    // lengths 6..9 > maxDist so every segment is non-empty
+    // lengths 0..9 include empty and short keys — the side path that
+    // the pigeonhole argument doesn't cover
     val rnd = new scala.util.Random(11)
     val fuzz = (0 until 120).map { i =>
-      (i.toLong, (0 until rnd.nextInt(4) + 6)
+      (i.toLong, (0 until rnd.nextInt(10))
         .map(_ => ('0' + rnd.nextInt(3)).toChar).mkString, i.toLong % 2)
     }
     val fdf = fuzz.toDF("id", "name", "blk")

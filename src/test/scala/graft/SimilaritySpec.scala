@@ -149,6 +149,13 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     home.subsetOf(mp) shouldBe true
     exact should not be empty
+    // Hamming-2 probing nests: home ⊆ H1 ⊆ H2 ⊆ exact
+    val mp2 = Similarity.cosinePairsLshMultiProbe(emb, $"vec_id",
+      $"embedding", threshold = 0.45, dim = 64, nBits = 8, nTables = 2,
+      probeHamming = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    mp.subsetOf(mp2) shouldBe true
+    mp2.subsetOf(exact) shouldBe true
   }
 
   test("anchored IVF: hit scores equal brute force; full result set") {
