@@ -633,6 +633,21 @@ object SparkEntry {
         col("event_type"), col("value"),
         halfLifeNs = 259200L * 1000000000L)
     },
+    // Trailing-7-day distinct users per day from per-day KMV sketches:
+    // the sliding-distinct shape that at 100 TB replaces re-scanning
+    // every row 7x (and unbounded per-window hash sets) with ONE
+    // corpus read + semilattice unions over a tiny sketch table. The
+    // window fan-out is an explode to the windows a day serves — an
+    // equi-shuffle, never a range join. md5-u32 hashes: exact below
+    // k=64 (sized so the 150-user corpus SATURATES the sketch and the
+    // estimator branch is the one the gate replays), engine-exact
+    // integer estimate above.
+    "events_sliding_distinct_users" -> { (s, dir) =>
+      graft.functions.Kmv.slidingDistinctEstimate(
+        Tables(s, dir, "events"), col("ts"),
+        graft.functions.Kmv.u32(col("user_id")), k = 64,
+        windowBuckets = 7, bucketNs = 86400L * 1000000000L)
+    },
     // WATERMARK-LATENESS audit: would a 15-min watermark drop data?
     // The testdata arrives in event order, so a deterministic network
     // delay is planted: md5-jitter up to 30 min (plus an event_id ns
@@ -4002,6 +4017,40 @@ object SparkEntry {
         |          ELSE 1000000 >> (maxb - b) END)) * 10000
         |    AS BIGINT) AS decayed_value_e10
         |FROM e, mx GROUP BY 1""".stripMargin,
+    // sliding-distinct replay: per-day k-smallest-distinct hash sets,
+    // exploded to the 7 windows each day serves, re-truncated to k,
+    // same integer estimate arithmetic
+    "events_sliding_distinct_users" ->
+      """WITH h AS (
+        |  SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+        |      ::BIGINT AS u
+        |  FROM events),
+        |ev AS (
+        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+        |  FROM h GROUP BY 1),
+        |sk AS (
+        |  SELECT bucket, u FROM (
+        |    SELECT bucket, u,
+        |      row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
+        |    FROM (SELECT DISTINCT bucket, u FROM h))
+        |  WHERE rk <= 64),
+        |contrib AS (
+        |  SELECT s.bucket + d AS bucket, s.u
+        |  FROM sk s, (SELECT unnest(range(0, 7)) AS d)),
+        |uni AS (
+        |  SELECT bucket, u,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
+        |  FROM (SELECT DISTINCT bucket, u FROM contrib)),
+        |grp AS (
+        |  SELECT bucket, count(*) AS sz,
+        |    max(CASE WHEN rk = 64 THEN u END) AS h64
+        |  FROM uni WHERE rk <= 64 GROUP BY bucket)
+        |SELECT g.bucket, ev.n_events,
+        |  CAST(CASE WHEN sz < 64 THEN sz
+        |    ELSE 63 * 4294967296 // greatest(h64, 1) END AS BIGINT)
+        |    AS est_distinct
+        |FROM grp g JOIN ev ON ev.bucket = g.bucket""".stripMargin,
     // watermark replay: jittered arrival order, global prior-max
     // window (fine at oracle scale), canonical drop rule
     "events_watermark_lateness" ->

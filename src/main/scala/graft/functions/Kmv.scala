@@ -143,6 +143,50 @@ object Kmv {
   def unionSketch(a: Column, b: Column, k: Int): Column =
     slice(array_sort(array_distinct(concat(a, b))), 1, k)
 
+  /** SLIDING-WINDOW distinct estimation from per-bucket sketches —
+    * "trailing-7-day active users per day" at 100 TB, where the exact
+    * answer (count(DISTINCT) per overlapping window) re-scans every
+    * row `windowBuckets` times and holds per-window hash sets of
+    * unbounded size. Here each bucket is sketched ONCE (k longs of
+    * state), and every window's estimate is the semilattice union of
+    * its buckets' sketches: the corpus is read once, the sliding part
+    * touches only the tiny (buckets x k-longs) sketch table. The
+    * window fan-out is an EXPLODE of each bucket's sketch to the
+    * windows it serves — an equi-shuffle on the window key, never a
+    * range join. Estimates are the [[estFromSketch]] integer
+    * arithmetic: exact below k, within KMV error above, identical in
+    * any engine.
+    *
+    * `tsCol` is epoch-ns; a window labeled b covers buckets
+    * (b-windowBuckets, b]. Output: (bucket, n_events, est_distinct). */
+  def slidingDistinctEstimate(df: org.apache.spark.sql.DataFrame,
+                              tsCol: Column, hash: Column, k: Int,
+                              windowBuckets: Int,
+                              bucketNs: Long): org.apache.spark.sql.DataFrame = {
+    require(k > 0 && windowBuckets > 0 && bucketNs > 0,
+      "k, windowBuckets, bucketNs must be positive")
+    val agg = udaf(new KmvSketchAggregator(k))
+    val bucketed = df.select(
+      ((tsCol - pmod(tsCol, lit(bucketNs))) / lit(bucketNs.toDouble))
+        .cast("long").as("bucket"),
+      hash.as("__h"))
+      .groupBy(col("bucket"))
+      .agg(agg(col("__h")).as("sk"), count(lit(1)).as("n_events"))
+      .localCheckpoint() // tiny; two consumers (contrib + real-bucket set)
+    val contrib = bucketed.select(col("sk"),
+      explode(sequence(col("bucket"),
+        col("bucket") + (windowBuckets - 1))).as("bucket"))
+    val unioned = contrib.groupBy(col("bucket"))
+      .agg(slice(array_sort(array_distinct(
+        flatten(collect_list(col("sk"))))), 1, k).as("sk"))
+    // inner join against the real buckets: drops the phantom windows
+    // past the last bucket and attaches the per-bucket event count
+    unioned.join(bucketed.select(col("bucket"), col("n_events")),
+        Seq("bucket"))
+      .select(col("bucket"), col("n_events"),
+        estFromSketch("sk", k).as("est_distinct"))
+  }
+
   /** One-pass sketch-union profile: hashes flagged `inA` sketch into
     * side A, `inB` into side B (rows can be in both — overlapping
     * versions), then the union sketch and inclusion-exclusion

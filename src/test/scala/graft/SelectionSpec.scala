@@ -158,6 +158,34 @@ class SelectionSpec extends SparkSpec {
     math.abs(out._3 - 4000L) should be < 1010L
   }
 
+  test("slidingDistinctEstimate: exact below k per window; saturates within error") {
+    import graft.functions.Kmv
+    // 10 buckets x 20 fresh users each; window 3 -> trailing distinct
+    // is 20/40/60 (below k=256: all EXACT)
+    val rows = for {
+      b <- 0L until 10L; u <- 0L until 20L
+    } yield (b * 1000000000L + u, b * 20 + u)
+    val df = rows.toDF("ts", "user")
+    val got = Kmv.slidingDistinctEstimate(df, $"ts", Kmv.u32($"user"),
+      k = 256, windowBuckets = 3, bucketNs = 1000000000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    got.map(_._1) shouldBe (0L until 10L).toArray
+    got.foreach(_._2 shouldBe 20L) // per-bucket event counts
+    got.map(_._3) shouldBe
+      Array(20L, 40L, 60L, 60L, 60L, 60L, 60L, 60L, 60L, 60L)
+    // saturation: same shape with k=16 — estimates within 4 sigma
+    // (~1/sqrt(14) per window) of the true trailing distinct
+    val small = Kmv.slidingDistinctEstimate(df, $"ts", Kmv.u32($"user"),
+      k = 16, windowBuckets = 3, bucketNs = 1000000000L)
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    small.drop(2).foreach { case (_, _, est) =>
+      math.abs(est - 60L) should be < 65L
+    }
+    // overlapping windows REUSE sketches: bucket 5's window must not
+    // see bucket 0-2 users (window is trailing-3, not cumulative)
+    small.last._3 should be < 200L
+  }
+
   test("corpus_filter_fates: fates partition the corpus; dup branch fires") {
     val out = SparkEntry.queries("corpus_filter_fates")(spark, sf0001)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
