@@ -1497,6 +1497,29 @@ object SparkEntry {
         Redact.countMatches(aug, Redact.Ipv4Pattern).cast("long").as("n_ips"),
         md5(Redact.redact(aug)).as("redacted_digest"))
     },
+    // WEB-PROVENANCE rollup: extract URLs, roll up per domain with doc
+    // reach and a blocklist flag — the first filter of any web-scraped
+    // corpus (spam / SEO-farm / opt-out domains). URLs are planted
+    // deterministically (23 domains over 3 TLDs; ~1/4 of docs cite a
+    // second domain); the blocklist is a literal set folded into the
+    // projection — no join. The regex stays in the Java∩RE2 dialect so
+    // extraction replays exactly.
+    "web_domain_rollup" -> { (s, dir) =>
+      val did = col("doc_id")
+      val tld = when(did % 3 === 0, ".com")
+        .when(did % 3 === 1, ".org").otherwise(".net")
+      val dom = concat(lit("site"), (did % 23).cast("string"), tld)
+      val dom2 = concat(lit("mirror"), (did % 7).cast("string"),
+        lit(".net"))
+      val aug = concat(col("text"),
+        lit(" see https://"), dom, lit("/p/"), did.cast("string"),
+        when(did % 4 === 0,
+          concat(lit(" and http://"), dom2, lit("/x")))
+          .otherwise(lit("")))
+      graft.functions.Urls.domainRollup(
+        Tables(s, dir, "documents"), did, aug,
+        blocklist = Seq("site1.com", "site7.net", "mirror3.net"))
+    },
     // PII GOVERNANCE rollup: per-source, per-snapshot-version redaction
     // audit with drift in basis points — the report that catches an
     // upstream feed starting to leak contact data between corpus
@@ -4641,6 +4664,35 @@ object SparkEntry {
          |    '$ip', '<IP>', 'g')) AS redacted_digest
          |FROM aug""".stripMargin
     },
+    // replay the planted URLs, extract with the same RE2-dialect
+    // pattern, roll up per domain
+    "web_domain_rollup" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 23)::VARCHAR
+        |      || CASE CAST(doc_id % 3 AS INTEGER)
+        |           WHEN 0 THEN '.com' WHEN 1 THEN '.org'
+        |           ELSE '.net' END
+        |      || '/p/' || doc_id::VARCHAR
+        |      || CASE WHEN doc_id % 4 = 0
+        |           THEN ' and http://mirror' || (doc_id % 7)::VARCHAR
+        |             || '.net/x'
+        |           ELSE '' END AS a
+        |  FROM documents),
+        |urls AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(a,
+        |    'https?://[A-Za-z0-9.-]+(/[A-Za-z0-9/._-]*)?')) AS url
+        |  FROM aug),
+        |dom AS (
+        |  SELECT doc_id,
+        |    regexp_extract(url, 'https?://([A-Za-z0-9.-]+)', 1)
+        |      AS domain
+        |  FROM urls)
+        |SELECT domain, CAST(count(*) AS BIGINT) AS n_urls,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  list_contains(['site1.com', 'site7.net', 'mirror3.net'],
+        |    domain) AS blocked
+        |FROM dom GROUP BY domain""".stripMargin,
     // replay the version-skewed planting, count per class, roll up per
     // (source, version), integer DIV basis points
     "pii_rollup_drift" -> {

@@ -212,6 +212,27 @@ class PipelineOpsSpec extends SparkSpec {
     s2.isNullAt(s2.fieldIndex("drift_bp")) shouldBe true
   }
 
+  test("domainRollup: extraction goldens, doc reach vs url count, blocklist") {
+    import graft.functions.Urls
+    val docs = Seq(
+      (1L, "see https://a.com/x and https://a.com/y plus http://b.org"),
+      (2L, "only https://a.com here"),
+      (3L, "no links at all"),
+      (4L, "tricky https://a.com. trailing dot stays in the class"))
+      .toDF("doc_id", "text")
+    val out = Urls.domainRollup(docs, $"doc_id", $"text",
+      blocklist = Seq("b.org"))
+      .as[(String, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    // doc1 cites a.com twice -> n_urls 3+1 vs n_docs 3 (incl. "a.com.")
+    out("a.com") shouldBe ((3L, 2L, false))
+    out("b.org") shouldBe ((1L, 1L, true))
+    // '.' is in the domain class: the trailing dot is captured — the
+    // documented dialect trade-off (same in both engines)
+    out("a.com.") shouldBe ((1L, 1L, false))
+    out.keySet should not contain "no"
+  }
+
   test("subsampleCounts: matches a driver replay; rare kept, frequent thinned") {
     import graft.functions.Vocab
     def md5hex(s: String): String =
