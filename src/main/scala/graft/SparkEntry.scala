@@ -648,6 +648,26 @@ object SparkEntry {
         graft.functions.Kmv.u32(col("user_id")), k = 64,
         windowBuckets = 7, bucketNs = 86400L * 1000000000L)
     },
+    // STREAMING twin of the sliding distinct: the per-day KMV sketches
+    // ARE the stream's aggregation state (a custom Aggregator in a
+    // real micro-batch plan, k longs per day); the sliding union runs
+    // over the tiny snapshot a dashboard reads. Same oracle as the
+    // batch twin — the stream must land on identical sketches.
+    "events_stream_distinct_users" -> { (s, dir) =>
+      import graft.functions.Kmv
+      val kagg = udaf(new Kmv.KmvSketchAggregator(64))
+      val day = 86400L * 1000000000L
+      val perDay = Tables.eventsStream(s, dir)
+        .select(
+          ((col("ts") - pmod(col("ts"), lit(day))) / lit(day.toDouble))
+            .cast("long").as("bucket"),
+          Kmv.u32(col("user_id")).as("__h"))
+        .groupBy(col("bucket"))
+        .agg(kagg(col("__h")).as("sk"), count(lit(1)).as("n_events"))
+      Kmv.slidingFromBuckets(
+        EventStream.runToCompletion(perDay, "stream_distinct_out"),
+        k = 64, windowBuckets = 7)
+    },
     // WATERMARK-LATENESS audit: would a 15-min watermark drop data?
     // The testdata arrives in event order, so a deterministic network
     // delay is planted: md5-jitter up to 30 min (plus an event_id ns
@@ -4043,37 +4063,10 @@ object SparkEntry {
     // sliding-distinct replay: per-day k-smallest-distinct hash sets,
     // exploded to the 7 windows each day serves, re-truncated to k,
     // same integer estimate arithmetic
-    "events_sliding_distinct_users" ->
-      """WITH h AS (
-        |  SELECT epoch_ns(ts) // 86400000000000 AS bucket,
-        |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
-        |      ::BIGINT AS u
-        |  FROM events),
-        |ev AS (
-        |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
-        |  FROM h GROUP BY 1),
-        |sk AS (
-        |  SELECT bucket, u FROM (
-        |    SELECT bucket, u,
-        |      row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
-        |    FROM (SELECT DISTINCT bucket, u FROM h))
-        |  WHERE rk <= 64),
-        |contrib AS (
-        |  SELECT s.bucket + d AS bucket, s.u
-        |  FROM sk s, (SELECT unnest(range(0, 7)) AS d)),
-        |uni AS (
-        |  SELECT bucket, u,
-        |    row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
-        |  FROM (SELECT DISTINCT bucket, u FROM contrib)),
-        |grp AS (
-        |  SELECT bucket, count(*) AS sz,
-        |    max(CASE WHEN rk = 64 THEN u END) AS h64
-        |  FROM uni WHERE rk <= 64 GROUP BY bucket)
-        |SELECT g.bucket, ev.n_events,
-        |  CAST(CASE WHEN sz < 64 THEN sz
-        |    ELSE 63 * 4294967296 // greatest(h64, 1) END AS BIGINT)
-        |    AS est_distinct
-        |FROM grp g JOIN ev ON ev.bucket = g.bucket""".stripMargin,
+    "events_sliding_distinct_users" -> SlidingDistinctOracle,
+    // the stream aggregates to the same per-day sketches -> same
+    // sliding composition -> same oracle
+    "events_stream_distinct_users" -> SlidingDistinctOracle,
     // watermark replay: jittered arrival order, global prior-max
     // window (fine at oracle scale), canonical drop rule
     "events_watermark_lateness" ->
@@ -5950,6 +5943,40 @@ object SparkEntry {
       |SELECT doc_id, cluster_id,
       |  count(*) OVER (PARTITION BY cluster_id) AS cluster_size
       |FROM asg""".stripMargin
+
+  /** Shared by the batch and streaming sliding-distinct queries: both
+    * land on identical per-day sketches, so one replay gates both. */
+  private lazy val SlidingDistinctOracle: String =
+    """WITH h AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS bucket,
+      |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+      |      ::BIGINT AS u
+      |  FROM events),
+      |ev AS (
+      |  SELECT bucket, CAST(count(*) AS BIGINT) AS n_events
+      |  FROM h GROUP BY 1),
+      |sk AS (
+      |  SELECT bucket, u FROM (
+      |    SELECT bucket, u,
+      |      row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
+      |    FROM (SELECT DISTINCT bucket, u FROM h))
+      |  WHERE rk <= 64),
+      |contrib AS (
+      |  SELECT s.bucket + d AS bucket, s.u
+      |  FROM sk s, (SELECT unnest(range(0, 7)) AS d)),
+      |uni AS (
+      |  SELECT bucket, u,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
+      |  FROM (SELECT DISTINCT bucket, u FROM contrib)),
+      |grp AS (
+      |  SELECT bucket, count(*) AS sz,
+      |    max(CASE WHEN rk = 64 THEN u END) AS h64
+      |  FROM uni WHERE rk <= 64 GROUP BY bucket)
+      |SELECT g.bucket, ev.n_events,
+      |  CAST(CASE WHEN sz < 64 THEN sz
+      |    ELSE 63 * 4294967296 // greatest(h64, 1) END AS BIGINT)
+      |    AS est_distinct
+      |FROM grp g JOIN ev ON ev.bucket = g.bucket""".stripMargin
 
   private lazy val NgramKeepBestOracle: String = {
     import TextAnalysis.Sql.{qualityScore => qs}

@@ -172,7 +172,19 @@ object Kmv {
       hash.as("__h"))
       .groupBy(col("bucket"))
       .agg(agg(col("__h")).as("sk"), count(lit(1)).as("n_events"))
-      .localCheckpoint() // tiny; two consumers (contrib + real-bucket set)
+    slidingFromBuckets(bucketed, k, windowBuckets)
+  }
+
+  /** The sliding-union tail over an ALREADY-SKETCHED bucket table
+    * (bucket, sk, n_events) — shared by [[slidingDistinctEstimate]]
+    * and the streaming twin, where the per-bucket sketches are the
+    * stream's aggregation state and this composition runs over the
+    * (tiny) snapshot a dashboard reads. */
+  def slidingFromBuckets(bucketedRaw: org.apache.spark.sql.DataFrame,
+                         k: Int, windowBuckets: Int)
+      : org.apache.spark.sql.DataFrame = {
+    val bucketed = bucketedRaw
+      .localCheckpoint() // tiny; two consumers (contrib + bucket set)
     val contrib = bucketed.select(col("sk"),
       explode(sequence(col("bucket"),
         col("bucket") + (windowBuckets - 1))).as("bucket"))

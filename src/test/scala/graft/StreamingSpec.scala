@@ -366,4 +366,15 @@ class StreamingSpec extends SparkSpec {
       ("a", 2L, 1L * 1000000L * 10000L + 2L * 500000L * 10000L),
       ("b", 1L, 4L * 1000000L * 10000L))
   }
+
+  test("streaming KMV sketches land on the batch sliding-distinct result") {
+    val batch = SparkEntry.queries("events_sliding_distinct_users")(
+      spark, sf0001).as[(Long, Long, Long)].collect().sortBy(_._1)
+    val stream = SparkEntry.queries("events_stream_distinct_users")(
+      spark, sf0001).as[(Long, Long, Long)].collect().sortBy(_._1)
+    batch.length should be > 0
+    // micro-batch boundaries must be invisible: identical sketches ->
+    // identical window estimates
+    stream shouldBe batch
+  }
 }
