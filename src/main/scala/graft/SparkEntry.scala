@@ -2264,6 +2264,17 @@ object SparkEntry {
     "graph_triangles_events" -> { (s, dir) =>
       Triangles.overEventTransitions(Tables(s, dir, "events"))
     },
+    // DeepWalk-style training corpus: one deterministic 4-hop random
+    // walk per node of the item-transition graph — walk sequences are
+    // the "sentences" a graph skip-gram trains on. Randomness is an
+    // md5-uniform of (walk, step): reproducible under repartitioning,
+    // hop-for-hop SQL-replayable (rand() walks cannot be gated). One
+    // equi-join per step against rank-indexed adjacency; sinks
+    // self-terminate.
+    "graph_random_walks" -> { (s, dir) =>
+      graft.operators.Walks.overEventTransitions(
+        Tables(s, dir, "events"), steps = 4)
+    },
     // Sequential-pattern census: event-type trigrams walked per user
     // (two per-user leads, one map-combined groupBy) with exact
     // distinct-user reach — funnel discovery, not funnel checking.
@@ -5483,6 +5494,8 @@ object SparkEntry {
         |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
         |FROM c""".stripMargin,
     "graph_pagerank_events" -> PageRank.Sql.query(iters = 5),
+    "graph_random_walks" ->
+      graft.operators.Walks.Sql.query(steps = 4),
     "graph_triangles_events" -> Triangles.Sql.query,
     "events_path_trigrams" -> Paths.Sql.eventsTrigrams,
     "events_resample_gapfill" ->

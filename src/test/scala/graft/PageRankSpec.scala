@@ -70,4 +70,33 @@ class PageRankSpec extends SparkSpec {
     // total mass never exceeds the initial pool (floors only lose mass)
     a.map(_._2).sum should be <= PageRank.InitMass * a.length
   }
+
+  test("uniformWalks: hand-replayed md5 picks; sinks terminate; determinism") {
+    import graft.operators.Walks
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def u32(s: String): Long =
+      java.lang.Long.parseLong(md5hex(s).take(8), 16)
+    // graph: 1 -> {2, 3}; 2 -> {3}; 3 is a SINK
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("src", "dst")
+    val got = Walks.uniformWalks(edges, steps = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    got.keySet shouldBe Set(1L, 2L, 3L)
+    // sink walk: never moves, zero hops
+    got(3L) shouldBe (("3", 3L, 0L))
+    // 2 -> 3 (only edge), then stuck at the sink: exactly one hop
+    got(2L) shouldBe (("2->3", 3L, 1L))
+    // walk 1 step 1: rank = u32(md5("1:1")) % 2 picks 2 or 3 (dst asc)
+    val first = if (u32("1:1") % 2 == 0) 2L else 3L
+    val expPath = if (first == 2L) "1->2->3" else "1->3"
+    val expHops = if (first == 2L) 2L else 1L
+    got(1L) shouldBe ((expPath, 3L, expHops))
+    // determinism: a second run is identical
+    val again = Walks.uniformWalks(edges, steps = 3)
+      .as[(Long, String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    again shouldBe got
+  }
 }
