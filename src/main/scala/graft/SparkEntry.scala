@@ -1412,6 +1412,48 @@ object SparkEntry {
     // domain, not row count), thresholds broadcast back. The battery
     // projection materializes behind one exchange reused by both the
     // histogram and the join side.
+    // Quality-score PERCENTILE NORMALIZATION per source: raw quality
+    // scores are not comparable across corpora (different length/
+    // punctuation regimes), so cross-source thresholding works on each
+    // doc's within-source percentile instead — rank*1e6 DIV (n-1),
+    // integer-exact. The rank window partitions by source (bounded
+    // state, never a global sort); the battery computes once behind
+    // the source exchange.
+    "quality_percentile_normalize" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val q = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"), col("text"))
+        .repartition(col("source"))
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.qualityScoreOf(
+            TextAnalysis.profile(col("text"))).as("q"))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("q").asc, col("doc_id").asc)
+      val n = Window.partitionBy(col("source"))
+      q.withColumn("__rk", row_number().over(w) - 1)
+        .withColumn("__n", count(lit(1)).over(n))
+        .select(col("doc_id"), col("source"), col("q"),
+          expr("(__rk * 1000000) DIV greatest(__n - 1, 1)")
+            .as("pct_ppm"))
+    },
+    // Class-imbalance audit of a labeled embedding corpus: per-label
+    // share plus the EFFECTIVE label count (inverse Simpson index,
+    // N^2/sum(n_i^2)) — the one number that says "50 labels but
+    // really ~7 effective classes". All integer arithmetic.
+    "embedding_label_balance" -> { (s, dir) =>
+      val byLabel = Tables(s, dir, "embeddings")
+        .groupBy(col("label")).agg(count(lit(1)).as("n"))
+      byLabel.agg(
+        sum(col("n")).as("n_vecs"),
+        count(lit(1)).as("n_labels"),
+        max(col("n")).as("max_label_n"),
+        sum(col("n") * col("n")).as("__ss"))
+        .select(col("n_vecs"), col("n_labels"), col("max_label_n"),
+          expr("(max_label_n * 1000000) DIV n_vecs")
+            .as("max_share_ppm"),
+          expr("(n_vecs * n_vecs * 1000) DIV __ss")
+            .as("effective_labels_e3"))
+    },
     "curriculum_bins_documents" -> { (s, dir) =>
       val q = Tables(s, dir, "documents")
         .select(col("lang"), col("text"))
@@ -4360,6 +4402,30 @@ object SparkEntry {
       """SELECT doc_id, lang, source FROM documents
         |WHERE ('0x' || substr(md5(source), 1, 8))::BIGINT
         |      / 4294967296.0 < 0.6""".stripMargin,
+    // same battery, same full ordering key, integer ppm rank
+    "quality_percentile_normalize" -> {
+      import TextAnalysis.Sql.{qualityScore => qs}
+      s"""WITH q AS (
+         |  SELECT doc_id, source, ${qs("text")} AS q FROM documents)
+         |SELECT doc_id, source, q,
+         |  ((row_number() OVER (PARTITION BY source
+         |      ORDER BY q, doc_id) - 1) * 1000000)
+         |    // greatest(count(*) OVER (PARTITION BY source) - 1, 1)
+         |    AS pct_ppm
+         |FROM q""".stripMargin
+    },
+    "embedding_label_balance" ->
+      """WITH c AS (
+        |  SELECT label, CAST(count(*) AS BIGINT) AS n
+        |  FROM embeddings GROUP BY 1)
+        |SELECT CAST(sum(n) AS BIGINT) AS n_vecs,
+        |  CAST(count(*) AS BIGINT) AS n_labels,
+        |  CAST(max(n) AS BIGINT) AS max_label_n,
+        |  (CAST(max(n) AS BIGINT) * 1000000) // CAST(sum(n) AS BIGINT)
+        |    AS max_share_ppm,
+        |  (CAST(sum(n) AS BIGINT) * CAST(sum(n) AS BIGINT) * 1000)
+        |    // CAST(sum(n * n) AS BIGINT) AS effective_labels_e3
+        |FROM c""".stripMargin,
     "curriculum_bins_documents" -> {
       import TextAnalysis.Sql.{qualityScore => qs}
       s"""WITH q AS (

@@ -21,6 +21,36 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("percentile normalize: per-source ppm spans [0, 1e6], monotone in q") {
+    val got = SparkEntry.queries("quality_percentile_normalize")(
+      spark, sf0001)
+      .collect()
+      .map(r => (r.getString(1), r.getDouble(2), r.getLong(3)))
+    got.length should be > 1
+    val bySrc = got.groupBy(_._1)
+    bySrc.values.foreach { rows =>
+      val ps = rows.map(_._3)
+      ps.min shouldBe 0L
+      if (rows.length > 1) ps.max shouldBe 1000000L
+      // percentile respects the score order within a source
+      rows.sortBy(_._3).map(_._2).sliding(2).foreach {
+        case Array(a, b) => a should be <= b
+        case _ =>
+      }
+    }
+  }
+
+  test("label balance: effective labels between 1 and n_labels") {
+    val r = SparkEntry.queries("embedding_label_balance")(spark, sf0001)
+      .collect().head
+    val (nVecs, nLabels) = (r.getLong(0), r.getLong(1))
+    val eff = r.getLong(4)
+    nVecs should be > nLabels
+    eff should be >= 1000L // >= 1.0 effective label
+    eff should be <= nLabels * 1000L // <= n_labels (uniform case)
+    r.getLong(3) should be >= (1000000L / nLabels) // max share >= mean
+  }
+
   test("entity resolution pipeline: keeper is the balance-max member of its cluster") {
     import graft.operators.{Dedup, EntityMatch}
     import org.apache.spark.sql.functions._
