@@ -1377,6 +1377,27 @@ object SparkEntry {
           aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
             .as("n_weight1"))
     },
+    // Attention-reset descriptors for the packed LM blocks: per block,
+    // the in-block offsets where a new document begins — what a
+    // trainer turns into block-diagonal masks so packed neighbors
+    // can't attend across document seams. Joined onto the FULL blocks
+    // of train_blocks_documents; continuation blocks (doc spans the
+    // seam) carry zero segments by design.
+    "train_blocks_boundaries" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val enc = graft.functions.Vocab.encodeIds(docs,
+          col("doc_id"), col("text"), k = 500)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      val blocks = Pack.inputTargetBlocks(enc, col("lang"),
+          col("doc_id"), col("ids"), seqLen = 128)
+        .select(col("group_id"), col("example_id"))
+      val bounds = Pack.blockBoundaries(enc, col("lang"),
+        col("doc_id"), col("ids"), seqLen = 128)
+      blocks.join(bounds, Seq("group_id", "example_id"), "left")
+        .select(col("group_id"), col("example_id"),
+          coalesce(col("n_segments"), lit(0L)).as("n_segments"),
+          coalesce(col("seg_starts"), lit("")).as("seg_starts"))
+    },
     // Same contract through the SCALABLE offset path: no per-group
     // window (5 langs over 100 TB = 5 reducers); token offsets via
     // range-partition + bounded per-partition count collect + broadcast
@@ -4395,6 +4416,41 @@ object SparkEntry {
     // digests, non-padding target count; partial tail blocks drop
     "train_blocks_roundtrip" -> TrainBlocksOracle,
     "train_blocks_documents" -> TrainBlocksOracle,
+    // same stream arithmetic; doc seams = min global position per doc,
+    // block/offset by the same DIV/% against the 129-wide block
+    "train_blocks_boundaries" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.Sql.tokens("lower(text)")} AS l
+         |  FROM documents),
+         |pos AS (
+         |  SELECT doc_id, generate_subscripts(l, 1) AS p
+         |  FROM toks),
+         |stream AS (
+         |  SELECT d.lang, pos.doc_id,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY pos.doc_id, pos.p) - 1 AS gp
+         |  FROM pos JOIN documents d ON d.doc_id = pos.doc_id),
+         |blocks AS (
+         |  SELECT lang AS group_id, gp // 129 AS example_id,
+         |    count(*) AS nb
+         |  FROM stream GROUP BY 1, 2),
+         |fullb AS (
+         |  SELECT group_id, example_id FROM blocks WHERE nb = 129),
+         |starts AS (
+         |  SELECT lang AS group_id, min(gp) AS s0
+         |  FROM stream GROUP BY lang, doc_id),
+         |segs AS (
+         |  SELECT group_id, s0 // 129 AS example_id,
+         |    CAST(count(*) AS BIGINT) AS n_segments,
+         |    string_agg(CAST(s0 % 129 AS VARCHAR), ','
+         |      ORDER BY s0 % 129) AS seg_starts
+         |  FROM starts GROUP BY 1, 2)
+         |SELECT f.group_id, CAST(f.example_id AS BIGINT) AS example_id,
+         |  CAST(coalesce(g.n_segments, 0) AS BIGINT) AS n_segments,
+         |  coalesce(g.seg_starts, '') AS seg_starts
+         |FROM fullb f LEFT JOIN segs g
+         |  USING (group_id, example_id)""".stripMargin,
 
     // identical semantics, different distribution strategy -> same SQL
     "pack_fixed_context_scalable" -> fixedContextOracle,

@@ -345,6 +345,40 @@ object Pack {
           x => when(x =!= 0, 1).otherwise(0)).as("class_weights"))
   }
 
+  /** DOCUMENT-BOUNDARY descriptors for the packed blocks of
+    * [[inputTargetBlocks]] / [[packFixedContext]]: per (group, block),
+    * the in-block offsets where a new document begins — the
+    * attention-reset positions a trainer needs to build block-diagonal
+    * masks so packed neighbors cannot attend across document seams. A
+    * block with no entry is a pure continuation (its doc started in an
+    * earlier block, no reset at offset 0 either). Offsets are emitted
+    * as a comma-joined string (type-stable across engines) plus the
+    * segment count. Same window topology as the packer itself: one
+    * per-group running sum, then integer DIV/% against the block
+    * width — zero extra shuffles beyond the group exchange. */
+  def blockBoundaries(df: DataFrame, groupCol: Column, idCol: Column,
+                      idsCol: Column, seqLen: Int): DataFrame = {
+    require(seqLen > 0, "seqLen must be positive")
+    val B = seqLen + 1
+    val base = df
+      .select(groupCol.as("group_id"), idCol.cast("long").as("id"),
+        idsCol.as("__toks"))
+      .withColumn("__k", size(col("__toks")).cast("long"))
+      .repartition(col("group_id"))
+    val w = Window.partitionBy(col("group_id")).orderBy(col("id"))
+    base
+      .withColumn("__end", sum(col("__k")).over(w))
+      .withColumn("__start", col("__end") - col("__k"))
+      .filter(col("__k") > 0) // empty docs own no tokens, no seam
+      .select(col("group_id"),
+        expr(s"__start DIV $B").as("example_id"),
+        expr(s"__start % $B").as("off"))
+      .groupBy(col("group_id"), col("example_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        array_join(array_sort(collect_list(col("off"))), ",")
+          .as("seg_starts"))
+  }
+
   /** Uncapped fast path — plain `collect_list` (the built-in Spark shape
     * of the reference's packer when the 2 GB cap can't bind), sorted for
     * determinism. */

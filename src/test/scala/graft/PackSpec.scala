@@ -171,6 +171,32 @@ class PackSpec extends SparkSpec {
     }
   }
 
+  test("blockBoundaries: seam offsets by hand; continuation blocks empty") {
+    // streams: doc1 [3 toks] doc2 [4] doc3 [5] -> starts 0,3,7; B=4:
+    // block0 seams at 0,3; block1 seam at 7%4=3; block2 none (pure
+    // continuation of doc3); empty doc4 owns no tokens, no seam
+    val df = Seq(
+      (1L, Seq(1, 2, 3)), (2L, Seq(4, 5, 6, 7)),
+      (3L, Seq(8, 9, 10, 11, 12)), (4L, Seq.empty[Int]))
+      .toDF("doc_id", "ids").withColumn("g", lit("g"))
+    val bounds = Pack.blockBoundaries(df, $"g", $"doc_id", $"ids",
+        seqLen = 3)
+      .as[(String, Long, Long, String)].collect()
+      .map(r => r._2 -> (r._3, r._4)).toMap
+    bounds shouldBe Map(0L -> ((2L, "0,3")), 1L -> ((1L, "3")))
+    // joined the way the declared query does: full blocks 0,1,2 (12
+    // tokens), block 2 must come back as a continuation
+    val blocks = Pack.inputTargetBlocks(df, $"g", $"doc_id", $"ids",
+        seqLen = 3).select($"group_id", $"example_id")
+    val joined = blocks.join(
+        Pack.blockBoundaries(df, $"g", $"doc_id", $"ids", seqLen = 3),
+        Seq("group_id", "example_id"), "left")
+      .as[(String, Long, Option[Long], Option[String])].collect()
+      .map(r => r._2 -> ((r._3.getOrElse(0L), r._4.getOrElse("")))).toMap
+    joined shouldBe Map(
+      0L -> ((2L, "0,3")), 1L -> ((1L, "3")), 2L -> ((0L, "")))
+  }
+
   test("packFixedContextScalable == window path: golden and driver corpus") {
     val golden = Seq((1L, "a b c"), (2L, "d e"), (3L, "f g h i"))
       .toDF("doc_id", "text").withColumn("g", lit("g"))
