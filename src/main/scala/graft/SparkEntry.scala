@@ -328,6 +328,14 @@ object SparkEntry {
       graft.functions.ClassifierEval.thresholdSweep(
         Tables(s, dir, "documents"), col("doc_id"), col("text"))
     },
+    // RELIABILITY DIAGRAM of the quality classifier vs the Gopher rule
+    // labels: per score bin, observed positive rate in ppm — rate
+    // rising with bin means the score can WEIGHT examples, not just
+    // gate them. Complements the threshold sweep's operating points.
+    "classifier_calibration_bins" -> { (s, dir) =>
+      graft.functions.ClassifierEval.calibrationBins(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+    },
 
     // Per-language distinctive terms by log-free tf-idf (tf/df — one
     // IEEE division of two exact integers, bit-identical in DuckDB) with
@@ -3001,6 +3009,9 @@ object SparkEntry {
     // identical to the per-doc queries'
     "classifier_threshold_sweep" ->
       graft.functions.ClassifierEval.Sql.query(
+        classifierOracleSql, graft.functions.Gopher.Sql.query),
+    "classifier_calibration_bins" ->
+      graft.functions.ClassifierEval.Sql.calibrationQuery(
         classifierOracleSql, graft.functions.Gopher.Sql.query),
     "text_novelty_bigram" ->
       """WITH toks AS (

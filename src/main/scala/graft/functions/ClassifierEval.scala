@@ -60,6 +60,42 @@ object ClassifierEval {
         expr("tp * 1000000L div greatest(tp + fn, 1L)").as("recall_ppm"))
   }
 
+  /** Score range covered by the reliability bins: scores clamp into 8
+    * 50k-per-mille-wide bins over [-200k, +200k). */
+  val BinWidth = 50000L
+  val BinLo = -200000L
+  val NBins = 8
+
+  /** RELIABILITY DIAGRAM (calibration) of the quality classifier
+    * against the Gopher rule labels: per score bin, sample count and
+    * the observed positive rate in ppm. A calibrated score has rate
+    * rising with bin; a cliff or inversion says the score can gate but
+    * not weight. Complements [[thresholdSweep]] (which fixes operating
+    * points): this is the view that picks soft-label weights. One join
+    * of two per-doc batteries + one 8-group aggregation — all integer
+    * arithmetic. */
+  def calibrationBins(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val cls = HashedLinear.score(df, id, text)
+      .select(col("doc_id"),
+        when(col("n_feats") === 0, 0L)
+          .otherwise(expr("w_sum * 1000L div n_feats")).as("score_pm"))
+    val gph = Gopher.stats(df, id, text)
+      .select(col("doc_id"),
+        col("n_words").between(Gopher.MinWords, Gopher.MaxWords)
+          .as("truth"))
+    cls.join(gph, "doc_id")
+      .select(
+        least(greatest(
+          expr(s"(score_pm - $BinLo) DIV $BinWidth"), lit(0L)),
+          lit(NBins - 1L)).as("bin"),
+        col("truth"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        count(when(col("truth"), 1)).as("positives"))
+      .select(col("bin"), col("n"), col("positives"),
+        expr("positives * 1000000L div n").as("rate_ppm"))
+  }
+
   /** DuckDB replay: composes the classifier and Gopher oracle queries
     * as nested-WITH subqueries, so the sweep's truth and scores are BY
     * CONSTRUCTION the same as the declared per-doc queries'. */
@@ -89,5 +125,31 @@ object ClassifierEval {
          |  tp * 1000000 // greatest(tp + fn, 1) AS recall_ppm
          |FROM cf""".stripMargin
     }
+
+    /** Reliability-bin replay — same composed batteries, same clamped
+      * integer binning. */
+    def calibrationQuery(classifierSql: String,
+                         gopherSql: String): String =
+      s"""WITH c AS (
+         |  SELECT doc_id, CASE WHEN n_feats = 0 THEN 0
+         |    ELSE w_sum * 1000 // n_feats END AS score_pm
+         |  FROM ($classifierSql) qc),
+         |g AS (SELECT doc_id,
+         |        n_words BETWEEN ${Gopher.MinWords} AND ${Gopher.MaxWords}
+         |          AS truth
+         |      FROM ($gopherSql) qg),
+         |j AS (
+         |  SELECT least(greatest(
+         |      (c.score_pm - $BinLo) // $BinWidth, 0), ${NBins - 1})
+         |      AS bin,
+         |    g.truth
+         |  FROM c JOIN g USING (doc_id)),
+         |b AS (
+         |  SELECT bin, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(*) FILTER (truth) AS BIGINT) AS positives
+         |  FROM j GROUP BY 1)
+         |SELECT bin, n, positives,
+         |  positives * 1000000 // n AS rate_ppm
+         |FROM b""".stripMargin
   }
 }

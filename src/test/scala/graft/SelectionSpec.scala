@@ -113,6 +113,24 @@ class SelectionSpec extends SparkSpec {
     at(4L) shouldBe Seq((3L, "v0-3"), (4L, "v3-4"))
   }
 
+  test("calibration bins: partition the corpus; agree with the sweep's totals") {
+    import graft.functions.ClassifierEval
+    val docs = Tables(spark, sf0001, "documents")
+    val bins = ClassifierEval.calibrationBins(docs, $"doc_id", $"text")
+      .as[(Long, Long, Long, Long)].collect()
+    bins.foreach { case (bin, nb, pos, rate) =>
+      bin should (be >= 0L and be <= 7L)
+      pos should be <= nb
+      rate shouldBe pos * 1000000L / nb
+    }
+    bins.map(_._2).sum shouldBe docs.count()
+    // total positives must equal the sweep's threshold-independent
+    // tp+fn (same truth battery)
+    val sweep = ClassifierEval.thresholdSweep(docs, $"doc_id", $"text")
+      .select("tp", "fn").as[(Long, Long)].collect()
+    bins.map(_._3).sum shouldBe (sweep.head._1 + sweep.head._2)
+  }
+
   test("ClassifierEval sweep: cells partition the corpus, tp monotone") {
     val docs = Tables(spark, sf0001, "documents")
     val sweep = graft.functions.ClassifierEval.thresholdSweep(
