@@ -2346,6 +2346,21 @@ object SparkEntry {
       graft.operators.Walks.overEventTransitions(
         Tables(s, dir, "events"), steps = 4)
     },
+    // CO-VISITATION mining (the recommender association signal):
+    // items viewed within 2 positions of each other in a user's
+    // time-ordered stream, ranked by the same exact integer lift as
+    // the text collocation miner — one operator, two modalities.
+    "events_covisitation_lift" -> { (s, dir) =>
+      val seqs = Tables(s, dir, "events")
+        .select(col("user_id"),
+          struct(col("ts").as("t"), col("event_id").as("e"),
+            get_json_object(col("props"), "$.k").as("i")).as("s"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("s"))).as("ss"))
+        .select(transform(col("ss"), x => x.getField("i")).as("seq"))
+      graft.functions.Cooccurrence.topPairsFromSequences(
+        seqs, col("seq"), window = 2, minCount = 5, k = 50)
+    },
     // Sequential-pattern census: event-type trigrams walked per user
     // (two per-user leads, one map-combined groupBy) with exact
     // distinct-user reach — funnel discovery, not funnel checking.
@@ -5629,6 +5644,38 @@ object SparkEntry {
     "graph_pagerank_events" -> PageRank.Sql.query(iters = 5),
     "graph_random_walks" ->
       graft.operators.Walks.Sql.query(steps = 4),
+    // per-user ordered item streams, then the identical lift chain
+    "events_covisitation_lift" ->
+      """WITH toks AS (
+        |  SELECT list(json_extract_string(props, '$.k')
+        |    ORDER BY epoch_ns(ts), event_id) AS t
+        |  FROM events GROUP BY user_id),
+        |uni AS (
+        |  SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM uni),
+        |pos AS (
+        |  SELECT t, unnest(range(1, len(t))) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT t[i] AS tok_a, t[j] AS tok_b
+        |  FROM (SELECT t, i,
+        |          unnest(range(i + 1, least(i + 2, len(t)) + 1)) AS j
+        |        FROM pos)),
+        |pc AS (
+        |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |    (n_ab * grand * 1000000) // (a.n * b.n) AS lift_e6
+        |  FROM pc JOIN uni a ON pc.tok_a = a.token
+        |          JOIN uni b ON pc.tok_b = b.token, tot)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY lift_e6 DESC, tok_a, tok_b) AS INT) AS rank,
+        |  tok_a, tok_b, n_ab, n_a, n_b, lift_e6
+        |FROM scored
+        |ORDER BY lift_e6 DESC, tok_a, tok_b
+        |LIMIT 50""".stripMargin,
     "graph_triangles_events" -> Triangles.Sql.query,
     "events_path_trigrams" -> Paths.Sql.eventsTrigrams,
     "events_resample_gapfill" ->

@@ -37,10 +37,20 @@ object Cooccurrence {
     * (rank, tok_a, tok_b, n_ab, n_a, n_b, lift_e6). Ties break
     * (tok_a, tok_b) ASC for a deterministic board. */
   def topPairsByLift(df: DataFrame, textCol: Column, window: Int,
-                     minCount: Long, k: Int): DataFrame = {
+                     minCount: Long, k: Int): DataFrame =
+    topPairsFromSequences(
+      df.select(TextAnalysis.tokens(lower(textCol)).as("__t")),
+      col("__t"), window, minCount, k)
+
+  /** Same miner over PRE-BUILT symbol sequences — e.g. each user's
+    * time-ordered item stream (co-visitation mining: "items viewed
+    * near each other", the classic recommender association signal),
+    * or pre-tokenized documents. `seqCol` is an array<string>. */
+  def topPairsFromSequences(df: DataFrame, seqCol: Column, window: Int,
+                            minCount: Long, k: Int): DataFrame = {
     require(window >= 1, "window must be >= 1")
     require(k > 0, "k must be positive")
-    val toks = df.select(TextAnalysis.tokens(lower(textCol)).as("__t"))
+    val toks = df.select(seqCol.as("__t"))
       .localCheckpoint() // two consumers (pairs, unigrams): scan once
     val uni = toks
       .select(explode(col("__t")).as("token"))

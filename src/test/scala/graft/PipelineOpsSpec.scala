@@ -289,6 +289,14 @@ class PipelineOpsSpec extends SparkSpec {
       .as[(Int, String, String, Long, Long, Long, Long)].collect()
     adj.map(r => (r._2, r._3, r._4)) shouldBe
       Array(("a", "b", 2L), ("b", "c", 2L))
+    // the sequence variant is the same miner: feeding the tokenized
+    // docs as arrays reproduces the text result exactly
+    val seqs = Seq(Seq("a", "b", "c", "a", "b"), Seq("b", "c"))
+      .toDF("seq")
+    val viaSeq = Cooccurrence.topPairsFromSequences(seqs, $"seq",
+      window = 2, minCount = 2, k = 10)
+      .as[(Int, String, String, Long, Long, Long, Long)].collect()
+    viaSeq shouldBe out
   }
 
   test("sampleFixedK: exact size, nested prefixes, md5-determined") {

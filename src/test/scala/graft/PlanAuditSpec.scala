@@ -51,6 +51,7 @@ class PlanAuditSpec extends SparkSpec {
     "vocab_top_tokens",
     // same single-row token-total broadcast as vocab_top_tokens
     "text_cooccurrence_lift",
+    "events_covisitation_lift",
     "vocab_subsample_tokens")
 
   /** Expand is legitimate for small grouping-set factors (rollup = d+1
