@@ -1385,6 +1385,40 @@ object SparkEntry {
           aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
             .as("n_weight1"))
     },
+    // TRUNCATION-LOSS report: if docs were clipped at the context
+    // length instead of packed, how many tokens per source would be
+    // lost? The one-scan audit that justifies (or skips) a packing
+    // pass per corpus slice. Integer tokens, ppm by integer DIV.
+    "pack_truncation_loss" -> { (s, dir) =>
+      val L = 128
+      val n = size(TextAnalysis.tokens(col("text"))).cast("long")
+      Tables(s, dir, "documents")
+        .select(col("source"), n.as("__n"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("__n") > L, 1L).otherwise(0L)).as("docs_over"),
+          sum(col("__n")).as("tokens_total"),
+          sum(greatest(col("__n") - L, lit(0L))).as("tokens_lost"))
+        .withColumn("lost_ppm",
+          expr("(tokens_lost * 1000000) DIV tokens_total"))
+    },
+    // Embedding-vector QUALITY audit per label: zero vectors and the
+    // norm range — the pre-training check that catches broken encoder
+    // output before it poisons a run. Norms land as round-6 integers
+    // (e6), min/max/decimal-sum exact in any engine.
+    "embedding_norm_audit" -> { (s, dir) =>
+      val nrm = round(Vectors.norm(col("embedding")), 6)
+      Tables(s, dir, "embeddings")
+        .select(col("label"),
+          (nrm * 1000000).cast("long").as("__n6"))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"),
+          sum(when(col("__n6") === 0L, 1L).otherwise(0L))
+            .as("n_zero"),
+          min(col("__n6")).as("min_norm_e6"),
+          max(col("__n6")).as("max_norm_e6"),
+          sum(col("__n6")).as("sum_norm_e6"))
+    },
     // Attention-reset descriptors for the packed LM blocks: per block,
     // the in-block offsets where a new document begins — what a
     // trainer turns into block-diagonal masks so packed neighbors
@@ -4442,6 +4476,33 @@ object SparkEntry {
     // digests, non-padding target count; partial tail blocks drop
     "train_blocks_roundtrip" -> TrainBlocksOracle,
     "train_blocks_documents" -> TrainBlocksOracle,
+    "pack_truncation_loss" -> {
+      val tok = TextAnalysis.Sql.tokens("text")
+      s"""WITH n AS (
+         |  SELECT source, CAST(len($tok) AS BIGINT) AS n
+         |  FROM documents)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN n > 128 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS docs_over,
+         |  CAST(sum(n) AS BIGINT) AS tokens_total,
+         |  CAST(sum(greatest(n - 128, 0)) AS BIGINT) AS tokens_lost,
+         |  (CAST(sum(greatest(n - 128, 0)) AS BIGINT) * 1000000)
+         |    // CAST(sum(n) AS BIGINT) AS lost_ppm
+         |FROM n GROUP BY source""".stripMargin
+    },
+    "embedding_norm_audit" ->
+      """WITH v AS (
+        |  SELECT label,
+        |    CAST(round(sqrt(list_sum([CAST(x AS DOUBLE) * x
+        |      FOR x IN embedding])), 6) * 1000000 AS BIGINT) AS n6
+        |  FROM embeddings)
+        |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(min(n6) AS BIGINT) AS min_norm_e6,
+        |  CAST(max(n6) AS BIGINT) AS max_norm_e6,
+        |  CAST(sum(n6) AS BIGINT) AS sum_norm_e6
+        |FROM v GROUP BY label""".stripMargin,
     // same stream arithmetic; doc seams = min global position per doc,
     // block/offset by the same DIV/% against the 129-wide block
     "train_blocks_boundaries" ->

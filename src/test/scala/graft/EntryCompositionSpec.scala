@@ -21,6 +21,31 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("truncation loss and norm audit: internal consistency on sf0.001") {
+    val tl = SparkEntry.queries("pack_truncation_loss")(spark, sf0001)
+      .collect()
+    tl.length should be > 1
+    tl.foreach { r =>
+      val (nDocs, over, total, lost, ppm) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5))
+      over should be <= nDocs
+      lost should be <= total
+      ppm shouldBe lost * 1000000L / total
+      // a doc can lose at most all-but-128 of its tokens
+      if (over == 0) lost shouldBe 0L
+    }
+    val na = SparkEntry.queries("embedding_norm_audit")(spark, sf0001)
+      .collect()
+    na.length should be > 1
+    na.foreach { r =>
+      r.getLong(2) shouldBe 0L // no zero vectors in the testdata
+      r.getLong(3) should be > 0L // min norm positive
+      r.getLong(3) should be <= r.getLong(4)
+      r.getLong(5) should be >= r.getLong(4) // sum >= max
+    }
+  }
+
   test("percentile normalize: per-source ppm spans [0, 1e6], monotone in q") {
     val got = SparkEntry.queries("quality_percentile_normalize")(
       spark, sf0001)
