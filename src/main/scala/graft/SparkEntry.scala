@@ -571,6 +571,25 @@ object SparkEntry {
           Tables(s, dir, "orders"), col("o_custkey"),
           Tables(s, dir, "events"), col("user_id")))
     },
+    // PARTITION-SIZING advisor: exact row/byte totals folded into the
+    // submit-time config — shuffle partition count at the 128 MiB
+    // target, broadcastability at the 10 MB default, mean row width.
+    // Byte measures: octet_length of the wide columns + fixed width
+    // for numerics — deterministic, so the advice itself is gated.
+    "profile_partition_advisor" -> { (s, dir) =>
+      val p = graft.functions.Profiler
+      p.partitionAdvice("documents", Tables(s, dir, "documents"),
+          octet_length(col("text")) + octet_length(col("lang")) +
+            octet_length(col("source")) + lit(16))
+        .union(p.partitionAdvice("lineitem", Tables(s, dir, "lineitem"),
+          lit(88)))
+        .union(p.partitionAdvice("events", Tables(s, dir, "events"),
+          octet_length(col("props")) + octet_length(col("event_type"))
+            + lit(32)))
+        .union(p.partitionAdvice("embeddings",
+          Tables(s, dir, "embeddings"),
+          size(col("embedding")) * 4 + lit(12)))
+    },
     // Corpus-self-trained bigram LM novelty (the log-free stand-in for
     // CCNet's KenLM perplexity filter): per-doc scaled sum of inverse
     // conditional probabilities — exact-integer ratios, DECIMAL
@@ -4476,6 +4495,32 @@ object SparkEntry {
     // digests, non-padding target count; partial tail blocks drop
     "train_blocks_roundtrip" -> TrainBlocksOracle,
     "train_blocks_documents" -> TrainBlocksOracle,
+    "profile_partition_advisor" ->
+      """WITH u AS (
+        |  SELECT 'documents' AS table_name,
+        |    CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(strlen(text) + strlen(lang)
+        |      + strlen(source) + 16) AS BIGINT) AS total_bytes
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'lineitem', CAST(count(*) AS BIGINT),
+        |    CAST(sum(88) AS BIGINT)
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'events', CAST(count(*) AS BIGINT),
+        |    CAST(sum(strlen(props) + strlen(event_type)
+        |      + 32) AS BIGINT)
+        |  FROM events
+        |  UNION ALL
+        |  SELECT 'embeddings', CAST(count(*) AS BIGINT),
+        |    CAST(sum(len(embedding) * 4 + 12) AS BIGINT)
+        |  FROM embeddings)
+        |SELECT table_name, n_rows, total_bytes,
+        |  total_bytes // greatest(n_rows, 1) AS avg_row_bytes,
+        |  greatest((total_bytes + 134217727) // 134217728, 1)
+        |    AS shuffle_partitions,
+        |  total_bytes <= 10485760 AS broadcastable
+        |FROM u""".stripMargin,
     "pack_truncation_loss" -> {
       val tok = TextAnalysis.Sql.tokens("text")
       s"""WITH n AS (

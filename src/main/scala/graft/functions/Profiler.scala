@@ -394,4 +394,27 @@ object Profiler {
             (col("n_left") + col("n_right")) * 10L, "pre_aggregate")
           .otherwise("sort_merge").as("advice"))
   }
+
+  /** PARTITION-SIZING advisor: from exact row/byte totals, the config
+    * a job submitter consults before launching — shuffle partition
+    * count (ceil bytes / 128 MiB target), whether the table fits a
+    * broadcast (<= 10 MB, Spark's autoBroadcastJoinThreshold default),
+    * and mean row width. `bytes` is the caller's per-row payload
+    * measure (octet_length of the wide columns + fixed width for the
+    * rest). One aggregation per table; every output an exact integer,
+    * so the advice itself is gate-checkable. */
+  def partitionAdvice(name: String, df: DataFrame,
+                      bytes: Column): DataFrame = {
+    val target = 134217728L // 128 MiB
+    val bcast = 10485760L // 10 MB
+    df.agg(count(lit(1)).as("n_rows"),
+        sum(bytes.cast("long")).as("total_bytes"))
+      .select(lit(name).as("table_name"),
+        col("n_rows"), col("total_bytes"),
+        expr("total_bytes DIV greatest(n_rows, 1)").as("avg_row_bytes"),
+        greatest(
+          expr(s"(total_bytes + ${target - 1}) DIV $target"), lit(1L))
+          .as("shuffle_partitions"),
+        (col("total_bytes") <= bcast).as("broadcastable"))
+  }
 }

@@ -106,4 +106,21 @@ class ProfilerShapeSpec extends SparkSpec {
       est.toDouble should be <= exact * 2.5
     }
   }
+
+  test("partitionAdvice: goldens at known sizes; edges at the thresholds") {
+    val p = graft.functions.Profiler
+    def one(bytes: Long) =
+      p.partitionAdvice("t", Seq(1).toDF("x"), lit(bytes))
+        .as[(String, Long, Long, Long, Long, Boolean)].head()
+    // 3 rows x 100 bytes: 1 partition, broadcastable, width 100
+    p.partitionAdvice("t", Seq(1, 2, 3).toDF("x"), lit(100L))
+      .as[(String, Long, Long, Long, Long, Boolean)]
+      .head() shouldBe (("t", 3L, 300L, 100L, 1L, true))
+    // exactly 10 MB still broadcasts; one byte more does not
+    one(10485760L)._6 shouldBe true
+    one(10485761L)._6 shouldBe false
+    // exactly 128 MiB needs 1 partition; one byte more needs 2
+    one(134217728L)._5 shouldBe 1L
+    one(134217729L)._5 shouldBe 2L
+  }
 }
