@@ -1518,6 +1518,37 @@ object SparkEntry {
           expr("(__rk * 1000000) DIV greatest(__n - 1, 1)")
             .as("pct_ppm"))
     },
+    // LABEL-NOISE screen (confident-learning lite): for a bounded
+    // probe slice, does the 5-NN majority label agree with the
+    // assigned one? Per-label disagreement ppm flags classes whose
+    // annotations don't match their embedding neighborhoods. Probes
+    // broadcast against the corpus; the vote is two bounded struct-max
+    // aggs — never a per-query sort of the corpus.
+    "embedding_label_noise" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val lbl = emb.select(col("vec_id"), col("label"))
+      val nn = Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 100), emb, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+      val voted = nn
+        .join(lbl.withColumnRenamed("vec_id", "neighbor_id")
+          .withColumnRenamed("label", "nlabel"), "neighbor_id")
+        .groupBy(col("query_id"), col("nlabel"))
+        .agg(count(lit(1)).as("c"))
+        // majority with deterministic ties: (count desc, label asc)
+        .groupBy(col("query_id"))
+        .agg(max(struct(col("c"), (-col("nlabel")).as("nl"))).as("w"))
+        .select(col("query_id"),
+          (-col("w.nl")).cast("int").as("pred_label"))
+      voted
+        .join(lbl.withColumnRenamed("vec_id", "query_id"), "query_id")
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_checked"),
+          sum(when(col("pred_label") =!= col("label"), 1L)
+            .otherwise(0L)).as("n_disagree"))
+        .withColumn("disagree_ppm",
+          expr("(n_disagree * 1000000) DIV n_checked"))
+    },
     // Class-imbalance audit of a labeled embedding corpus: per-label
     // share plus the EFFECTIVE label count (inverse Simpson index,
     // N^2/sum(n_i^2)) — the one number that says "50 labels but
@@ -5410,6 +5441,42 @@ object SparkEntry {
          |  SELECT *, row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // 5-NN vote replay: same brute ranking, majority by
+    // (count desc, label asc), per-label integer ppm
+    "embedding_label_noise" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_sum([q.e[i] * c.e[i]
+         |      FOR i IN range(1, len(q.e) + 1)]), 6) AS score
+         |  FROM v q JOIN v c ON q.vec_id < 100 AND q.vec_id <> c.vec_id),
+         |nn AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY score DESC, neighbor_id) AS rank FROM scored)
+         |  WHERE rank <= 5),
+         |votes AS (
+         |  SELECT n.query_id, e.label AS nlabel, count(*) AS c
+         |  FROM nn n JOIN embeddings e ON e.vec_id = n.neighbor_id
+         |  GROUP BY 1, 2),
+         |pred AS (
+         |  SELECT query_id, nlabel AS pred_label FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id
+         |      ORDER BY c DESC, nlabel ASC) AS rk FROM votes)
+         |  WHERE rk = 1),
+         |j AS (
+         |  SELECT e.label, p.pred_label
+         |  FROM pred p JOIN embeddings e ON e.vec_id = p.query_id)
+         |SELECT label, CAST(count(*) AS BIGINT) AS n_checked,
+         |  CAST(sum(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_disagree,
+         |  (CAST(sum(CASE WHEN pred_label <> label THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS disagree_ppm
+         |FROM j GROUP BY label""".stripMargin,
     // triplet replay: brute top-1 positive per anchor; negatives by
     // u32(md5('anchor:cand')) ascending with anchor/positive excluded,
     // re-ranked dense 1..3

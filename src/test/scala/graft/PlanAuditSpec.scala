@@ -35,6 +35,7 @@ class PlanAuditSpec extends SparkSpec {
     "similarity_topk_embeddings",
     "similarity_ann_embeddings",
     "eval_mrr_retrieval", // composes similarity_ann (Hamming broadcast probe)
+    "embedding_label_noise", // bounded 100-probe broadcast vs corpus
     "similarity_matryoshka_recall", // bounded 16-query broadcast per dim
     "search_hybrid_rrf", // dense leg = single-query broadcast topk
     "train_triplets_embeddings", // bounded anchor roster broadcast

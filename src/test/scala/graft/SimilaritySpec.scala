@@ -158,6 +158,36 @@ class SimilaritySpec extends SparkSpec {
     mp2.subsetOf(exact) shouldBe true
   }
 
+  test("label noise: vote replayed driver-side; checked set partitions probes") {
+    val got = SparkEntry.queries("embedding_label_noise")(spark, sf001)
+      .as[(Int, Long, Long, Long)].collect()
+    // every probe lands in exactly one label row
+    got.map(_._2).sum shouldBe 100L
+    got.foreach { case (_, n, dis, ppm) =>
+      dis should be <= n
+      ppm shouldBe dis * 1000000L / n
+    }
+    // full driver replay: 5-NN majority (count desc, label asc) for
+    // every probe, rolled up per label — must equal the query exactly
+    val emb = Tables(spark, sf001, "embeddings")
+    val nn = Similarity.bruteForceTopK(
+      emb.filter($"vec_id" < 100), emb, 5,
+      $"vec_id", $"embedding", $"vec_id", $"embedding")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect()
+    val lbl = emb.select($"vec_id", $"label")
+      .as[(Long, Int)].collect().toMap
+    val pred = nn.groupBy(_._1).view.mapValues { ns =>
+      ns.map(n => lbl(n._2)).groupBy(identity).view.mapValues(_.size)
+        .toSeq.sortBy(t => (-t._2, t._1)).head._1
+    }.toMap
+    val expect = pred.toSeq.groupBy { case (q, _) => lbl(q) }
+      .map { case (l, qs) =>
+        l -> (qs.size.toLong,
+          qs.count { case (q, p) => p != lbl(q) }.toLong)
+      }
+    got.map(r => r._1 -> ((r._2, r._3))).toMap shouldBe expect
+  }
+
   test("anchored IVF: hit scores equal brute force; full result set") {
     val emb = Tables(spark, sf0001, "embeddings")
     val queries = emb.filter($"vec_id" < 10)
