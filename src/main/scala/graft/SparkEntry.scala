@@ -2419,6 +2419,33 @@ object SparkEntry {
     "graph_triangles_events" -> { (s, dir) =>
       Triangles.overEventTransitions(Tables(s, dir, "events"))
     },
+    // LAST-TOUCH revenue attribution: each purchase credits the user's
+    // most recent prior non-purchase event within 1 hour (else
+    // 'unattributed') — the channel-performance rollup marketing runs
+    // daily. The touch lookup is the as-of join (tag+union+one running
+    // window — never a range join); concurrent touches at one
+    // microsecond resolve deterministically to the highest event_id.
+    "events_attribution_lasttouch" -> { (s, dir) =>
+      val ev = Tables(s, dir, "events").select(col("event_id"),
+        col("user_id"), col("event_type"),
+        expr("ts DIV 1000").as("t_us"), col("value"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("t_us"), col("value"))
+      val touches = ev.filter(col("event_type") =!= "purchase")
+        .groupBy(col("user_id"), col("t_us"))
+        .agg(max(struct(col("event_id"), col("event_type"))).as("w"))
+        .select(col("user_id"), col("t_us"),
+          col("w.event_type").as("channel"))
+      Relational.asofJoin(purchases, touches, Seq("user_id"), "t_us")
+        .select(col("value"),
+          when(col("asof.t_us").isNotNull &&
+            col("asof.t_us") >= col("t_us") - 3600000000L,
+            col("asof.channel")).otherwise("unattributed")
+            .as("channel"))
+        .groupBy(col("channel"))
+        .agg(count(lit(1)).as("n_purchases"),
+          Relational.exactValueSumE4.as("attributed_value_e4"))
+    },
     // DeepWalk-style training corpus: one deterministic 4-hop random
     // walk per node of the item-transition graph — walk sequences are
     // the "sentences" a graph skip-gram trains on. Randomness is an
@@ -5954,6 +5981,33 @@ object SparkEntry {
         |  coalesce(c.click_value_e4, -1) AS click_value_e4
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.t_us >= c.t_us""".stripMargin,
+    // last-touch replay: same deterministic per-instant touch pick
+    // (highest event_id), DuckDB ASOF, same 1-hour window rule
+    "events_attribution_lasttouch" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t_us, value
+        |  FROM events),
+        |p AS (SELECT user_id, t_us, value FROM ev
+        |      WHERE event_type = 'purchase'),
+        |t AS (
+        |  SELECT user_id, t_us, event_type AS channel FROM (
+        |    SELECT user_id, t_us, event_type,
+        |      row_number() OVER (PARTITION BY user_id, t_us
+        |        ORDER BY event_id DESC) AS rk
+        |    FROM ev WHERE event_type <> 'purchase')
+        |  WHERE rk = 1),
+        |a AS (
+        |  SELECT p.value,
+        |    CASE WHEN t.t_us IS NOT NULL
+        |        AND t.t_us >= p.t_us - 3600000000
+        |      THEN t.channel ELSE 'unattributed' END AS channel
+        |  FROM p ASOF LEFT JOIN t
+        |    ON p.user_id = t.user_id AND p.t_us >= t.t_us)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_purchases,
+        |  CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+        |    AS BIGINT) AS attributed_value_e4
+        |FROM a GROUP BY channel""".stripMargin,
     "events_range_join_batch" ->
       """WITH p AS (
         |  SELECT event_id AS p_id, epoch_ns(ts) AS p_ts FROM events

@@ -21,6 +21,23 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("last-touch attribution: purchases partition across channels") {
+    // named imports: functions.not would shadow the matcher word
+    import org.apache.spark.sql.functions.{col, round, sum}
+    val got = SparkEntry.queries("events_attribution_lasttouch")(
+      spark, sf0001).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val ev = Tables(spark, sf0001, "events")
+    val nPurch = ev.filter(col("event_type") === "purchase").count()
+    got.values.map(_._1).sum shouldBe nPurch // every purchase lands once
+    got.keySet should not contain "purchase" // never self-attributes
+    // total attributed value equals the exact purchase-value sum
+    val totalE4 = ev.filter(col("event_type") === "purchase")
+      .agg(sum(round(col("value"), 4).cast("decimal(18,4)") * 10000)
+        .cast("long")).head().getLong(0)
+    got.values.map(_._2).sum shouldBe totalE4
+  }
+
   test("truncation loss and norm audit: internal consistency on sf0.001") {
     val tl = SparkEntry.queries("pack_truncation_loss")(spark, sf0001)
       .collect()
