@@ -1426,10 +1426,14 @@ object SparkEntry {
     // output before it poisons a run. Norms land as round-6 integers
     // (e6), min/max/decimal-sum exact in any engine.
     "embedding_norm_audit" -> { (s, dir) =>
+      // decimal hop: round-6 double -> DECIMAL(18,6) -> *1e6 integer —
+      // a direct double*1e6 long cast truncates in Spark but ROUNDS in
+      // DuckDB at ulp boundaries (the repo's exactValueSumE4 lesson)
       val nrm = round(Vectors.norm(col("embedding")), 6)
       Tables(s, dir, "embeddings")
         .select(col("label"),
-          (nrm * 1000000).cast("long").as("__n6"))
+          (nrm.cast("decimal(18,6)") * 1000000).cast("long")
+            .as("__n6"))
         .groupBy(col("label"))
         .agg(count(lit(1)).as("n_vecs"),
           sum(when(col("__n6") === 0L, 1L).otherwise(0L))
@@ -1694,6 +1698,74 @@ object SparkEntry {
       graft.functions.Urls.domainRollup(
         Tables(s, dir, "documents"), did, aug,
         blocklist = Seq("site1.com", "site7.net", "mirror3.net"))
+    },
+    // READABILITY scoring (Flesch-Kincaid grade): exact integer word/
+    // sentence/syllable-group counts (vowel-run heuristic, RE2-dialect
+    // regex), then the FK formula evaluated ENTIRELY in scaled integer
+    // DIV terms — a float formula rounded to 3 hit a genuine .xxx5 tie
+    // on this corpus (Spark decimal-rounds the rendering, DuckDB the
+    // binary double; the exactValueSumE4 hazard realized). The
+    // grade-level quality signal CCNet-style pipelines bucket on.
+    "text_readability_documents" -> { (s, dir) =>
+      val words = TextAnalysis.tokenCount(col("text"))
+      val sents = greatest(
+        regexp_count(col("text"), lit("[.!?]+")).cast("long"), lit(1L))
+      val syl = greatest(
+        regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"),
+        lit(1L))
+      // blank-doc guard as a CHEAP pushable predicate (trim <> ''
+      // implies n_words >= 1): filtering on n_words itself would push
+      // the tokenize battery into the scan (the audit-gated
+      // duplication hazard)
+      Tables(s, dir, "documents")
+        .filter(trim(col("text")) =!= "")
+        .select(col("doc_id"),
+          words.as("n_words"), sents.as("n_sentences"),
+          syl.as("n_syllable_groups"))
+        .withColumn("fk_grade_e3",
+          expr("(390 * n_words) DIV n_sentences" +
+            " + (11800 * n_syllable_groups) DIV n_words - 15590"))
+    },
+    // CODE-vs-PROSE detection signals: brace/semicolon/indent density
+    // per 10k chars — the router that keeps code out of a prose corpus
+    // (or routes it to a code corpus). Pure integer counts + ppm DIV.
+    "text_code_signals" -> { (s, dir) =>
+      val chars = octet_length(col("text")).cast("long")
+      Tables(s, dir, "documents").select(col("doc_id"),
+        chars.as("n_chars"),
+        regexp_count(col("text"), lit("[{}\\[\\]();]")).cast("long")
+          .as("n_punct_code"),
+        regexp_count(col("text"), lit("(^|\\n)(    |\\t)"))
+          .cast("long").as("n_indent_lines"))
+        .filter(col("n_chars") > 0)
+        .withColumn("code_score_ppm",
+          expr("((n_punct_code + n_indent_lines) * 1000000)" +
+            " DIV n_chars"))
+    },
+    // CANARY scan (eval-integrity): search the corpus for planted
+    // canary strings (the GUID-like markers eval sets embed to detect
+    // training contamination). Canaries broadcast as literals; the
+    // scan is one contains() pass. Planted here in-query (doc_id%97
+    // buckets) so hits are deterministic and the oracle replays them.
+    "decontaminate_canaries" -> { (s, dir) =>
+      val canaries = Seq("c4n4ry-alpha-7f3e", "c4n4ry-beta-00d1",
+        "c4n4ry-gamma-9a2b")
+      val aug = concat(col("text"),
+        when(col("doc_id") % 97 === 1, lit(" c4n4ry-alpha-7f3e"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 89 === 2, lit(" c4n4ry-beta-00d1"))
+          .otherwise(lit("")))
+      // ONE corpus scan: all canary sums in a single aggregation,
+      // unpivoted with stack — a per-canary union would rescan per row
+      val hits = canaries.zipWithIndex.map { case (c, i) =>
+        sum(when(aug.contains(c), 1L).otherwise(0L)).as(s"h$i")
+      }
+      val cells = canaries.zipWithIndex
+        .map { case (c, i) => s"'${c}', h$i" }.mkString(", ")
+      Tables(s, dir, "documents")
+        .agg(hits.head, hits.tail: _*)
+        .select(expr(s"stack(${canaries.length}, $cells)" +
+          " as (canary, n_docs_hit)"))
     },
     // PII GOVERNANCE rollup: per-source, per-snapshot-version redaction
     // audit with drift in basis points — the report that catches an
@@ -4596,8 +4668,9 @@ object SparkEntry {
     "embedding_norm_audit" ->
       """WITH v AS (
         |  SELECT label,
-        |    CAST(round(sqrt(list_sum([CAST(x AS DOUBLE) * x
-        |      FOR x IN embedding])), 6) * 1000000 AS BIGINT) AS n6
+        |    CAST(CAST(round(sqrt(list_sum([CAST(x AS DOUBLE) * x
+        |      FOR x IN embedding])), 6) AS DECIMAL(18,6)) * 1000000
+        |      AS BIGINT) AS n6
         |  FROM embeddings)
         |SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
         |  CAST(sum(CASE WHEN n6 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -4980,6 +5053,57 @@ object SparkEntry {
          |    '$ip', '<IP>', 'g')) AS redacted_digest
          |FROM aug""".stripMargin
     },
+    // same exact integer counts, same all-integer formula
+    "text_readability_documents" -> {
+      val tok = TextAnalysis.Sql.tokens("text")
+      s"""WITH b AS (
+         |  SELECT doc_id,
+         |    CAST(len($tok) AS BIGINT) AS n_words,
+         |    greatest(CAST(len(regexp_extract_all(text, '[.!?]+'))
+         |      AS BIGINT), 1) AS n_sentences,
+         |    greatest(CAST(len(regexp_extract_all(lower(text),
+         |      '[aeiouy]+')) AS BIGINT), 1) AS n_syllable_groups
+         |  FROM documents WHERE trim(text) <> '')
+         |SELECT doc_id, n_words, n_sentences, n_syllable_groups,
+         |  (390 * n_words) // n_sentences
+         |    + (11800 * n_syllable_groups) // n_words - 15590
+         |    AS fk_grade_e3
+         |FROM b""".stripMargin
+    },
+    "text_code_signals" ->
+      """SELECT doc_id,
+        |  CAST(strlen(text) AS BIGINT) AS n_chars,
+        |  CAST(len(regexp_extract_all(text, '[{}\[\]();]'))
+        |    AS BIGINT) AS n_punct_code,
+        |  CAST(len(regexp_extract_all(text, '(^|\n)(    |\t)'))
+        |    AS BIGINT) AS n_indent_lines,
+        |  ((CAST(len(regexp_extract_all(text, '[{}\[\]();]'))
+        |      AS BIGINT)
+        |    + CAST(len(regexp_extract_all(text, '(^|\n)(    |\t)'))
+        |      AS BIGINT)) * 1000000) // CAST(strlen(text) AS BIGINT)
+        |    AS code_score_ppm
+        |FROM documents WHERE strlen(text) > 0""".stripMargin,
+    "decontaminate_canaries" ->
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text
+        |    || CASE WHEN doc_id % 97 = 1
+        |         THEN ' c4n4ry-alpha-7f3e' ELSE '' END
+        |    || CASE WHEN doc_id % 89 = 2
+        |         THEN ' c4n4ry-beta-00d1' ELSE '' END AS a
+        |  FROM documents),
+        |h AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN strpos(a, 'c4n4ry-alpha-7f3e') > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h0,
+        |    CAST(sum(CASE WHEN strpos(a, 'c4n4ry-beta-00d1') > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h1,
+        |    CAST(sum(CASE WHEN strpos(a, 'c4n4ry-gamma-9a2b') > 0
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS h2
+        |  FROM aug)
+        |SELECT 'c4n4ry-alpha-7f3e' AS canary, h0 AS n_docs_hit FROM h
+        |UNION ALL SELECT 'c4n4ry-beta-00d1', h1 FROM h
+        |UNION ALL SELECT 'c4n4ry-gamma-9a2b', h2 FROM h""".stripMargin,
     // replay the planted URLs, extract with the same RE2-dialect
     // pattern, roll up per domain
     "web_domain_rollup" ->

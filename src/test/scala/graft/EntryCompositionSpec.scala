@@ -21,6 +21,33 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("readability, code signals, canaries: formulas and planted hits") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables(spark, sf0001, "documents")
+    val rd = SparkEntry.queries("text_readability_documents")(
+      spark, sf0001).collect()
+    rd.length should be > 0
+    rd.foreach { r =>
+      val (w, s2, syl, fk) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      w should be > 0L
+      fk shouldBe 390 * w / s2 + 11800 * syl / w - 15590
+    }
+    val cs = SparkEntry.queries("text_code_signals")(spark, sf0001)
+      .collect()
+    cs.foreach { r =>
+      r.getLong(4) shouldBe
+        (r.getLong(2) + r.getLong(3)) * 1000000L / r.getLong(1)
+    }
+    val can = SparkEntry.queries("decontaminate_canaries")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    can("c4n4ry-alpha-7f3e") shouldBe
+      docs.filter(col("doc_id") % 97 === 1).count()
+    can("c4n4ry-beta-00d1") shouldBe
+      docs.filter(col("doc_id") % 89 === 2).count()
+    can("c4n4ry-gamma-9a2b") shouldBe 0L // never planted, never found
+  }
+
   test("last-touch attribution: purchases partition across channels") {
     // named imports: functions.not would shadow the matcher word
     import org.apache.spark.sql.functions.{col, round, sum}
