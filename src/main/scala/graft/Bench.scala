@@ -38,7 +38,7 @@ object Bench {
       // and silently under-reporting the query (the catch below ate it).
       try {
         val df = fn(spark, sfDir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+        df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
           .collect()
       } catch {
         case t: Throwable =>

@@ -120,7 +120,7 @@ object CountMin {
       .withColumn("cell", cellOf(col("d"), col("__term"), width))
     val keep = candidates.columns
     cand.join(broadcast(sketch), Seq("d", "cell"), "left")
-      .groupBy(keep.map(col): _*)
+      .groupBy(keep.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_count"))
   }
 }

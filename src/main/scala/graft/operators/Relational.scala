@@ -375,7 +375,7 @@ object Relational {
     val (rightTag, leftTag) = if (strict) (1, 0) else (0, 1)
     val l = left.select(
       keys.map(col) ++ Seq(col(time).as("__t"), lit(leftTag).as("__side"),
-        struct(left.columns.map(col): _*).as("__l"),
+        struct(left.columns.toIndexedSeq.map(col): _*).as("__l"),
         lit(null).cast(org.apache.spark.sql.types.StructType(
           payloadCols.map(c => org.apache.spark.sql.types.StructField(
             c, right.schema(c).dataType)))).as("__r")): _*)

@@ -42,7 +42,7 @@ object BenchIsolated {
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         val df = SparkEntry.queries(name)(spark, dir)
-        df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+        df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
           .collect()
         (System.nanoTime() - t0) / 1e9
       }

@@ -35,14 +35,14 @@ object IvfProfile {
         nCells = 16, nProbe = 4, seed = 42L)
     }
     time("full ivfTopK action") {
-      full.agg(sum(xxhash64(full.columns.map(col): _*).cast("decimal(38,0)")))
+      full.agg(sum(xxhash64(full.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
         .collect()
     }
     time("2nd run action") {
       val df = Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, 10,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4, seed = 42L)
-      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+      df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
         .collect()
     }
     // job-level attribution of the real composed query
@@ -71,7 +71,7 @@ object IvfProfile {
       val df = Similarity.ivfTopK(emb.filter(col("vec_id") < 50), emb, 10,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4, seed = 42L)
-      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+      df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
         .collect()
     }
     spark.sparkContext.removeSparkListener(listener)
@@ -133,7 +133,7 @@ object IvfProfile {
     val out2 = TopK.perQuery(scored2, 10)
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("score"))
     time("composed inline ivf digest") {
-      out2.agg(sum(xxhash64(out2.columns.map(col): _*).cast("decimal(38,0)")))
+      out2.agg(sum(xxhash64(out2.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
         .collect()
     }
     spark.stop()

@@ -19,7 +19,7 @@ object QProfile {
     (1 to reps).foreach { r =>
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
-      df.agg(sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+      df.agg(sum(xxhash64(df.columns.toIndexedSeq.map(col): _*).cast("decimal(38,0)")))
         .collect()
       println(f"[qprofile] $name rep$r ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
