@@ -1935,6 +1935,32 @@ object SparkEntry {
       Similarity.ivfQuery(idx, emb.filter(col("vec_id") < 10), k = 5,
         col("vec_id"), col("embedding"))
     },
+    // INCREMENTAL IVF maintenance: the daily delta assigns against the
+    // BASE-fitted centroids — base never rescanned, quantizer never
+    // refit (a refit re-homes every base vector and invalidates the
+    // persisted cell partitions). Per cell: base/delta counts + an
+    // order-free delta membership digest, all engine-exact.
+    "similarity_ivf_incremental" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 4000)
+      val delta = emb.filter(col("vec_id") >= 4000)
+      val idx = Similarity.ivfIndexAnchored(base, col("vec_id"),
+        col("embedding"), nCells = 16, nProbe = 4)
+      val b = idx.assigned.groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_base"))
+      val d = Similarity.ivfAssignDelta(idx, delta, col("vec_id"),
+          col("embedding"))
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_delta"),
+          sum(graft.functions.Kmv.u32(col("neighbor_id")))
+            .as("delta_member_sum"))
+      b.join(d, Seq("cell"), "full_outer")
+        .select(col("cell"),
+          coalesce(col("n_base"), lit(0L)).as("n_base"),
+          coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+          coalesce(col("delta_member_sum"), lit(0L))
+            .as("delta_member_sum"))
+    },
     // IVF with a FITTED-and-still-exact quantizer: 2 Lloyd rounds over
     // integer-quantized lanes of the first-128 train slice (floor-mean
     // centroids, BIGINT distances, ties to the lower cell) — k-means
@@ -5459,6 +5485,37 @@ object SparkEntry {
          |  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
          |    ORDER BY score DESC, neighbor_id) AS INT) AS rank FROM scored)
          |WHERE rank <= 5""".stripMargin,
+    // incremental replay: centroids from the BASE slice only; both
+    // sides assigned by the same raw-dot argmax, ties to lower cell
+    "similarity_ivf_incremental" ->
+      s"""WITH v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |  FROM (SELECT vec_id, e FROM v WHERE vec_id < 4000
+         |        ORDER BY vec_id LIMIT 16)),
+         |cellrank AS (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE) * c.e[i]
+         |        FOR i IN range(1, len(c.e) + 1)]) DESC, c.cell) AS rnk
+         |  FROM embeddings q CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |b AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_base
+         |  FROM assigned WHERE vec_id < 4000 GROUP BY 1),
+         |d AS (
+         |  SELECT cell, CAST(count(*) AS BIGINT) AS n_delta,
+         |    CAST(sum(('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+         |      1, 8))::BIGINT) AS BIGINT) AS delta_member_sum
+         |  FROM assigned WHERE vec_id >= 4000 GROUP BY 1)
+         |SELECT coalesce(b.cell, d.cell) AS cell,
+         |  coalesce(n_base, 0) AS n_base,
+         |  coalesce(n_delta, 0) AS n_delta,
+         |  coalesce(delta_member_sum, 0) AS delta_member_sum
+         |FROM b FULL OUTER JOIN d ON b.cell = d.cell""".stripMargin,
     // fitted-quantizer replay: quantize lanes to BIGINT (floor * 2^20),
     // unroll the 2 Lloyd rounds over the first-128 train slice in
     // integer CTEs (argmin ties to the lower cell; floor-mean lanes),

@@ -909,6 +909,17 @@ object Similarity {
     IvfIndex(assignCells(corpus, cId, cVec, cents), cents, nProbe)
   }
 
+  /** INCREMENTAL index maintenance: assign ONLY delta rows against an
+    * existing index's centroids — the daily-ingest path where the
+    * 100 TB base is never rescanned and the coarse quantizer never
+    * refits, so cell semantics stay stable across index versions (a
+    * refit would silently re-home every base vector and invalidate
+    * the persisted partitions). Output shape == `index.assigned`;
+    * union or append-to-partition as the maintenance job prefers. */
+  def ivfAssignDelta(index: IvfIndex, delta: DataFrame, cId: Column,
+                     cVec: Column): DataFrame =
+    assignCells(delta, cId, cVec, index.centroids)
+
   /** Persist a built [[IvfIndex]]: `assigned` partitioned BY CELL — the
     * probe key becomes a partition directory, so a query batch touches
     * only its nProbe cells' FILES — plus the nCells-row centroid table.

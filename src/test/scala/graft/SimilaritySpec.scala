@@ -309,6 +309,26 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfAssignDelta: same centroids => delta assignment == full restricted") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val base = emb.filter($"vec_id" < 300)
+    val delta = emb.filter($"vec_id" >= 300)
+    val idx = Similarity.ivfIndexAnchored(base, $"vec_id", $"embedding",
+      nCells = 8, nProbe = 2)
+    def cells(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.select($"neighbor_id", $"cell".cast("long"))
+        .as[(Long, Long)].collect().toMap
+    val viaDelta = cells(
+      Similarity.ivfAssignDelta(idx, delta, $"vec_id", $"embedding"))
+    val fullSameCentroids = cells(
+      Similarity.ivfAssignDelta(idx, emb, $"vec_id", $"embedding"))
+    viaDelta shouldBe fullSameCentroids.filter(_._1 >= 300)
+    // the base index's own assignment is also stable under the delta
+    // (the whole point: no re-homing on ingest)
+    cells(idx.assigned) shouldBe fullSameCentroids.filter(_._1 < 300)
+    viaDelta should not be empty
+  }
+
   test("IVF index round-trips through parquet; persisted query == live query") {
     val emb = Tables(spark, sf0001, "embeddings")
     val built = Similarity.ivfIndexAnchored(emb, $"vec_id", $"embedding",
