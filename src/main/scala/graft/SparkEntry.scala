@@ -1404,6 +1404,27 @@ object SparkEntry {
           aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
             .as("n_weight1"))
     },
+    // SFT-PREP rendering: split each doc into a (prompt, response)
+    // pair at the first sentence boundary, render through a chat
+    // template, and report the token budget check — the assembly step
+    // before instruction tuning, with the rendered digest as the
+    // export integrity artifact. Pure string algebra, fully
+    // oracle-exact.
+    "sft_render_documents" -> { (s, dir) =>
+      val pos = instr(col("text"), ".")
+      val prompt = when(pos > 0, col("text").substr(lit(1), pos))
+        .otherwise(col("text"))
+      val response = when(pos > 0,
+        ltrim(col("text").substr(pos + 1, octet_length(col("text")))))
+        .otherwise(lit(""))
+      val rendered = concat(lit("<|user|>\n"), prompt,
+        lit("\n<|assistant|>\n"), response)
+      Tables(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.tokenCount(rendered).as("n_tokens"),
+        (TextAnalysis.tokenCount(rendered) <= 2048).as("fits_2048"),
+        (octet_length(response) > 0).as("has_response"),
+        md5(rendered).as("rendered_digest"))
+    },
     // TRUNCATION-LOSS report: if docs were clipped at the context
     // length instead of packed, how many tokens per source would be
     // lost? The one-scan audit that justifies (or skips) a packing
@@ -4677,6 +4698,31 @@ object SparkEntry {
         |    AS shuffle_partitions,
         |  total_bytes <= 10485760 AS broadcastable
         |FROM u""".stripMargin,
+    // same split at the first '.', same template concat, same
+    // whitespace token count
+    "sft_render_documents" -> {
+      val tokR = TextAnalysis.Sql.tokens("rendered")
+      s"""WITH sp AS (
+         |  SELECT doc_id, strpos(text, '.') AS pos, text
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    '<|user|>' || chr(10)
+         |    || CASE WHEN pos > 0 THEN substr(text, 1, pos)
+         |         ELSE text END
+         |    || chr(10) || '<|assistant|>' || chr(10)
+         |    || CASE WHEN pos > 0 THEN ltrim(substr(text, pos + 1))
+         |         ELSE '' END AS rendered,
+         |    CASE WHEN pos > 0 THEN ltrim(substr(text, pos + 1))
+         |      ELSE '' END AS response
+         |  FROM sp)
+         |SELECT doc_id,
+         |  CAST(len($tokR) AS BIGINT) AS n_tokens,
+         |  len($tokR) <= 2048 AS fits_2048,
+         |  strlen(response) > 0 AS has_response,
+         |  md5(rendered) AS rendered_digest
+         |FROM r""".stripMargin
+    },
     "pack_truncation_loss" -> {
       val tok = TextAnalysis.Sql.tokens("text")
       s"""WITH n AS (

@@ -40,9 +40,15 @@ object ScaleStress {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[stress] $name%-42s $dt%8.2fs")
         Console.out.flush()
-        if (!keepStorage)
+        if (!keepStorage) {
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
+          // ContextCleaner frees dead broadcasts/shuffles only after a
+          // GC, and its periodic GC defaults to 30 min — longer than
+          // the sweep, so 40+ cases of broadcast maps pile onto the
+          // heap (observed: dsir green isolated, OOM in sequence)
+          System.gc()
+        }
       }
 
     val dir = "/tmp/graft-stress"

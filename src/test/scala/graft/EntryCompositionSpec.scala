@@ -21,6 +21,32 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("sft render: template goldens via driver replay on tiny docs") {
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("sft_render_documents")(spark, sf0001)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getBoolean(2), r.getBoolean(3), r.getString(4)))
+      .toMap
+    val docs = Tables(spark, sf0001, "documents")
+      .select(col("doc_id"), col("text"))
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    docs.foreach { case (id, text) =>
+      val pos = text.indexOf('.')
+      val (p, resp) =
+        if (pos >= 0)
+          (text.substring(0, pos + 1),
+            text.substring(pos + 1).dropWhile(_ == ' '))
+        else (text, "")
+      val rendered = s"<|user|>\n$p\n<|assistant|>\n$resp"
+      val toks = rendered.split("\\s+").count(_.nonEmpty).toLong
+      got(id) shouldBe ((toks, toks <= 2048, resp.nonEmpty,
+        md5hex(rendered)))
+    }
+  }
+
   test("readability, code signals, canaries: formulas and planted hits") {
     import org.apache.spark.sql.functions.col
     val docs = Tables(spark, sf0001, "documents")
