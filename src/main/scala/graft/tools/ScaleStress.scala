@@ -22,6 +22,13 @@ object ScaleStress {
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "64")
       .config("spark.driver.memory", "8g")
+      // ContextCleaner frees dead broadcasts/shuffle state only after
+      // a GC, and its periodic GC defaults to 30 min — longer than the
+      // whole sweep, so 40+ cases of broadcast maps piled onto the
+      // heap (dsir green isolated, OOM in sequence). An explicit
+      // System.gc() per case traded this for GCLocker starvation under
+      // 32 allocating tasks; the supported knob is the right lever.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -40,15 +47,9 @@ object ScaleStress {
         val dt = (System.nanoTime() - t0) / 1e9
         println(f"[stress] $name%-42s $dt%8.2fs")
         Console.out.flush()
-        if (!keepStorage) {
+        if (!keepStorage)
           spark.sparkContext.getPersistentRDDs.values
             .foreach(_.unpersist(blocking = false))
-          // ContextCleaner frees dead broadcasts/shuffles only after a
-          // GC, and its periodic GC defaults to 30 min — longer than
-          // the sweep, so 40+ cases of broadcast maps pile onto the
-          // heap (observed: dsir green isolated, OOM in sequence)
-          System.gc()
-        }
       }
 
     val dir = "/tmp/graft-stress"
@@ -469,10 +470,12 @@ object ScaleStress {
         delayNs = 900L * 1000000000L).count()
     }
     // 1M docs: the checkpointed token arrays of the full 5M corpus
-    // (~GBs) have no bearing on the linear-shape evidence
+    // (~GBs) have no bearing on the linear-shape evidence. id FILTER,
+    // not limit(): GlobalLimit funnels through one partition and
+    // serializes the whole tokenize (measured 122s vs 25s)
     time("co-occurrence lift (window 3, minCount 50) over 1M docs") {
       graft.functions.Cooccurrence.topPairsByLift(
-        docs.limit(1000000), col("text"),
+        docs.filter(col("id") < 1000000L), col("text"),
         window = 3, minCount = 50, k = 50).count()
     }
     spark.stop()
