@@ -2286,6 +2286,44 @@ object SparkEntry {
       Rendezvous.resizeChurn(Tables(s, dir, "documents"),
         col("doc_id"), nFrom = 8, nTo = 9)
     },
+    // Shard-BALANCE audit of the rendezvous layout: docs and bytes per
+    // shard plus each shard's byte share in ppm — the check that HRW
+    // placement actually levels a heterogeneous corpus (doc sizes
+    // vary) before committing the layout. One scan, one agg.
+    "layout_rendezvous_balance" -> { (s, dir) =>
+      Tables(s, dir, "documents")
+        .select(Rendezvous.shardOf(col("doc_id"), 8).as("shard"),
+          octet_length(col("text")).cast("long").as("__b"))
+        .groupBy(col("shard"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("__b")).as("n_bytes"))
+        .withColumn("byte_share_ppm",
+          expr("(n_bytes * 1000000) DIV sum(n_bytes) OVER ()"))
+    },
+    // Hourly SEASONALITY profile per event type: hour-of-day counts,
+    // peak hour and its share, plus an integer chi-square-style
+    // dispersion vs the uniform profile — flat means load-insensitive
+    // scheduling is fine, peaked means the ingest needs hour-aware
+    // capacity. All integer arithmetic.
+    "events_hourly_seasonality" -> { (s, dir) =>
+      val hour = expr("(ts DIV 3600000000000) % 24")
+      val byHour = Tables(s, dir, "events")
+        .select(col("event_type"), hour.as("h"))
+        .groupBy(col("event_type"), col("h"))
+        .agg(count(lit(1)).as("n"))
+      byHour.groupBy(col("event_type"))
+        .agg(sum(col("n")).as("n_events"),
+          max(struct(col("n"), (-col("h")).as("nh"))).as("__pk"),
+          sum(col("n") * col("n")).as("__ss"))
+        .select(col("event_type"), col("n_events"),
+          (-col("__pk.nh")).cast("long").as("peak_hour"),
+          expr("(__pk.n * 1000000) DIV n_events").as("peak_share_ppm"),
+          // chi-square vs uniform over all 24 slots (absent hours
+          // contribute their N^2 term via the expansion):
+          // sum((24*n_h - N)^2) / (24*N) == (24*ss - N^2) / N.
+          // LONG-safe to N ~ 6e8 events/type; DECIMAL(38) beyond.
+          expr("(24 * __ss - n_events * n_events) DIV n_events")
+            .as("dispersion"))
+    },
     // WEIGHTED rendezvous (virtual replicas — log-free, unlike the
     // classic -w/ln(u)): capacities 1/2/4 land keys ~1:2:4; per-shard
     // counts gate the distribution, the argmax stays md5-exact.
@@ -3845,6 +3883,47 @@ object SparkEntry {
          |  CAST(count(*) AS BIGINT) AS n_keys
          |FROM documents GROUP BY 1, 2""".stripMargin
     },
+    // same HRW argmax; byte shares via a window total
+    "layout_rendezvous_balance" -> {
+      val shard =
+        "list_sort([{'w': -('0x'||substr(md5(CAST(sh AS VARCHAR)" +
+          "||':'||CAST(doc_id AS VARCHAR)),1,8))::BIGINT, " +
+          "'s': CAST(sh AS BIGINT)} FOR sh IN range(0, 8)])[1].s"
+      s"""WITH a AS (
+         |  SELECT $shard AS shard,
+         |    CAST(strlen(text) AS BIGINT) AS b
+         |  FROM documents),
+         |g AS (
+         |  SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(sum(b) AS BIGINT) AS n_bytes
+         |  FROM a GROUP BY 1)
+         |SELECT shard, n_docs, n_bytes,
+         |  (n_bytes * 1000000)
+         |    // CAST((SELECT sum(n_bytes) FROM g) AS BIGINT)
+         |    AS byte_share_ppm
+         |FROM g""".stripMargin
+    },
+    "events_hourly_seasonality" ->
+      """WITH h AS (
+        |  SELECT event_type,
+        |    (epoch_ns(ts) // 3600000000000) % 24 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |p AS (
+        |  SELECT event_type, CAST(sum(n) AS BIGINT) AS n_events,
+        |    CAST(sum(n * n) AS BIGINT) AS ss
+        |  FROM h GROUP BY 1),
+        |pk AS (
+        |  SELECT event_type, hr AS peak_hour, n AS peak_n FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, hr ASC) AS rk FROM h)
+        |  WHERE rk = 1)
+        |SELECT p.event_type, p.n_events,
+        |  CAST(pk.peak_hour AS BIGINT) AS peak_hour,
+        |  (pk.peak_n * 1000000) // p.n_events AS peak_share_ppm,
+        |  (24 * p.ss - p.n_events * p.n_events) // p.n_events
+        |    AS dispersion
+        |FROM p JOIN pk USING (event_type)""".stripMargin,
     // weighted HRW replay: virtual replica keys "s#r:key", same argmax
     "layout_rendezvous_weighted" -> {
       val reps = Seq(1, 2, 4).zipWithIndex.flatMap { case (w, sh) =>

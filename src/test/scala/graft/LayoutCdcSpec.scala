@@ -252,4 +252,23 @@ class LayoutCdcSpec extends SparkSpec {
     // 2048; assert the candidate set is exactly the two hot terms
     got.keySet shouldBe Set("hot1", "hot2")
   }
+
+  test("rendezvous balance + seasonality: shares sum, dispersion floors") {
+    val bal = SparkEntry.queries("layout_rendezvous_balance")(
+      spark, sf0001).collect()
+    bal.length shouldBe 8
+    // ppm shares sum to ~1e6 (integer DIV floors at most 1 ppm each)
+    val shareSum = bal.map(_.getLong(3)).sum
+    shareSum should (be >= 999992L and be <= 1000000L)
+    bal.map(_.getLong(1)).sum shouldBe 500L // every doc placed once
+    val sea = SparkEntry.queries("events_hourly_seasonality")(
+      spark, sf0001).collect()
+    sea.length should be > 1
+    sea.foreach { r =>
+      r.getLong(2) should (be >= 0L and be <= 23L) // peak hour in range
+      // peak share at least the uniform 1/24
+      r.getLong(3) should be >= (1000000L / 24)
+      r.getLong(4) should be >= 0L // chi-square never negative
+    }
+  }
 }
