@@ -1788,6 +1788,24 @@ object SparkEntry {
         .select(expr(s"stack(${canaries.length}, $cells)" +
           " as (canary, n_docs_hit)"))
     },
+    // DUP-RATE by source: which feed ships copies? A doc is a
+    // duplicate when its normalized fingerprint's global keeper (min
+    // id) is another doc; the loss attributes to the DUPLICATE's
+    // source. One fingerprint shuffle + one rollup — the per-feed
+    // quality scorecard dedup budgeting reads.
+    "dedup_rate_by_source" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables(s, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          TextAnalysis.fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy(col("fp"))
+      docs.withColumn("__keep", min(col("doc_id")).over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("doc_id") =!= col("__keep"), 1L).otherwise(0L))
+            .as("n_dupes"))
+        .withColumn("dupe_ppm", expr("(n_dupes * 1000000) DIV n_docs"))
+    },
     // PII GOVERNANCE rollup: per-source, per-snapshot-version redaction
     // audit with drift in basis points — the report that catches an
     // upstream feed starting to leak contact data between corpus
@@ -5203,6 +5221,25 @@ object SparkEntry {
          |    '$phone', '<PHONE>', 'g'),
          |    '$ip', '<IP>', 'g')) AS redacted_digest
          |FROM aug""".stripMargin
+    },
+    // same fingerprint, min-over-fingerprint window, rollup by the
+    // duplicate's source
+    "dedup_rate_by_source" -> {
+      import TextAnalysis.Sql.{fingerprint => fpr}
+      s"""WITH d AS (
+         |  SELECT doc_id, source, ${fpr("text")} AS fp
+         |  FROM documents),
+         |k AS (
+         |  SELECT doc_id, source,
+         |    min(doc_id) OVER (PARTITION BY fp) AS keep
+         |  FROM d)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_dupes,
+         |  (CAST(sum(CASE WHEN doc_id <> keep THEN 1 ELSE 0 END)
+         |    AS BIGINT) * 1000000) // CAST(count(*) AS BIGINT)
+         |    AS dupe_ppm
+         |FROM k GROUP BY source""".stripMargin
     },
     // same exact integer counts, same all-integer formula
     "text_readability_documents" -> {

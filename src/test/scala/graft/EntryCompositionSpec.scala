@@ -21,6 +21,24 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("dup rate by source: totals match exact dedup; rates consistent") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.col
+    val got = SparkEntry.queries("dedup_rate_by_source")(spark, sf0001)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3))).toMap
+    val docs = Tables(spark, sf0001, "documents")
+    got.values.map(_._1).sum shouldBe docs.count()
+    // total dupes across sources == corpus rows minus distinct contents
+    val distinctContents = Dedup.exact(docs, col("text"), col("doc_id"))
+      .count()
+    got.values.map(_._2).sum shouldBe docs.count() - distinctContents
+    got.values.foreach { case (n, d, ppm) =>
+      d should be <= n
+      ppm shouldBe d * 1000000L / n
+    }
+  }
+
   test("sft render: template goldens via driver replay on tiny docs") {
     import org.apache.spark.sql.functions.col
     val got = SparkEntry.queries("sft_render_documents")(spark, sf0001)
