@@ -2647,6 +2647,26 @@ object SparkEntry {
       graft.functions.Cooccurrence.topPairsFromSequences(
         seqs, col("seq"), window = 2, minCount = 5, k = 50)
     },
+    // TRANSITION MATRIX (the Sankey edge table): per-user consecutive
+    // event-type pairs with each row's share of its origin's outflow
+    // in ppm — the one-hop summary the trigram census and PageRank
+    // both build on, exposed as its own artifact for flow dashboards.
+    // One per-user window + one agg; shares via a window over the
+    // (type x type)-bounded matrix only.
+    "events_type_transitions" -> { (s, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val m = Tables(s, dir, "events")
+        .select(col("user_id"), col("event_type").as("src_type"),
+          lead(col("event_type"), 1).over(w).as("dst_type"))
+        .filter(col("dst_type").isNotNull)
+        .groupBy(col("src_type"), col("dst_type"))
+        .agg(count(lit(1)).as("n"))
+      m.withColumn("outflow_ppm",
+        expr("(n * 1000000) DIV sum(n)" +
+          " OVER (PARTITION BY src_type)"))
+    },
     // Sequential-pattern census: event-type trigrams walked per user
     // (two per-user leads, one map-combined groupBy) with exact
     // distinct-user reach — funnel discovery, not funnel checking.
@@ -6324,6 +6344,20 @@ object SparkEntry {
         |  coalesce(c.click_value_e4, -1) AS click_value_e4
         |FROM p ASOF LEFT JOIN c
         |  ON p.user_id = c.user_id AND p.t_us >= c.t_us""".stripMargin,
+    // same per-user lead pairs; shares over the tiny matrix
+    "events_type_transitions" ->
+      """WITH tr AS (
+        |  SELECT event_type AS src_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY epoch_ns(ts), event_id) AS dst_type
+        |  FROM events),
+        |m AS (
+        |  SELECT src_type, dst_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM tr WHERE dst_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT src_type, dst_type, n,
+        |  (n * 1000000) // CAST(sum(n)
+        |    OVER (PARTITION BY src_type) AS BIGINT) AS outflow_ppm
+        |FROM m""".stripMargin,
     // last-touch replay: same deterministic per-instant touch pick
     // (highest event_id), DuckDB ASOF, same 1-hour window rule
     "events_attribution_lasttouch" ->

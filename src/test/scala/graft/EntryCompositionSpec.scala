@@ -21,6 +21,21 @@ class EntryCompositionSpec extends SparkSpec {
     total shouldBe graft.Tables(spark, sf0001, "documents").count()
   }
 
+  test("type transitions: edge total = events - users; outflows sum to ~1e6") {
+    import org.apache.spark.sql.functions.{col, countDistinct}
+    val got = SparkEntry.queries("events_type_transitions")(spark, sf0001)
+      .collect().map(r => (r.getString(0), r.getString(1),
+        r.getLong(2), r.getLong(3)))
+    val ev = Tables(spark, sf0001, "events")
+    val nUsers = ev.agg(countDistinct(col("user_id"))).head().getLong(0)
+    // each user's k events yield k-1 transitions
+    got.map(_._3).sum shouldBe ev.count() - nUsers
+    got.groupBy(_._1).values.foreach { rows =>
+      val s2 = rows.map(_._4).sum
+      s2 should (be >= 1000000L - rows.size and be <= 1000000L)
+    }
+  }
+
   test("dup rate by source: totals match exact dedup; rates consistent") {
     import graft.operators.Dedup
     import org.apache.spark.sql.functions.col
