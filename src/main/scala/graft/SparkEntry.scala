@@ -695,6 +695,34 @@ object SparkEntry {
         EventStream.runToCompletion(perDay, "stream_distinct_out"),
         k = 64, windowBuckets = 7)
     },
+    // DAU/WAU STICKINESS: daily actives over trailing-7-day actives in
+    // ppm, both from the same per-day KMV sketches (window 1 vs
+    // window 7 of the sliding-distinct machinery) — the
+    // product-analytics retention pulse, still one corpus read.
+    "events_stickiness_ratio" -> { (s, dir) =>
+      import graft.functions.Kmv
+      val day = 86400L * 1000000000L
+      def est(windowBuckets: Int) = Kmv.slidingDistinctEstimate(
+        Tables(s, dir, "events"), col("ts"),
+        Kmv.u32(col("user_id")), k = 64,
+        windowBuckets = windowBuckets, bucketNs = day)
+      est(1).select(col("bucket"), col("est_distinct").as("dau"))
+        .join(est(7).select(col("bucket"),
+          col("est_distinct").as("wau")), Seq("bucket"))
+        .withColumn("stickiness_ppm", expr("(dau * 1000000) DIV wau"))
+    },
+    // Power-of-two ACTIVITY histogram: users bucketed by
+    // floor(log2(events)) = length(bin(n)) - 1 — exact integer, no
+    // float log — the whale-vs-casual shape that sizes per-user state
+    // and flags bot-like outliers.
+    "events_user_activity_histogram" -> { (s, dir) =>
+      Tables(s, dir, "events")
+        .groupBy(col("user_id")).agg(count(lit(1)).as("n"))
+        .select((length(bin(col("n"))) - 1).cast("long")
+          .as("log2_bucket"))
+        .groupBy(col("log2_bucket"))
+        .agg(count(lit(1)).as("n_users"))
+    },
     // WATERMARK-LATENESS audit: would a 15-min watermark drop data?
     // The testdata arrives in event order, so a deterministic network
     // delay is planted: md5-jitter up to 30 min (plus an event_id ns
@@ -4514,6 +4542,21 @@ object SparkEntry {
     // the stream aggregates to the same per-day sketches -> same
     // sliding composition -> same oracle
     "events_stream_distinct_users" -> SlidingDistinctOracle,
+    // window-1 vs window-7 replays of the same sketch machinery
+    "events_stickiness_ratio" ->
+      s"""SELECT d1.bucket, d1.est_distinct AS dau,
+         |  d7.est_distinct AS wau,
+         |  (d1.est_distinct * 1000000) // d7.est_distinct
+         |    AS stickiness_ppm
+         |FROM (${slidingDistinctSql(1)}) d1
+         |JOIN (${slidingDistinctSql(7)}) d7 USING (bucket)""".stripMargin,
+    "events_user_activity_histogram" ->
+      """WITH u AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1)
+        |SELECT CAST(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM u GROUP BY 1""".stripMargin,
     // watermark replay: jittered arrival order, global prior-max
     // window (fine at oracle scale), canonical drop rule
     "events_watermark_lateness" ->
@@ -6742,9 +6785,11 @@ object SparkEntry {
       |FROM asg""".stripMargin
 
   /** Shared by the batch and streaming sliding-distinct queries: both
-    * land on identical per-day sketches, so one replay gates both. */
-  private lazy val SlidingDistinctOracle: String =
-    """WITH h AS (
+    * land on identical per-day sketches, so one replay gates both.
+    * Parametric in the window so the stickiness ratio (window 1 vs 7)
+    * reuses the same replay. */
+  private def slidingDistinctSql(windowBuckets: Int): String =
+    s"""WITH h AS (
       |  SELECT epoch_ns(ts) // 86400000000000 AS bucket,
       |    ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
       |      ::BIGINT AS u
@@ -6760,7 +6805,7 @@ object SparkEntry {
       |  WHERE rk <= 64),
       |contrib AS (
       |  SELECT s.bucket + d AS bucket, s.u
-      |  FROM sk s, (SELECT unnest(range(0, 7)) AS d)),
+      |  FROM sk s, (SELECT unnest(range(0, $windowBuckets)) AS d)),
       |uni AS (
       |  SELECT bucket, u,
       |    row_number() OVER (PARTITION BY bucket ORDER BY u) AS rk
@@ -6774,6 +6819,8 @@ object SparkEntry {
       |    ELSE 63 * 4294967296 // greatest(h64, 1) END AS BIGINT)
       |    AS est_distinct
       |FROM grp g JOIN ev ON ev.bucket = g.bucket""".stripMargin
+
+  private lazy val SlidingDistinctOracle: String = slidingDistinctSql(7)
 
   private lazy val NgramKeepBestOracle: String = {
     import TextAnalysis.Sql.{qualityScore => qs}
