@@ -1762,12 +1762,13 @@ object SparkEntry {
       val syl = greatest(
         regexp_count(lower(col("text")), lit("[aeiouy]+")).cast("long"),
         lit(1L))
-      // blank-doc guard as a CHEAP pushable predicate (trim <> ''
-      // implies n_words >= 1): filtering on n_words itself would push
-      // the tokenize battery into the scan (the audit-gated
+      // blank-doc guard on the whitespace CLASS (trim only strips
+      // spaces — a tab/newline-only doc would pass with n_words=0 and
+      // divide by zero); rlike on the raw column stays cheap and keeps
+      // the tokenize battery out of the scan (the audit-gated
       // duplication hazard)
       Tables(s, dir, "documents")
-        .filter(trim(col("text")) =!= "")
+        .filter(col("text").rlike("\\S"))
         .select(col("doc_id"),
           words.as("n_words"), sents.as("n_sentences"),
           syl.as("n_syllable_groups"))
@@ -3533,7 +3534,8 @@ object SparkEntry {
         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
         |scored AS (
         |  SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
-        |    (n_ab * grand * 1000000) // (a.n * b.n) AS lift_e6
+        |    CAST((CAST(n_ab AS HUGEINT) * grand * 1000000)
+        |      // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_e6
         |  FROM pc JOIN uni a ON pc.tok_a = a.token
         |          JOIN uni b ON pc.tok_b = b.token, tot)
         |SELECT CAST(row_number() OVER
@@ -5314,7 +5316,7 @@ object SparkEntry {
          |      AS BIGINT), 1) AS n_sentences,
          |    greatest(CAST(len(regexp_extract_all(lower(text),
          |      '[aeiouy]+')) AS BIGINT), 1) AS n_syllable_groups
-         |  FROM documents WHERE trim(text) <> '')
+         |  FROM documents WHERE regexp_matches(text, '\\S'))
          |SELECT doc_id, n_words, n_sentences, n_syllable_groups,
          |  (390 * n_words) // n_sentences
          |    + (11800 * n_syllable_groups) // n_words - 15590
@@ -6273,7 +6275,8 @@ object SparkEntry {
         |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
         |scored AS (
         |  SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
-        |    (n_ab * grand * 1000000) // (a.n * b.n) AS lift_e6
+        |    CAST((CAST(n_ab AS HUGEINT) * grand * 1000000)
+        |      // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_e6
         |  FROM pc JOIN uni a ON pc.tok_a = a.token
         |          JOIN uni b ON pc.tok_b = b.token, tot)
         |SELECT CAST(row_number() OVER
@@ -6814,11 +6817,13 @@ object SparkEntry {
       |  SELECT bucket, count(*) AS sz,
       |    max(CASE WHEN rk = 64 THEN u END) AS h64
       |  FROM uni WHERE rk <= 64 GROUP BY bucket)
-      |SELECT g.bucket, ev.n_events,
+      |SELECT g.bucket,
+      |  CAST(coalesce(ev.n_events, 0) AS BIGINT) AS n_events,
       |  CAST(CASE WHEN sz < 64 THEN sz
       |    ELSE 63 * 4294967296 // greatest(h64, 1) END AS BIGINT)
       |    AS est_distinct
-      |FROM grp g JOIN ev ON ev.bucket = g.bucket""".stripMargin
+      |FROM grp g LEFT JOIN ev ON ev.bucket = g.bucket
+      |WHERE g.bucket <= (SELECT max(bucket) FROM ev)""".stripMargin
 
   private lazy val SlidingDistinctOracle: String = slidingDistinctSql(7)
 

@@ -76,7 +76,11 @@ object Cooccurrence {
       .crossJoin(broadcast(totals))
       .select(col("tok_a"), col("tok_b"), col("n_ab"),
         col("n_a"), col("n_b"),
-        expr("(n_ab * __N * 1000000) DIV (n_a * n_b)").as("lift_e6"))
+        // product in DECIMAL(38,0): n_ab * N * 1e6 wraps a LONG once
+        // n_ab*N nears 9.2e12 (realistic at 100 TB); DIV on decimals
+        // still returns BIGINT, so the output schema is unchanged
+        expr("(CAST(n_ab AS DECIMAL(38,0)) * __N * 1000000)" +
+          " DIV (CAST(n_a AS DECIMAL(38,0)) * n_b)").as("lift_e6"))
     val top = scored
       .orderBy(col("lift_e6").desc, col("tok_a").asc, col("tok_b").asc)
       .limit(k)

@@ -191,11 +191,19 @@ object Kmv {
     val unioned = contrib.groupBy(col("bucket"))
       .agg(slice(array_sort(array_distinct(
         flatten(collect_list(col("sk"))))), 1, k).as("sk"))
-    // inner join against the real buckets: drops the phantom windows
-    // past the last bucket and attaches the per-bucket event count
-    unioned.join(bucketed.select(col("bucket"), col("n_events")),
-        Seq("bucket"))
-      .select(col("bucket"), col("n_events"),
+    // interior gap buckets (a day with zero events but prior activity
+    // inside the window) still report trailing actives: LEFT-join the
+    // event counts (coalesce 0) and bound at the last REAL bucket via
+    // a single-row max broadcast, which is all that the old inner
+    // join was legitimately dropping (phantom windows past the end)
+    val maxB = bucketed.agg(max(col("bucket")).as("__max_bucket"))
+    unioned
+      .join(broadcast(maxB))
+      .filter(col("bucket") <= col("__max_bucket"))
+      .join(bucketed.select(col("bucket"), col("n_events")),
+        Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
         estFromSketch("sk", k).as("est_distinct"))
   }
 

@@ -53,7 +53,12 @@ class PlanAuditSpec extends SparkSpec {
     // same single-row token-total broadcast as vocab_top_tokens
     "text_cooccurrence_lift",
     "events_covisitation_lift",
-    "vocab_subsample_tokens")
+    "vocab_subsample_tokens",
+    // single-row max-bucket broadcast bounding the sliding-window
+    // gap-fill (Kmv.slidingFromBuckets)
+    "events_sliding_distinct_users",
+    "events_stream_distinct_users",
+    "events_stickiness_ratio")
 
   /** Expand is legitimate for small grouping-set factors (rollup = d+1
     * projections) — anything wider than this is a blowup. */
