@@ -3625,24 +3625,35 @@ object SparkEntry {
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
-    // winsorize replay: quantile_cont fences, clamp, e4-decimal sum
+    // winsorize replay: binned-cut quartiles with the round-2
+    // refinement (binnedCutCtes — ranks ceil(n/4) and ceil(3n/4)),
+    // Tukey fences, clamp, e4-decimal sum
     "profile_winsorize_lineitem" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-        s"""(WITH f AS (
-           |  SELECT q[1] - 1.5*(q[2]-q[1]) AS lo,
-           |         q[2] + 1.5*(q[2]-q[1]) AS hi
-           |  FROM (SELECT quantile_cont($c, [0.25, 0.75]) AS q
-           |        FROM lineitem))
-           |SELECT '$c' AS col_name, lo AS lo_fence, hi AS hi_fence,
-           |  CAST(sum(CASE WHEN $c < lo THEN 1 ELSE 0 END) AS BIGINT)
+        s"""(WITH v AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+           |            WHERE $c IS NOT NULL),
+           |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+           |         CAST(count(*) AS BIGINT) AS n FROM v),
+           |h1 AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 4096.0)
+           |          AS BIGINT), 4095) AS b,
+           |        CAST(count(*) AS BIGINT) AS cnt
+           |      FROM v, mm GROUP BY 1),
+           |c1 AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM h1),
+           |${binnedCutCtes("A", "(n + 3) // 4")},
+           |${binnedCutCtes("B", "(3 * n + 3) // 4")},
+           |f AS (SELECT a.cut - 1.5 * (b.cut - a.cut) AS lo_f,
+           |        b.cut + 1.5 * (b.cut - a.cut) AS hi_f
+           |      FROM qA a, qB b)
+           |SELECT '$c' AS col_name, lo_f AS lo_fence, hi_f AS hi_fence,
+           |  CAST(sum(CASE WHEN $c < lo_f THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_clipped_lo,
-           |  CAST(sum(CASE WHEN $c > hi THEN 1 ELSE 0 END) AS BIGINT)
+           |  CAST(sum(CASE WHEN $c > hi_f THEN 1 ELSE 0 END) AS BIGINT)
            |    AS n_clipped_hi,
-           |  CAST(sum(CAST(round(least(greatest(CAST($c AS DOUBLE), lo),
-           |    hi), 4) AS DECIMAL(28,4))) * 10000 AS BIGINT)
+           |  CAST(sum(CAST(round(least(greatest(CAST($c AS DOUBLE),
+           |    lo_f), hi_f), 4) AS DECIMAL(28,4))) * 10000 AS BIGINT)
            |    AS clipped_sum_e4,
            |  CAST(count($c) AS BIGINT) AS n_rows
-           |FROM lineitem, f GROUP BY lo, hi)""".stripMargin
+           |FROM lineitem, f GROUP BY lo_f, hi_f)""".stripMargin
       }.mkString("\nUNION ALL\n"),
     // advisor replay: per-candidate counts, weighted-sketch AMS
     // estimate, and the same integer rule ladder; one block per
@@ -3816,20 +3827,33 @@ object SparkEntry {
     // equi-depth replay: quantile_cont cuts == Spark exact percentile
     // (group-quantiles precedent); membership = the same monotone
     // comparison sum against the same cut doubles
+    // binned-cut replay: fixed-4096-cell histogram between min/max,
+    // window cumsum, rank ceil(j*n/8) -> first qualifying cell's
+    // upper edge — the same IEEE-double arithmetic Profiler.binnedCuts
+    // runs driver-side, so the cuts match bit-for-bit
     "profile_equidepth_lineitem" ->
       """WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v
         |           FROM lineitem WHERE l_extendedprice IS NOT NULL),
-        |c AS (SELECT quantile_cont(v, [0.125, 0.25, 0.375, 0.5,
-        |        0.625, 0.75, 0.875]) AS q FROM v),
-        |b AS (SELECT
-        |    CAST(v > q[1] AS INT) + CAST(v > q[2] AS INT)
-        |    + CAST(v > q[3] AS INT) + CAST(v > q[4] AS INT)
-        |    + CAST(v > q[5] AS INT) + CAST(v > q[6] AS INT)
-        |    + CAST(v > q[7] AS INT) AS bucket, v
-        |  FROM v, c)
+        |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+        |         CAST(count(*) AS BIGINT) AS n FROM v),
+        |h AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 4096.0)
+        |          AS BIGINT), 4095) AS b,
+        |        CAST(count(*) AS BIGINT) AS cnt
+        |      FROM v, mm GROUP BY 1),
+        |cum AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum FROM h),
+        |cuts AS (SELECT j,
+        |           min(lo + (b + 1) * (hi - lo) / 4096.0) AS cut
+        |         FROM (SELECT unnest(range(1, 8)) AS j), cum, mm
+        |         WHERE cum >= (j * n + 7) // 8
+        |         GROUP BY j),
+        |cl AS (SELECT list(cut ORDER BY j) AS cs FROM cuts),
+        |asg AS (SELECT v,
+        |          CAST(len(list_filter(cs, c -> v > c)) AS INT)
+        |            AS bucket
+        |        FROM v, cl)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_rows,
         |  min(v) AS lo, max(v) AS hi
-        |FROM b GROUP BY bucket""".stripMargin,
+        |FROM asg GROUP BY bucket""".stripMargin,
     // per-group KMV replay: k-th smallest distinct u32(md5) hash per
     // group drives the integer estimator; below k the count is exact
     "profile_group_distinct" ->
@@ -6791,6 +6815,40 @@ object SparkEntry {
     * land on identical per-day sketches, so one replay gates both.
     * Parametric in the window so the stickiness ratio (window 1 vs 7)
     * reuses the same replay. */
+  /** One Profiler.binnedCuts(rounds=2) rank replay: CTEs suffixed
+    * `tag` deriving the refined cut for `rankExpr` (written in terms
+    * of mm.n). Expects v/mm/h1/c1 CTEs in scope: v = non-null doubles,
+    * mm = (lo, hi, n), h1 = round-1 4096-cell histogram (b, cnt),
+    * c1 = h1 with cumulative cum. Round 2 re-histograms INSIDE the
+    * chosen cell — membership by the SAME bin expression that built
+    * h1, never a value-range filter (fp edge recomputation could
+    * disagree with the floor). Lines are pre-stripped: none begins
+    * with whitespace+bar, so the outer template's stripMargin leaves
+    * them intact. */
+  private def binnedCutCtes(tag: String, rankExpr: String): String =
+    s"""s$tag AS (SELECT min(b) AS b1 FROM c1, mm
+       |    WHERE cum >= $rankExpr),
+       |e$tag AS (SELECT b1, lo + b1 * (hi - lo) / 4096.0 AS elo,
+       |    lo + (b1 + 1) * (hi - lo) / 4096.0 AS ehi,
+       |    coalesce((SELECT max(cum) FROM c1, s$tag WHERE b < b1), 0)
+       |      AS off
+       |  FROM s$tag, mm),
+       |h$tag AS (SELECT least(greatest(CAST(floor(CASE WHEN ehi > elo
+       |      THEN (v - elo) / (ehi - elo) * 4096.0 ELSE 0.0 END)
+       |      AS BIGINT), 0), 4095) AS b,
+       |    CAST(count(*) AS BIGINT) AS cnt
+       |  FROM v, mm, e$tag
+       |  WHERE least(CAST(floor((v - lo) / (hi - lo) * 4096.0)
+       |      AS BIGINT), 4095) = b1
+       |  GROUP BY 1),
+       |c$tag AS (SELECT b, sum(cnt) OVER (ORDER BY b) AS cum
+       |  FROM h$tag),
+       |q$tag AS (SELECT coalesce(
+       |    (SELECT min(elo + (b + 1) * (ehi - elo) / 4096.0)
+       |     FROM c$tag, e$tag, mm
+       |     WHERE ehi > elo AND off + cum >= $rankExpr),
+       |    (SELECT ehi FROM e$tag)) AS cut)""".stripMargin
+
   private def slidingDistinctSql(windowBuckets: Int): String =
     s"""WITH h AS (
       |  SELECT epoch_ns(ts) // 86400000000000 AS bucket,

@@ -253,28 +253,117 @@ object Profiler {
       .withColumn("share_ppm", expr(s"cnt * 1000000 DIV ${total}L"))
   }
 
+  /** Deterministic BOUNDED-STATE quantile cuts: a fixed-width
+    * histogram of `bins` cells between the column's min and max (one
+    * cheap exact pass for min/max/count, then one groupBy whose
+    * aggregation state is <= `bins` counters per task NO MATTER the
+    * scale — the property exact `percentile` lacks, whose single
+    * final buffer grows with distinct-value cardinality), cumulated
+    * driver-side over the <= `bins`-row collect; each requested rank
+    * maps to the upper edge of the first cell whose cumulative count
+    * reaches it. Error per cut <= (max-min)/bins; every step is plain
+    * IEEE-double arithmetic in a fixed operation order, so DuckDB
+    * replays the SAME cuts (histogram + window cumsum in SQL) and the
+    * downstream query keeps an EXACT oracle — the scale-safe default
+    * the zorder/SortedExport `exact=false` knob measured at 15x on 5M
+    * near-distinct keys.
+    *
+    * `ranksOfN` maps the non-null count to the target ranks
+    * (1-based); returns one cut per rank, or None on empty input. A
+    * constant column degenerates to all cuts = the constant.
+    *
+    * `rounds` > 1 re-histograms INSIDE the chosen cell (membership by
+    * the bin-id equality that built the histogram, never a fp-fragile
+    * value-range filter; the rank offset below the cell carries over)
+    * — each round divides the value-error bound by `bins`, which is
+    * what restores outlier robustness: a single 1e12 corrupt row
+    * stretches round 1's cell width to range/bins, but round 2
+    * operates inside the data-dense cell, so quartile cuts land near
+    * the true order statistics again. One bounded scan per extra
+    * round per rank; the refinement arithmetic replays in SQL the
+    * same way round 1 does. */
+  def binnedCuts(df: DataFrame, c: Column, ranksOfN: Long => Seq[Long],
+                 bins: Int = 4096, rounds: Int = 1)
+      : Option[Seq[Double]] = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val v = df.select(c.cast("double").as("v")).filter(col("v").isNotNull)
+    val mm = v.agg(min(col("v")).as("lo"), max(col("v")).as("hi"),
+      count(lit(1)).as("n")).head()
+    if (mm.isNullAt(0)) return None
+    val lo0 = mm.getDouble(0); val hi0 = mm.getDouble(1)
+    val ranks = ranksOfN(mm.getLong(2))
+    if (!(hi0 > lo0)) return Some(ranks.map(_ => hi0))
+    val B = bins.toDouble
+    def binOf(vc: Column, lo: Double, hi: Double): Column =
+      least(greatest(floor((vc - lit(lo)) / (lit(hi) - lit(lo))
+        * lit(B)).cast("long"), lit(0L)), lit(bins - 1L))
+    // shared round-1 histogram serves every rank
+    val h1 = v.groupBy(binOf(col("v"), lo0, hi0).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("b")).collect() // <= bins rows, bounded
+    def scan(histo: Seq[(Long, Long)], off: Long, r: Long)
+        : (Long, Long) = { // (chosen bin, cum before it)
+      var cum = off
+      histo.foreach { case (b, cnt) =>
+        if (cum + cnt >= r) return (b, cum)
+        cum += cnt
+      }
+      (histo.last._1, cum - histo.last._2)
+    }
+    val edges1 = h1.map(r => (r.getLong(0), r.getLong(1))).toSeq
+    Some(ranks.map { r =>
+      var (b, off) = scan(edges1, 0L, r)
+      var elo = lo0 + b.toDouble * (hi0 - lo0) / B
+      var ehi = lo0 + (b + 1).toDouble * (hi0 - lo0) / B
+      // membership path: the conjunction of bin-id equalities (NOT a
+      // value-range filter — fp edge recomputation could disagree
+      // with the floor that built the histogram)
+      var path: Column = binOf(col("v"), lo0, hi0) === lit(b)
+      var round = 1
+      while (round < rounds && ehi > elo) {
+        val sub = v.filter(path)
+          .groupBy(binOf(col("v"), elo, ehi).as("b"))
+          .agg(count(lit(1)).as("cnt"))
+          .orderBy(col("b")).collect()
+          .map(x => (x.getLong(0), x.getLong(1))).toSeq
+        val (b2, off2) = scan(sub, off, r)
+        path = path && (binOf(col("v"), elo, ehi) === lit(b2))
+        val nlo = elo + b2.toDouble * (ehi - elo) / B
+        ehi = elo + (b2 + 1).toDouble * (ehi - elo) / B
+        elo = nlo; off = off2; round += 1
+      }
+      ehi
+    })
+  }
+
   /** Equi-DEPTH histogram — [[histogram]]'s quantile twin, and the
     * stats form optimizers actually want for selectivity (equal mass
-    * per bucket regardless of skew): cut points are the exact
-    * j/nBins percentiles, collected in ONE driver pass and inlined as
-    * literals (the assignShards idiom — no totals broadcast, no
-    * nested-loop join); bucketing is then a monotone sum of `v > cut`
-    * comparisons in one map-combined aggregation. Spark's exact
-    * `percentile` replays as DuckDB `quantile_cont` bit-for-bit (the
-    * group-quantiles precedent), so cuts, membership, and per-bucket
-    * min/max/count all carry an exact oracle. Exact percentile state
-    * grows with value cardinality — at extreme cardinality swap
-    * `approx_percentile` (GK sketch, bounded state; bucket balance
-    * softens, the plan shape is unchanged). */
-  def equidepth(df: DataFrame, c: Column, nBins: Int): DataFrame = {
+    * per bucket regardless of skew): cut points at ranks
+    * ceil(j*n/nBins) from [[binnedCuts]]' bounded-state deterministic
+    * histogram (the scale-safe DEFAULT), inlined as literals (the
+    * assignShards idiom — no totals broadcast, no nested-loop join);
+    * bucketing is then a monotone sum of `v > cut` comparisons in one
+    * map-combined aggregation. The binned cuts replay in DuckDB
+    * bit-for-bit, so cuts, membership, and per-bucket min/max/count
+    * all carry an exact oracle. `exact=true` keeps the old exact
+    * `percentile` path as the small-scale verification twin — its
+    * single final aggregation buffer grows with distinct-value
+    * cardinality, the 100 TB killer the default avoids. */
+  def equidepth(df: DataFrame, c: Column, nBins: Int,
+                exact: Boolean = false): DataFrame = {
     require(nBins > 1, "need at least 2 bins")
     val v = df.select(c.cast("double").as("v")).filter(col("v").isNotNull)
-    val ps = (1 until nBins).map(j => j.toDouble / nBins)
-    val cuts = v.agg(expr(
-        s"percentile(v, array(${ps.mkString(", ")}))").as("q"))
-      .head().getSeq[Double](0)
+    val cuts: Seq[Double] =
+      if (exact) {
+        val ps = (1 until nBins).map(j => j.toDouble / nBins)
+        v.agg(expr(
+            s"percentile(v, array(${ps.mkString(", ")}))").as("q"))
+          .head().getSeq[Double](0)
+      } else binnedCuts(df, c,
+        n => (1L until nBins.toLong).map(j => (j * n + nBins - 1) / nBins)
+      ).getOrElse(Seq.empty)
     val bucket = cuts.map(q => when(col("v") > lit(q), 1).otherwise(0))
-      .reduce(_ + _)
+      .foldLeft(lit(0))(_ + _)
     v.groupBy(bucket.as("bucket"))
       .agg(count(lit(1)).as("n_rows"),
         min(col("v")).as("lo"), max(col("v")).as("hi"))
@@ -287,22 +376,54 @@ object Profiler {
     * one fence-value). Clipped sums accumulate as e4 DECIMALs (the
     * exactValueSumE4 idiom), so the result replays bit-for-bit.
     * Output per column: (col_name, lo_fence, hi_fence, n_clipped_lo,
-    * n_clipped_hi, clipped_sum_e4, n_rows). Two scans total for ALL
-    * columns (one percentile pass, one clamp pass). */
-  def winsorize(df: DataFrame, cols: Seq[String]): DataFrame = {
-    val qAggs = cols.map { c =>
-      expr(s"percentile(`$c`, array(0.25, 0.75))").as(s"${c}__q")
+    * n_clipped_hi, clipped_sum_e4, n_rows). Quartiles come from
+    * [[binnedCuts]]' deterministic bounded-state histogram by default
+    * (ranks ceil(n/4) / ceil(3n/4); <= bins counters per task at ANY
+    * scale, melted so ALL columns share one histogram scan; DuckDB
+    * replays the same cuts so the oracle stays exact); `exact=true`
+    * keeps the exact-percentile path as the small-scale verification
+    * twin. Three scans total for ALL columns on the default path
+    * (min/max/count, melted histogram, clamp), two on the exact. */
+  /** [[winsorize]]'s default fence derivation: per column, Tukey
+    * quartiles at ranks ceil(n/4)/ceil(3n/4) from [[binnedCuts]] with
+    * TWO refinement rounds — bounded state at any scale AND robust to
+    * the very outliers the fences exist to clamp (one round alone
+    * lets a 1e12 corrupt row stretch the cell width to range/bins,
+    * poisoning the quartiles; the second round re-histograms inside
+    * the data-dense cell). All-null columns yield None, same as the
+    * exact path. */
+  private def winsorizeFencesBinned(df: DataFrame, cols: Seq[String])
+      : Seq[(String, Option[(Double, Double)])] =
+    cols.map { c =>
+      val fo = binnedCuts(df, col(c),
+        n => Seq((n + 3) / 4, (3 * n + 3) / 4), rounds = 2)
+        .map { case Seq(q1, q3) =>
+          val iqr = q3 - q1
+          (q1 - 1.5 * iqr, q3 + 1.5 * iqr)
+        }
+      (c, fo)
     }
-    val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
-    val fences: Seq[(String, Option[(Double, Double)])] = cols.map { c =>
-      val i = qRow.fieldIndex(s"${c}__q")
-      if (qRow.isNullAt(i)) (c, None)
-      else {
-        val qs = qRow.getSeq[Double](i)
-        val iqr = qs(1) - qs(0)
-        (c, Some((qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)))
-      }
-    }
+
+  def winsorize(df: DataFrame, cols: Seq[String],
+                exact: Boolean = false): DataFrame = {
+    val fences: Seq[(String, Option[(Double, Double)])] =
+      if (exact) {
+        // verification twin: exact percentile — single final buffer
+        // sized by distinct-value cardinality, NOT for 100 TB columns
+        val qAggs = cols.map { c =>
+          expr(s"percentile(`$c`, array(0.25, 0.75))").as(s"${c}__q")
+        }
+        val qRow = df.agg(qAggs.head, qAggs.tail: _*).head()
+        cols.map { c =>
+          val i = qRow.fieldIndex(s"${c}__q")
+          if (qRow.isNullAt(i)) (c, None)
+          else {
+            val qs = qRow.getSeq[Double](i)
+            val iqr = qs(1) - qs(0)
+            (c, Some((qs(0) - 1.5 * iqr, qs(1) + 1.5 * iqr)))
+          }
+        }
+      } else winsorizeFencesBinned(df, cols)
     val aggs = fences.flatMap {
       case (c, Some((lo, hi))) =>
         val clamped = least(greatest(col(c).cast("double"), lit(lo)),

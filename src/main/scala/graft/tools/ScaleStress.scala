@@ -198,6 +198,25 @@ object ScaleStress {
           pmod(xxhash64(col("id"), lit(1)), lit(100000)).as("b")),
         "a", "b", bits = 17, nFiles = 16, exact = false).count()
     }
+    time("winsorize binned default (5M near-distinct doubles)") {
+      // the profiler scale fix: quartiles from the bounded 4096-cell
+      // histogram (state <= 4096 counters per task at any scale)
+      // instead of exact percentile's distinct-value map in one final
+      // aggregation buffer — compare against the exact case below
+      graft.functions.Profiler.winsorize(
+        docs.select((xxhash64(col("id")).cast("double") / 1e6)
+          .as("v")), Seq("v")).count()
+    }
+    time("winsorize EXACT percentile (same 5M near-distinct doubles)") {
+      graft.functions.Profiler.winsorize(
+        docs.select((xxhash64(col("id")).cast("double") / 1e6)
+          .as("v")), Seq("v"), exact = true).count()
+    }
+    time("equidepth binned default (5M near-distinct doubles, 8 bins)") {
+      graft.functions.Profiler.equidepth(
+        docs.select((xxhash64(col("id")).cast("double") / 1e6)
+          .as("v")), col("v"), nBins = 8).count()
+    }
     time("cdc apply (5M snapshot, 1M-event changeset)") {
       graft.operators.Cdc.applyChangeset(
         docs.select(col("id"), col("text")),

@@ -183,9 +183,10 @@ class PipelineStatsSpec extends SparkSpec {
   test("winsorize golden: outlier clamps to the fence, sum robust") {
     // 1..7 plus a 1e6 outlier: quartiles of 8 sorted values ->
     // q1 2.75, q3 6.25 (outliers-spec numbers), fences -2.5 / 11.5;
-    // the outlier contributes 11.5, not 1e6
+    // the outlier contributes 11.5, not 1e6 (exact verification twin)
     val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000000L)).toDF("v")
-    val r = Profiler.winsorize(df, Seq("v")).collect().head
+    val r = Profiler.winsorize(df, Seq("v"), exact = true)
+      .collect().head
     r.getString(0) shouldBe "v"
     r.getDouble(1) shouldBe -2.5
     r.getDouble(2) shouldBe 11.5
@@ -201,6 +202,38 @@ class PipelineStatsSpec extends SparkSpec {
     e.isNullAt(5) shouldBe true
     e.getLong(3) shouldBe 0L
     e.getLong(6) shouldBe 0L
+  }
+
+  test("winsorize default (binned rounds=2) stays outlier-robust") {
+    // the same 1e6-contaminated column: ONE histogram round would put
+    // both quartiles at the first cell edge (~245 — range/4096, i.e.
+    // fences poisoned by the very outlier they exist to clamp); the
+    // round-2 refinement re-histograms inside the data-dense cell, so
+    // the fences land near the exact ones (within the round-2 width
+    // 1e6/4096^2 per quartile) and the outlier still clips
+    val df = (Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1000000L)).toDF("v")
+    val r = Profiler.winsorize(df, Seq("v")).collect().head
+    r.getDouble(1) should (be > -6.0 and be < 0.0) // exact: -2.5
+    r.getDouble(2) should (be > 10.0 and be < 14.0) // exact: 11.5
+    r.getLong(3) shouldBe 0L
+    r.getLong(4) shouldBe 1L // the outlier clips
+    // clipped sum stays ~39.5, nowhere near the 1e6 a poisoned fence
+    // would admit
+    r.getLong(5) should (be > 300000L and be < 500000L)
+  }
+
+  test("binnedCuts agrees with exact percentile on lineitem (twin)") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val exact = li
+      .agg(expr("percentile(l_extendedprice, array(0.25, 0.75))"))
+      .head().getSeq[Double](0)
+    val binned = Profiler.binnedCuts(li, col("l_extendedprice"),
+      n => Seq((n + 3) / 4, (3 * n + 3) / 4), rounds = 2).get
+    // binned targets the ceil-rank order statistic, exact percentile
+    // interpolates — agreement within 0.5% relative is the contract
+    binned.zip(exact).foreach { case (b, e) =>
+      math.abs(b - e) / e should be < 0.005
+    }
   }
 
   test("outliers golden: hand-derived Tukey fences and tail counts") {
