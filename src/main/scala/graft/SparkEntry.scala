@@ -102,6 +102,14 @@ object SparkEntry {
     "group_counts_lineitem" -> { (s, dir) =>
       GroupCounts(Tables(s, dir, "lineitem"), Grouper.byColumn("l_returnflag"))
     },
+    // BINARY group-key fidelity (the reference's GetKeyFn returns raw
+    // bytes — types.py:31): key = the 16-byte md5 digest itself,
+    // grouped and emitted as BinaryType end to end, no string cast to
+    // UTF-8-mangle it; DuckDB groups the same BLOB (exact oracle).
+    "group_counts_binary_key" -> { (s, dir) =>
+      GroupCounts(Tables(s, dir, "documents"),
+        Grouper.byBytes(unhex(md5(col("source")))))
+    },
     // S3/P6 round trip through the TEXT SINK (reference FormatGroupCount
     // + WriteToText): counts -> delimiter-formatted lines -> text shards
     // with per-shard header -> read back. The non-header lines must
@@ -3272,6 +3280,12 @@ object SparkEntry {
          |  CAST(sum(68 + strlen(l_returnflag) + strlen(l_linestatus)) AS BIGINT) AS num_bytes,
          |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "group_counts_binary_key" ->
+      s"""SELECT unhex(md5(source)) AS group_id,
+         |  count(*) AS num_examples,
+         |  CAST(sum(16 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) AS num_bytes,
+         |  CAST(sum(${duckWords("text")} + ${duckWords("lang")} + ${duckWords("source")}) AS BIGINT) AS num_words
+         |FROM documents GROUP BY 1""".stripMargin,
     "group_counts_text_sink" ->
       s"""SELECT lang || '|' || count(*) || '|' ||
          |  CAST(sum(16 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) || '|' ||

@@ -57,12 +57,20 @@ object GroupCounts {
   }
 
   /** Reference text-line output format (count_utils.py:50-58):
-    * `group_id<d>num_examples<d>num_bytes<d>num_words`. */
+    * `group_id<d>num_examples<d>num_bytes<d>num_words`. A BinaryType
+    * group key ([[Grouper.byBytes]]) re-encodes as base64 HERE, at the
+    * text boundary — never earlier (raw digest bytes aren't valid
+    * UTF-8; everything upstream grouped on the bytes themselves). */
   def formatted(counts: DataFrame, delimiter: String = ",",
-                groupCol: String = Grouper.GroupCol): DataFrame =
+                groupCol: String = Grouper.GroupCol): DataFrame = {
+    val key = counts.schema(groupCol).dataType match {
+      case org.apache.spark.sql.types.BinaryType => base64(col(groupCol))
+      case _ => col(groupCol)
+    }
     counts.select(concat_ws(delimiter,
-      col(groupCol), col("num_examples"),
+      key, col("num_examples"),
       col("num_bytes"), col("num_words")).as("line"))
+  }
 
   /** Reference header line. Faithfully reproduces the reference's
     * latent inconsistency: the header is ALWAYS comma-separated even

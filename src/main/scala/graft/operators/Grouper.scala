@@ -31,8 +31,21 @@ final case class Grouper(key: Column, name: String = Grouper.GroupCol) {
 object Grouper {
   val GroupCol = "group_id"
 
-  /** Key by an arbitrary Column expression (preferred — stays in Catalyst). */
+  /** Key by an arbitrary Column expression (preferred — stays in
+    * Catalyst). The key is rendered to string — the convenient form for
+    * text sinks and readable group ids; for raw-bytes keys (digests,
+    * serialized structs) use [[byBytes]], which preserves the
+    * reference's `GetKeyFn -> bytes` contract without UTF-8 mangling. */
   def byExpr(key: Column): Grouper = Grouper(key.cast("string"))
+
+  /** Key by a BINARY Column kept as raw bytes end-to-end — the exact
+    * key type of the reference's extension point (`GetKeyFn: Example ->
+    * bytes`, dataset_grouper/types.py:31). A string cast here would
+    * UTF-8-mangle non-text bytes (a digest or image-bytes key);
+    * grouping, packing, and aggregation all operate on BinaryType
+    * natively, and only the TEXT sink boundary re-encodes (base64, in
+    * [[GroupCounts.formatted]]). */
+  def byBytes(key: Column): Grouper = Grouper(key)
 
   /** Key by an existing column, cast to string (the reference's
     * group-by-feature partitioner casts every dtype to bytes —

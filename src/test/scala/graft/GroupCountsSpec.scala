@@ -152,6 +152,43 @@ class GroupCountsSpec extends SparkSpec {
       Set("len_2", "len_3")
   }
 
+  test("byBytes: binary key end-to-end — group, pack, base64 text boundary") {
+    // non-UTF-8 digest bytes as the group key (reference GetKeyFn ->
+    // bytes, types.py:31): a string cast would mangle them; byBytes
+    // groups/packs on the raw BinaryType
+    val docs = Tables(spark, sf0001, "documents")
+    val g = Grouper.byBytes(unhex(md5($"lang")))
+    val counts = GroupCounts(docs, g)
+    counts.schema("group_id").dataType shouldBe
+      org.apache.spark.sql.types.BinaryType
+    // identical partition to the string-keyed twin (md5 is injective
+    // on the 5 langs here): same sizes, keys are the digest bytes
+    val byLang = GroupCounts(docs, Grouper.byColumn("lang"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val byBytes = counts.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    byBytes.keySet.size shouldBe byLang.size
+    byLang.foreach { case (lang, n) =>
+      val dig = java.security.MessageDigest.getInstance("MD5")
+        .digest(lang.getBytes("UTF-8")).toSeq
+      byBytes(dig) shouldBe n
+    }
+    // packing groups on the binary key without a cast
+    val packed = graft.operators.Pack.packCappedDeterministic(
+      docs, g, $"text", $"doc_id", limit = 10000L)
+    packed.schema("group_id").dataType shouldBe
+      org.apache.spark.sql.types.BinaryType
+    packed.count() shouldBe byLang.size.toLong
+    // the TEXT boundary re-encodes as base64 — never upstream
+    val lines = GroupCounts.formatted(counts, delimiter = "|")
+      .as[String].collect()
+    lines.foreach { l =>
+      val b64 = l.split("\\|")(0)
+      noException should be thrownBy
+        java.util.Base64.getDecoder.decode(b64)
+    }
+  }
+
   test("byRandom / byHashMod produce bounded group ids") {
     val df = spark.range(1000).toDF("id")
     val g1 = Grouper.byRandom(7, seed = 42).keyed(df)
