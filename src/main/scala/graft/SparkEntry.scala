@@ -747,6 +747,25 @@ object SparkEntry {
         arrivalCol = col("ts") + jitter, tsCol = col("ts"),
         keyCol = col("event_type"), delayNs = 900L * 1000000000L)
     },
+    // The LIVE twin: a BACKFILL-heavy feed (md5-jitter up to 5 days —
+    // offline devices syncing late; the audit's 30-min network jitter
+    // can never be late at batch granularity, where the effective
+    // cutoff lags TWO 2-day slices) staged as deterministic slice
+    // files (one micro-batch each), a real watermarked streaming
+    // aggregation run over them, and the per-batch QueryProgress
+    // numRowsDroppedByWatermark read back — the drop-rate dashboard a
+    // production stream gets for free. Batch boundaries, watermark
+    // advancement, and the drop rule are all integer-deterministic
+    // (details on watermarkDropLive), so even this live metric
+    // carries an exact oracle.
+    "events_stream_watermark_drops" -> { (s, dir) =>
+      val jitter = pmod(
+        graft.functions.Kmv.u32(col("event_id")), lit(432000L)) *
+        lit(1000000000L) + col("event_id")
+      EventStream.watermarkDropLive(Tables(s, dir, "events"),
+        arrival = col("ts") + jitter, tsCol = col("ts"),
+        scratch = scratchDir("wmdrop"))
+    },
     // POINT-IN-TIME SCD2 join: every event pairs with the dimension
     // VERSION valid at ITS timestamp (a plain equi-join with the
     // validity interval as residual — never a range join). The dim is
@@ -4625,6 +4644,43 @@ object SparkEntry {
         |  (CAST(sum(CASE WHEN late THEN 1 ELSE 0 END) AS BIGINT)
         |    * 10000) // count(*) AS late_bp
         |FROM f GROUP BY key""".stripMargin,
+    // LIVE drop-metric replay: batch = 2-day arrival slice
+    // (dense_rank), watermark for LATE-EVENT filtering = ms-floored
+    // event-time max through batch N-2 minus the 15-min delay (the
+    // lag-2 rule Spark applies in-run: eviction advances per batch,
+    // the late filter uses the PREVIOUS batch's pre-advancement
+    // value — pinned empirically and in EventStreamSpec), dropped
+    // units = distinct late (5-min window, event_type) GROUPS (the
+    // stateful op counts post-merge rows, so raw late rows sharing a
+    // group count once)
+    "events_stream_watermark_drops" ->
+      """WITH e AS (
+        |  SELECT epoch_ns(ts) // 1000 AS tus, event_type,
+        |    (epoch_ns(ts)
+        |      + (('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 8))
+        |          ::BIGINT % 432000) * 1000000000
+        |      + event_id) // 172800000000000 AS slice
+        |  FROM events),
+        |b AS (SELECT dense_rank() OVER (ORDER BY slice) - 1 AS bid,
+        |        tus, event_type
+        |      FROM e),
+        |m AS (SELECT bid, max(tus) AS mx,
+        |        CAST(count(*) AS BIGINT) AS n_input
+        |      FROM b GROUP BY 1),
+        |w AS (SELECT bid, n_input,
+        |        (max(mx) OVER (ORDER BY bid
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND 2 PRECEDING)
+        |          // 1000 - 900000) * 1000 AS wm
+        |      FROM m),
+        |g AS (SELECT r.bid, r.tus - r.tus % 300000000 AS ws,
+        |        r.event_type,
+        |        max(CASE WHEN (r.tus - r.tus % 300000000 + 300000000)
+        |            <= w.wm THEN 1 ELSE 0 END) AS late
+        |      FROM b r JOIN w USING (bid) GROUP BY 1, 2, 3)
+        |SELECT w.bid AS batch_id, w.n_input,
+        |  CAST(coalesce(sum(g.late), 0) AS BIGINT) AS n_dropped_live
+        |FROM w LEFT JOIN g ON g.bid = w.bid
+        |GROUP BY 1, 2""".stripMargin,
     // component-size histogram off the same transitive closure
     "graph_component_stats" ->
       s"""WITH RECURSIVE $NgramClusterCtes,

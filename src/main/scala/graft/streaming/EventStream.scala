@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Encoders}
+import org.apache.spark.sql.{Column, DataFrame, Encoders}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
 
@@ -391,5 +391,96 @@ object EventStream {
           Iterator.single(next)
       }
       .toDF()
+  }
+
+  /** LIVE watermark drop-rate metric — the QueryProgress
+    * `numRowsDroppedByWatermark` twin of the batch replay audit
+    * (`Retention.watermarkLateness`). In production this metric comes
+    * free from the live stream's progress events; here the bounded
+    * testdata is staged into arrival-ordered slice files (ONE file =
+    * ONE micro-batch under maxFilesPerTrigger=1, file modification
+    * times set strictly ascending in slice order so the file source's
+    * batch order is deterministic), the real micro-batch plan runs a
+    * watermarked tumbling count, and the per-batch drop counts are
+    * read back from the query's progress. Every step is
+    * integer-deterministic, so unlike most live metrics this one
+    * carries an EXACT replay oracle. The pinned semantics (both in
+    * the DuckDB oracle and replayed row-by-row in StreamingSpec):
+    *
+    *  - batch boundaries are fixed arrival-time slices (one file
+    *    per slice, maxFilesPerTrigger=1);
+    *  - the late-event filter uses the watermark lagged TWO batches
+    *    in-run — (ms-floored event-time max through batch N-2) -
+    *    delay. Eviction advances every batch, but Spark hands the
+    *    late filter the PREVIOUS batch's pre-advancement value (a
+    *    restart closes the gap to lag-1 — verified empirically);
+    *  - `numRowsDroppedByWatermark` counts POST-MERGE rows at the
+    *    stateful operator, i.e. distinct late (window, key) GROUPS
+    *    per batch, not raw input rows — partitioning-independent,
+    *    which is exactly what makes it replayable;
+    *  - a group is late when its window END <= the watermark.
+    *
+    * Output: one row per non-empty micro-batch,
+    * (batch_id, n_input, n_dropped_live). */
+  def watermarkDropLive(events: DataFrame, arrival: Column,
+                        tsCol: Column, scratch: String,
+                        delayMs: Long = 900000L,
+                        windowSec: Int = 300,
+                        sliceNs: Long = 172800L * 1000000000L)
+      : DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val staged = events.select(arrival.as("__a"), tsCol.as("__ts"),
+        col("event_type"))
+      .withColumn("__slice",
+        ((col("__a") - pmod(col("__a"), lit(sliceNs)))
+          / lit(sliceNs.toDouble)).cast("long"))
+      .localCheckpoint() // one read; the slice writes below reuse it
+    val slices = staged.select(col("__slice")).distinct()
+      .orderBy(col("__slice")).as[Long].collect() // bounded: span/slice
+    slices.zipWithIndex.foreach { case (sl, i) =>
+      staged.filter(col("__slice") === sl)
+        .select(col("__ts"), col("event_type"))
+        .coalesce(1).write.mode("overwrite")
+        .parquet(f"$scratch/s$i%04d")
+    }
+    // strictly ascending mod-times in slice order: the file stream
+    // source orders pending files by timestamp
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$scratch/s*/part-*.parquet"))
+      .sortBy(_.getPath.toString)
+    files.zipWithIndex.foreach { case (st, i) =>
+      fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+    }
+    val phys = spark.read.parquet(s"$scratch/s0000").schema
+    val src = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$scratch/s*")
+    val agg = src
+      .withColumn("__event_time",
+        timestamp_micros(expr("__ts DIV 1000")))
+      .withWatermark("__event_time", s"$delayMs milliseconds")
+      .groupBy(window(col("__event_time"), s"$windowSec seconds"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try agg.writeStream.format("memory")
+        .queryName("wm_drop_live")
+        .outputMode(OutputMode.Append())
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    q.awaitTermination()
+    val rows = q.recentProgress.toSeq
+      .filter(_.numInputRows > 0)
+      .map { p =>
+        (p.batchId, p.numInputRows,
+          p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      }
+    rows.toDF("batch_id", "n_input", "n_dropped_live")
   }
 }

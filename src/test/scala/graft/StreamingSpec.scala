@@ -377,4 +377,54 @@ class StreamingSpec extends SparkSpec {
     // identical window estimates
     stream shouldBe batch
   }
+
+  test("LIVE watermark drops: lag-2 filter rule, group units, audit bound") {
+    // the declared live metric, against an in-test replay of the
+    // pinned semantics: Spark's in-run late-event filter uses the
+    // watermark lagged TWO batches (eviction advances per batch; the
+    // late filter sees the previous batch's pre-advancement value),
+    // and numRowsDroppedByWatermark counts post-merge (window, type)
+    // GROUPS, not raw rows
+    val live = SparkEntry.queries("events_stream_watermark_drops")(
+      spark, sf0001).as[(Long, Long, Long)].collect().sortBy(_._1)
+    live.length should be > 2
+    live.map(_._3).sum should be > 0L
+    val jitter = pmod(
+      graft.functions.Kmv.u32($"event_id"), lit(432000L)) *
+      lit(1000000000L) + $"event_id"
+    val sliceNs = 172800L * 1000000000L
+    val rows = Tables(spark, sf0001, "events")
+      .select(($"ts" + jitter).as("a"),
+        expr("ts DIV 1000").as("tus"), $"event_type")
+      .collect()
+      .map(r => org.apache.spark.sql.Row(
+        r.getLong(0) / sliceNs, r.getLong(1), r.getString(2)))
+    val slices = rows.map(_.getLong(0)).distinct.sorted
+    val bidOf = slices.zipWithIndex.toMap
+    val byBid = rows.groupBy(r => bidOf(r.getLong(0)))
+    val maxUs = byBid.view.mapValues(_.map(_.getLong(1)).max).toMap
+    val replay = (0 until slices.length).map { bid =>
+      val wm =
+        if (bid < 2) None
+        else Some(((0 to bid - 2).map(maxUs).max / 1000 - 900000L) * 1000)
+      val grps = byBid(bid).map { r =>
+        val ws = r.getLong(1) - r.getLong(1) % 300000000L
+        (ws, r.getString(2))
+      }.distinct
+      val dropped = wm match {
+        case None => 0L
+        case Some(w) => grps.count(g => g._1 + 300000000L <= w).toLong
+      }
+      (bid.toLong, byBid(bid).length.toLong, dropped)
+    }
+    live.toSeq shouldBe replay
+    // the batch-granular live metric can never exceed the per-event
+    // replay audit run at the SAME jitter/delay (watermark only lags)
+    val audit = graft.operators.Retention.watermarkLateness(
+      Tables(spark, sf0001, "events"),
+      arrivalCol = $"ts" + jitter, tsCol = $"ts",
+      keyCol = $"event_type", delayNs = 900L * 1000000000L)
+      .agg(sum($"n_late")).as[Long].head()
+    live.map(_._3).sum should be <= audit
+  }
 }
