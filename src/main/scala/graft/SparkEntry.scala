@@ -1296,6 +1296,49 @@ object SparkEntry {
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
           col("block").as("nationkey"), col("name_dist"))
     },
+    // The R-S REGISTRY variant: the clean contact keys are segmented
+    // ONCE into a PassJoin index, PERSISTED (three parquet tables —
+    // the MinhashLshIndex pattern for edit distance), read back, and
+    // a 20% dirty DELTA batch probes the stored tables. The registry
+    // is never re-segmented — per-batch cost is probe-sized, the
+    // new-batch-vs-100 TB-registry topology. Same dirty-key algebra
+    // as entity_match_passjoin; oracle = brute-force ground truth
+    // restricted to the delta, so the hash match proves the stored
+    // index lossless too.
+    "entity_match_passjoin_registry" -> { (s, dir) =>
+      val cid = col("c_custkey")
+      val ckey = substring(
+        md5(concat(lit("ph:"), cid.cast("string"))), 1, 12)
+      def subst(k: Column, pos: Column, c: String): Column =
+        concat(k.substr(lit(1), (pos - 1).cast("int")), lit(c),
+          k.substr(pos.cast("int") + 1, lit(24)))
+      def del(k: Column, pos: Column): Column =
+        concat(k.substr(lit(1), (pos - 1).cast("int")),
+          k.substr(pos.cast("int") + 1, lit(24)))
+      val p = cid % 12 + 1
+      val q = (cid + 5) % 12 + 1
+      val r = cid % 11 + 1
+      val r2 = (cid + 4) % 11 + 1
+      val del1 = del(ckey, p)
+      val dkey = when(cid % 4 === 0, ckey)
+        .when(cid % 4 === 1, del1)
+        .when(cid % 4 === 2, subst(subst(ckey, p, "z"), q, "q"))
+        .otherwise(subst(subst(del1, r, "z"), r2, "q"))
+      val cust = Tables(s, dir, "customer")
+      val clean = cust.select(cid.as("cid"), ckey.as("k"),
+        col("c_nationkey").as("b"))
+      val delta = cust.filter(cid % 5 === 0)
+        .select(cid.as("cid"), dkey.as("k"), col("c_nationkey").as("b"))
+      val tmp = scratchDir("passjoin_idx")
+      EntityMatch.writePassJoinIndex(
+        EntityMatch.passJoinIndexBuild(clean,
+          col("cid"), col("k"), col("b"), maxDist = 3), tmp)
+      EntityMatch.passJoinProbe(
+        EntityMatch.readPassJoinIndex(s, tmp, maxDist = 3),
+        delta, col("cid"), col("k"), col("b"))
+        .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
+          col("block").as("nationkey"), col("name_dist"))
+    },
     // END-TO-END entity resolution: fuzzy blocking (FastSS deletion
     // neighborhoods, complete for lev<=2 incl. indels) -> connected
     // components (pairwise matching is not transitive — chains must
@@ -4326,6 +4369,46 @@ object SparkEntry {
         |        || substr(del1z, r2 + 1)
         |    END AS dkey
         |  FROM step2)
+        |SELECT a.cid AS custkey_a, b.cid AS custkey_b,
+        |  a.blk AS nationkey,
+        |  CAST(levenshtein(a.ckey, b.dkey) AS BIGINT) AS name_dist
+        |FROM base a JOIN dirty b ON a.blk = b.blk
+        |WHERE levenshtein(a.ckey, b.dkey) <= 3""".stripMargin,
+    // registry variant: identical ground truth restricted to the
+    // 20% delta batch
+    "entity_match_passjoin_registry" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS cid, c_nationkey AS blk,
+        |    substr(md5('ph:' || CAST(c_custkey AS VARCHAR)), 1, 12)
+        |      AS ckey,
+        |    CAST(c_custkey % 12 + 1 AS INTEGER) AS p,
+        |    CAST((c_custkey + 5) % 12 + 1 AS INTEGER) AS q,
+        |    CAST(c_custkey % 11 + 1 AS INTEGER) AS r,
+        |    CAST((c_custkey + 4) % 11 + 1 AS INTEGER) AS r2
+        |  FROM customer),
+        |step1 AS (
+        |  SELECT *,
+        |    substr(ckey, 1, p - 1) || substr(ckey, p + 1) AS del1,
+        |    substr(ckey, 1, p - 1) || 'z' || substr(ckey, p + 1)
+        |      AS sub1
+        |  FROM base),
+        |step2 AS (
+        |  SELECT *,
+        |    substr(del1, 1, r - 1) || 'z' || substr(del1, r + 1)
+        |      AS del1z
+        |  FROM step1),
+        |dirty AS (
+        |  SELECT cid, blk,
+        |    CASE CAST(cid % 4 AS INTEGER)
+        |      WHEN 0 THEN ckey
+        |      WHEN 1 THEN del1
+        |      WHEN 2 THEN substr(sub1, 1, q - 1) || 'q'
+        |        || substr(sub1, q + 1)
+        |      ELSE substr(del1z, 1, r2 - 1) || 'q'
+        |        || substr(del1z, r2 + 1)
+        |    END AS dkey
+        |  FROM step2
+        |  WHERE cid % 5 = 0)
         |SELECT a.cid AS custkey_a, b.cid AS custkey_b,
         |  a.blk AS nationkey,
         |  CAST(levenshtein(a.ckey, b.dkey) AS BIGINT) AS name_dist

@@ -148,7 +148,25 @@ object EntityMatch {
   def passJoinPairs(indexed: DataFrame, probes: DataFrame,
                     idI: Column, strI: Column, blkI: Column,
                     idP: Column, strP: Column, blkP: Column,
-                    maxDist: Int): DataFrame = {
+                    maxDist: Int): DataFrame =
+    passJoinProbe(passJoinIndexBuild(indexed, idI, strI, blkI, maxDist),
+      probes, idP, strP, blkP)
+
+  /** The PERSISTABLE PassJoin registry index — the R-S topology where
+    * a clean registry is segmented ONCE and stored, and each incoming
+    * delta batch probes it ([[MinhashLshIndex]]'s pattern for edit
+    * distance): `segments` = one row per (key, segment) with the key
+    * kept for the exact verify, `lens` = the distinct key lengths the
+    * probe side length-filters against (tiny, broadcast), `shortRows`
+    * = the <= maxDist-char keys the pigeonhole argument doesn't cover
+    * (bounded family, broadcast side path). Write with
+    * [[writePassJoinIndex]]; per-batch cost is then probe-sized — the
+    * registry is never re-segmented. */
+  final case class PassJoinIndex(segments: DataFrame, lens: DataFrame,
+                                 shortRows: DataFrame, maxDist: Int)
+
+  def passJoinIndexBuild(indexed: DataFrame, idI: Column, strI: Column,
+                         blkI: Column, maxDist: Int): PassJoinIndex = {
     require(maxDist >= 1, s"maxDist must be >= 1, got $maxDist")
     val k = maxDist + 1
     val segSide = {
@@ -167,6 +185,33 @@ object EntityMatch {
           col("sv.segval").as("segval"))
         .filter(length(col("segval")) > 0)
     }
+    val idxLens = indexed.select(length(strI).cast("int").as("klen"))
+      .distinct()
+    val shortIdx = indexed.select(idI.as("id_a"), strI.as("__ka"),
+      blkI.as("blk")).filter(length(col("__ka")) <= maxDist)
+    PassJoinIndex(segSide, idxLens, shortIdx, maxDist)
+  }
+
+  /** Persist / reload the registry index (three parquet tables). */
+  def writePassJoinIndex(index: PassJoinIndex, dir: String): Unit = {
+    index.segments.write.mode("overwrite").parquet(s"$dir/segments")
+    index.lens.write.mode("overwrite").parquet(s"$dir/lens")
+    index.shortRows.write.mode("overwrite").parquet(s"$dir/short")
+  }
+
+  def readPassJoinIndex(spark: org.apache.spark.sql.SparkSession,
+                        dir: String, maxDist: Int): PassJoinIndex =
+    PassJoinIndex(spark.read.parquet(s"$dir/segments"),
+      spark.read.parquet(s"$dir/lens"),
+      spark.read.parquet(s"$dir/short"), maxDist)
+
+  /** Probe a delta batch against a (stored) registry index — the
+    * per-batch half of [[passJoinPairs]], which is build + probe. */
+  def passJoinProbe(index: PassJoinIndex, probes: DataFrame,
+                    idP: Column, strP: Column, blkP: Column): DataFrame = {
+    val maxDist = index.maxDist
+    val k = maxDist + 1
+    val segSide = index.segments
     // LENGTH FILTERING (the standard PassJoin refinement): a probe
     // only needs the segment geometry of lengths that actually occur
     // on the indexed side, so candidate lengths [|t|-d, |t|+d] are
@@ -175,8 +220,7 @@ object EntityMatch {
     // (d+1)(2d+1) per-length substring fan-out — measured 4x fewer
     // probe rows than the blind +-d length window on 12-char keys,
     // and the join stays a BroadcastHashJoin (no range condition).
-    val idxLens = indexed.select(length(strI).cast("int").as("klen"))
-      .distinct()
+    val idxLens = index.lens
     val probeSide = {
       val base = probes.select(idP.as("id_b"), strP.as("__kb"),
         blkP.as("blk"))
@@ -223,8 +267,7 @@ object EntityMatch {
     // so a broadcast of the short index rows against the length-
     // filtered probe side is bounded by design (both sides are tiny
     // fixed families, never corpus-scale)
-    val shortIdx = indexed.select(idI.as("id_a"), strI.as("__ka"),
-      blkI.as("blk")).filter(length(col("__ka")) <= maxDist)
+    val shortIdx = index.shortRows
     val shortCand = probes
       .select(idP.as("id_b"), strP.as("__kb"), blkP.as("blk"))
       .filter(length(col("__kb")) <= 2 * maxDist)

@@ -463,6 +463,30 @@ object ScaleStress {
         col("id"), col("k"), col("b"), maxDist = 3).count()
       println(s"[stress]   passjoin pairs found: $n")
     }
+    // the R-S registry topology: the 1M-key index is built+stored
+    // once; a 1% delta probes the STORED tables — per-batch cost is
+    // probe-sized (compare against the full passjoin case above)
+    time("passjoin registry build+store (1M keys, one-time)") {
+      val keys = spark.range(math.min(rows, 1000000L))
+        .select(col("id"),
+          substring(md5(col("id").cast("string")), 1, 12).as("k"),
+          pmod(col("id"), lit(1000)).as("b"))
+      graft.operators.EntityMatch.writePassJoinIndex(
+        graft.operators.EntityMatch.passJoinIndexBuild(keys,
+          col("id"), col("k"), col("b"), maxDist = 3),
+        "/tmp/graft-stress-pjidx")
+    }
+    time("passjoin registry probe ONLY (stored index, 10k delta)") {
+      val delta = spark.range(math.min(rows, 1000000L) / 100)
+        .select((col("id") + 2000000L).as("id"),
+          substring(md5(col("id").cast("string")), 2, 12).as("k"),
+          pmod(col("id"), lit(1000)).as("b"))
+      val n = graft.operators.EntityMatch.passJoinProbe(
+        graft.operators.EntityMatch.readPassJoinIndex(spark,
+          "/tmp/graft-stress-pjidx", maxDist = 3),
+        delta, col("id"), col("k"), col("b")).count()
+      println(s"[stress]   registry-probe pairs found: $n")
+    }
     // multi-probe at the LSH stress shape: finer 16-bit codes + H<=1
     // probing, hot-bucket cap engaged by the clustered corpus
     time("multi-probe LSH pairs (250k vecs, 16 bits, 2 tables, capped)") {

@@ -421,6 +421,38 @@ class GovernanceSpec extends SparkSpec {
     fgot shouldBe ftruth
   }
 
+  test("passJoin registry: stored index round-trips, probe == direct") {
+    import graft.operators.EntityMatch
+    // clean registry + a disjoint-id dirty delta (one planted edit)
+    val clean = (0L until 200L).map(i =>
+      (i, f"k$i%02d-0123456789", i % 4)).toDF("id", "name", "blk")
+    val delta = (0L until 200L by 7L).map(i =>
+      (1000L + i, f"k$i%02d-123456789", i % 4)) // head-region deletion
+      .toDF("id", "name", "blk")
+    val direct = EntityMatch.passJoinPairs(clean, delta,
+      $"id", $"name", $"blk", $"id", $"name", $"blk", maxDist = 3)
+      .as[(Long, Long, Long, Long)].collect().sorted
+    direct.length should be > 0
+    val dir = java.nio.file.Files
+      .createTempDirectory("pjidx").toString
+    EntityMatch.writePassJoinIndex(
+      EntityMatch.passJoinIndexBuild(clean,
+        $"id", $"name", $"blk", maxDist = 3), dir)
+    val stored = EntityMatch.passJoinProbe(
+      EntityMatch.readPassJoinIndex(spark, dir, maxDist = 3),
+      delta, $"id", $"name", $"blk")
+      .as[(Long, Long, Long, Long)].collect().sorted
+    stored shouldBe direct
+    // a second delta probes the SAME stored index — no rebuild
+    val delta2 = Seq((2000L, "k00-0123456789x", 0L))
+      .toDF("id", "name", "blk")
+    val second = EntityMatch.passJoinProbe(
+      EntityMatch.readPassJoinIndex(spark, dir, maxDist = 3),
+      delta2, $"id", $"name", $"blk")
+      .as[(Long, Long, Long, Long)].collect()
+    second.map(p => (p._1, p._2)) should contain((0L, 2000L))
+  }
+
   test("pseudonym: stable, salt-sensitive, preserves join cardinality") {
     val ev = Tables(spark, sf0001, "events")
     val cust = Tables(spark, sf0001, "customer")
