@@ -1502,6 +1502,27 @@ object SparkEntry {
           aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
             .as("n_weight1"))
     },
+    // SUBSAMPLE -> LM-BLOCKS composition: word2vec frequency
+    // subsampling thins the token stream (stopwords decimated, rare
+    // words kept — vocab_subsample_tokens' exact keep rule), then the
+    // SURVIVORS pack into shifted input/target blocks per lang — the
+    // full train-prep path where rebalancing feeds block assembly.
+    // The oracle chains the two existing CTE families verbatim.
+    "train_blocks_subsampled" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val enc = graft.functions.Vocab.subsampleIds(docs,
+          col("doc_id"), col("text"), t = 0.001, k = 500)
+        .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+      Pack.inputTargetBlocks(enc, col("lang"), col("doc_id"),
+          col("ids"), seqLen = 128)
+        .select(col("group_id"), col("example_id"),
+          md5(array_join(transform(col("input_ids"), _.cast("string")),
+            ",")).as("input_digest"),
+          md5(array_join(transform(col("target_ids"), _.cast("string")),
+            ",")).as("target_digest"),
+          aggregate(col("class_weights"), lit(0L), (a, x) => a + x)
+            .as("n_weight1"))
+    },
     // SFT-PREP rendering: split each doc into a (prompt, response)
     // pair at the first sentence boundary, render through a chat
     // template, and report the token budget check — the assembly step
@@ -1942,19 +1963,21 @@ object SparkEntry {
         col("vec_id"), col("embedding"), threshold = 0.45,
         dim = 64, nBits = 6, nTables = 8)
     },
-    // MULTI-PROBE LSH near-dup: 2 tables x (home + 8 one-bit-flip
-    // probes) instead of 8 home-only tables — finer buckets (2^8 vs
-    // 2^6) kill within-bucket quadratics while Hamming-1 probing buys
-    // the recall back with transient probe rows, not whole extra
-    // corpus shuffles (measured at sf0.01: 5 verified pairs vs the
-    // 8-table home-only path's 4, with a quarter of the index
-    // copies). Candidates == code pairs with bit_count(xor) <= 1;
-    // md5-anchored, so the whole probe topology replays exactly in
-    // the oracle.
+    // MULTI-PROBE LSH near-dup at Hamming 2: 2 tables x (home + 8
+    // one-bit + 28 two-bit flip probes) instead of 8 home-only tables
+    // — finer buckets (2^8 vs 2^6) kill within-bucket quadratics
+    // while probing buys the recall back with transient probe rows,
+    // not whole extra corpus shuffles. H2 is the declared entry since
+    // the 1M-vector budget profile (ScaleStress: 74 probe rows/vec vs
+    // H1's 18 — linear, exchange-bounded) confirmed the steeper
+    // recall curve is affordable; recall vs the exact twin is
+    // measured in SimilaritySpec (home ⊆ H1 ⊆ H2 ⊆ exact).
+    // Candidates == code pairs with bit_count(xor) <= 2; md5-anchored,
+    // so the whole probe topology replays exactly in the oracle.
     "neardup_multiprobe_embeddings" -> { (s, dir) =>
       Similarity.cosinePairsLshMultiProbe(Tables(s, dir, "embeddings"),
         col("vec_id"), col("embedding"), threshold = 0.45,
-        dim = 64, nBits = 8, nTables = 2)
+        dim = 64, nBits = 8, nTables = 2, probeHamming = 2)
     },
     // Exact-pairs VERIFICATION twin, explicitly bounded to a fixed-size
     // corpus slice so the O(n^2) join can never be the scale path —
@@ -5011,6 +5034,54 @@ object SparkEntry {
     // digests, non-padding target count; partial tail blocks drop
     "train_blocks_roundtrip" -> TrainBlocksOracle,
     "train_blocks_documents" -> TrainBlocksOracle,
+    // the composition: subsample keep-rule CTEs feeding the block
+    // CTEs — both replayed verbatim from their standalone twins
+    "train_blocks_subsampled" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id,
+         |    ${TextAnalysis.Sql.tokens("lower(text)")} AS l
+         |  FROM documents),
+         |occ AS (
+         |  SELECT doc_id, i - 1 AS pos, l[CAST(i AS INTEGER)] AS token
+         |  FROM (SELECT doc_id, l, unnest(range(1, len(l) + 1)) AS i
+         |        FROM toks)),
+         |cnt AS (
+         |  SELECT token, CAST(count(*) AS BIGINT) AS f
+         |  FROM occ GROUP BY 1),
+         |tot AS (SELECT CAST(sum(f) AS BIGINT) AS grand FROM cnt),
+         |vocab AS (
+         |  SELECT token, CAST(row_number() OVER
+         |    (ORDER BY f DESC, token) AS INT) AS rank
+         |  FROM cnt ORDER BY f DESC, token LIMIT 500),
+         |dec AS (
+         |  SELECT o.doc_id, o.pos, o.token
+         |  FROM occ o JOIN cnt c USING (token), tot
+         |  WHERE (('0x' || substr(md5(o.doc_id::VARCHAR || ':'
+         |      || o.pos::VARCHAR), 1, 8))::BIGINT::DOUBLE
+         |      / 4294967296.0)
+         |    < least(1.0, sqrt(0.001 * grand / f))),
+         |stream AS (
+         |  SELECT d.lang, coalesce(v.rank, 0) AS tid,
+         |    row_number() OVER (PARTITION BY d.lang
+         |      ORDER BY dec.doc_id, dec.pos) - 1 AS gp
+         |  FROM dec JOIN documents d ON d.doc_id = dec.doc_id
+         |  LEFT JOIN vocab v ON v.token = dec.token),
+         |blk AS (SELECT lang, gp // 129 AS example_id, gp % 129 AS o,
+         |          tid
+         |        FROM stream),
+         |outb AS (
+         |  SELECT lang AS group_id, example_id,
+         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
+         |      FILTER (WHERE o < 128)) AS input_digest,
+         |    md5(string_agg(CAST(tid AS VARCHAR), ',' ORDER BY o)
+         |      FILTER (WHERE o >= 1)) AS target_digest,
+         |    CAST(count(*) FILTER (WHERE o >= 1 AND tid <> 0) AS BIGINT)
+         |      AS n_weight1,
+         |    count(*) AS nb
+         |  FROM blk GROUP BY 1, 2)
+         |SELECT group_id, CAST(example_id AS BIGINT) AS example_id,
+         |  input_digest, target_digest, n_weight1
+         |FROM outb WHERE nb = 129""".stripMargin,
     "profile_partition_advisor" ->
       """WITH u AS (
         |  SELECT 'documents' AS table_name,
@@ -5681,7 +5752,7 @@ object SparkEntry {
          |  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
          |  FROM sigs a
          |  JOIN sigs b ON a.t = b.t AND a.vec_id < b.vec_id
-         |    AND bit_count(xor(a.sig, b.sig)) <= 1
+         |    AND bit_count(xor(a.sig, b.sig)) <= 2
          |  JOIN ok ON ok.t = a.t AND ok.sig = a.sig),
          |v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y

@@ -96,6 +96,52 @@ object Vocab {
       col("kept"), expr("(kept * 1000000) DIV f").as("keep_ppm"))
   }
 
+  /** [[subsampleCounts]]' APPLY side, feeding the LM-block assembler:
+    * the per-occurrence keep decision (same md5-uniform vs
+    * sqrt(t·N/f) threshold) filters the token stream, survivors
+    * encode against the top-`k` vocabulary (rank 1..k from the SAME
+    * count table, OOV → 0, word2vec convention: vocabulary from raw
+    * counts, subsampling applied to the stream), and each document's
+    * kept ids re-assemble in position order — the (doc_id, ids,
+    * n_tokens) shape [[graft.operators.Pack.inputTargetBlocks]]
+    * consumes. Documents whose every occurrence is dropped vanish
+    * (they own no tokens in the packed stream). One tokenize pass,
+    * one count aggregation, a linear token-keyed join, one per-doc
+    * regroup. */
+  def subsampleIds(df: DataFrame, idCol: Column, textCol: Column,
+                   t: Double, k: Int): DataFrame = {
+    require(t > 0, "subsample threshold must be positive")
+    require(k > 0, "k must be positive")
+    val occ = df.select(idCol.as("__id"),
+      posexplode(TextAnalysis.tokens(lower(textCol)))
+        .as(Seq("pos", "token")))
+      .localCheckpoint() // two consumers: counts and the decision join
+    val counts = occ.groupBy(col("token"))
+      .agg(count(lit(1)).as("f"))
+      .localCheckpoint()
+    val totals = counts.agg(sum(col("f")).as("__N"))
+    val vocab = counts.orderBy(col("f").desc, col("token").asc)
+      .limit(k).collect() // bounded: k rows
+      .zipWithIndex.map { case (r, i) => r.getString(0) -> (i + 1) }
+      .toMap
+    val vmap = typedLit(vocab)
+    val u = (graft.functions.Kmv.u32(
+      concat(col("__id").cast("string"), lit(":"),
+        col("pos").cast("string"))).cast("double")
+      / lit(4294967296.0))
+    occ.join(counts, "token")
+      .crossJoin(broadcast(totals))
+      .filter(u < least(lit(1.0), sqrt(lit(t) * col("__N") / col("f"))))
+      .select(col("__id").as("doc_id"), col("pos"),
+        coalesce(element_at(vmap, col("token")), lit(0)).as("tid"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(
+        struct(col("pos"), col("tid")))).as("__ps"))
+      .select(col("doc_id"),
+        transform(col("__ps"), p => p.getField("tid")).as("ids"),
+        size(col("__ps")).cast("long").as("n_tokens"))
+  }
+
   /** The APPLY side of vocabulary training: encode every document
     * against the top-`k` vocab (token → its rank; out-of-vocabulary →
     * 0) and report per doc the token count, OOV count, and an md5

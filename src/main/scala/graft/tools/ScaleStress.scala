@@ -497,6 +497,18 @@ object ScaleStress {
         maxBucketSize = 2000).count()
       println(s"[stress]   multi-probe pairs found: $n")
     }
+    // the H2 probe-row budget at 1M vectors (the declared entry's
+    // topology scaled up): 2 tables x (1 + 16 + 120) = 274 probe rows
+    // per vector through one exchange — linear, the cost that bought
+    // the steeper recall curve
+    time("multi-probe H2 budget (1M vecs, 16 bits, 2 tables, capped)") {
+      val n = Similarity.cosinePairsLshMultiProbe(
+        vecs.filter(col("vec_id") < 1000000),
+        col("vec_id"), col("embedding"),
+        threshold = 0.9, dim = 64, nBits = 16, nTables = 2,
+        maxBucketSize = 2000, probeHamming = 2).count()
+      println(s"[stress]   H2 probe pairs found: $n")
+    }
     // watermark replay over the full row count: the two-level
     // prefix-max must stay parallel (block windows + tiny prefix),
     // never a single-partition corpus sort

@@ -54,6 +54,8 @@ class PlanAuditSpec extends SparkSpec {
     "text_cooccurrence_lift",
     "events_covisitation_lift",
     "vocab_subsample_tokens",
+    // same single-row token-total broadcast as vocab_subsample_tokens
+    "train_blocks_subsampled",
     // single-row max-bucket broadcast bounding the sliding-window
     // gap-fill (Kmv.slidingFromBuckets)
     "events_sliding_distinct_users",

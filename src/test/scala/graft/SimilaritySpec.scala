@@ -156,6 +156,13 @@ class SimilaritySpec extends SparkSpec {
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     mp.subsetOf(mp2) shouldBe true
     mp2.subsetOf(exact) shouldBe true
+    // the declared entry is H2: recall vs the exact twin measured
+    // here (sf0.01: exact 14, H1 5 -> 0.36, H2 8 -> 0.57) — the
+    // steeper curve that justified the promotion
+    val recallH1 = mp.size.toDouble / exact.size
+    val recallH2 = mp2.size.toDouble / exact.size
+    recallH2 should be >= recallH1
+    recallH2 should be >= 0.5
   }
 
   test("label noise: vote replayed driver-side; checked set partitions probes") {
