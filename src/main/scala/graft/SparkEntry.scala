@@ -2240,6 +2240,23 @@ object SparkEntry {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4)
     },
+    // IVF-PQ with a LLOYD-REFINED codebook: 2 integer k-means rounds
+    // per subspace over the first-256 train slice (quantized lanes,
+    // BIGINT distances, floor-mean updates, ties to the lower
+    // centroid — the similarity_ivf_lloyd recipe applied to PQ
+    // training) tighten the codebook the anchored variant merely
+    // seeds; distortion descends per round (spec-pinned). Every step
+    // replays in SQL — the oracle unrolls both rounds — so even the
+    // trained index stays hash-exact. Same one-scan/one-shuffle plan
+    // as similarity_ivfpq_adc; ADC distances are exact integers.
+    "similarity_ivfpq_lloyd" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = Pq.fitLloydQuantized(emb, col("vec_id"),
+        col("embedding"), m = 8, k = 16, trainN = 256, iters = 2)
+      Pq.ivfAdcTopKInt(emb.filter(col("vec_id") < 10), emb, books, k = 5,
+        col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
+        nCells = 16, nProbe = 4)
+    },
 
     // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
     // over the embedding corpus, then the tiny hit set BROADCASTS into
@@ -3280,6 +3297,33 @@ object SparkEntry {
        |  FROM $prev p LEFT JOIN (SELECT cell, list(cv ORDER BY i) AS c
        |                          FROM m$next GROUP BY cell) n USING (cell))"""
       .stripMargin
+
+  /** One integer Lloyd round of the PER-SUBSPACE PQ codebook replay
+    * (`similarity_ivfpq_lloyd`): assign every train row's subvector j
+    * to its nearest centroid (BIGINT squared-L2 over quantized lanes,
+    * ties to the lower index), floor-mean each non-empty centroid;
+    * empty centroids keep their position. Expects `train` (vec_id,
+    * q = quantized lanes) in scope; centroids carry (j, ci, c). */
+  private def pqLloydRoundSql(prev: String, next: String): String =
+    s"""a$next AS (
+       |  SELECT t.vec_id, c.j, c.ci,
+       |    row_number() OVER (PARTITION BY t.vec_id, c.j
+       |      ORDER BY list_sum([(t.q[c.j*8 + i] - c.c[i])
+       |        * (t.q[c.j*8 + i] - c.c[i]) FOR i IN range(1, 9)]),
+       |        c.ci) AS rnk
+       |  FROM train t CROSS JOIN $prev c),
+       |m$next AS (
+       |  SELECT a.j, a.ci, r.i,
+       |    CAST(floor(CAST(sum(t.q[a.j*8 + r.i]) AS DOUBLE) / count(*))
+       |      AS BIGINT) AS cv
+       |  FROM a$next a, train t, range(1, 9) r(i)
+       |  WHERE t.vec_id = a.vec_id AND a.rnk = 1
+       |  GROUP BY 1, 2, 3),
+       |$next AS (
+       |  SELECT p.j, p.ci, coalesce(n.c, p.c) AS c
+       |  FROM $prev p LEFT JOIN (SELECT j, ci, list(cv ORDER BY i) AS c
+       |                          FROM m$next GROUP BY 1, 2) n
+       |    USING (j, ci))""".stripMargin
 
   /** Shared CDC replay prefix: the changeset, latest-per-key pick, and
     * merged v2 snapshot — `cdc_apply_documents` and
@@ -6105,6 +6149,64 @@ object SparkEntry {
          |adc AS (
          |  SELECT query_id, neighbor_id,
          |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist
+         |  FROM pairs GROUP BY 1, 2)
+         |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
+         |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |        ORDER BY adc_dist ASC, neighbor_id) AS rank FROM adc)
+         |WHERE rank <= 5""".stripMargin,
+    // Lloyd-refined replay: quantized train slice, two unrolled
+    // per-subspace k-means rounds (c0 -> c1 -> c2), then the same
+    // IVF cells / codes / ADC chain over the REFINED integer codebook
+    "similarity_ivfpq_lloyd" ->
+      s"""WITH qv AS (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+         |     FOR x IN embedding] AS q
+         |  FROM embeddings),
+         |train AS (SELECT vec_id, q FROM qv ORDER BY vec_id LIMIT 256),
+         |c0 AS (
+         |  SELECT s.j, t.ci, [t.q[s.j*8 + i] FOR i IN range(1, 9)] AS c
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, q
+         |        FROM train ORDER BY vec_id LIMIT 16) t
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s),
+         |${pqLloydRoundSql("c0", "c1")},
+         |${pqLloydRoundSql("c1", "c2")},
+         |dists AS (
+         |  SELECT e.vec_id, c.j, c.ci,
+         |    list_sum([(e.q[c.j*8 + i] - c.c[i])
+         |      * (e.q[c.j*8 + i] - c.c[i]) FOR i IN range(1, 9)]) AS d
+         |  FROM qv e CROSS JOIN c2 c),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+         |  FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT 16)),
+         |cellrank AS (
+         |  SELECT q.vec_id, c.cell,
+         |    row_number() OVER (PARTITION BY q.vec_id
+         |      ORDER BY list_sum([CAST(q.embedding[i] AS DOUBLE) * c.e[i]
+         |        FOR i IN range(1, len(c.e) + 1)]) DESC, c.cell) AS rnk
+         |  FROM embeddings q CROSS JOIN cents c),
+         |assigned AS (SELECT vec_id, cell FROM cellrank WHERE rnk = 1),
+         |probes AS (SELECT vec_id, cell FROM cellrank
+         |           WHERE rnk <= 4 AND vec_id < 10),
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dists)
+         |  WHERE rnk = 1),
+         |pairs AS (
+         |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id, n.j, d.d
+         |  FROM probes p
+         |  JOIN assigned a ON a.cell = p.cell AND a.vec_id <> p.vec_id
+         |  JOIN codes n ON n.vec_id = a.vec_id
+         |  JOIN dists d ON d.vec_id = p.vec_id AND d.j = n.j
+         |    AND d.ci = n.code),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    CAST(list_sum(list(d ORDER BY j)) AS BIGINT) AS adc_dist
          |  FROM pairs GROUP BY 1, 2)
          |SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank, adc_dist
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id

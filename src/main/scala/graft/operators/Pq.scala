@@ -106,6 +106,142 @@ object Pq {
       array(best.map(b => round(b.getField("d"), 6)): _*).as("qerrs"))
   }
 
+  /** Lane quantization (floor(x * 2^20), kept as exact-integer-valued
+    * DOUBLEs so the codegen'd dot kernels apply) — the
+    * Similarity.quantized idiom; <2^-20 perturbation, and every
+    * arithmetic result below stays under 2^53, so int-codebook
+    * distances are BIT-EXACT across engines (DuckDB computes the same
+    * values in BIGINT). */
+  private def quantizedD(vec: Column): Column =
+    transform(vec, x => floor(x.cast("double") * lit(1048576.0))
+      .cast("double"))
+
+  /** Integer codebook: books(j)(i) = quantized lanes of centroid i of
+    * subspace j. */
+  type IntCodebook = IndexedSeq[IndexedSeq[IndexedSeq[Long]]]
+
+  /** LLOYD-REFINED integer codebook — [[fitAnchored]]'s k-means
+    * upgrade, [[graft.operators.Similarity.lloydRefinedCentroids]]'
+    * recipe applied PER SUBSPACE: train slice = first `trainN` rows by
+    * id (bounded driver collect), lanes floor-quantized to 2^-20
+    * integers, init = the first `k` rows' subvectors (exactly the
+    * anchored codebook), then `iters` rounds of BIGINT squared-L2
+    * assignment (strict <, ties to the lower centroid) and floor-mean
+    * update (empty centroids keep their position). Every step is
+    * integer arithmetic, so the oracle unrolls the same rounds in SQL
+    * CTEs and the refined codebook — hence codes, LUTs, and ADC
+    * ranks — replays bit-for-bit. Distortion is non-increasing per
+    * round (k-means descent), pinned in SimilaritySpec. */
+  def fitLloydQuantized(corpus: DataFrame, id: Column, vec: Column,
+                        m: Int, k: Int, trainN: Int = 256,
+                        iters: Int = 2): IntCodebook = {
+    val rows = corpus
+      .select(id.cast("long").as("id"), vec.cast("array<double>").as("v"))
+      .orderBy(col("id")).limit(trainN)
+      .collect()
+    require(rows.length >= k, s"train slice has ${rows.length} rows < k=$k")
+    val train: Array[Array[Long]] = rows.map(
+      _.getSeq[Double](1).map(d => math.floor(d * 1048576.0).toLong).toArray)
+    val d = train(0).length
+    require(d % m == 0, s"dim $d is not divisible by m=$m subspaces")
+    val sub = d / m
+    IndexedSeq.tabulate(m) { j =>
+      val tj = train.map(t => t.slice(j * sub, (j + 1) * sub))
+      var cents = Array.tabulate(k)(i => tj(i).clone())
+      (0 until iters).foreach { _ =>
+        val sums = Array.fill(k)(new Array[Long](sub))
+        val counts = new Array[Long](k)
+        tj.foreach { t =>
+          var best = 0; var bestD = Long.MaxValue; var c = 0
+          while (c < k) {
+            var dd = 0L; var i = 0
+            while (i < sub) { val x = t(i) - cents(c)(i); dd += x * x; i += 1 }
+            if (dd < bestD) { bestD = dd; best = c } // ties to lower
+            c += 1
+          }
+          counts(best) += 1
+          var i = 0
+          while (i < sub) { sums(best)(i) += t(i); i += 1 }
+        }
+        cents = Array.tabulate(k) { c =>
+          if (counts(c) > 0)
+            Array.tabulate(sub)(i =>
+              math.floor(sums(c)(i).toDouble / counts(c)).toLong)
+          else cents(c)
+        }
+      }
+      cents.map(_.toIndexedSeq).toIndexedSeq
+    }
+  }
+
+  /** [[subDists]] over the INT codebook: quantized subvector vs
+    * integer centroids, same decomposition — every term an
+    * exact-integer-valued double (< 2^48), so the value equals
+    * DuckDB's direct BIGINT Σ(x-c)^2 bit-for-bit. */
+  private def subDistsInt(vec: Column, j: Int,
+                          cents: IndexedSeq[IndexedSeq[Long]]): Seq[Column] = {
+    val sub = cents.head.length
+    val xs = slice(quantizedD(vec), j * sub + 1, sub)
+    val xx = Vectors.dot(xs, xs)
+    cents.map { c =>
+      val cc = c.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)
+      (xx - lit(2.0) * Vectors.dot(xs, typedLit(c.map(_.toDouble)))) +
+        lit(cc)
+    }
+  }
+
+  private def bestOfInt(vec: Column, j: Int,
+                        cents: IndexedSeq[IndexedSeq[Long]]): Column = {
+    val scored = subDistsInt(vec, j, cents).zipWithIndex.map {
+      case (d, i) => struct(d.as("d"), lit(i).as("i"))
+    }
+    least(scored: _*)
+  }
+
+  /** [[ivfAdcTopK]] with the Lloyd-refined INT codebook: same plan
+    * shape (one corpus scan fusing cell + code batteries, one cell
+    * shuffle, broadcast query LUTs, bounded TopK), integer ADC
+    * distances emitted as BIGINT. */
+  def ivfAdcTopKInt(queries: DataFrame, corpus: DataFrame,
+                    books: IntCodebook, k: Int, qId: Column, qVec: Column,
+                    cId: Column, cVec: Column,
+                    nCells: Int = 16, nProbe: Int = 4,
+                    excludeSelf: Boolean = true): DataFrame = {
+    val m = books.length
+    val cents = Similarity.anchoredUnitCentroids(corpus, cId, cVec, nCells)
+    val best = books.indices.map(j => bestOfInt(cVec, j, books(j)))
+    val codes = corpus
+      .select(
+        coalesce(element_at(Similarity.cellsByAffinity(cents, cVec), 1),
+          lit(-1)).as("cell"),
+        cId.as("neighbor_id"),
+        array(best.map(_.getField("i")): _*).as("codes"))
+      .repartition(col("cell"))
+    val lut = array(books.indices.map { j =>
+      array(subDistsInt(qVec, j, books(j)): _*)
+    }: _*)
+    val q = queries
+      .select(qId.as("query_id"), lut.as("lut"),
+        slice(Similarity.cellsByAffinity(cents, qVec), 1, nProbe)
+          .as("cells"))
+      .repartition(col("query_id"))
+      .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
+      .select(col("query_id"), col("lut"),
+        coalesce(col("cell"), lit(-2)).as("cell"))
+    val adc = (0 until m).map { j =>
+      expr(s"element_at(element_at(lut, ${j + 1})," +
+        s" element_at(codes, ${j + 1}) + 1)")
+    }.reduce(_ + _)
+    val scored0 = codes.join(broadcast(q), Seq("cell"))
+      .withColumn("score", -adc) // exact integers: no rounding needed
+    val scored =
+      if (excludeSelf) scored0.filter(col("query_id") =!= col("neighbor_id"))
+      else scored0
+    TopK.perQuery(scored, k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        (-col("score")).cast("long").as("adc_dist"))
+  }
+
   /** ADC top-k: rank `corpusCodes` (neighbor_id, codes — the
     * [[encode]] output, 8 B/row) for each query row by the summed
     * subspace table lookups, ascending distance, ties to the lower

@@ -226,14 +226,18 @@ object Similarity {
     val codeArr = array((0 until nTables).map { t =>
       bucketExpr(col("__q"), md5SignPlanes(nBits, dim, t))
     }: _*)
-    // one projection computes every table's code; a second generator
-    // emits home (pidx 0) + the one-bit flips (+ two-bit flips at
+    // one projection computes every table's code; the probe generator
+    // then emits home + the one-bit flips (+ two-bit flips at
     // probeHamming=2 — nBits(nBits-1)/2 extra SHORT rows per vector,
     // the steeper recall curve when near-threshold pairs straddle two
-    // sign tests). checkpointed: three consumers (hot census, index,
-    // probes) must not re-run the sign battery
+    // sign tests). ONLY the per-vector codes are checkpointed (the
+    // sign battery must not re-run for its three consumers); the
+    // probe fan-out itself is cheap XOR literals recomputed on the
+    // fly — materializing the exploded probe stream filled the disk
+    // at 1M vectors x H2 (137 probes/vector/table) for no gain.
     val coded = df.select(idCol.as("id"), quantized(vecCol).as("__q"))
       .select(col("id"), posexplode(codeArr).as(Seq("tbl", "code")))
+      .localCheckpoint()
     val flips1 = (0 until nBits).map(1L << _)
     val flips2 =
       if (probeHamming < 2) Seq.empty[Long]
@@ -243,20 +247,17 @@ object Similarity {
     val probeArr = concat(array(col("code")),
       array((flips1 ++ flips2).map(m =>
         col("code").bitwiseXOR(lit(m))): _*))
-    val emitted = coded
-      .select(col("id"), col("tbl"),
-        posexplode(probeArr).as(Seq("pidx", "bucket")))
+    val index = coded
+      .select(col("id"), col("tbl"), col("code").as("bucket"))
       .repartition(col("tbl"), col("bucket"))
-      .localCheckpoint()
-    val index = emitted.filter(col("pidx") === 0)
-      .select(col("id"), col("tbl"), col("bucket"))
     val hot = index.groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__bsz"))
       .filter(col("__bsz") > maxBucketSize)
       .select(col("tbl"), col("bucket"))
     val idxOk = index.join(broadcast(hot), Seq("tbl", "bucket"),
       "left_anti")
-    val prbOk = emitted.select(col("id"), col("tbl"), col("bucket"))
+    val prbOk = coded
+      .select(col("id"), col("tbl"), explode(probeArr).as("bucket"))
       .join(broadcast(hot), Seq("tbl", "bucket"), "left_anti")
     val candidates = idxOk.as("a")
       .join(prbOk.as("b"),

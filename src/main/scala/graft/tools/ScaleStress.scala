@@ -497,15 +497,19 @@ object ScaleStress {
         maxBucketSize = 2000).count()
       println(s"[stress]   multi-probe pairs found: $n")
     }
-    // the H2 probe-row budget at 1M vectors (the declared entry's
-    // topology scaled up): 2 tables x (1 + 16 + 120) = 274 probe rows
-    // per vector through one exchange — linear, the cost that bought
-    // the steeper recall curve
-    time("multi-probe H2 budget (1M vecs, 16 bits, 2 tables, capped)") {
+    // the H2 budget at 1M vectors. The binding constraint is NOT the
+    // probe-row count but the HAMMING-BALL FRACTION of candidate
+    // pairs it admits: |ball(2)|/2^nBits of all cross pairs become
+    // candidates, so H2 at 16 bits admits 137/65536 ~ 1/478 of ~5e11
+    // pairs (~1e9 candidates — filled the disk; measured before the
+    // fix). H2 must BUY its ball with bits: at 24 bits the fraction
+    // is 301/2^24 ~ 1.8e-5 and the candidate set is linear again —
+    // the rule a 100 TB deployment sizes nBits by.
+    time("multi-probe H2 budget (1M vecs, 24 bits, 2 tables, capped)") {
       val n = Similarity.cosinePairsLshMultiProbe(
         vecs.filter(col("vec_id") < 1000000),
         col("vec_id"), col("embedding"),
-        threshold = 0.9, dim = 64, nBits = 16, nTables = 2,
+        threshold = 0.9, dim = 64, nBits = 24, nTables = 2,
         maxBucketSize = 2000, probeHamming = 2).count()
       println(s"[stress]   H2 probe pairs found: $n")
     }

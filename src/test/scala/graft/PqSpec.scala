@@ -158,4 +158,38 @@ class PqSpec extends SparkSpec {
     overlap should not be empty
     overlap.foreach { case (d, fd) => d shouldBe fd }
   }
+
+  test("fitLloydQuantized: distortion descends per round from the anchored init") {
+    val emb = Tables(spark, sf001, "embeddings")
+    // train distortion = sum over train rows and subspaces of the
+    // min integer squared-L2 to a centroid — the k-means objective;
+    // iters=0 IS the anchored (quantized) codebook
+    val rows = emb
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .orderBy($"vec_id").limit(256).collect()
+      .map(_.getSeq[Double](1).map(d =>
+        math.floor(d * 1048576.0).toLong).toArray)
+    def distortion(books: graft.operators.Pq.IntCodebook): BigInt = {
+      val m = books.length; val sub = books.head.head.length
+      var tot = BigInt(0)
+      rows.foreach { t =>
+        (0 until m).foreach { j =>
+          val tj = t.slice(j * sub, (j + 1) * sub)
+          tot += books(j).map { c =>
+            var d = 0L; var i = 0
+            while (i < sub) { val x = tj(i) - c(i); d += x * x; i += 1 }
+            BigInt(d)
+          }.min
+        }
+      }
+      tot
+    }
+    val fits = (0 to 2).map(it => graft.operators.Pq.fitLloydQuantized(
+      emb, $"vec_id", $"embedding", m = 8, k = 16, trainN = 256,
+      iters = it))
+    val ds = fits.map(distortion)
+    ds(1) should be <= ds(0)
+    ds(2) should be <= ds(1)
+    ds(2) should be < ds(0) // genuinely refined, not a no-op
+  }
 }
