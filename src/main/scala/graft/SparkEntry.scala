@@ -2481,6 +2481,16 @@ object SparkEntry {
           expr("(24 * __ss - n_events * n_events) DIV n_events")
             .as("dispersion"))
     },
+    // SEASONALITY-AWARE gap audit (the recorded resample composition):
+    // the hourly grid of events_resample_gapfill carrying each hour's
+    // seasonal EXPECTATION from the events_hourly_seasonality profile
+    // — a 3 a.m. gap reads "expected ~0", a 2 p.m. gap on a peaked
+    // profile reads "outage". Profile/slot tables are (keys x 24)
+    // broadcasts into the metadata grid; one corpus scan total.
+    "events_resample_seasonal" -> { (s, dir) =>
+      Resample.seasonalGapFill(Tables(s, dir, "events"),
+        col("event_type"), col("ts"))
+    },
     // WEIGHTED rendezvous (virtual replicas — log-free, unlike the
     // classic -w/ln(u)): capacities 1/2/4 land keys ~1:2:4; per-shard
     // counts gate the distribution, the argmax stays md5-exact.
@@ -6639,6 +6649,7 @@ object SparkEntry {
     "events_path_trigrams" -> Paths.Sql.eventsTrigrams,
     "events_resample_gapfill" ->
       Resample.Sql.eventsByType(binNs = 3600L * 1000000000L),
+    "events_resample_seasonal" -> Resample.Sql.eventsSeasonal,
     "events_json_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_k,

@@ -56,6 +56,54 @@ object Resample {
         when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"))
   }
 
+  /** SEASONALITY-AWARE gap audit at hour grain — [[gapFill]]'s grid
+    * machinery composed with the hourly seasonality profile
+    * (`events_hourly_seasonality`'s hour-of-day counts): every grid
+    * bin carries the hour's EXPECTED event count (the key's total for
+    * that hour-of-day, split evenly over the span's slots of that
+    * hour, e3-scaled integer DIV) and the bin's deviation from it —
+    * so a 3 a.m. gap reads as "expected ~0, fine" while a 2 p.m. gap
+    * on a peaked profile reads as an outage. Carry-forward fill
+    * ([[gapFill]]) answers "what was the level"; the seasonal
+    * expectation answers "was this bin NORMAL".
+    *
+    * Shape: one corpus scan into (key, hour-bin) counts (map-side
+    * combined); profile and slot tables are (keys x 24) rows,
+    * BROADCAST into the span-sized metadata grid — the corpus is
+    * never rescanned or re-shuffled. */
+  def seasonalGapFill(df: DataFrame, keyCol: Column,
+                      tsCol: Column): DataFrame = {
+    val hourNs = 3600L * 1000000000L
+    val obs = df
+      .select(keyCol.as("key"), tsCol.as("__ts"))
+      .select(col("key"), expr(s"__ts div ${hourNs}L").as("bin"))
+      .groupBy(col("key"), col("bin"))
+      .agg(count(lit(1)).as("n_events"))
+      .localCheckpoint() // three consumers: span, profile, the join
+    val grid = obs.groupBy(col("key"))
+      .agg(min(col("bin")).as("bmin"), max(col("bin")).as("bmax"))
+      .select(col("key"),
+        explode(sequence(col("bmin"), col("bmax"))).as("bin"))
+      .withColumn("hour", pmod(col("bin"), lit(24L)))
+    val prof = obs.withColumn("hour", pmod(col("bin"), lit(24L)))
+      .groupBy(col("key"), col("hour"))
+      .agg(sum(col("n_events")).as("n_h"))
+    val slots = grid.groupBy(col("key"), col("hour"))
+      .agg(count(lit(1)).as("d_h"))
+    grid.join(obs, Seq("key", "bin"), "left")
+      .join(broadcast(prof), Seq("key", "hour"), "left")
+      .join(broadcast(slots), Seq("key", "hour"))
+      .select(col("key"), col("bin"), col("hour"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        when(col("n_events").isNull, 1L).otherwise(0L).as("is_gap"),
+        coalesce(col("n_h"), lit(0L)).as("__nh"), col("d_h"))
+      .withColumn("expected_n_e3", expr("(__nh * 1000) DIV d_h"))
+      .select(col("key"), col("bin"), col("hour"), col("n_events"),
+        col("is_gap"), col("expected_n_e3"),
+        (col("n_events") * 1000 - col("expected_n_e3"))
+          .as("deviation_e3"))
+  }
+
   /** DuckDB replay of [[gapFill]] over `events(event_type, ts, value)`.
     * `//` == Spark `div` (bins are non-negative epoch quotients);
     * `last_value(x IGNORE NULLS)` == Spark `last(x, ignoreNulls)` under
@@ -87,5 +135,36 @@ object Resample {
          |  CAST(CASE WHEN n_events IS NULL THEN 1 ELSE 0 END AS BIGINT)
          |    AS is_gap
          |FROM j""".stripMargin
+
+    /** DuckDB replay of [[Resample.seasonalGapFill]] over events. */
+    val eventsSeasonal: String =
+      """WITH obs AS (
+        |  SELECT event_type AS key, epoch_ns(ts) // 3600000000000
+        |      AS bin,
+        |    CAST(count(*) AS BIGINT) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT key, min(bin) AS bmin, max(bin) AS bmax
+        |         FROM obs GROUP BY 1),
+        |grid AS (SELECT key, unnest(generate_series(bmin, bmax)) AS bin
+        |         FROM span),
+        |g AS (SELECT key, bin, bin % 24 AS hour FROM grid),
+        |prof AS (SELECT key, bin % 24 AS hour,
+        |           CAST(sum(n_events) AS BIGINT) AS n_h
+        |         FROM obs GROUP BY 1, 2),
+        |slots AS (SELECT key, hour, CAST(count(*) AS BIGINT) AS d_h
+        |          FROM g GROUP BY 1, 2)
+        |SELECT g.key, g.bin, CAST(g.hour AS BIGINT) AS hour,
+        |  COALESCE(o.n_events, CAST(0 AS BIGINT)) AS n_events,
+        |  CAST(CASE WHEN o.n_events IS NULL THEN 1 ELSE 0 END
+        |    AS BIGINT) AS is_gap,
+        |  (COALESCE(p.n_h, CAST(0 AS BIGINT)) * 1000) // s.d_h
+        |    AS expected_n_e3,
+        |  COALESCE(o.n_events, CAST(0 AS BIGINT)) * 1000
+        |    - (COALESCE(p.n_h, CAST(0 AS BIGINT)) * 1000) // s.d_h
+        |    AS deviation_e3
+        |FROM g
+        |LEFT JOIN obs o ON o.key = g.key AND o.bin = g.bin
+        |LEFT JOIN prof p ON p.key = g.key AND p.hour = g.hour
+        |JOIN slots s ON s.key = g.key AND s.hour = g.hour""".stripMargin
   }
 }

@@ -44,6 +44,33 @@ class SeriesOpsSpec extends SparkSpec {
     got shouldBe 3L
   }
 
+  test("seasonalGapFill: hour expectations split the profile over slots") {
+    val hr = 3600L * 1000000000L
+    // key a: events at hour-of-day 0 on two days, hour 1 once -> the
+    // day-2 hour-0 slot is a gap but EXPECTED busy; hour-2..23 slots
+    // inside the span expect 0
+    val df = Seq(
+      ("a", 0L * hr), ("a", 0L * hr + 1), ("a", 24L * hr), // h0: 3 events
+      ("a", 1L * hr),                                       // h1: 1
+      ("a", 25L * hr)                                       // spans to h1 day2
+    ).toDF("k", "t")
+    val got = Resample.seasonalGapFill(df, $"k", $"t")
+      .as[(String, Long, Long, Long, Long, Long, Long)]
+      .collect().sortBy(_._2)
+    // span bins 0..25 -> 26 rows; hours 0 and 1 occur twice (d_h=2)
+    got.length shouldBe 26
+    val h0 = got.filter(_._3 == 0L)
+    h0.map(_._4).sum shouldBe 3L // n_events at hour 0
+    // expected_n_e3 for hour 0 = 3*1000 DIV 2 slots = 1500 on BOTH
+    h0.foreach(_._6 shouldBe 1500L)
+    // gap bins inside the span at never-seen hours expect 0, flag gap
+    val h5 = got.find(_._3 == 5L).get
+    h5._4 shouldBe 0L; h5._5 shouldBe 1L; h5._6 shouldBe 0L
+    // deviations reconcile: sum(n*1000) - sum(expected) == sum(dev)
+    got.map(_._7).sum shouldBe
+      got.map(_._4 * 1000L).sum - got.map(_._6).sum
+  }
+
   // ------------------------------------------------------------- Paths
 
   test("trigramCensus: per-user windows, ties by the tie column") {
