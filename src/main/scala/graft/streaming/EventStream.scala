@@ -465,8 +465,11 @@ object EventStream {
       .groupBy(window(col("__event_time"), s"$windowSec seconds"),
         col("event_type"))
       .agg(count(lit(1)).as("n"))
+    // 2 state partitions: the windowed agg holds a few hundred rows
+    // of state, but EVERY micro-batch pays a per-partition state-store
+    // open/commit x 18 batches — the dominant cost of this harness
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
     val q =
       try agg.writeStream.format("memory")
         .queryName("wm_drop_live")
