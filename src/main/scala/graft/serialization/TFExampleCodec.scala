@@ -30,6 +30,16 @@ import ProtoWire.{Reader, Writer}
   * null (empty value list), but a null ARRAY coalesces to an empty
   * array across the round trip; callers needing the distinction must
   * encode presence explicitly (the reference has the same limitation).
+  *
+  * Dtype-fidelity note vs the reference: TF round-trips uint8/uint16
+  * and float16 tensors (tf_utils_test.py:23-31) through the SAME wire
+  * lists (int64_list / float_list) plus a dtype recorded in TFDS
+  * feature metadata. Spark has no unsigned or half-precision types, so
+  * this codec covers Spark's signed integrals + float/double: the wire
+  * VALUES are identical (uint8 fits int64, float16 widens to float32
+  * exactly), but a consumer restoring uint8/float16 TENSOR dtypes must
+  * carry that dtype out-of-band, exactly as TFDS metadata does — a
+  * representational gap of the engine's type system, not a data loss.
   */
 final class TFExampleCodec(schema: StructType) extends Serializable {
 

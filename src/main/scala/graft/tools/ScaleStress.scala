@@ -434,6 +434,14 @@ object ScaleStress {
       Pack.inputTargetBlocks(enc, col("key"), col("doc_id"), col("ids"),
         seqLen = 128).count()
     }
+    time(s"subsample -> LM blocks (1M docs, keep rule + encode + pack)") {
+      val sub = docs.filter(col("id") < 1000000)
+      val enc = graft.functions.Vocab.subsampleIds(sub, col("id"),
+          col("text"), t = 0.001, k = 500)
+        .join(sub.select(col("id").as("doc_id"), col("key")), "doc_id")
+      Pack.inputTargetBlocks(enc, col("key"), col("doc_id"), col("ids"),
+        seqLen = 128).count()
+    }
     time("k-center coreset (8 picks over 1M vectors)") {
       Similarity.selectKCenter(vecs, col("vec_id"), col("embedding"),
         k = 8).count()
@@ -527,6 +535,33 @@ object ScaleStress {
             1000000000L + col("eid")),
         col("a"), col("t"), col("key"),
         delayNs = 900L * 1000000000L).count()
+    }
+    // seasonal gap audit over the same arrival span: one corpus scan
+    // into hourly counts; profile/slot joins are (keys x 24)
+    // broadcasts into the span-sized metadata grid
+    time(s"seasonal gap audit over $rows events") {
+      val ev = spark.range(rows).select(
+        (col("id") * 1000000000L).as("t"),
+        concat(lit("k"), pmod(col("id"), lit(5))).as("key"))
+      graft.operators.Resample.seasonalGapFill(
+        ev, col("key"), col("t")).count()
+    }
+    // the LIVE watermark-drop harness at volume: staging writes one
+    // file per 2-day slice off a localCheckpoint, then one real
+    // micro-batch per slice; cost is batch-count x planning overhead
+    // plus one corpus pass — NOT row-volume-bound
+    time(s"live watermark drops over $rows arrivals (streamed)") {
+      val day = 86400L * 1000000000L
+      val ev = spark.range(rows).select(
+        col("id").as("event_id"),
+        // ~58 days of arrivals at 5M rows
+        (col("id") * (day / 86400L)).as("ts"),
+        concat(lit("k"), pmod(col("id"), lit(5))).as("event_type"))
+      val jitter = pmod(xxhash64(col("event_id")), lit(432000L)) *
+        lit(1000000000L) + col("event_id")
+      graft.streaming.EventStream.watermarkDropLive(
+        ev, arrival = col("ts") + jitter, tsCol = col("ts"),
+        scratch = "/tmp/graft-stress-wmdrop").count()
     }
     // 1M docs: the checkpointed token arrays of the full 5M corpus
     // (~GBs) have no bearing on the linear-shape evidence. id FILTER,
