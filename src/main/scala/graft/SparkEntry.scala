@@ -1867,6 +1867,16 @@ object SparkEntry {
           expr("(390 * n_words) DIV n_sentences" +
             " + (11800 * n_syllable_groups) DIV n_words - 15590"))
     },
+    // Gopher-style REPETITION filters: duplicate-token fraction, the
+    // champion bigram's char mass, duplicated-trigram char mass — the
+    // repeated-phrase gate beside the quality score. ZERO shuffles:
+    // every signal is a run-length fold over the doc's own sorted
+    // gram arrays (duplicates adjacent after sort); the oracle
+    // replays relationally and pins the tie/mass semantics.
+    "text_repetition_documents" -> { (s, dir) =>
+      graft.functions.Repetition.signals(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"))
+    },
     // CODE-vs-PROSE detection signals: brace/semicolon/indent density
     // per 10k chars — the router that keeps code out of a prose corpus
     // (or routes it to a code corpus). Pure integer counts + ppm DIV.
@@ -2422,6 +2432,21 @@ object SparkEntry {
         ZOrder.layout(Tables(s, dir, "lineitem"),
           dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8),
         aLo = 0L, aHi = 100L, bLo = 0L, bHi = 8L)
+    },
+    // INCREMENTAL z-order maintenance: a 20% delta batch lands in the
+    // EXISTING 8-group layout via the stored manifest's realized z
+    // maxima (the base is never re-laid-out or re-read); per group the
+    // base/delta mix decides which files the next maintenance pass
+    // re-sorts (>= 20% delta share) — topping up a 100 TB layout
+    // instead of rewriting it.
+    "layout_zorder_incremental" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val base = li.filter(col("l_orderkey") % 10 < 8)
+      val manifest = ZOrder.layout(base,
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8)
+      ZOrder.incrementalPlan(manifest,
+        li.filter(col("l_orderkey") % 10 >= 8),
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16)
     },
     // Small-file compaction plan: the documents corpus viewed as one
     // "file" per (source, lang) cell, sequential-fill binned to 64 KiB
@@ -3308,6 +3333,51 @@ object SparkEntry {
        |                          FROM m$next GROUP BY cell) n USING (cell))"""
       .stripMargin
 
+  /** Incremental z-order replay: base layout (exact cuts over the 80%
+    * slice), realized per-group z maxima as the delta cuts, delta mix
+    * per group. */
+  private lazy val zorderIncrementalSql: String = {
+    val zExpr = (0 until 16).map(i =>
+      s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))")
+      .mkString(" | ")
+    s"""WITH z AS (
+       |  SELECT l_orderkey, CAST($zExpr AS BIGINT) AS z
+       |  FROM (SELECT l_orderkey, l_partkey % 65536 AS a,
+       |          l_suppkey % 65536 AS b FROM lineitem)),
+       |bz AS (SELECT z FROM z WHERE l_orderkey % 10 < 8),
+       |dz AS (SELECT z FROM z WHERE l_orderkey % 10 >= 8),
+       |cuts AS (SELECT quantile_cont(z,
+       |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM bz),
+       |basg AS (
+       |  SELECT z,
+       |    (CASE WHEN z > c[1] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[2] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[3] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[4] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[5] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[6] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN z > c[7] THEN 1 ELSE 0 END) AS fg
+       |  FROM bz, cuts),
+       |bman AS (SELECT fg, CAST(count(*) AS BIGINT) AS n_base,
+       |           max(z) AS zmax
+       |         FROM basg GROUP BY 1),
+       |mx AS (SELECT list(zmax ORDER BY fg) AS ms
+       |       FROM bman WHERE fg < (SELECT max(fg) FROM bman)),
+       |dasg AS (SELECT CAST(len(list_filter(ms, m -> z > m)) AS INT)
+       |           AS fg
+       |         FROM dz, mx),
+       |dcnt AS (SELECT fg, CAST(count(*) AS BIGINT) AS n_delta
+       |         FROM dasg GROUP BY 1)
+       |SELECT CAST(b.fg AS INT) AS file_group, b.n_base,
+       |  coalesce(d.n_delta, 0) AS n_delta,
+       |  (coalesce(d.n_delta, 0) * 1000000)
+       |    // (b.n_base + coalesce(d.n_delta, 0)) AS delta_ppm,
+       |  ((coalesce(d.n_delta, 0) * 1000000)
+       |    // (b.n_base + coalesce(d.n_delta, 0))) >= 200000
+       |    AS needs_rewrite
+       |FROM bman b LEFT JOIN dcnt d USING (fg)""".stripMargin
+  }
+
   /** One integer Lloyd round of the PER-SUBSPACE PQ codebook replay
     * (`similarity_ivfpq_lloyd`): assign every train row's subvector j
     * to its nearest centroid (BIGINT squared-L2 over quantized lanes,
@@ -4089,6 +4159,7 @@ object SparkEntry {
     // Morton key replayed with DuckDB's bit operators; file-group cuts
     // and manifest mirror the export_sorted_shards replay.
     "layout_zorder_lineitem" -> zorderManifestSql,
+    "layout_zorder_incremental" -> zorderIncrementalSql,
     // Pruned twin: the same manifest replay filtered by the query box —
     // a kept group is exactly one whose (a, b) rectangle intersects it.
     "layout_zorder_prune" ->
@@ -5609,6 +5680,8 @@ object SparkEntry {
          |FROM k GROUP BY source""".stripMargin
     },
     // same exact integer counts, same all-integer formula
+    "text_repetition_documents" ->
+      graft.functions.Repetition.Sql.documents,
     "text_readability_documents" -> {
       val tok = TextAnalysis.Sql.tokens("text")
       s"""WITH b AS (

@@ -61,6 +61,46 @@ object ZOrder {
         min(col(dimB)).as("b_min"), max(col(dimB)).as("b_max"))
   }
 
+  /** INCREMENTAL layout maintenance — the top-up plan that keeps a
+    * z-ordered 100 TB table clustered without rewriting it: a DELTA
+    * batch is assigned to the EXISTING file groups using the stored
+    * manifest's realized z maxima as cuts (group = count of maxima
+    * the delta z exceeds, so every delta row lands in the group whose
+    * z range it extends least — the base is NEVER re-laid-out or even
+    * re-read), and each group reports its base/delta mix plus a
+    * rewrite flag once the delta share crosses `rewritePpm`. Only
+    * flagged groups get re-sorted on the next maintenance pass; the
+    * rest absorb their deltas as-is. Cuts are a bounded driver
+    * collect of the (nFiles-row) manifest; the delta pass is one scan
+    * + one group-id aggregation.
+    *
+    * Output per group: (file_group, n_base, n_delta, delta_ppm,
+    * needs_rewrite), every group present even with zero delta. */
+  def incrementalPlan(baseManifest: DataFrame, delta: DataFrame,
+                      dimA: String, dimB: String, bits: Int,
+                      rewritePpm: Long = 200000L): DataFrame = {
+    val m = baseManifest
+      .select(col("file_group").cast("int"), col("n_rows"), col("z_max"))
+      .collect().sortBy(_.getInt(0)) // bounded: nFiles rows
+    val cuts = m.dropRight(1).map(_.getLong(2))
+    val zc = zValue(col(dimA), col(dimB), bits)
+    val grp = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(zc > lit(c), 1).otherwise(0)
+    }
+    val dcounts = delta.groupBy(grp.as("file_group"))
+      .agg(count(lit(1)).as("n_delta"))
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val baseRows = m.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("file_group", "n_base")
+    baseRows.join(dcounts, Seq("file_group"), "left")
+      .select(col("file_group"), col("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("delta_ppm",
+        expr("(n_delta * 1000000) DIV (n_base + n_delta)"))
+      .withColumn("needs_rewrite", col("delta_ppm") >= lit(rewritePpm))
+  }
+
   /** Min/max file skipping over a [[layout]] manifest — the planner
     * step the per-file dim stats exist FOR: keep exactly the file
     * groups whose (a, b) bounding rectangle intersects the query box

@@ -107,6 +107,36 @@ class EntryCompositionSpec extends SparkSpec {
     can("c4n4ry-gamma-9a2b") shouldBe 0L // never planted, never found
   }
 
+  test("repetition signals: hand-derived goldens and fold tie rule") {
+    import spark.implicits._
+    // "a b a b a c": 6 tokens, 3 distinct -> dup 500000 ppm; bigrams
+    // "a b"x2 / "b a"x2 / "a c" -> champion "a b" (tie of 2 breaks to
+    // the lexicographically smaller); chars=11 -> 2*3*1e6 DIV 11;
+    // trigram "a b a"x2 -> dup mass 2*5 -> 909090 ppm
+    val df = Seq((1L, "a b a b a c"), (2L, "x"), (3L, "")).toDF("id", "text")
+    val got = graft.functions.Repetition.signals(df, $"id", $"text")
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    r1.getLong(1) shouldBe 6L
+    r1.getLong(2) shouldBe 500000L
+    r1.getString(3) shouldBe "a b"
+    r1.getLong(4) shouldBe 2L
+    r1.getLong(5) shouldBe 2L * 3L * 1000000L / 11L
+    r1.getLong(6) shouldBe 10L * 1000000L / 11L
+    // single token: no grams, zero signals, champion empty
+    val r2 = got(2L)
+    r2.getLong(1) shouldBe 1L
+    r2.getLong(2) shouldBe 0L
+    r2.getString(3) shouldBe ""
+    r2.getLong(4) shouldBe 0L
+    // empty doc: everything zero, no division blowups
+    val r3 = got(3L)
+    r3.getLong(1) shouldBe 0L
+    r3.getLong(2) shouldBe 0L
+    r3.getLong(5) shouldBe 0L
+    r3.getLong(6) shouldBe 0L
+  }
+
   test("last-touch attribution: purchases partition across channels") {
     // named imports: functions.not would shadow the matcher word
     import org.apache.spark.sql.functions.{col, round, sum}

@@ -102,6 +102,32 @@ class LayoutCdcSpec extends SparkSpec {
     lost shouldBe 0L
   }
 
+  test("incrementalPlan: counts reconcile, assignment honors the stored cuts") {
+    val li = Tables(spark, sf0001, "lineitem")
+    val base = li.filter($"l_orderkey" % 10 < 8)
+    val delta = li.filter($"l_orderkey" % 10 >= 8)
+    val manifest = ZOrder.layout(base, "l_partkey", "l_suppkey",
+      bits = 16, nFiles = 8)
+    val plan = ZOrder.incrementalPlan(manifest, delta,
+      "l_partkey", "l_suppkey", bits = 16)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getBoolean(4))).sortBy(_._1)
+    plan.map(_._1).toSeq shouldBe (0 until 8)
+    plan.map(_._2).sum shouldBe base.count()
+    plan.map(_._3).sum shouldBe delta.count()
+    // replay the cut rule row-by-row: group = # stored z maxima < z
+    val cuts = manifest.select($"file_group".cast("int"), $"z_max")
+      .collect().sortBy(_.getInt(0)).dropRight(1).map(_.getLong(1))
+    val dz = delta.select(
+        ZOrder.zValue($"l_partkey", $"l_suppkey", 16)).as[Long].collect()
+    val expect = dz.groupBy(z => cuts.count(z > _)).view
+      .mapValues(_.length.toLong).toMap
+    plan.foreach { case (g, _, nd, ppm, rw) =>
+      nd shouldBe expect.getOrElse(g, 0L)
+      rw shouldBe (ppm >= 200000L)
+    }
+  }
+
   // ----------------------------------------------------------------- Cdc
 
   private def snap = Seq(
