@@ -2968,6 +2968,26 @@ object SparkEntry {
           unix_micros(col("c_ts")).as("c_ts_us"),
           col("click_value_e4"))
     },
+    // LEFT-OUTER stream-stream interval join: purchases WITHOUT a
+    // qualifying click emit too (null click columns) — but only after
+    // the click watermark proves no match can still arrive, in the
+    // trailing state-flush micro-batch. The no-match rows are the
+    // interesting product signal (un-attributed conversions); the
+    // oracle is the plain LEFT JOIN replay.
+    "events_stream_interval_left" -> { (s, dir) =>
+      val src = Tables.eventsStream(s, dir)
+      val events = src.select(
+        timestamp_micros(expr("ts DIV 1000")).as("ts"),
+        col("event_id"), col("user_id"), col("event_type"), col("value"))
+      EventStream.runToCompletion(
+          EventStream.purchaseClickJoin(events, joinType = "left_outer"),
+          "stream_join_left_out",
+          org.apache.spark.sql.streaming.OutputMode.Append())
+        .select(col("purchase_id"), col("user_id"),
+          unix_micros(col("p_ts")).as("p_ts_us"),
+          unix_micros(col("c_ts")).as("c_ts_us"),
+          col("click_value_e4"))
+    },
     // Reference-exact TFDS positional split semantics (`train[:90%]`
     // slices contiguously by POSITION): first 90% of documents in
     // doc_id order — the hash-bucket Splits.slice twin stays the default
@@ -6806,6 +6826,25 @@ object SparkEntry {
         |FROM p JOIN c ON p.user_id = c.user_id
         |  AND c_ts_us <= p_ts_us
         |  AND c_ts_us >= p_ts_us - 1800000000""".stripMargin,
+    "events_stream_interval_left" ->
+      """WITH ev AS (
+        |  SELECT event_id, user_id, event_type,
+        |    epoch_ns(ts) // 1000 AS t_us, value
+        |  FROM events),
+        |p AS (SELECT event_id AS purchase_id, user_id, t_us AS p_ts_us
+        |      FROM ev WHERE event_type = 'purchase'),
+        |c AS (SELECT user_id, t_us AS c_ts_us,
+        |        CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000
+        |          AS BIGINT) AS click_value_e4
+        |      FROM ev WHERE event_type = 'click'),
+        |m AS (SELECT ((max(t_us) // 1000) - 3600000) * 1000 AS wm
+        |      FROM ev)
+        |SELECT purchase_id, p.user_id, p_ts_us, c_ts_us, click_value_e4
+        |FROM p LEFT JOIN c ON p.user_id = c.user_id
+        |  AND c_ts_us <= p_ts_us
+        |  AND c_ts_us >= p_ts_us - 1800000000, m
+        |WHERE c_ts_us IS NOT NULL
+        |  OR p_ts_us < wm - 1800000000""".stripMargin,
     "events_asof_clicks" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

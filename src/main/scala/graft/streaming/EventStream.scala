@@ -87,7 +87,8 @@ object EventStream {
     * event_type, value). */
   def purchaseClickJoin(events: DataFrame,
                         lookbackSeconds: Long = 1800L,
-                        watermark: String = "1 hour"): DataFrame = {
+                        watermark: String = "1 hour",
+                        joinType: String = "inner"): DataFrame = {
     val clicks = events.filter(col("event_type") === "click")
       .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
         (round(col("value"), 4).cast("decimal(18,4)") * 10000)
@@ -97,10 +98,20 @@ object EventStream {
       .select(col("event_id").as("purchase_id"),
         col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
+    // "left_outer": purchases with no qualifying click still emit
+    // (null click columns) — but only when the left row's join STATE
+    // evicts, which Spark gates at watermark > p_ts + lookback (the
+    // conservative bound derived from the interval condition; pinned
+    // by the oracle: unmatched rows with p_ts inside the final
+    // watermark-minus-lookback horizon stay in state, unemitted).
+    // Emission happens in the trailing micro-batch AvailableNow runs
+    // after the watermark advances (the state-flush batch
+    // Trigger.Once never ran).
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
-        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"))
+        col("c_ts") >= col("p_ts") - expr(s"INTERVAL $lookbackSeconds SECONDS"),
+      joinType)
       .select(col("purchase_id"), col("p_user").as("user_id"),
         col("p_ts"), col("c_ts"), col("click_value_e4"))
   }
