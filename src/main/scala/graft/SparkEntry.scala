@@ -6837,14 +6837,14 @@ object SparkEntry {
         |        CAST(CAST(round(value, 4) AS DECIMAL(18,4)) * 10000
         |          AS BIGINT) AS click_value_e4
         |      FROM ev WHERE event_type = 'click'),
-        |m AS (SELECT ((max(t_us) // 1000) - 3600000) * 1000 AS wm
-        |      FROM ev)
+        |m AS (SELECT ((least((SELECT max(p_ts_us) FROM p),
+        |          (SELECT max(c_ts_us) FROM c)) // 1000)
+        |        - 3600000) * 1000 AS wm)
         |SELECT purchase_id, p.user_id, p_ts_us, c_ts_us, click_value_e4
         |FROM p LEFT JOIN c ON p.user_id = c.user_id
         |  AND c_ts_us <= p_ts_us
         |  AND c_ts_us >= p_ts_us - 1800000000, m
-        |WHERE c_ts_us IS NOT NULL
-        |  OR p_ts_us < wm - 1800000000""".stripMargin,
+        |WHERE c_ts_us IS NOT NULL OR p_ts_us < wm""".stripMargin,
     "events_asof_clicks" ->
       """WITH ev AS (
         |  SELECT event_id, user_id, event_type,

@@ -99,14 +99,15 @@ object EventStream {
         col("user_id").as("p_user"), col("ts").as("p_ts"))
       .withWatermark("p_ts", watermark)
     // "left_outer": purchases with no qualifying click still emit
-    // (null click columns) — but only when the left row's join STATE
-    // evicts, which Spark gates at watermark > p_ts + lookback (the
-    // conservative bound derived from the interval condition; pinned
-    // by the oracle: unmatched rows with p_ts inside the final
-    // watermark-minus-lookback horizon stay in state, unemitted).
-    // Emission happens in the trailing micro-batch AvailableNow runs
-    // after the watermark advances (the state-flush batch
-    // Trigger.Once never ran).
+    // (null click columns) — but only when the left row's join state
+    // evicts: the GLOBAL watermark (min across both sides' event-time
+    // maxima, each minus the delay) must pass p_ts, since c_ts <=
+    // p_ts means a future click could still match any p_ts at or
+    // above it (pinned by the oracle at two scale factors: unmatched
+    // rows inside the final min-watermark horizon stay in state,
+    // unemitted). Emission happens in the trailing micro-batch
+    // AvailableNow runs after the watermark advances (the state-flush
+    // batch Trigger.Once never ran).
     purchases.join(clicks,
       col("p_user") === col("c_user") &&
         col("c_ts") <= col("p_ts") &&
