@@ -3047,6 +3047,46 @@ object SparkEntry {
             transform(col("lane_sums"), v => v.cast("string"))))
             .as("lane_digest"))
     },
+    // REAL image decode: valid binary PGM (P5) payloads — ASCII
+    // header + md5-derived 8x8 raster, built with engine-replayable
+    // bytes — parsed by an actual netpbm decoder (dimensions/maxval
+    // from the HEADER, pixel stats from the RASTER; malformed bytes
+    // fail loudly). No media library needed for uncompressed formats;
+    // the oracle recomputes the same pixel bytes hex-wise.
+    "multimodal_decode_pgm" -> { (s, dir) =>
+      val px = concat((0 until 4).map(i =>
+        unhex(md5(concat(lit(s"px$i:"),
+          col("doc_id").cast("string"))))): _*)
+      val payload = concat(lit("P5 8 8 255\n").cast("binary"), px)
+      Multimodal.decodePgm(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), payload.as("payload")),
+        col("doc_id"), col("payload")).toDF()
+    },
+    // REAL audio decode: valid RIFF/WAVE payloads (44-byte canonical
+    // header + 32 md5-derived PCM16 LE samples) walked by an actual
+    // chunk parser — channels/rate/bits from `fmt `, exact integer
+    // sample stats from `data`.
+    "multimodal_decode_wav" -> { (s, dir) =>
+      val hdr: Array[Byte] = {
+        val bb = java.nio.ByteBuffer.allocate(44)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(100)
+        bb.put("WAVE".getBytes("US-ASCII"))
+        bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+        bb.putShort(1); bb.putShort(1); bb.putInt(16000)
+        bb.putInt(32000); bb.putShort(2); bb.putShort(16)
+        bb.put("data".getBytes("US-ASCII")); bb.putInt(64)
+        bb.array()
+      }
+      val pcm = concat((0 until 4).map(i =>
+        unhex(md5(concat(lit(s"au$i:"),
+          col("doc_id").cast("string"))))): _*)
+      Multimodal.decodeWav(
+        Tables(s, dir, "documents")
+          .select(col("doc_id"), concat(lit(hdr), pcm).as("payload")),
+        col("doc_id"), col("payload")).toDF()
+    },
     // §2.6 consumer pipeline: per-group tokenize -> concat -> fixed
     // 128-token blocks (the reference's training-data chunking).
     "group_chunked_blocks" -> { (s, dir) =>
@@ -7007,6 +7047,49 @@ object SparkEntry {
     // lane j (0-based, dim=8) sums bytes at 1-based positions j+1, j+9, …
     // — exact integers, so the digest is engine-independent (text is
     // pure ASCII: ord(char) == payload byte)
+    "multimodal_decode_pgm" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    unhex(md5('px0:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('px1:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('px2:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('px3:' || CAST(doc_id AS VARCHAR))) AS p
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        [('0x' || substr(hex(p), i*2+1, 2))::BIGINT
+        |         FOR i IN range(0, 64)] AS v
+        |      FROM px)
+        |SELECT doc_id AS media_id, 'pgm' AS format,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(255 AS INT) AS maxval, CAST(64 AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(list_min(v) AS INT) AS pixel_min,
+        |  CAST(list_max(v) AS INT) AS pixel_max
+        |FROM b""".stripMargin,
+    "multimodal_decode_wav" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    unhex(md5('au0:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('au1:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('au2:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('au3:' || CAST(doc_id AS VARCHAR))) AS p
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        [('0x' || substr(hex(p), i*2+1, 2))::BIGINT
+        |         FOR i IN range(0, 64)] AS v
+        |      FROM px),
+        |sm AS (SELECT doc_id,
+        |         [v[2*i+1] + 256 * v[2*i+2]
+        |          - CASE WHEN v[2*i+2] >= 128 THEN 65536 ELSE 0 END
+        |          FOR i IN range(0, 32)] AS s
+        |       FROM b)
+        |SELECT doc_id AS media_id, 'wav' AS format,
+        |  CAST(1 AS INT) AS n_channels, CAST(16000 AS INT) AS sample_rate,
+        |  CAST(16 AS INT) AS bits, CAST(32 AS BIGINT) AS n_samples,
+        |  CAST(list_sum(s) AS BIGINT) AS sample_sum,
+        |  CAST(list_min(s) AS INT) AS sample_min,
+        |  CAST(list_max(s) AS INT) AS sample_max
+        |FROM sm""".stripMargin,
     "multimodal_decode_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,

@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 /** Multimodal column support (BASELINE.json north star): image/audio/
   * video travel as opaque `binary` payload columns with typed metadata
   * structs. The Spark-side plumbing — schema, partitioning, batch-shaped
-  * per-partition processing, frame slicing — is real and tested; the
-  * actual codec inside [[decodeFeatures]] is a clearly marked
-  * deterministic STUB (this environment ships no image/audio libraries),
-  * with the exact signature a real decoder plugs into.
+  * per-partition processing, frame slicing — is real and tested, and so
+  * are two actual byte-format decoders: [[decodePgm]] (netpbm P5
+  * grayscale — header + raster parse) and [[decodeWav]] (RIFF/WAVE
+  * chunk walk + PCM16 sample stats), both library-free. Only
+  * COMPRESSED codecs (JPEG/MP3/H.264) remain out of scope — this
+  * environment ships no codec libraries — and [[decodeFeatures]]'
+  * lane-sum stub marks exactly where such a codec plugs in.
   */
 object Multimodal {
 
@@ -70,6 +73,120 @@ object Multimodal {
       }
       it.map(decodeOne)
     }
+  }
+
+  final case class DecodedImage(
+      media_id: Long, format: String, width: Int, height: Int,
+      maxval: Int, n_pixels: Long, pixel_sum: Long,
+      pixel_min: Int, pixel_max: Int)
+
+  /** REAL image decoder — binary PGM (P5), the netpbm grayscale
+    * format: ASCII header `P5 <w> <h> <maxval>` + single whitespace +
+    * w*h raw bytes. Needs no media library (that was only ever true
+    * of compressed codecs), so the image leg of the multimodal family
+    * is an actual byte-format parse, not a stand-in: dimensions and
+    * maxval come out of the HEADER, pixel stats out of the RASTER,
+    * and malformed payloads fail loudly. Same per-partition iterator
+    * shape as [[decodeFeatures]] (amortized init is where a JPEG
+    * codec context would go). Comment lines (`#`) are not supported —
+    * the writers this engine pairs with never emit them. */
+  def decodePgm(df: DataFrame, idCol: Column,
+                payloadCol: Column): Dataset[DecodedImage] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def parse(id: Long, b: Array[Byte]): DecodedImage = {
+          var i = 0
+          def ws(c: Byte) = c == ' ' || c == '\n' || c == '\t' || c == '\r'
+          def readInt(): Int = {
+            while (i < b.length && ws(b(i))) i += 1
+            var v = 0
+            require(i < b.length && b(i) >= '0' && b(i) <= '9',
+              s"PGM header digit expected at byte $i of media $id")
+            while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+              v = v * 10 + (b(i) - '0'); i += 1
+            }
+            v
+          }
+          require(b.length >= 2 && b(0) == 'P' && b(1) == '5',
+            s"not a P5 PGM payload at media $id")
+          i = 2
+          val w = readInt(); val h = readInt(); val mx = readInt()
+          require(i < b.length && ws(b(i)),
+            s"PGM raster delimiter missing at media $id")
+          i += 1 // exactly ONE whitespace separates header and raster
+          val n = w.toLong * h
+          var sum = 0L; var mn = 255; var mxv = 0; var p = 0L
+          while (p < n && i < b.length) {
+            val v = b(i) & 0xff
+            sum += v; if (v < mn) mn = v; if (v > mxv) mxv = v
+            i += 1; p += 1
+          }
+          require(p == n, s"truncated PGM raster at media $id")
+          DecodedImage(id, "pgm", w, h, mx, n, sum, mn, mxv)
+        }
+        it.map { case (id, b) => parse(id, b) }
+      }
+  }
+
+  final case class DecodedAudio(
+      media_id: Long, format: String, n_channels: Int,
+      sample_rate: Int, bits: Int, n_samples: Long,
+      sample_sum: Long, sample_min: Int, sample_max: Int)
+
+  /** REAL audio decoder — RIFF/WAVE with PCM16: walks the chunk list,
+    * parses channels / sample rate / bit depth out of the `fmt `
+    * chunk, and folds the `data` chunk's little-endian int16 samples
+    * into exact integer stats. Pure byte arithmetic, library-free —
+    * the audio leg is a genuine container parse. */
+  def decodeWav(df: DataFrame, idCol: Column,
+                payloadCol: Column): Dataset[DecodedAudio] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        def u16(b: Array[Byte], o: Int): Int =
+          (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+        def u32(b: Array[Byte], o: Int): Long =
+          (b(o) & 0xffL) | ((b(o + 1) & 0xffL) << 8) |
+            ((b(o + 2) & 0xffL) << 16) | ((b(o + 3) & 0xffL) << 24)
+        def tag(b: Array[Byte], o: Int): String =
+          new String(b, o, 4, "US-ASCII")
+        def parse(id: Long, b: Array[Byte]): DecodedAudio = {
+          require(b.length >= 12 && tag(b, 0) == "RIFF" &&
+            tag(b, 8) == "WAVE", s"not a RIFF/WAVE payload at media $id")
+          var o = 12
+          var ch = -1; var rate = -1; var bits = -1
+          var n = 0L; var sum = 0L; var mn = 32767; var mx = -32768
+          while (o + 8 <= b.length) {
+            val t = tag(b, o); val sz = u32(b, o + 4).toInt
+            if (t == "fmt ") {
+              ch = u16(b, o + 10); rate = u32(b, o + 12).toInt
+              bits = u16(b, o + 22)
+            } else if (t == "data") {
+              require(bits == 16,
+                s"only PCM16 supported, got $bits bits at media $id")
+              var i = o + 8
+              val end = math.min(o + 8 + sz, b.length)
+              while (i + 1 < end) {
+                var v = u16(b, i)
+                if (v >= 32768) v -= 65536
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v
+                n += 1; i += 2
+              }
+            }
+            o += 8 + sz + (sz & 1) // chunks are word-aligned
+          }
+          require(ch > 0 && rate > 0,
+            s"fmt chunk missing at media $id")
+          DecodedAudio(id, "wav", ch, rate, bits, n, sum,
+            if (n == 0) 0 else mn, if (n == 0) 0 else mx)
+        }
+        it.map { case (id, b) => parse(id, b) }
+      }
   }
 
   /** Frame slicing as pure Column expressions: split the payload into

@@ -91,4 +91,60 @@ class MultimodalSpec extends SparkSpec {
     dists should not be empty
     (dists.sum.toDouble / dists.size) should be < 8.0
   }
+
+  test("decodePgm: real header parse — multi-digit dims, stats, failures") {
+    // 3x2 raster with known bytes; width/height/maxval come from the
+    // HEADER (multi-digit 12 maxval proves actual ASCII parsing)
+    val good = "P5 3 2 12\n".getBytes("US-ASCII") ++
+      Array[Byte](0, 5, 12, 7, 3, 9)
+    val df = Seq((1L, good)).toDF("id", "p")
+    val r = Multimodal.decodePgm(df, $"id", $"p").collect().head
+    r.width shouldBe 3
+    r.height shouldBe 2
+    r.maxval shouldBe 12
+    r.n_pixels shouldBe 6L
+    r.pixel_sum shouldBe 36L
+    r.pixel_min shouldBe 0
+    r.pixel_max shouldBe 12
+    // newline-separated header fields parse too (netpbm allows any ws)
+    val nl = "P5\n2\n1\n255\n".getBytes("US-ASCII") ++
+      Array[Byte](200.toByte, 100)
+    val r2 = Multimodal.decodePgm(
+      Seq((2L, nl)).toDF("id", "p"), $"id", $"p").collect().head
+    r2.width shouldBe 2
+    r2.pixel_sum shouldBe 300L
+    // malformed payloads fail loudly, not silently
+    an[Exception] should be thrownBy Multimodal.decodePgm(
+      Seq((3L, "P6 1 1 255\n!".getBytes("US-ASCII"))).toDF("id", "p"),
+      $"id", $"p").collect()
+    an[Exception] should be thrownBy Multimodal.decodePgm(
+      Seq((4L, "P5 4 4 255\nxy".getBytes("US-ASCII"))).toDF("id", "p"),
+      $"id", $"p").collect() // truncated raster
+  }
+
+  test("decodeWav: RIFF chunk walk — fmt fields, signed PCM16 stats") {
+    val bb = java.nio.ByteBuffer.allocate(44 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(44)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(16)
+    bb.putShort(1); bb.putShort(2); bb.putInt(44100)
+    bb.putInt(176400); bb.putShort(4); bb.putShort(16)
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(8)
+    // samples: 1000, -1000, 32767, -32768
+    bb.putShort(1000); bb.putShort(-1000)
+    bb.putShort(32767); bb.putShort(-32768)
+    val r = Multimodal.decodeWav(
+      Seq((1L, bb.array())).toDF("id", "p"), $"id", $"p").collect().head
+    r.n_channels shouldBe 2
+    r.sample_rate shouldBe 44100
+    r.bits shouldBe 16
+    r.n_samples shouldBe 4L
+    r.sample_sum shouldBe (1000L - 1000L + 32767L - 32768L)
+    r.sample_min shouldBe -32768
+    r.sample_max shouldBe 32767
+    an[Exception] should be thrownBy Multimodal.decodeWav(
+      Seq((2L, "nope".getBytes("US-ASCII"))).toDF("id", "p"),
+      $"id", $"p").collect()
+  }
 }
