@@ -378,6 +378,26 @@ class StreamingSpec extends SparkSpec {
     stream shouldBe batch
   }
 
+  test("left-outer interval join: inner rows preserved, null rows bounded") {
+    val inner = SparkEntry.queries("events_stream_interval_join")(
+      spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    val left = SparkEntry.queries("events_stream_interval_left")(
+      spark, sf0001).collect()
+    val leftMatched = left.filter(!_.isNullAt(3))
+      .map(r => (r.getLong(0), r.getLong(3))).toSet
+    leftMatched shouldBe inner // outer adds rows, never changes matches
+    val nulls = left.filter(_.isNullAt(3))
+    nulls.length should be > 0
+    // every null row's purchase is genuinely unmatched, and sits
+    // below the final min-side watermark (the state-eviction horizon)
+    val matchedPurchases = inner.map(_._1)
+    nulls.foreach { r =>
+      matchedPurchases should not contain r.getLong(0)
+      r.isNullAt(4) shouldBe true
+    }
+  }
+
   test("LIVE watermark drops: lag-2 filter rule, group units, audit bound") {
     // the declared live metric, against an in-test replay of the
     // pinned semantics: Spark's in-run late-event filter uses the
