@@ -17,6 +17,11 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the ScaleStress sweep lessons apply to this 222-query session
+      // too: the ContextCleaner frees dead broadcasts/shuffle state
+      // only after a GC, and its default periodic GC is longer than
+      // the whole run
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb session/codegen warm-up outside the timed region so the
@@ -47,7 +52,14 @@ object Bench {
           failed += name
           System.err.println(s"[bench] $name FAILED: ${t.getMessage}")
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // drop this query's localCheckpoint blocks before the next one:
+      // checkpoint-heavy queries otherwise pile storage onto the heap
+      // and every LATER query pays the GC drag (~40% uniform inflation
+      // observed across the 222-query run before this unpersist)
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
