@@ -12,6 +12,12 @@ object Bench {
     // JSON extraction in round 1 (BENCH_r01 "parsed": null) — the result
     // line is ALSO written verbatim to a file
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")
+    // Snapshot the PRIOR committed artifact before this run clobbers it:
+    // per-query ratios vs that run go INTO the new artifact, so the
+    // throttle-vs-regression adjudication (this host inflates identical
+    // binaries 1.4-70x in throttle windows; see BENCH_ISOLATED.json) is
+    // one artifact instead of three cross-referenced ones.
+    val prior: Map[String, Double] = priorQueries(outPath)
     val spark = SparkSession.builder()
       .withExtensions(new GraftExtensions)
       .master(s"local[$cpus]")
@@ -34,6 +40,11 @@ object Bench {
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // snapshot persistent RDD ids so the post-query cleanup below can
+      // drop ONLY blocks this query created — unpersisting everything
+      // would invalidate any future cross-query cached/checkpointed
+      // DataFrame with a missing-block error traceable only to this loop
+      val persistedBefore = spark.sparkContext.getPersistentRDDs.keySet
       // force FULL materialization of every output column: a bare
       // .count() lets Catalyst prune unused projections, so projection-
       // heavy queries would time little more than the parquet scan.
@@ -57,8 +68,10 @@ object Bench {
       // checkpoint-heavy queries otherwise pile storage onto the heap
       // and every LATER query pays the GC drag (~40% uniform inflation
       // observed across the 222-query run before this unpersist)
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+      spark.sparkContext.getPersistentRDDs
+        .foreach { case (id, rdd) =>
+          if (!persistedBefore.contains(id)) rdd.unpersist(blocking = false)
+        }
       name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -71,12 +84,47 @@ object Bench {
     // "parsed": null for three straight rounds (it arrived truncated
     // mid-JSON). Stdout gets a short total-only summary — well under the
     // tail budget — printed LAST so it survives the tail capture.
+    // Per-query ratios vs the prior committed run. Sub-0.3s prior lines
+    // are skipped (ratio of noise); the top offenders land in the
+    // artifact so BenchIsolated's auto mode can re-measure exactly them.
+    val ratios = results.toSeq.flatMap { case (k, v) =>
+      prior.get(k).filter(_ >= 0.3).map(p => (k, v / p))
+    }
+    val ratioJson =
+      if (ratios.isEmpty) "null"
+      else {
+        val sortedR = ratios.map(_._2).sorted
+        val median = sortedR(sortedR.length / 2)
+        val top = ratios.sortBy(-_._2).take(8)
+          .map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
+        f"""{"n":${ratios.length},"median":$median%.3f,"top":$top}"""
+      }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ratios_vs_prior":$ratioJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), fullLine + "\n")
+    val medianStr =
+      if (ratios.isEmpty) "null"
+      else f"${ratios.map(_._2).sorted.apply(ratios.length / 2)}%.3f"
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"ratio_median":$medianStr,"sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }
+
+  /** Parse the per-query seconds map out of a prior bench artifact
+    * (json4s ships with Spark; absent/corrupt artifact -> empty). */
+  def priorQueries(path: String): Map[String, Double] =
+    try {
+      import org.json4s._
+      val j = jackson.JsonMethods.parse(Files.readString(Paths.get(path)))
+      j \ "queries" match {
+        case JObject(fs) => fs.collect {
+          case (k, JDouble(v))  => k -> v
+          case (k, JInt(v))     => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, JLong(v))    => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case _: Throwable => Map.empty }
 }

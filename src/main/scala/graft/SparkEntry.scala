@@ -104,11 +104,15 @@ object SparkEntry {
     },
     // BINARY group-key fidelity (the reference's GetKeyFn returns raw
     // bytes — types.py:31): key = the 16-byte md5 digest itself,
-    // grouped and emitted as BinaryType end to end, no string cast to
-    // UTF-8-mangle it; DuckDB groups the same BLOB (exact oracle).
+    // grouped as BinaryType end to end (no string cast to UTF-8-mangle
+    // it); DuckDB groups the same BLOB. Only the DECLARED OUTPUT
+    // boundary re-encodes to hex — the driver's pandas comparator
+    // cannot sort raw-bytes columns — mirroring the text sink's
+    // base64-at-the-boundary move (GroupCounts.formatted).
     "group_counts_binary_key" -> { (s, dir) =>
       GroupCounts(Tables(s, dir, "documents"),
         Grouper.byBytes(unhex(md5(col("source")))))
+        .withColumn(Grouper.GroupCol, hex(col(Grouper.GroupCol)))
     },
     // S3/P6 round trip through the TEXT SINK (reference FormatGroupCount
     // + WriteToText): counts -> delimiter-formatted lines -> text shards
@@ -702,6 +706,32 @@ object SparkEntry {
       Kmv.slidingFromBuckets(
         EventStream.runToCompletion(perDay, "stream_distinct_out"),
         k = 64, windowBuckets = 7)
+    },
+    // STREAMING twin of the windowed leaderboard
+    // (events_window_topk_users): per-(window, user) exact-e4 running
+    // totals ARE the stream's aggregation state — the real micro-batch
+    // stateful plan, growing each user's sum as arrivals land — and
+    // the bounded TopK aggregate collapses the dashboard snapshot to 3
+    // rows per window at read time (the sketch-as-state pattern of
+    // events_stream_distinct_users: heavy state in the stream, bounded
+    // post-aggregation over the snapshot a dashboard actually reads).
+    // Shares the batch twin's oracle verbatim — the stream must land
+    // on identical totals regardless of micro-batch slicing.
+    "events_stream_window_topk" -> { (s, dir) =>
+      val w = 86400L * 1000000000L
+      val perUser = Tables.eventsStream(s, dir)
+        .groupBy((col("ts") - pmod(col("ts"), lit(w)))
+          .as("window_start"), col("user_id"))
+        .agg(Relational.exactValueSumE4.as("v_e4"))
+      val snap = EventStream.runToCompletion(
+        perUser, "stream_window_topk_out")
+      graft.functions.TopK.perQuery(
+        snap.select(col("window_start").as("query_id"),
+          col("user_id").as("neighbor_id"),
+          col("v_e4").cast("double").as("score")), k = 3)
+        .select(col("query_id").as("window_start"),
+          col("neighbor_id").as("user_id"), col("rank"),
+          col("score").cast("long").as("value_e4"))
     },
     // DAU/WAU STICKINESS: daily actives over trailing-7-day actives in
     // ppm, both from the same per-day KMV sketches (window 1 vs
@@ -1334,7 +1364,7 @@ object SparkEntry {
         EntityMatch.passJoinIndexBuild(clean,
           col("cid"), col("k"), col("b"), maxDist = 3), tmp)
       EntityMatch.passJoinProbe(
-        EntityMatch.readPassJoinIndex(s, tmp, maxDist = 3),
+        EntityMatch.readPassJoinIndex(s, tmp, expectMaxDist = 3),
         delta, col("cid"), col("k"), col("b"))
         .select(col("id_a").as("custkey_a"), col("id_b").as("custkey_b"),
           col("block").as("nationkey"), col("name_dist"))
@@ -2236,6 +2266,38 @@ object SparkEntry {
         .select(col("vec_id").as("neighbor_id"), col("codes"))
       Pq.adcTopK(emb.filter(col("vec_id") < 10), codes, books, k = 5,
         col("vec_id"), col("embedding"))
+    },
+    // Two-stage COMPRESSED-INDEX SELECTION: the PQ/ADC index recalls a
+    // top-20 candidate set per query from 8-byte code rows (the only
+    // thing the recall stage ever scans), then exact relevance is
+    // recomputed ONLY for those <=20 survivors and MMR diversifies the
+    // final 5 — the 100 TB geometry where exact vectors are touched
+    // O(queries x 20) times, never O(corpus). Composes the declared
+    // ADC and MMR families end to end; scores stay integer-e6 exact.
+    "similarity_pq_mmr" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      val codes = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      val cand = Pq.adcTopK(emb.filter(col("vec_id") < 8), codes, books,
+        k = 20, col("vec_id"), col("embedding"))
+        .select(col("query_id"), col("neighbor_id"))
+      val qn = Similarity.normalizedVectors(
+        emb.filter(col("vec_id") < 8), col("vec_id"), col("embedding"))
+        .select(col("id").as("query_id"), col("vec").as("qv"))
+      val cn = Similarity.normalizedVectors(emb, col("vec_id"),
+        col("embedding"))
+        .select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      // exact rerank relevance, candidate-bounded (broadcast side)
+      val rel = broadcast(cand.join(qn, "query_id"))
+        .join(cn, "neighbor_id")
+        .withColumn("rel_e6",
+          round(round(graft.functions.Vectors.dot(col("qv"), col("cv")),
+            6) * 1e6).cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("rel_e6"))
+      Similarity.mmrFromCandidates(rel, emb, col("vec_id"),
+        col("embedding"), k = 5)
     },
     // The full IVF-PQ index (coarse-cell candidate pruning x PQ code
     // compression): each query ranks only the ~nProbe/nCells of the
@@ -3321,6 +3383,50 @@ object SparkEntry {
   /** Shared PQ replay prefix: anchored codebook + per-(vector,
     * subspace, centroid) squared-L2 distances — `embedding_pq_codes`
     * and `similarity_pq_adc` both build on these CTEs. */
+  /** The unrolled MMR greedy steps 2..k (shared by `rag_mmr_rerank`
+    * and the PQ-candidate composition `similarity_pq_mmr`) — each step
+    * an argmax of rel − max-sim-to-selected over CTEs named `cand`
+    * (query_id, neighbor_id, rel_e6), `ps` (candidate-pair sims) and
+    * the running prefix `p{t-1}`. */
+  private def mmrStepsSql(k: Int): String =
+    (2 to k).map { t =>
+      s"""s$t AS (
+         |  SELECT query_id, $t AS mmr_rank, neighbor_id, rel_e6 FROM (
+         |    SELECT r.query_id, r.neighbor_id, r.rel_e6,
+         |      row_number() OVER (PARTITION BY r.query_id
+         |        ORDER BY r.rel_e6 - coalesce(m.ms, 0) DESC,
+         |          r.neighbor_id) AS rn
+         |    FROM cand r
+         |    LEFT JOIN p${t - 1} pv ON pv.query_id = r.query_id
+         |      AND pv.neighbor_id = r.neighbor_id
+         |    LEFT JOIN (
+         |      SELECT p.query_id, p.a, max(p.sim_e6) AS ms
+         |      FROM ps p JOIN p${t - 1} s ON p.query_id = s.query_id
+         |        AND p.b = s.neighbor_id
+         |      GROUP BY 1, 2) m
+         |      ON m.query_id = r.query_id AND m.a = r.neighbor_id
+         |    WHERE pv.neighbor_id IS NULL)
+         |  WHERE rn = 1),
+         |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)"""
+        .stripMargin
+    }.mkString(",\n")
+
+  /** Windowed-leaderboard replay (shared by the batch and streaming
+    * twins — micro-batch slicing must be invisible in the result). */
+  private lazy val windowTopkOracleSql: String =
+    """WITH pu AS (
+      |  SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000
+      |      AS window_start,
+      |    user_id,
+      |    CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
+      |      AS BIGINT) AS v_e4
+      |  FROM events GROUP BY 1, 2)
+      |SELECT window_start, user_id, CAST(rk AS INT) AS rank,
+      |  v_e4 AS value_e4
+      |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+      |        ORDER BY v_e4 DESC, user_id) AS rk FROM pu)
+      |WHERE rk <= 3""".stripMargin
+
   private lazy val pqDistsSql: String =
     """WITH cb AS (
       |  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci,
@@ -3550,7 +3656,7 @@ object SparkEntry {
          |  CAST(sum(${duckWords("l_returnflag")} + ${duckWords("l_linestatus")}) AS BIGINT) AS num_words
          |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "group_counts_binary_key" ->
-      s"""SELECT unhex(md5(source)) AS group_id,
+      s"""SELECT hex(unhex(md5(source))) AS group_id,
          |  count(*) AS num_examples,
          |  CAST(sum(16 + strlen(text) + strlen(lang) + strlen(source)) AS BIGINT) AS num_bytes,
          |  CAST(sum(${duckWords("text")} + ${duckWords("lang")} + ${duckWords("source")}) AS BIGINT) AS num_words
@@ -4818,19 +4924,10 @@ object SparkEntry {
         |FROM orders
         |GROUP BY ROLLUP (o_orderpriority, o_orderstatus)""".stripMargin,
     // leaderboard replay: day floor, e4-decimal sums, per-window rank
-    "events_window_topk_users" ->
-      """WITH pu AS (
-        |  SELECT epoch_ns(ts) - epoch_ns(ts) % 86400000000000
-        |      AS window_start,
-        |    user_id,
-        |    CAST(sum(CAST(round(value, 4) AS DECIMAL(18,4))) * 10000
-        |      AS BIGINT) AS v_e4
-        |  FROM events GROUP BY 1, 2)
-        |SELECT window_start, user_id, CAST(rk AS INT) AS rank,
-        |  v_e4 AS value_e4
-        |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
-        |        ORDER BY v_e4 DESC, user_id) AS rk FROM pu)
-        |WHERE rk <= 3""".stripMargin,
+    "events_window_topk_users" -> windowTopkOracleSql,
+    // the streaming twin must land on the same totals and ranks no
+    // matter how arrivals sliced into micro-batches
+    "events_stream_window_topk" -> windowTopkOracleSql,
     // anomaly replay: same window floor, quantile_cont medians, same
     // driver-computed 3x1.4826 factor
     "events_anomaly_windows" ->
@@ -6254,6 +6351,59 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY adc_dist ASC, neighbor_id) AS rank FROM adc)
          |WHERE rank <= 5""".stripMargin,
+    // two-stage replay: the ADC chain recalls top-20 per query (<8),
+    // exact e6 relevance is recomputed only for those candidates, and
+    // the shared MMR greedy steps pick the diversified 5
+    "similarity_pq_mmr" ->
+      s"""$pqDistsSql,
+         |codes AS (
+         |  SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dists)
+         |  WHERE rnk = 1),
+         |prs AS (
+         |  SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id, n.j, d.d
+         |  FROM codes n
+         |  JOIN dists d ON d.j = n.j AND d.ci = n.code
+         |  WHERE d.vec_id < 8 AND n.vec_id <> d.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist
+         |  FROM prs GROUP BY 1, 2),
+         |c20 AS (
+         |  SELECT query_id, neighbor_id
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id) AS rk FROM adc)
+         |  WHERE rk <= 20),
+         |v AS (SELECT vec_id,
+         |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
+         |    FOR y IN embedding])) FOR x IN embedding] AS e
+         |  FROM embeddings),
+         |cand AS (
+         |  SELECT c.query_id, c.neighbor_id,
+         |    CAST(round(round(list_sum([q.e[i] * n.e[i]
+         |      FOR i IN range(1, len(q.e) + 1)]), 6) * 1000000)
+         |      AS BIGINT) AS rel_e6
+         |  FROM c20 c
+         |  JOIN v q ON q.vec_id = c.query_id
+         |  JOIN v n ON n.vec_id = c.neighbor_id),
+         |ps AS (
+         |  SELECT x.query_id, x.neighbor_id AS a, y.neighbor_id AS b,
+         |    CAST(round(round(list_sum([vx.e[i] * vy.e[i]
+         |      FOR i IN range(1, len(vx.e) + 1)]), 6) * 1000000)
+         |      AS BIGINT) AS sim_e6
+         |  FROM cand x JOIN v vx ON vx.vec_id = x.neighbor_id
+         |  JOIN cand y ON x.query_id = y.query_id
+         |    AND x.neighbor_id <> y.neighbor_id
+         |  JOIN v vy ON vy.vec_id = y.neighbor_id),
+         |s1 AS (SELECT query_id, 1 AS mmr_rank, neighbor_id, rel_e6
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY rel_e6 DESC, neighbor_id) AS rn FROM cand)
+         |  WHERE rn = 1),
+         |p1 AS (SELECT * FROM s1),
+         |${mmrStepsSql(5)}
+         |SELECT query_id, mmr_rank, neighbor_id, rel_e6 FROM p5"""
+        .stripMargin,
     // IVF-PQ replay = the IVF oracle's cell topology (normalized
     // first-16 centroids; cell rank by RAW-vector dot, ties to the
     // lower cell; corpus to rank-1 cell, queries probe rank<=4) joined
@@ -6508,27 +6658,7 @@ object SparkEntry {
       val dot = (l: String, r: String) =>
         s"round(list_sum([$l.e[i] * $r.e[i] " +
           s"FOR i IN range(1, len($l.e) + 1)]), 6)"
-      val steps = (2 to 5).map { t =>
-        s"""s$t AS (
-           |  SELECT query_id, $t AS mmr_rank, neighbor_id, rel_e6 FROM (
-           |    SELECT r.query_id, r.neighbor_id, r.rel_e6,
-           |      row_number() OVER (PARTITION BY r.query_id
-           |        ORDER BY r.rel_e6 - coalesce(m.ms, 0) DESC,
-           |          r.neighbor_id) AS rn
-           |    FROM cand r
-           |    LEFT JOIN p${t - 1} pv ON pv.query_id = r.query_id
-           |      AND pv.neighbor_id = r.neighbor_id
-           |    LEFT JOIN (
-           |      SELECT p.query_id, p.a, max(p.sim_e6) AS ms
-           |      FROM ps p JOIN p${t - 1} s ON p.query_id = s.query_id
-           |        AND p.b = s.neighbor_id
-           |      GROUP BY 1, 2) m
-           |      ON m.query_id = r.query_id AND m.a = r.neighbor_id
-           |    WHERE pv.neighbor_id IS NULL)
-           |  WHERE rn = 1),
-           |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)"""
-          .stripMargin
-      }.mkString(",\n")
+      val steps = mmrStepsSql(5)
       s"""WITH v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y
          |    FOR y IN embedding])) FOR x IN embedding] AS e

@@ -192,18 +192,37 @@ object EntityMatch {
     PassJoinIndex(segSide, idxLens, shortIdx, maxDist)
   }
 
-  /** Persist / reload the registry index (three parquet tables). */
+  /** Persist / reload the registry index (three parquet tables + a
+    * one-row meta table pinning the segment geometry). maxDist is part
+    * of the index's GEOMETRY (k = maxDist+1 segments were cut at build
+    * time), so it is stored with the index and re-derived on read — a
+    * caller-supplied mismatch would silently generate incomplete
+    * candidates (probe segments cut with the wrong k never equal the
+    * stored ones), not an error. */
   def writePassJoinIndex(index: PassJoinIndex, dir: String): Unit = {
     index.segments.write.mode("overwrite").parquet(s"$dir/segments")
     index.lens.write.mode("overwrite").parquet(s"$dir/lens")
     index.shortRows.write.mode("overwrite").parquet(s"$dir/short")
+    index.segments.sparkSession.range(1)
+      .select(lit(index.maxDist).as("max_dist"))
+      .write.mode("overwrite").parquet(s"$dir/meta")
   }
 
+  /** Reload a stored registry index; maxDist comes from the index's
+    * own meta table. `expectMaxDist` (optional) cross-checks the
+    * caller's assumption against the stored geometry and fails loudly
+    * on drift. */
   def readPassJoinIndex(spark: org.apache.spark.sql.SparkSession,
-                        dir: String, maxDist: Int): PassJoinIndex =
+                        dir: String, expectMaxDist: Int = -1): PassJoinIndex = {
+    val stored = spark.read.parquet(s"$dir/meta")
+      .select(col("max_dist")).head().getInt(0)
+    require(expectMaxDist < 0 || expectMaxDist == stored,
+      s"index at $dir was built with maxDist=$stored, caller expected " +
+        s"$expectMaxDist — probe segments would silently miss candidates")
     PassJoinIndex(spark.read.parquet(s"$dir/segments"),
       spark.read.parquet(s"$dir/lens"),
-      spark.read.parquet(s"$dir/short"), maxDist)
+      spark.read.parquet(s"$dir/short"), stored)
+  }
 
   /** Probe a delta batch against a (stored) registry index — the
     * per-batch half of [[passJoinPairs]], which is build + probe. */

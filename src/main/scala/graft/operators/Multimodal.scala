@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * grayscale — header + raster parse) and [[decodeWav]] (RIFF/WAVE
   * chunk walk + PCM16 sample stats), both library-free. Only
   * COMPRESSED codecs (JPEG/MP3/H.264) remain out of scope — this
-  * environment ships no codec libraries — and [[decodeFeatures]]'
-  * lane-sum stub marks exactly where such a codec plugs in.
+  * environment ships no codec libraries — and the [[LaneCodec]]
+  * trait is the API where such a codec plugs in: [[decodeFeatures]]
+  * takes any LaneCodec, defaults to the exact-oracle [[RawByteLanes]],
+  * and MultimodalSpec registers a fake compressed codec to pin that
+  * the surrounding plumbing is codec-agnostic.
   */
 object Multimodal {
 
@@ -46,32 +49,57 @@ object Multimodal {
       .as[Media]
   }
 
+  /** The codec PLUG-IN point: payload bytes -> `dim` integer lane
+    * accumulators. Implementations must be (a) serializable (shipped
+    * to executors), (b) deterministic per payload, and (c) pure —
+    * per-partition context (a native codec handle) belongs in
+    * [[LaneCodec.open]], which runs once per partition before the
+    * first payload. Compressed formats (JPEG/MP3/H.264) slot in HERE
+    * when their libraries exist in the runtime image; everything
+    * around the codec — schema, batching, partitioning, the
+    * `features = sums/255f` view — is codec-agnostic and stays
+    * (contract pinned by MultimodalSpec's fake-codec registration). */
+  trait LaneCodec extends Serializable {
+    /** Per-partition init (codec context); default no-op. */
+    def open(): Unit = ()
+    /** Decode one payload into `dim` lane accumulators. */
+    def lanes(payload: Array[Byte], dim: Int): Array[Long]
+  }
+
+  /** The identity "codec": raw interleaved byte lanes — exact integer
+    * sums, order-independent, so the default path carries an exact
+    * cross-engine oracle (`multimodal_decode_features`). */
+  object RawByteLanes extends LaneCodec {
+    def lanes(payload: Array[Byte], dim: Int): Array[Long] = {
+      val sums = new Array[Long](dim)
+      var i = 0
+      while (i < payload.length) {
+        sums(i % dim) += (payload(i) & 0xff)
+        i += 1
+      }
+      sums
+    }
+  }
+
   /** Batch-shaped feature extraction over media payloads: processes one
     * partition at a time through an iterator (the shape a vectorized /
     * native decoder needs — amortized per-partition init, bounded
     * memory). Partition count = parallelism; repartition by media_id
-    * upstream for balance.
-    *
-    * STUB DECODER: `lane_sums` are the exact integer byte sums of each
-    * of the `dim` interleaved lanes (order-independent, so they carry an
-    * exact cross-engine oracle), and `features` is the single-division
-    * float view `lane_sums / 255f`. A real implementation replaces
-    * `decodeOne` only — signature, batching and schema stay. */
-  def decodeFeatures(media: Dataset[Media], dim: Int = 8): Dataset[MediaFeatures] = {
+    * upstream for balance. The decode step itself is the pluggable
+    * [[LaneCodec]]; the default [[RawByteLanes]] keeps the declared
+    * query exact-oracle-checkable. */
+  def decodeFeatures(media: Dataset[Media], dim: Int = 8,
+                     codec: LaneCodec = RawByteLanes): Dataset[MediaFeatures] = {
     implicit val enc = Encoders.product[MediaFeatures]
     media.mapPartitions { it =>
-      // per-partition init happens HERE in a real decoder (codec context)
-      def decodeOne(m: Media): MediaFeatures = {
-        val sums = new Array[Long](dim)
-        var i = 0
-        while (i < m.payload.length) {
-          sums(i % dim) += (m.payload(i) & 0xff)
-          i += 1
-        }
+      codec.open() // per-partition codec context init
+      it.map { m =>
+        val sums = codec.lanes(m.payload, dim)
+        require(sums.length == dim,
+          s"codec returned ${sums.length} lanes, expected $dim")
         val f = Array.tabulate(dim)(j => sums(j) / 255.0f)
         MediaFeatures(m.media_id, m.kind, m.payload.length.toLong, sums, f)
       }
-      it.map(decodeOne)
     }
   }
 
@@ -162,7 +190,15 @@ object Multimodal {
           var ch = -1; var rate = -1; var bits = -1
           var n = 0L; var sum = 0L; var mn = 32767; var mx = -32768
           while (o + 8 <= b.length) {
-            val t = tag(b, o); val sz = u32(b, o + 4).toInt
+            val t = tag(b, o); val szL = u32(b, o + 4)
+            // Fail loudly on a malformed/hostile chunk size: a u32 >
+            // 2^31 would wrap negative under .toInt and make the
+            // word-aligned advance below non-positive — an infinite
+            // loop on the executor instead of the documented error.
+            require(szL <= b.length.toLong - o - 8,
+              s"chunk '$t' declares $szL bytes at offset $o but payload " +
+                s"has ${b.length} bytes at media $id")
+            val sz = szL.toInt
             if (t == "fmt ") {
               ch = u16(b, o + 10); rate = u32(b, o + 12).toInt
               bits = u16(b, o + 22)

@@ -860,6 +860,22 @@ object Similarity {
       qId, qVec, cId, cVec)
       .select(col("query_id"), col("neighbor_id"),
         round(col("score") * 1e6).cast("long").as("rel_e6"))
+    mmrFromCandidates(cand, corpus, cId, cVec, k)
+  }
+
+  /** The greedy half of [[mmrRerank]], decoupled from candidate
+    * generation so ANY recall stage can feed it — in particular a
+    * PQ/IVF-PQ compressed index ([[Pq.adcTopK]] top-N), the two-stage
+    * retrieval shape that serves selection at 100 TB: candidates come
+    * from 8-byte code rows, only the ≤N survivors per query touch
+    * exact vectors again. `cand` = (query_id, neighbor_id, rel_e6)
+    * with rel already EXACT (recompute it on the bounded candidate
+    * set when the recall stage's scores are approximate). */
+  def mmrFromCandidates(candIn: DataFrame, corpus: DataFrame,
+                        cId: Column, cVec: Column, k: Int): DataFrame = {
+    require(k >= 1, "need k >= 1")
+    val cand = candIn
+      .select(col("query_id"), col("neighbor_id"), col("rel_e6"))
       .localCheckpoint()
     val cvecs = normalized(corpus, cId, cVec, "neighbor_id", "nv")
     val candV = cand.select(col("query_id"), col("neighbor_id"))

@@ -419,8 +419,13 @@ object EventStream {
     * carries an EXACT replay oracle. The pinned semantics (both in
     * the DuckDB oracle and replayed row-by-row in StreamingSpec):
     *
-    *  - batch boundaries are fixed arrival-time slices (one file
-    *    per slice, maxFilesPerTrigger=1);
+    *  - batch boundaries are fixed arrival-time slices (each slice a
+    *    directory of exactly P part files written by P tasks in ONE
+    *    parallel stage, maxFilesPerTrigger=P — all P files of a slice
+    *    share a mod-time strictly below the next slice's, so the file
+    *    source's time-ordered pending list admits exactly one slice
+    *    per micro-batch; the within-slice row-to-file split never
+    *    reaches the metric, which only sees whole-batch contents);
     *  - the late-event filter uses the watermark lagged TWO batches
     *    in-run — (ms-floored event-time max through batch N-2) -
     *    delay. Eviction advances every batch, but Spark hands the
@@ -438,8 +443,10 @@ object EventStream {
                         tsCol: Column, scratch: String,
                         delayMs: Long = 900000L,
                         windowSec: Int = 300,
-                        sliceNs: Long = 172800L * 1000000000L)
+                        sliceNs: Long = 172800L * 1000000000L,
+                        filesPerSlice: Int = 2)
       : DataFrame = {
+    require(filesPerSlice >= 1, s"filesPerSlice must be >= 1")
     val spark = events.sparkSession
     import spark.implicits._
     val staged = events.select(arrival.as("__a"), tsCol.as("__ts"),
@@ -448,27 +455,59 @@ object EventStream {
         ((col("__a") - pmod(col("__a"), lit(sliceNs)))
           / lit(sliceNs.toDouble)).cast("long"))
       .localCheckpoint() // one read; the slice writes below reuse it
-    val slices = staged.select(col("__slice")).distinct()
-      .orderBy(col("__slice")).as[Long].collect() // bounded: span/slice
-    slices.zipWithIndex.foreach { case (sl, i) =>
-      staged.filter(col("__slice") === sl)
-        .select(col("__ts"), col("event_type"))
-        .coalesce(1).write.mode("overwrite")
-        .parquet(f"$scratch/s$i%04d")
+    val sliceCounts = staged.groupBy(col("__slice")).count()
+      .orderBy(col("__slice"))
+      .as[(Long, Long)].collect() // bounded: span/slice
+    val slices = sliceCounts.map(_._1)
+    // Uniform files-per-slice P: the batching contract below is
+    // maxFilesPerTrigger = P, so EVERY slice must land as exactly P
+    // part files — clamp P to the smallest slice so round-robin
+    // repartition(P) cannot leave an empty (fileless) partition that
+    // would shift a batch boundary across slices.
+    val p = math.max(1L, math.min(filesPerSlice.toLong,
+      sliceCounts.map(_._2).min)).toInt
+    // Stage all slices CONCURRENTLY — each slice is its own P-task
+    // write job, and the jobs overlap in the scheduler, so staging is
+    // slices x P parallel write tasks instead of the former sequential
+    // per-slice coalesce(1) single-writer loop (the 100x-scale choke
+    // point: one task per slice, one slice at a time).
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = slices.zipWithIndex.map { case (sl, i) => Future {
+        staged.filter(col("__slice") === sl)
+          .select(col("__ts"), col("event_type"))
+          .repartition(p).write.mode("overwrite")
+          .parquet(f"$scratch/s$i%04d")
+      }}
+      Await.result(Future.sequence(jobs.toSeq), Duration.Inf)
     }
     // strictly ascending mod-times in slice order: the file stream
-    // source orders pending files by timestamp
+    // source orders pending files by timestamp. All P files of a slice
+    // share the slice's mod-time; paths sort slice-major, so the
+    // per-file minute offsets below keep slice i's files strictly
+    // earlier than slice i+1's.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(
         new org.apache.hadoop.fs.Path(s"$scratch/s*/part-*.parquet"))
       .sortBy(_.getPath.toString)
+    // batching-contract check, loud not silent: exactly P files per
+    // slice, or the maxFilesPerTrigger=P batch would straddle slices
+    val perDir = files.groupBy(_.getPath.getParent.getName)
+      .map { case (d, fs0) => d -> fs0.length }
+    val offDirs = perDir.filter(_._2 != p)
+    require(offDirs.isEmpty && perDir.size == slices.length,
+      s"every slice dir must hold exactly $p part files " +
+        s"(maxFilesPerTrigger=$p batches straddle slices otherwise); " +
+        s"off: $offDirs of ${perDir.size}/${slices.length} dirs")
     files.zipWithIndex.foreach { case (st, i) =>
       fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
     }
     val phys = spark.read.parquet(s"$scratch/s0000").schema
     val src = spark.readStream.schema(phys)
-      .option("maxFilesPerTrigger", "1")
+      .option("maxFilesPerTrigger", p.toString)
       .parquet(s"$scratch/s*")
     val agg = src
       .withColumn("__event_time",
@@ -481,21 +520,44 @@ object EventStream {
     // of state, but EVERY micro-batch pays a per-partition state-store
     // open/commit x 18 batches — the dominant cost of this harness
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    // recentProgress is a ring buffer capped by
+    // spark.sql.streaming.numRecentProgressUpdates (default 100): a run
+    // with more micro-batches than the cap would SILENTLY drop the
+    // earliest batches' rows and diverge from the exact oracle. Size
+    // the buffer to this run (one batch per slice + scheduler slack)
+    // and assert nothing could have scrolled off.
+    val progKey = "spark.sql.streaming.numRecentProgressUpdates"
+    val prevProg = spark.conf.get(progKey)
+    val progCap = slices.length + 64
     spark.conf.set("spark.sql.shuffle.partitions", "2")
+    spark.conf.set(progKey, progCap.toString)
     val q =
       try agg.writeStream.format("memory")
         .queryName("wm_drop_live")
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+      finally {
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+        spark.conf.set(progKey, prevProg)
+      }
     q.awaitTermination()
+    val progress = q.recentProgress.toSeq
+    require(progress.length < progCap,
+      s"progress buffer filled (${progress.length} >= cap $progCap): " +
+        "earliest batches may have scrolled off; raise filesPerSlice " +
+        "retention sizing")
     val rows = q.recentProgress.toSeq
       .filter(_.numInputRows > 0)
-      .map { p =>
-        (p.batchId, p.numInputRows,
-          p.stateOperators.map(_.numRowsDroppedByWatermark).sum)
+      .map { pr =>
+        (pr.batchId, pr.numInputRows,
+          pr.stateOperators.map(_.numRowsDroppedByWatermark).sum)
       }
+    // slice->batch contract: each slice arrived as exactly one
+    // non-empty micro-batch (the staging invariant above)
+    require(rows.length == slices.length,
+      s"expected ${slices.length} non-empty batches (one per slice), " +
+        s"saw ${rows.length}")
     rows.toDF("batch_id", "n_input", "n_dropped_live")
   }
 }

@@ -23,7 +23,20 @@ object BenchIsolated {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.drop(1).headOption.getOrElse("BENCH_ISOLATED.json")
-    val names = if (args.length > 2) args.drop(2).toSeq
+    // "auto" = adjudicate the FINAL run's actual outliers, not a
+    // hand-picked list: read the bench artifact this session just wrote
+    // (which embeds per-query ratios vs the prior committed run) and
+    // measure every >2.5x line plus the top entries — so each committed
+    // outlier carries a same-HEAD cold/warm pair.
+    val names: Seq[String] =
+      if (args.length > 2 && args(2) == "auto") {
+        val artifact = if (args.length > 3) args(3) else "BENCH_OUT.json"
+        val auto = autoOutliers(artifact)
+        require(auto.nonEmpty,
+          s"auto mode found no ratios_vs_prior in $artifact — run Bench first")
+        System.err.println(s"[isolated] auto outliers: ${auto.mkString(", ")}")
+        auto
+      } else if (args.length > 2) args.drop(2).toSeq
       else Seq("dedup_keep_best_documents", "dedup_clusters_documents",
         "events_stream_interval_join", "dedup_ngram_documents",
         "pack_token_budget_documents")
@@ -55,4 +68,26 @@ object BenchIsolated {
       rows.mkString(s"""{\n  "sf": "$dir", "cpus": $cpus,\n""", ",\n", "\n}\n"))
     spark.stop()
   }
+
+  /** The outlier list embedded by Bench: every ratios_vs_prior.top
+    * entry with ratio > 2.5, or (if none cross the bar) the single
+    * worst one as a sanity anchor. */
+  def autoOutliers(artifact: String): Seq[String] =
+    try {
+      import org.json4s._
+      val j = jackson.JsonMethods.parse(
+        Files.readString(Paths.get(artifact)))
+      j \ "ratios_vs_prior" \ "top" match {
+        case JObject(fs) =>
+          val parsed = fs.collect {
+            case (k, JDouble(v))  => k -> v
+            case (k, JInt(v))     => k -> v.toDouble
+            case (k, JDecimal(v)) => k -> v.toDouble
+          }
+          val over = parsed.filter(_._2 > 2.5).map(_._1)
+          if (over.nonEmpty) over
+          else parsed.sortBy(-_._2).take(1).map(_._1)
+        case _ => Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty }
 }

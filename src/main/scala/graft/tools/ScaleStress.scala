@@ -491,7 +491,7 @@ object ScaleStress {
           pmod(col("id"), lit(1000)).as("b"))
       val n = graft.operators.EntityMatch.passJoinProbe(
         graft.operators.EntityMatch.readPassJoinIndex(spark,
-          "/tmp/graft-stress-pjidx", maxDist = 3),
+          "/tmp/graft-stress-pjidx", expectMaxDist = 3),
         delta, col("id"), col("k"), col("b")).count()
       println(s"[stress]   registry-probe pairs found: $n")
     }

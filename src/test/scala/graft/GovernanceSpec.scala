@@ -439,7 +439,7 @@ class GovernanceSpec extends SparkSpec {
       EntityMatch.passJoinIndexBuild(clean,
         $"id", $"name", $"blk", maxDist = 3), dir)
     val stored = EntityMatch.passJoinProbe(
-      EntityMatch.readPassJoinIndex(spark, dir, maxDist = 3),
+      EntityMatch.readPassJoinIndex(spark, dir, expectMaxDist = 3),
       delta, $"id", $"name", $"blk")
       .as[(Long, Long, Long, Long)].collect().sorted
     stored shouldBe direct
@@ -447,7 +447,7 @@ class GovernanceSpec extends SparkSpec {
     val delta2 = Seq((2000L, "k00-0123456789x", 0L))
       .toDF("id", "name", "blk")
     val second = EntityMatch.passJoinProbe(
-      EntityMatch.readPassJoinIndex(spark, dir, maxDist = 3),
+      EntityMatch.readPassJoinIndex(spark, dir, expectMaxDist = 3),
       delta2, $"id", $"name", $"blk")
       .as[(Long, Long, Long, Long)].collect()
     second.map(p => (p._1, p._2)) should contain((0L, 2000L))

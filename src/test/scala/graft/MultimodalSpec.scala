@@ -43,6 +43,35 @@ class MultimodalSpec extends SparkSpec {
     f.features.toSeq shouldBe expected.map(_ / 255.0f).toSeq
   }
 
+  test("decodeFeatures: LaneCodec plug-in boundary is codec-agnostic " +
+      "(a fake compressed codec swaps in; plumbing unchanged)") {
+    val withFake = Multimodal
+      .decodeFeatures(media, dim = 8, codec = FakeCompressedCodec)
+      .collect().map(f => f.media_id -> f).toMap
+    val raw = Multimodal.decodeFeatures(media, dim = 8)
+      .collect().map(f => f.media_id -> f).toMap
+    withFake.keySet shouldBe raw.keySet
+    raw.foreach { case (id, r) =>
+      val f = withFake(id)
+      // metadata plumbing identical regardless of codec
+      f.kind shouldBe r.kind
+      f.n_bytes shouldBe r.n_bytes
+      f.lane_sums.length shouldBe 8
+      // decode really went through the fake codec: each byte b became
+      // ~b = 255 - b, so lane sums complement against 255*laneCount
+      val laneCounts = new Array[Long](8)
+      (0L until f.n_bytes).foreach(i => laneCounts((i % 8).toInt) += 1)
+      f.lane_sums.toSeq shouldBe
+        r.lane_sums.toSeq.zip(laneCounts.toSeq).map { case (s, c) => 255L * c - s }
+      // the features view applies codec-agnostically
+      f.features.toSeq shouldBe f.lane_sums.map(_ / 255.0f).toSeq
+    }
+    // a codec violating the dim contract fails loudly, not silently
+    intercept[org.apache.spark.SparkException] {
+      Multimodal.decodeFeatures(media, dim = 8, codec = BadCodec).collect()
+    }
+  }
+
   test("sampleFrames: byte-addressed frames, stride sampling") {
     val df = Seq((1L, "abcdefghij")).toDF("id", "t")
       .select($"id", $"t".cast("binary").as("payload"))
@@ -147,4 +176,25 @@ class MultimodalSpec extends SparkSpec {
       Seq((2L, "nope".getBytes("US-ASCII"))).toDF("id", "p"),
       $"id", $"p").collect()
   }
+}
+
+/** A stand-in for a REAL compressed codec (JPEG/MP3): pretends the
+  * payload is "compressed" by a byte-wise involution and decodes it
+  * before the lane fold — deterministic, so its output is exactly the
+  * raw-lane decode of the transformed payload. Top-level so Spark task
+  * serialization ships ONLY the codec, never the enclosing spec — the
+  * same constraint a production codec implementation lives under. */
+object FakeCompressedCodec extends Multimodal.LaneCodec {
+  @transient private var opened = false
+  override def open(): Unit = { opened = true }
+  def lanes(payload: Array[Byte], dim: Int): Array[Long] = {
+    require(opened, "codec context not initialized before decode")
+    val decoded = payload.map(b => (~b).toByte) // fake decompression
+    Multimodal.RawByteLanes.lanes(decoded, dim)
+  }
+}
+
+/** Violates the dim contract — decodeFeatures must fail loudly. */
+object BadCodec extends Multimodal.LaneCodec {
+  def lanes(payload: Array[Byte], dim: Int): Array[Long] = Array(1L)
 }

@@ -442,6 +442,69 @@ class TextDedupSpec extends SparkSpec {
     out(4L) shouldBe ((3L, 3L, "s1 s2 s3"))
   }
 
+  test("rolling span dedup RECALL AUDIT vs exact substring ground truth " +
+      "on a planted corpus: all-or-nothing at the window size") {
+    // What the linear rolling path (one count-shuffle, no candidate
+    // pairs) trades away vs suffix-array-grade exact substring dedup,
+    // QUANTIFIED. Planted corpus: per span length L, two docs share an
+    // L-token passage at DIFFERENT offsets (7 vs 19); filler tokens are
+    // unique per (doc, position) so the planted spans are the ONLY
+    // duplicated substrings — the ground truth is known by
+    // construction, which is what a suffix array would recover.
+    val w = 16
+    val lens = Seq(8, 12, 15, 16, 17, 24, 32)
+    val docs = lens.flatMap { len =>
+      val span = (0 until len).map(i => s"p${len}t$i")
+      def doc(id: Long, tag: String, offset: Int) = {
+        val filler = (0 until 40).map(i => s"f$tag$i")
+        (id, (filler.take(offset) ++ span ++ filler.drop(offset))
+          .mkString(" "))
+      }
+      Seq(doc(len * 10L, s"a$len", 7), doc(len * 10L + 1, s"b$len", 19))
+    }.toDF("doc_id", "text")
+    val trimmed = Dedup.trimDuplicatedSpansRolling(
+        docs, $"text", $"doc_id", windowTokens = w)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    lens.foreach { len =>
+      Seq(len * 10L, len * 10L + 1).foreach { id =>
+        val (nTok, nKept, text) = trimmed(id)
+        nTok shouldBe (40L + len)
+        if (len < w) {
+          // MISS: a duplicated span shorter than one window carries no
+          // complete window -> 0 of its tokens detected (recall 0)
+          nKept shouldBe (40L + len)
+        } else {
+          // HIT: every token of a >=w span lies inside some recurring
+          // window, at ANY alignment -> exactly the span removed
+          // (token recall 1.0) and no filler token falsely cut
+          // (precision 1.0: straddling windows include unique filler)
+          nKept shouldBe 40L
+          text.split(" ").toSeq shouldBe
+            text.split(" ").filter(_.startsWith("f")).toSeq
+        }
+      }
+    }
+    // corpus-level token recall of the linear path on this plant:
+    // sum(L >= w) / sum(L) = (16+17+24+32)/124 — the documented cost
+    // of refusing a corpus-wide suffix sort; spans in [1, w-1] are
+    // invisible BY DESIGN and the knob that buys them back is a
+    // smaller w (more windows, same linear topology), not a new plan
+    val caught = lens.filter(_ >= w).map(_.toLong).sum
+    val planted = lens.map(_.toLong).sum
+    caught shouldBe 89L
+    planted shouldBe 124L
+    // and the flag scan agrees with the trim on which docs carry dups
+    val flags = Dedup.duplicatedSpansRolling(
+        docs, $"text", $"doc_id", windowTokens = w)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    lens.foreach { len =>
+      val expectWins = if (len >= w) (len - w + 1).toLong else 0L
+      flags(len * 10L) shouldBe expectWins
+      flags(len * 10L + 1) shouldBe expectWins
+    }
+  }
+
   test("trimDuplicatedSpansRolling: md5 and xxhash paths agree here") {
     val docs = Seq(
       (1L, "c1 c2 c3 c4 c5 u1"),

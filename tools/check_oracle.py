@@ -33,6 +33,38 @@ def _selftest():
     assert render(ta) != render(tb), "ulp perturbation NOT detected"
     print("OK selftest: 1-ulp float difference detected")
 
+    # A raw-bytes output column must be flagged: the driver sorts with
+    # pandas sort_values, which throws TypeError('unhashable type:
+    # bytearray') on BinaryType columns (sank group_counts_binary_key
+    # in round 6 while this pre-flight, then sorting rendered strings,
+    # stayed green). The pre-flight must be a strict superset of the
+    # driver's failure modes.
+    tbin = pa.table({"group_id": [b"\x00\xff", b"\x01"], "n": [1, 2]})
+    try:
+        _driver_sort_probe(tbin)
+    except TypeError:
+        print("OK selftest: binary column caught by driver-sort probe")
+    else:
+        raise AssertionError("binary column NOT caught by driver-sort probe")
+    _driver_sort_probe(pa.table({"s": ["a", "b"], "n": [1, 2]}))
+    print("OK selftest: string/int columns pass driver-sort probe")
+
+
+def _driver_sort_probe(tbl):
+    """Replicate the driver's pandas compare boundary: to_pandas() then
+    sort_values over every column. The driver fetches the DuckDB side
+    via fetchdf, which materializes BLOB as *bytearray* (unhashable —
+    pandas factorize crashes); pyarrow's to_pandas gives hashable
+    *bytes*, which is why round 6's pre-flight stayed green while the
+    driver crashed. Coerce bytes -> bytearray first so this probe raises
+    exactly where the driver would — locally, before round end."""
+    df = tbl.to_pandas()
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(
+                lambda v: bytearray(v) if isinstance(v, (bytes, bytearray)) else v)
+    df.sort_values(by=list(df.columns), inplace=False, kind="mergesort")
+
 
 if sys.argv[1] == "--selftest":
     _selftest()
@@ -78,6 +110,17 @@ for name, sql in sorted(oracle.items()):
     drift = {c: (dtypes[c], stypes[c]) for c in dcols if dtypes[c] != stypes[c]}
     if drift:
         print(f"FAIL {name}: type-class drift (decimal/float vs int hashes differ in the driver): {drift}")
+        fail += 1; continue
+    # Driver-sort parity: the driver sorts BOTH result frames with pandas
+    # sort_values before hashing; columns pandas cannot factorize
+    # (BinaryType -> bytearray) crash its comparator (round 6:
+    # group_counts_binary_key). Probe both sides the driver's way.
+    try:
+        _driver_sort_probe(duck)
+        _driver_sort_probe(spark)
+    except TypeError as e:
+        print(f"FAIL {name}: driver's pandas sort would crash ({e}); "
+              f"re-encode the offending column (hex/base64) at the query boundary")
         fail += 1; continue
     def norm(tbl):
         # EXACT value compare — the driver hashes exact rendered values,
