@@ -167,6 +167,21 @@ object SparkEntry {
         PartitionedDataset.loadTFRecords(s, s"$tmp/groups.tfrecord-*"),
         docs.schema)
     },
+    // The GZIP leg of the sink/source pair — Beam's WriteToTFRecord
+    // compression_type=AUTO contract: a `.gz` file_name_suffix gzips
+    // each whole shard, and tf.data reads the same layout with
+    // compression_type="GZIP". Same bytes round-trip; only the shard
+    // framing is wrapped (TFRecordIO AUTO-detects by suffix both ways).
+    "roundtrip_documents_gzip" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val tmp = scratchDir("roundtrip_gz")
+      val packed = PartitionedDataset.packExamples(
+        docs, Grouper.byColumn("lang"))
+      PartitionedDataset.writeTFRecords(packed, tmp, suffix = ".gz")
+      PartitionedDataset.decodeExamples(
+        PartitionedDataset.loadTFRecords(s, s"$tmp/groups.tfrecord-*.gz"),
+        docs.schema)
+    },
 
     // The full training-data EXIT PATH: the shifted LM blocks
     // serialize to tf.Example (int64 feature lists), pack per group
@@ -858,6 +873,25 @@ object SparkEntry {
       Retention.anomalyWindows(Tables(s, dir, "events"), col("ts"),
         col("event_type"), windowNs = 3600L * 1000000000L)
     },
+    // STREAMING twin of the anomaly scan: hourly per-type counts are
+    // the stream's aggregation state (the real micro-batch stateful
+    // plan); the median/MAD flagging re-derives over the tiny
+    // windows-x-keys snapshot — never over raw events. Shares the
+    // batch twin's oracle verbatim (micro-batch slicing invisible).
+    "events_stream_anomaly_windows" -> { (s, dir) =>
+      val wNs = 3600L * 1000000000L
+      val wc = Tables.eventsStream(s, dir)
+        .groupBy(col("event_type").as("key"),
+          (col("ts") - pmod(col("ts"), lit(wNs))).as("window_start"))
+        .agg(count(lit(1)).as("cnt"))
+      // localCheckpoint: the flagging self-joins the snapshot (dev x
+      // med x mad) and the memory-sink view resolves to the SAME
+      // attribute ids on both sides (conflicting-references error);
+      // checkpointing mints fresh ones (and the table is tiny)
+      Retention.anomalyFromWindowCounts(
+        EventStream.runToCompletion(wc, "stream_anomaly_out")
+          .localCheckpoint())
+    },
     // Duplicate-cluster SIZE distribution + corpus mass per size — the
     // "how duplicated is this corpus" report (a long tail of pairs vs
     // a few mega-clusters demand different dedup strategies).
@@ -1409,6 +1443,16 @@ object SparkEntry {
     // below k=5 rows are re-identifiable and flagged for suppression.
     "privacy_k_anonymity" -> { (s, dir) =>
       Privacy.kAnonymityAudit(Tables(s, dir, "customer"), k = 5L,
+        col("c_nationkey"), col("c_mktsegment"))
+    },
+    // l-diversity audit — the homogeneity attack k-anonymity misses: a
+    // big-enough QI cell still leaks when its SENSITIVE attribute
+    // (account-balance sign band here) is uniform. Cells with < 3
+    // distinct sensitive values get flagged.
+    "privacy_l_diversity" -> { (s, dir) =>
+      Privacy.lDiversityAudit(Tables(s, dir, "customer"), l = 3L,
+        when(col("c_acctbal") < 0, "neg")
+          .when(col("c_acctbal") < 5000, "mid").otherwise("high"),
         col("c_nationkey"), col("c_mktsegment"))
     },
     // QUALITY-ranked per-source selection: the 5 highest-quality docs
@@ -3411,6 +3455,25 @@ object SparkEntry {
         .stripMargin
     }.mkString(",\n")
 
+  /** Anomaly-window replay (shared by the batch and streaming twins):
+    * hourly per-type counts, median/MAD flagging at 3 x 1.4826. */
+  private lazy val anomalyWindowsOracleSql: String =
+    """WITH wc AS (
+      |  SELECT event_type AS key,
+      |    epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS window_start,
+      |    count(*) AS cnt
+      |  FROM events GROUP BY 1, 2),
+      |st AS (SELECT key, quantile_cont(cnt, 0.5) AS med
+      |       FROM wc GROUP BY 1),
+      |dev AS (SELECT wc.key, window_start, cnt, med,
+      |          abs(cnt - med) AS ad
+      |        FROM wc JOIN st USING (key)),
+      |md AS (SELECT key, quantile_cont(ad, 0.5) AS mad
+      |       FROM dev GROUP BY 1)
+      |SELECT dev.key, window_start, cnt, med, mad
+      |FROM dev JOIN md USING (key)
+      |WHERE ad > 3 * 1.4826 * mad""".stripMargin
+
   /** Windowed-leaderboard replay (shared by the batch and streaming
     * twins — micro-batch slicing must be invisible in the result). */
   private lazy val windowTopkOracleSql: String =
@@ -3684,6 +3747,9 @@ object SparkEntry {
         |  md5(string_agg(text, chr(1) ORDER BY text)) AS digest
         |FROM documents GROUP BY source""".stripMargin,
     "roundtrip_documents" ->
+      "SELECT doc_id, text, lang, source, n_chars FROM documents",
+    // gzip framing must be byte-invisible to the decoded rows
+    "roundtrip_documents_gzip" ->
       "SELECT doc_id, text, lang, source, n_chars FROM documents",
     "text_stats_documents" -> {
       import TextAnalysis.Sql._
@@ -4779,6 +4845,15 @@ object SparkEntry {
       """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
         |  count(*) < 5 AS suppressed
         |FROM customer GROUP BY 1, 2""".stripMargin,
+    "privacy_l_diversity" ->
+      """SELECT c_nationkey, c_mktsegment, count(*) AS n_rows,
+        |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END)
+        |    AS n_sensitive,
+        |  count(DISTINCT CASE WHEN c_acctbal < 0 THEN 'neg'
+        |    WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END) < 3
+        |    AS suppressed
+        |FROM customer GROUP BY 1, 2""".stripMargin,
     "eval_langid_confusion" -> {
       import TextAnalysis.Sql._
       s"""SELECT lang, ${langId("text")} AS lang_pred,
@@ -4930,22 +5005,9 @@ object SparkEntry {
     "events_stream_window_topk" -> windowTopkOracleSql,
     // anomaly replay: same window floor, quantile_cont medians, same
     // driver-computed 3x1.4826 factor
-    "events_anomaly_windows" ->
-      """WITH wc AS (
-        |  SELECT event_type AS key,
-        |    epoch_ns(ts) - epoch_ns(ts) % 3600000000000 AS window_start,
-        |    count(*) AS cnt
-        |  FROM events GROUP BY 1, 2),
-        |st AS (SELECT key, quantile_cont(cnt, 0.5) AS med
-        |       FROM wc GROUP BY 1),
-        |dev AS (SELECT wc.key, window_start, cnt, med,
-        |          abs(cnt - med) AS ad
-        |        FROM wc JOIN st USING (key)),
-        |md AS (SELECT key, quantile_cont(ad, 0.5) AS mad
-        |       FROM dev GROUP BY 1)
-        |SELECT dev.key, window_start, cnt, med, mad
-        |FROM dev JOIN md USING (key)
-        |WHERE ad > 3 * 1.4826 * mad""".stripMargin,
+    "events_anomaly_windows" -> anomalyWindowsOracleSql,
+    // micro-batch slicing must be invisible to the flagged set
+    "events_stream_anomaly_windows" -> anomalyWindowsOracleSql,
     // pair graph joined to sources, unordered pair counts
     "profile_source_overlap" ->
       s"""WITH $NgramPairsCtes

@@ -41,7 +41,8 @@ object PartitionedDataset {
     * group id (reference invariant §1.4.2). One TFRecord record per
     * group. Returns shard paths. */
   def writeTFRecords(packed: DataFrame, dir: String,
-                     prefix: String = "groups.tfrecord"): Seq[String] = {
+                     prefix: String = "groups.tfrecord",
+                     suffix: String = ""): Seq[String] = {
     val spark = packed.sparkSession
     import spark.implicits._
     val seqEx = new UDF1[Seq[Array[Byte]], Array[Byte]] {
@@ -51,7 +52,7 @@ object PartitionedDataset {
     val records = packed
       .select(udf(seqEx, BinaryType).apply(col("examples")).as("record"))
       .as[Array[Byte]]
-    TFRecordIO.write(records, dir, prefix)
+    TFRecordIO.write(records, dir, prefix, suffix)
   }
 
   /** Engine-native sink: packed groups as Parquet (keeps the group id —

@@ -28,4 +28,21 @@ object Privacy {
     df.groupBy(qi: _*)
       .agg(count(lit(1)).as("n_rows"))
       .withColumn("suppressed", col("n_rows") < k)
+
+  /** l-DIVERSITY audit (Machanavajjhala et al. 2007) — the attack
+    * k-anonymity misses: a QI cell can hold k rows yet leak the
+    * sensitive attribute when all k share ONE sensitive value
+    * (homogeneity attack). Every QI cell with its row count, its
+    * count of DISTINCT sensitive values, and whether it must be
+    * suppressed (fewer than l distinct sensitive values — an attacker
+    * who places a subject in the cell learns the sensitive value with
+    * certainty below l=2, or to within l-1 candidates generally).
+    * One hash aggregation on the QI key; the distinct count is
+    * map-side partial like any count(distinct) over a grouped key. */
+  def lDiversityAudit(df: DataFrame, l: Long, sensitive: Column,
+                      qi: Column*): DataFrame =
+    df.groupBy(qi: _*)
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(sensitive).as("n_sensitive"))
+      .withColumn("suppressed", col("n_sensitive") < l)
 }

@@ -68,6 +68,17 @@ object Retention {
     val wstart = tsCol - pmod(tsCol, lit(windowNs))
     val wc = df.groupBy(keyCol.as("key"), wstart.as("window_start"))
       .agg(count(lit(1)).as("cnt"))
+    anomalyFromWindowCounts(wc, nMads)
+  }
+
+  /** The flagging half of [[anomalyWindows]], decoupled from how the
+    * per-(key, window) counts were produced — in particular a
+    * STREAMING aggregation's snapshot (the counts are the stream's
+    * state; median/MAD are re-derived over the tiny windows-x-keys
+    * table a dashboard reads, never over raw events). `wc` = (key,
+    * window_start, cnt). */
+  def anomalyFromWindowCounts(wc: DataFrame,
+                              nMads: Double = 3.0): DataFrame = {
     val med = wc.groupBy(col("key"))
       .agg(expr("percentile(cnt, 0.5)").as("med"))
     val dev = wc.join(broadcast(med), "key")

@@ -17,7 +17,11 @@ object TFRecordIO {
 
   /** Write one binary column as TFRecord shard files
     * `prefix-SSSSS-of-NNNNN<suffix>` (reference naming,
-    * integration_test.py:46). Returns the shard paths. */
+    * integration_test.py:46). Compression is AUTO by file name, the
+    * Beam WriteToTFRecord contract (compression_type=AUTO infers from
+    * file_name_suffix): a `.gz` suffix gzips each whole shard — the
+    * layout `tf.data.TFRecordDataset(compression_type="GZIP")` reads.
+    * Returns the shard paths. */
   def write(records: Dataset[Array[Byte]], dir: String,
             prefix: String = "groups.tfrecord", suffix: String = ""): Seq[String] = {
     val numShards = records.rdd.getNumPartitions
@@ -26,7 +30,10 @@ object TFRecordIO {
       val shard = f"$prefix-$idx%05d-of-$numShards%05d$suffix"
       val path = new Path(dir, shard)
       val fs = path.getFileSystem(conf)
-      val out = fs.create(path, true)
+      val raw = fs.create(path, true)
+      val out: java.io.OutputStream =
+        if (shard.endsWith(".gz")) new java.util.zip.GZIPOutputStream(raw)
+        else raw
       try it.foreach(TFRecordCodec.writeRecord(out, _))
       finally out.close()
       Iterator.single(path.toString)
@@ -61,8 +68,12 @@ object TFRecordIO {
           // lazy record iterator, one record in memory at a time (a
           // record can be a ~2GB packed group — eager materialization
           // would need the whole shard on heap); the stream closes on
-          // exhaustion
-          val din = new java.io.DataInputStream(in)
+          // exhaustion. AUTO decompression by file name, mirroring the
+          // write side (and tf.data's compression_type="GZIP").
+          val base: java.io.InputStream =
+            if (f.endsWith(".gz")) new java.util.zip.GZIPInputStream(in)
+            else in
+          val din = new java.io.DataInputStream(base)
           new Iterator[(String, Array[Byte])] {
             private var nextRec = advance()
             private def advance(): Option[Array[Byte]] = {

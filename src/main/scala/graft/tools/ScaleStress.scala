@@ -546,11 +546,16 @@ object ScaleStress {
       graft.operators.Resample.seasonalGapFill(
         ev, col("key"), col("t")).count()
     }
-    // the LIVE watermark-drop harness at volume: staging writes one
-    // file per 2-day slice off a localCheckpoint, then one real
-    // micro-batch per slice; cost is batch-count x planning overhead
-    // plus one corpus pass — NOT row-volume-bound
-    time(s"live watermark drops over $rows arrivals (streamed)") {
+    // the LIVE watermark-drop harness at volume: staging is ONE
+    // concurrent batch of P-task write jobs (multi-file slices,
+    // maxFilesPerTrigger=P batching), then one real micro-batch per
+    // slice; cost is batch-count x planning overhead plus one corpus
+    // pass — NOT row-volume-bound. filesPerSlice=8 makes each slice an
+    // 8-task write (the 100x-scale staging shape: no slice ever
+    // funnels through a single writer) and the slice->batch contract
+    // checks inside the harness prove the batching still aligns.
+    time(s"live watermark drops over $rows arrivals " +
+        "(streamed; 8-task slice writes)") {
       val day = 86400L * 1000000000L
       val ev = spark.range(rows).select(
         col("id").as("event_id"),
@@ -561,7 +566,7 @@ object ScaleStress {
         lit(1000000000L) + col("event_id")
       graft.streaming.EventStream.watermarkDropLive(
         ev, arrival = col("ts") + jitter, tsCol = col("ts"),
-        scratch = "/tmp/graft-stress-wmdrop").count()
+        scratch = "/tmp/graft-stress-wmdrop", filesPerSlice = 8).count()
     }
     // 1M docs: the checkpointed token arrays of the full 5M corpus
     // (~GBs) have no bearing on the linear-shape evidence. id FILTER,

@@ -485,4 +485,28 @@ class GovernanceSpec extends SparkSpec {
     // audit partitions the table
     out.values.map(_._1).sum shouldBe 10L
   }
+
+  test("lDiversityAudit: homogeneity attack — big cells still flagged " +
+      "when the sensitive value is uniform; boundary at exactly l") {
+    val df = (
+      // 6 rows, but ONE sensitive value: k-anonymous at k=5, yet leaks
+      Seq.fill(6)(("US", "A", "cancer")) ++
+      // 4 rows, 2 distinct sensitive values: exactly l -> kept
+      Seq(("US", "B", "flu"), ("US", "B", "flu"),
+        ("US", "B", "cold"), ("US", "B", "cold")) ++
+      // 3 rows, 3 distinct: above l
+      Seq(("FR", "A", "flu"), ("FR", "A", "cold"), ("FR", "A", "cancer"))
+    ).toDF("country", "seg", "dx")
+    val out = Privacy.lDiversityAudit(df, l = 2L, $"dx", $"country", $"seg")
+      .as[(String, String, Long, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    out(("US", "A")) shouldBe ((6L, 1L, true)) // k-anonymous but uniform
+    out(("US", "B")) shouldBe ((4L, 2L, false)) // exactly l: kept
+    out(("FR", "A")) shouldBe ((3L, 3L, false))
+    // and the k-anonymity audit alone would have PASSED the leaky cell
+    val k = Privacy.kAnonymityAudit(df, k = 5L, $"country", $"seg")
+      .filter($"country" === "US" && $"seg" === "A")
+      .select($"suppressed").as[Boolean].head()
+    k shouldBe false
+  }
 }

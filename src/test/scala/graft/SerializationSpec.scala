@@ -106,6 +106,37 @@ class SerializationSpec extends SparkSpec {
     }
   }
 
+  test("TFRecord gzip shards: AUTO by .gz suffix, real gzip bytes on disk, " +
+      "transparent read-back (Beam compression_type=AUTO contract)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-tfr-gz").toString
+    val payloads = Seq("alpha", "beta", "gamma-γ").map(_.getBytes("UTF-8"))
+    val ds = spark.createDataset(payloads)(
+      org.apache.spark.sql.Encoders.BINARY).repartition(2)
+    val written = TFRecordIO.write(ds, dir, suffix = ".gz")
+    written.foreach(_ should endWith(".gz"))
+    // the shard files are REAL gzip members (magic 1f 8b), not the
+    // TFRecord frame: tf.data with compression_type="GZIP" reads them
+    written.foreach { f =>
+      val head = Files.readAllBytes(java.nio.file.Paths.get(
+        new java.net.URI(if (f.startsWith("file:")) f else s"file:$f")))
+        .take(2)
+      (head(0) & 0xff) shouldBe 0x1f
+      (head(1) & 0xff) shouldBe 0x8b
+    }
+    val back = TFRecordIO.read(spark, s"$dir/groups.tfrecord-*.gz")
+      .select($"record").as[Array[Byte]].collect()
+      .map(new String(_, "UTF-8")).sorted.toSeq
+    back shouldBe Seq("alpha", "beta", "gamma-γ")
+    // uncompressed write of the same records differs on disk byte-wise
+    val dir2 = Files.createTempDirectory("graft-tfr-raw").toString
+    TFRecordIO.write(ds, dir2)
+    val raw = TFRecordIO.read(spark, s"$dir2/groups.tfrecord-*")
+      .select($"record").as[Array[Byte]].collect()
+      .map(new String(_, "UTF-8")).sorted.toSeq
+    raw shouldBe back
+  }
+
   test("TFRecord masked crc32c golden: known empty-record framing") {
     // length=0: lenBytes are 8 zero bytes; crc32c of 8 zero bytes is
     // 0x8c28b28a (JDK CRC32C, matches the crc32c reference vectors);

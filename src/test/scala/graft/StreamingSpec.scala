@@ -378,6 +378,30 @@ class StreamingSpec extends SparkSpec {
     stream shouldBe batch
   }
 
+  test("streaming window-topk lands on the batch leaderboard exactly") {
+    val batch = SparkEntry.queries("events_window_topk_users")(
+      spark, sf0001).as[(Long, Long, Int, Long)].collect().sorted
+    val stream = SparkEntry.queries("events_stream_window_topk")(
+      spark, sf0001).as[(Long, Long, Int, Long)].collect().sorted
+    batch.length should be > 0
+    // micro-batch boundaries must be invisible: identical per-user
+    // running totals -> identical per-window ranks and values
+    stream shouldBe batch
+  }
+
+  test("streaming anomaly windows land on the batch flag set exactly") {
+    val batch = SparkEntry.queries("events_anomaly_windows")(
+      spark, sf0001).as[(String, Long, Long, Double, Double)]
+      .collect().sorted
+    val stream = SparkEntry.queries("events_stream_anomaly_windows")(
+      spark, sf0001).as[(String, Long, Long, Double, Double)]
+      .collect().sorted
+    batch.length should be > 0
+    // identical window counts as stream state -> identical median/MAD
+    // fences -> identical flagged windows
+    stream shouldBe batch
+  }
+
   test("left-outer interval join: inner rows preserved, null rows bounded") {
     val inner = SparkEntry.queries("events_stream_interval_join")(
       spark, sf0001).collect()
