@@ -2792,6 +2792,27 @@ object SparkEntry {
       Funnel.ordered(Tables(s, dir, "events"), col("user_id"),
         col("event_type"), col("ts"), Seq("signup", "click", "purchase"))
     },
+    // STREAMING twin of the ordered funnel: per-user stage-time arrays
+    // are the stream's aggregation state (collect_list per stage type
+    // — a real stateful micro-batch plan), and the order-sensitive
+    // funnel recursion runs over the snapshot, where array_min +
+    // threshold filters make it ORDER-INVARIANT: any micro-batch
+    // slicing, including late-arriving earlier-stage events, lands on
+    // the batch twin's exact result (shared oracle).
+    "events_stream_funnel_ordered" -> { (s, dir) =>
+      val stages = Seq("signup", "click", "purchase")
+      val ev = Tables.eventsStream(s, dir)
+        .filter(col("event_type").isin(stages: _*))
+      val aggs = stages.zipWithIndex.map { case (st, i) =>
+        collect_list(when(col("event_type") === st, col("ts")))
+          .as(s"times_${i + 1}")
+      }
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(aggs.head, aggs.tail: _*)
+      Funnel.orderedFromStageTimes(
+        EventStream.runToCompletion(perUser, "stream_funnel_out"),
+        nStages = 3)
+    },
     // Sliding 10-min windows every 5 min (integer window arithmetic, a
     // width-2 map-side explode — not TimeWindow expand — so membership
     // replays as integer SQL; see Relational.eventsSliding).
@@ -3454,6 +3475,30 @@ object SparkEntry {
          |p$t AS (SELECT * FROM p${t - 1} UNION ALL SELECT * FROM s$t)"""
         .stripMargin
     }.mkString(",\n")
+
+  /** Ordered-funnel replay (shared by the batch and streaming twins):
+    * per-stage earliest-qualifying-time recursion, integer-ppm shares. */
+  private lazy val funnelOracleSql: String =
+    """WITH s1 AS (SELECT user_id,
+      |    min(CASE WHEN event_type = 'signup'
+      |             THEN epoch_ns(ts) END) AS t1
+      |  FROM events GROUP BY 1),
+      |s2 AS (SELECT e.user_id, min(t1) AS t1,
+      |    min(CASE WHEN event_type = 'click' AND epoch_ns(ts) >= t1
+      |             THEN epoch_ns(ts) END) AS t2
+      |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
+      |s3 AS (SELECT e.user_id, min(t2) AS t2,
+      |    min(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= t2
+      |             THEN epoch_ns(ts) END) AS t3
+      |  FROM events e JOIN s2 USING (user_id) GROUP BY 1),
+      |c AS (SELECT
+      |    (SELECT count(t1) FROM s2) AS n1,
+      |    count(t2) AS n2, count(t3) AS n3 FROM s3)
+      |SELECT CAST(n1 AS BIGINT) AS n_stage1, CAST(n2 AS BIGINT)
+      |    AS n_stage2, CAST(n3 AS BIGINT) AS n_stage3,
+      |  CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) AS ppm_stage2,
+      |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
+      |FROM c""".stripMargin
 
   /** Anomaly-window replay (shared by the batch and streaming twins):
     * hourly per-type counts, median/MAD flagging at 3 x 1.4826. */
@@ -6913,27 +6958,10 @@ object SparkEntry {
         |GROUP BY o_orderpriority""".stripMargin,
     // funnel replay: stage thresholds chain through per-user mins;
     // integer-ppm conversions (// = exact integer division)
-    "events_funnel_ordered" ->
-      """WITH s1 AS (SELECT user_id,
-        |    min(CASE WHEN event_type = 'signup'
-        |             THEN epoch_ns(ts) END) AS t1
-        |  FROM events GROUP BY 1),
-        |s2 AS (SELECT e.user_id, min(t1) AS t1,
-        |    min(CASE WHEN event_type = 'click' AND epoch_ns(ts) >= t1
-        |             THEN epoch_ns(ts) END) AS t2
-        |  FROM events e JOIN s1 USING (user_id) GROUP BY 1),
-        |s3 AS (SELECT e.user_id, min(t2) AS t2,
-        |    min(CASE WHEN event_type = 'purchase' AND epoch_ns(ts) >= t2
-        |             THEN epoch_ns(ts) END) AS t3
-        |  FROM events e JOIN s2 USING (user_id) GROUP BY 1),
-        |c AS (SELECT
-        |    (SELECT count(t1) FROM s2) AS n1,
-        |    count(t2) AS n2, count(t3) AS n3 FROM s3)
-        |SELECT CAST(n1 AS BIGINT) AS n_stage1, CAST(n2 AS BIGINT)
-        |    AS n_stage2, CAST(n3 AS BIGINT) AS n_stage3,
-        |  CAST(n2 * 1000000 // greatest(n1, 1) AS BIGINT) AS ppm_stage2,
-        |  CAST(n3 * 1000000 // greatest(n2, 1) AS BIGINT) AS ppm_stage3
-        |FROM c""".stripMargin,
+    "events_funnel_ordered" -> funnelOracleSql,
+    // the streaming twin's collect_list state + order-invariant
+    // recursion must land on the same single summary row
+    "events_stream_funnel_ordered" -> funnelOracleSql,
     "graph_pagerank_events" -> PageRank.Sql.query(iters = 5),
     "graph_random_walks" ->
       graft.operators.Walks.Sql.query(steps = 4),

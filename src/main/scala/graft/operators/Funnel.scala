@@ -58,4 +58,34 @@ object Funnel {
     summary.select(stages.indices.map(i =>
       col(s"n_stage${i + 1}")) ++ ppm: _*)
   }
+
+  /** The funnel recursion over per-user stage-time ARRAYS — the
+    * post-aggregation half of the STREAMING twin. The arrays are the
+    * stream's aggregation state (per user, per stage: every qualifying
+    * event time), which makes the computation ORDER-INVARIANT by
+    * construction: collect order varies with micro-batch slicing, but
+    * `array_min` and the >=-threshold filters don't read order, so any
+    * slicing lands on the batch result exactly — including late
+    * arrivals that retroactively lower an earlier stage's time (the
+    * case an incremental min-only state would get wrong: a late
+    * earlier signup can unlock clicks already seen). State per user is
+    * bounded by that user's stage-event count; a production deployment
+    * caps it with a watermark horizon. `perUser` = (user col,
+    * times_1 .. times_N arrays of epoch-ns longs). */
+  def orderedFromStageTimes(perUser: DataFrame, nStages: Int): DataFrame = {
+    require(nStages >= 2, "a funnel needs at least 2 stages")
+    var cur = perUser.withColumn("t_1", array_min(col("times_1")))
+    (2 to nStages).foreach { k =>
+      cur = cur.withColumn(s"t_$k",
+        array_min(filter(col(s"times_$k"), x => x >= col(s"t_${k - 1}"))))
+    }
+    val counts = (1 to nStages).map(i =>
+      count(col(s"t_$i")).as(s"n_stage$i"))
+    val summary = cur.agg(counts.head, counts.tail: _*)
+    val ppm = (2 to nStages).map(i =>
+      expr(s"n_stage$i * 1000000L DIV greatest(n_stage${i - 1}, 1L)")
+        .as(s"ppm_stage$i"))
+    summary.select((1 to nStages).map(i =>
+      col(s"n_stage$i")) ++ ppm: _*)
+  }
 }

@@ -402,6 +402,42 @@ class StreamingSpec extends SparkSpec {
     stream shouldBe batch
   }
 
+  test("streaming funnel lands on the batch summary exactly") {
+    val batch = SparkEntry.queries("events_funnel_ordered")(
+      spark, sf0001).collect().toSeq
+    val stream = SparkEntry.queries("events_stream_funnel_ordered")(
+      spark, sf0001).collect().toSeq
+    batch.length shouldBe 1
+    stream shouldBe batch
+  }
+
+  test("funnel stage-time arrays: late earlier-stage arrivals can't be " +
+      "lost (the case a min-only incremental state gets wrong)") {
+    // user 1: click at t=5 arrives BEFORE the signup at t=3 — an
+    // incremental 'earliest click >= current t1' state that saw the
+    // click while t1 was unknown would discard it forever; the
+    // array-state recursion recovers it. user 2: click precedes its
+    // signup in EVENT time -> never converts.
+    val ev = Seq(
+      (1L, "click", 5L), (1L, "signup", 3L), (1L, "purchase", 9L),
+      (2L, "click", 1L), (2L, "signup", 4L))
+      .toDF("user_id", "event_type", "ts")
+    val viaArrays = {
+      val stages = Seq("signup", "click", "purchase")
+      val aggs = stages.zipWithIndex.map { case (st, i) =>
+        collect_list(when($"event_type" === st, $"ts"))
+          .as(s"times_${i + 1}")
+      }
+      graft.operators.Funnel.orderedFromStageTimes(
+        ev.groupBy($"user_id").agg(aggs.head, aggs.tail: _*), 3)
+    }.as[(Long, Long, Long, Long, Long)].head()
+    viaArrays shouldBe ((2L, 1L, 1L, 500000L, 1000000L))
+    val viaBatch = graft.operators.Funnel.ordered(ev, $"user_id",
+      $"event_type", $"ts", Seq("signup", "click", "purchase"))
+      .as[(Long, Long, Long, Long, Long)].head()
+    viaBatch shouldBe viaArrays
+  }
+
   test("left-outer interval join: inner rows preserved, null rows bounded") {
     val inner = SparkEntry.queries("events_stream_interval_join")(
       spark, sf0001).collect()
