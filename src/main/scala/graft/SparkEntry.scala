@@ -2299,6 +2299,29 @@ object SparkEntry {
         .select(col("vec_id"), col("pos").cast("int").as("subspace"),
           col("col.codes").as("code"), col("col.qerrs").as("qerr"))
     },
+    // Top principal direction by INTEGER power iteration (PCA family):
+    // quantized centered lanes, 3 matvec steps — each ONE scan whose
+    // per-row dot feeds a posexplode and map-combines onto 64 keys (a
+    // ~KB shuffle at any corpus size) — with the driver-side integer
+    // renormalization inlined as literals, so the trained direction
+    // replays bit-for-bit in SQL (the similarity_ivf_lloyd recipe
+    // applied to a matvec). Output: the 64-lane direction.
+    "embedding_top_component" -> { (s, dir) =>
+      graft.functions.Pca.topComponentTable(Tables(s, dir, "embeddings"),
+        col("embedding"), dim = 64)
+    },
+    // The APPLY step: every vector's exact integer projection onto the
+    // trained direction — the rank-1 compression / drift coordinate.
+    // Any error anywhere in the 3 training steps moves projections, so
+    // this 4000-row oracle pins the whole pipeline, not just the
+    // 64-lane summary.
+    "embedding_pca_projection" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      import graft.functions.Pca
+      val mean = Pca.laneMeans(emb, col("embedding"), dim = 64)
+      val v = Pca.topComponentInt(emb, col("embedding"), dim = 64)
+      Pca.projectInt(emb, col("vec_id"), col("embedding"), mean, v)
+    },
     // ADC scoring over the PQ codes: queries stay exact, corpus
     // candidates cost m table lookups each over the 8-byte code rows —
     // the scan half of IVF-PQ. Ascending distance, bounded TopK.
@@ -3534,6 +3557,44 @@ object SparkEntry {
       |FROM (SELECT *, row_number() OVER (PARTITION BY window_start
       |        ORDER BY v_e4 DESC, user_id) AS rk FROM pu)
       |WHERE rk <= 3""".stripMargin
+
+  /** One integer power-iteration step for the PCA oracle: dots from
+    * the previous direction CTE `prev`, lane sums w$k, renormalized
+    * direction v$k (DuckDB `//` truncates toward zero = the driver's
+    * BigInt division). Expects CTEs qv (vec_id, q), lanes (j), mv
+    * (marr) in scope. */
+  private def pcaStepSql(k: Int, prev: String): String =
+    s"""dots$k AS (
+       |  SELECT q.vec_id,
+       |    list_sum([(q.q[j] - m.marr[j]) * p.varr[j]
+       |      FOR j IN range(1, 65)]) AS d
+       |  FROM qv q CROSS JOIN mv m CROSS JOIN $prev p),
+       |w$k AS (
+       |  SELECT l.j, sum((q.q[l.j] - m.marr[l.j]) * d.d) AS w
+       |  FROM qv q JOIN dots$k d USING (vec_id)
+       |  CROSS JOIN lanes l CROSS JOIN mv m
+       |  GROUP BY l.j),
+       |v$k AS (
+       |  SELECT list(CAST(w * 256 // (SELECT max(abs(w)) FROM w$k)
+       |    AS BIGINT) ORDER BY j) AS varr
+       |  FROM w$k)""".stripMargin
+
+  /** Shared preamble for the PCA oracles: quantized lanes, lane means,
+    * the all-ones seed, and the 3 unrolled power steps ending at v3. */
+  private lazy val pcaTrainSql: String =
+    s"""WITH qv AS (SELECT vec_id,
+       |  [CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)
+       |   FOR x IN embedding] AS q
+       |  FROM embeddings),
+       |lanes AS (SELECT unnest(range(1, 65)) AS j),
+       |mean AS (SELECT l.j AS j, sum(q.q[l.j]) // count(*) AS m
+       |         FROM qv q CROSS JOIN lanes l GROUP BY l.j),
+       |mv AS (SELECT list(m ORDER BY j) AS marr FROM mean),
+       |v0 AS (SELECT [CAST(256 AS BIGINT)
+       |               FOR i IN range(1, 65)] AS varr),
+       |${pcaStepSql(1, "v0")},
+       |${pcaStepSql(2, "v1")},
+       |${pcaStepSql(3, "v2")}""".stripMargin
 
   private lazy val pqDistsSql: String =
     """WITH cb AS (
@@ -6434,6 +6495,20 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
          |        ORDER BY d, ci) AS rnk FROM dists)
          |WHERE rnk = 1""".stripMargin,
+    // power-iteration replay: 3 unrolled integer matvec steps from the
+    // all-ones seed; truncating renormalization each step
+    "embedding_top_component" ->
+      s"""$pcaTrainSql
+         |SELECT CAST(l.j - 1 AS INT) AS lane, v.varr[l.j] AS v
+         |FROM lanes l CROSS JOIN v3 v""".stripMargin,
+    // projection replay: the trained v3 applied to every row's
+    // centered quantized lanes — 4000 integer dots
+    "embedding_pca_projection" ->
+      s"""$pcaTrainSql
+         |SELECT q.vec_id,
+         |  CAST(list_sum([(q.q[j] - m.marr[j]) * v.varr[j]
+         |    FOR j IN range(1, 65)]) AS BIGINT) AS proj
+         |FROM qv q CROSS JOIN mv m CROSS JOIN v3 v""".stripMargin,
     // ADC replay: each neighbor's per-subspace code selects the QUERY's
     // distance to that centroid; the 8 lookups sum in subspace order
     // (list(d ORDER BY j) pins the fold order DuckDB's plain sum()

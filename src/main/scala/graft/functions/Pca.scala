@@ -1,0 +1,111 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Top-principal-direction extraction by INTEGER power iteration — the
+  * PCA/whitening family's workhorse (embedding decorrelation, drift
+  * axes, Matryoshka-style truncation diagnostics), built so the trained
+  * direction replays bit-for-bit in SQL like the repo's other trained
+  * artifacts (the `similarity_ivf_lloyd` recipe applied to a matvec):
+  *
+  *  - lanes quantize to `floor(x * scale)` BIGINTs (the
+  *    `Pq.fitLloydQuantized` move), centering subtracts the
+  *    floor-divided lane mean — everything after the one initial floor
+  *    is exact integer arithmetic;
+  *  - each power step is ONE corpus scan: dot_i = c_i . v evaluated
+  *    once per row in the projection feeding a posexplode, so the
+  *    O(dim) dot never inlines into a per-lane lambda (the
+  *    CollapseProject hazard), and w_j = sum_i c_ij * dot_i map-side
+  *    combines onto `dim` keys — a ~KB shuffle regardless of corpus
+  *    size;
+  *  - the per-step renormalization v_j = w_j * scale // max|w| runs on
+  *    the DRIVER over the dim-bounded w vector (BigInt; truncating
+  *    division — DuckDB's `//` and Spark's DIV both truncate toward
+  *    zero), then inlines into the next step's plan as literals,
+  *    exactly like the IVF centroid batteries.
+  *
+  * Overflow headroom: |c| <= 2*scale, |v| <= scale, so |dot| <=
+  * dim * 2 * scale^2 and each product |c * dot| <= dim * 4 * scale^3
+  * (2^32 at the defaults) — the row-sum stays inside BIGINT up to
+  * ~2^30 rows per aggregation; larger corpora drop `scale` a notch.
+  */
+object Pca {
+
+  /** The quantized-lane projection shared by train and apply. */
+  private def quant(vec: Column, scale: Int): Column =
+    transform(vec, x => floor(x.cast("double") * scale).cast("long"))
+
+  /** Centered-lane integer matrix row as a Column. */
+  private def centered(q: Column, mean: Array[Long]): Column =
+    zip_with(q, array(mean.map(lit(_)): _*), (a, b) => a - b)
+
+  /** Lane means of the quantized matrix, floor-divided (driver-bounded:
+    * `dim` values). */
+  def laneMeans(df: DataFrame, vecCol: Column, dim: Int,
+                scale: Int = 256): Array[Long] = {
+    val sums = df.select(posexplode(quant(vecCol, scale)))
+      .groupBy(col("pos")).agg(sum(col("col")).as("s"),
+        count(lit(1)).as("n"))
+      .orderBy(col("pos")).collect()
+    require(sums.length == dim, s"expected $dim lanes, saw ${sums.length}")
+    // Long `/` truncates toward zero = DuckDB `//` = Spark DIV
+    sums.map(r => r.getAs[Long]("s") / r.getAs[Long]("n"))
+  }
+
+  /** Run `iters` integer power steps; returns the final direction as
+    * `dim` integers in [-scale, scale] (sign fixed by the all-ones
+    * seed). Each step is one scan + a dim-key aggregation. */
+  def topComponentInt(df: DataFrame, vecCol: Column, dim: Int,
+                      scale: Int = 256, iters: Int = 3): Array[Long] = {
+    require(iters >= 1 && dim >= 1 && scale >= 2)
+    val mean = laneMeans(df, vecCol, dim, scale)
+    val q = df.select(quant(vecCol, scale).as("q"))
+    var v = Array.fill(dim)(scale.toLong) // deterministic all-ones seed
+    for (_ <- 1 to iters) {
+      val c = centered(col("q"), mean)
+      val dot = aggregate(
+        zip_with(c, array(v.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+      // dot is a per-ROW attribute of the Generate's child projection —
+      // evaluated once per row, never per exploded lane
+      val w = q.select(dot.as("d"), posexplode(c))
+        .groupBy(col("pos"))
+        .agg(sum(col("col") * col("d")).as("w"))
+        .orderBy(col("pos")).collect()
+        .map(_.getAs[Long]("w"))
+      require(w.length == dim)
+      val maxAbs = w.map(x => if (x < 0) -BigInt(x) else BigInt(x)).max
+      require(maxAbs > 0, "power iteration collapsed to the zero vector")
+      // BigInt `/` truncates toward zero — exactly DuckDB's `//` (and
+      // Spark's DIV): -7 // 2 = -3 in both, verified, so the oracle's
+      // renormalization replays this integer-for-integer
+      v = w.map(x => ((BigInt(x) * scale) / maxAbs).toLong)
+    }
+    v
+  }
+
+  /** The declared-query surface: (lane, v) rows of the trained
+    * direction, plus each input row's integer projection onto it is
+    * available via [[projectInt]]. */
+  def topComponentTable(df: DataFrame, vecCol: Column, dim: Int,
+                        scale: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val v = topComponentInt(df, vecCol, dim, scale, iters)
+    v.zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("lane", "v")
+  }
+
+  /** Integer projection of each row onto a trained direction — the
+    * apply step (rank-1 compression / drift coordinate). Exact: same
+    * quantized centered lanes, same integer dot. */
+  def projectInt(df: DataFrame, idCol: Column, vecCol: Column,
+                 mean: Array[Long], v: Array[Long],
+                 scale: Int = 256): DataFrame = {
+    val c = centered(quant(vecCol, scale), mean)
+    df.select(idCol.as("vec_id"),
+      aggregate(zip_with(c, array(v.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x).as("proj"))
+  }
+}
