@@ -32,20 +32,56 @@ import org.apache.spark.sql.functions._
   */
 object Pca {
 
+  /** Lanes are UNROLLED into static expressions up to this dim:
+    * higher-order functions (transform/zip_with/aggregate) run
+    * INTERPRETED in Spark, and the 3-scan matvec spends its whole
+    * budget in lambda eval (measured 95s over 1M x 64 HOF vs unrolled
+    * whole-stage codegen); past ~128 terms the generated method nears
+    * Janino's 64KB limit, so wider vectors fall back to HOFs. */
+  private val UnrollMax = 128
+
   /** The quantized-lane projection shared by train and apply. */
   private def quant(vec: Column, scale: Int): Column =
     transform(vec, x => floor(x.cast("double") * scale).cast("long"))
 
-  /** Centered-lane integer matrix row as a Column. */
-  private def centered(q: Column, mean: Array[Long]): Column =
-    zip_with(q, array(mean.map(lit(_)): _*), (a, b) => a - b)
+  /** One quantized centered lane as a static (codegen'd) expression. */
+  private def qcLane(vec: Column, j: Int, scale: Int, m: Long): Column =
+    floor(element_at(vec, j + 1).cast("double") * scale).cast("long") -
+      lit(m)
+
+  /** Centered row dot a constant vector — unrolled when dim allows. */
+  private def dotConst(vec: Column, dim: Int, scale: Int,
+                       mean: Array[Long], v: Array[Long]): Column =
+    if (dim <= UnrollMax)
+      (0 until dim).map(j => qcLane(vec, j, scale, mean(j)) * lit(v(j)))
+        .reduce(_ + _)
+    else
+      aggregate(
+        zip_with(
+          zip_with(quant(vec, scale), array(mean.map(lit(_)): _*),
+            (a, b) => a - b),
+          array(v.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
+
+  /** Centered lanes as an array Column — unrolled when dim allows. */
+  private def centeredArr(vec: Column, dim: Int, scale: Int,
+                          mean: Array[Long]): Column =
+    if (dim <= UnrollMax)
+      array((0 until dim).map(j => qcLane(vec, j, scale, mean(j))): _*)
+    else
+      zip_with(quant(vec, scale), array(mean.map(lit(_)): _*),
+        (a, b) => a - b)
 
   /** Lane means of the quantized matrix, floor-divided (driver-bounded:
     * `dim` values). */
   def laneMeans(df: DataFrame, vecCol: Column, dim: Int,
                 scale: Int = 256): Array[Long] = {
-    val sums = df.select(posexplode(quant(vecCol, scale)))
-      .groupBy(col("pos")).agg(sum(col("col")).as("s"),
+    // explode the RAW array and quantize the exploded scalar: the
+    // floor/cast then runs codegen'd per element instead of inside an
+    // interpreted transform lambda
+    val sums = df.select(posexplode(vecCol))
+      .groupBy(col("pos")).agg(
+        sum(floor(col("col").cast("double") * scale).cast("long")).as("s"),
         count(lit(1)).as("n"))
       .orderBy(col("pos")).collect()
     require(sums.length == dim, s"expected $dim lanes, saw ${sums.length}")
@@ -60,16 +96,19 @@ object Pca {
                       scale: Int = 256, iters: Int = 3): Array[Long] = {
     require(iters >= 1 && dim >= 1 && scale >= 2)
     val mean = laneMeans(df, vecCol, dim, scale)
-    val q = df.select(quant(vecCol, scale).as("q"))
+    val q = df.select(vecCol.as("q"))
     var v = Array.fill(dim)(scale.toLong) // deterministic all-ones seed
     for (_ <- 1 to iters) {
-      val c = centered(col("q"), mean)
-      val dot = aggregate(
-        zip_with(c, array(v.map(lit(_)): _*), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x)
-      // dot is a per-ROW attribute of the Generate's child projection —
-      // evaluated once per row, never per exploded lane
-      val w = q.select(dot.as("d"), posexplode(c))
+      val c = centeredArr(col("q"), dim, scale, mean)
+      val dot = dotConst(col("q"), dim, scale, mean, v)
+      // TWO selects: dot must become an ATTRIBUTE of the Generate's
+      // child projection. Aliasing it in the same select as the
+      // posexplode plants it in the projection ABOVE the Generate,
+      // where it re-evaluates per exploded lane — O(dim^2) per row
+      // (measured 166us/row at dim 64). Generate passes the child
+      // attribute through; CollapseProject cannot merge across it.
+      val w = q.select(dot.as("d"), col("q"))
+        .select(col("d"), posexplode(c))
         .groupBy(col("pos"))
         .agg(sum(col("col") * col("d")).as("w"))
         .orderBy(col("pos")).collect()
@@ -102,10 +141,7 @@ object Pca {
     * quantized centered lanes, same integer dot. */
   def projectInt(df: DataFrame, idCol: Column, vecCol: Column,
                  mean: Array[Long], v: Array[Long],
-                 scale: Int = 256): DataFrame = {
-    val c = centered(quant(vecCol, scale), mean)
+                 scale: Int = 256): DataFrame =
     df.select(idCol.as("vec_id"),
-      aggregate(zip_with(c, array(v.map(lit(_)): _*), (a, b) => a * b),
-        lit(0L), (acc, x) => acc + x).as("proj"))
-  }
+      dotConst(vecCol, mean.length, scale, mean, v).as("proj"))
 }

@@ -451,6 +451,39 @@ object ScaleStress {
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCandidates = 20, k = 5).count()
     }
+    // PQ -> MMR two-stage selection at index scale: recall from 1M
+    // 8-byte code rows, exact rerank touches only 20x20 survivors
+    time("pq->mmr two-stage (20 queries, 1M codes, k=5)") {
+      val books = graft.operators.Pq.fitAnchored(vecs,
+        col("vec_id"), col("embedding"), m = 8, k = 16)
+      val codes = graft.operators.Pq.encode(vecs, col("vec_id"),
+        col("embedding"), books)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      val cand = graft.operators.Pq.adcTopK(
+        vecs.filter(col("vec_id") < 20), codes, books, k = 20,
+        col("vec_id"), col("embedding"))
+        .select(col("query_id"), col("neighbor_id"))
+      val qn = Similarity.normalizedVectors(
+        vecs.filter(col("vec_id") < 20), col("vec_id"), col("embedding"))
+        .select(col("id").as("query_id"), col("vec").as("qv"))
+      val cn = Similarity.normalizedVectors(vecs, col("vec_id"),
+        col("embedding"))
+        .select(col("id").as("neighbor_id"), col("vec").as("cv"))
+      val rel = broadcast(cand.join(qn, "query_id"))
+        .join(cn, "neighbor_id")
+        .withColumn("rel_e6",
+          round(round(graft.functions.Vectors.dot(col("qv"), col("cv")),
+            6) * 1e6).cast("long"))
+        .select(col("query_id"), col("neighbor_id"), col("rel_e6"))
+      Similarity.mmrFromCandidates(rel, vecs, col("vec_id"),
+        col("embedding"), k = 5).count()
+    }
+    // integer power-iteration PCA: 3 scans + dim-key shuffles — the
+    // matvec must stay linear in rows with a ~KB shuffle per step
+    time(s"pca top component (3 power steps, $vecRows vecs)") {
+      graft.functions.Pca.topComponentTable(vecs, col("embedding"),
+        dim = 64).count()
+    }
     time("bitext margin mining (100 anchors vs 500k tgt)") {
       Similarity.mineBitextMargin(
         vecs.filter(col("vec_id") % 2 === 0 && col("vec_id") < 200),
