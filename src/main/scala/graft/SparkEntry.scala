@@ -2322,6 +2322,15 @@ object SparkEntry {
       val v = Pca.topComponentInt(emb, col("embedding"), dim = 64)
       Pca.projectInt(emb, col("vec_id"), col("embedding"), mean, v)
     },
+    // How much of the corpus' variance the trained direction carries —
+    // the integer Rayleigh share in ppm (decides whether rank-1
+    // compression / a single drift coordinate is enough). DECIMAL(38)
+    // sums for the two corpus scalars; one BigInt division on the
+    // driver.
+    "embedding_pca_variance" -> { (s, dir) =>
+      graft.functions.Pca.varianceExplainedPpm(
+        Tables(s, dir, "embeddings"), col("embedding"), dim = 64)
+    },
     // ADC scoring over the PQ codes: queries stay exact, corpus
     // candidates cost m table lookups each over the 8-byte code rows —
     // the scan half of IVF-PQ. Ascending distance, bounded TopK.
@@ -6501,6 +6510,26 @@ object SparkEntry {
       s"""$pcaTrainSql
          |SELECT CAST(l.j - 1 AS INT) AS lane, v.varr[l.j] AS v
          |FROM lanes l CROSS JOIN v3 v""".stripMargin,
+    // variance-share replay: dots vs the final v3, HUGEINT square
+    // sums, one truncating division
+    "embedding_pca_variance" ->
+      s"""$pcaTrainSql,
+         |d4 AS (
+         |  SELECT q.vec_id,
+         |    list_sum([(q.q[j] - m.marr[j]) * v.varr[j]
+         |      FOR j IN range(1, 65)]) AS d
+         |  FROM qv q CROSS JOIN mv m CROSS JOIN v3 v),
+         |s4 AS (
+         |  SELECT count(*) AS n, sum(d * d) AS num FROM d4),
+         |c4 AS (
+         |  SELECT sum(list_sum([(q.q[j] - m.marr[j])
+         |    * (q.q[j] - m.marr[j]) FOR j IN range(1, 65)])) AS den
+         |  FROM qv q CROSS JOIN mv m),
+         |vq AS (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3)
+         |SELECT CAST(s4.n AS BIGINT) AS n_rows,
+         |  CAST(s4.num * 1000000 // (c4.den * vq.vsq) AS BIGINT)
+         |    AS ve_ppm
+         |FROM s4 CROSS JOIN c4 CROSS JOIN vq""".stripMargin,
     // projection replay: the trained v3 applied to every row's
     // centered quantized lanes — 4000 integer dots
     "embedding_pca_projection" ->

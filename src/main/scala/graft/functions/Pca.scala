@@ -136,6 +136,38 @@ object Pca {
       .toDF("lane", "v")
   }
 
+  /** Variance explained by the trained direction, in ppm — the
+    * integer Rayleigh share: 10^6 * sum_i (c_i . v)^2 divided by
+    * |v|^2 * sum_i |c_i|^2 (the |v|^2 factor keeps everything in the
+    * same quantized units without a normalization divide). Per-row
+    * squares fit LONG (|dot| <= dim * 2 * scale^2); the two corpus
+    * sums accumulate as DECIMAL(38,0) — the engine-exact idiom for
+    * sums past 2^63 (DuckDB's HUGEINT twin) — and the final ratio is
+    * one BigInt truncating division on the driver over the two
+    * collected scalars. Output: one row (n_rows, ve_ppm). */
+  def varianceExplainedPpm(df: DataFrame, vecCol: Column, dim: Int,
+                           scale: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mean = laneMeans(df, vecCol, dim, scale)
+    val v = topComponentInt(df, vecCol, dim, scale, iters)
+    val dot = dotConst(vecCol, dim, scale, mean, v)
+    val rowSq = (0 until dim)
+      .map(j => qcLane(vecCol, j, scale, mean(j)))
+      .map(c => c * c).reduce(_ + _)
+    val agg = df.select((dot * dot).cast("decimal(38,0)").as("n2"),
+        rowSq.cast("decimal(38,0)").as("c2"))
+      .agg(sum(col("n2")).as("num"), sum(col("c2")).as("den"),
+        count(lit(1)).as("n"))
+      .head()
+    val num = BigInt(agg.getDecimal(0).toBigInteger)
+    val den = BigInt(agg.getDecimal(1).toBigInteger)
+    val vsq = v.map(x => BigInt(x) * BigInt(x)).sum
+    require(den > 0 && vsq > 0, "degenerate corpus or direction")
+    val ve = (num * 1000000) / (den * vsq) // truncating = SQL //
+    Seq((agg.getLong(2), ve.toLong)).toDF("n_rows", "ve_ppm")
+  }
+
   /** Integer projection of each row onto a trained direction — the
     * apply step (rank-1 compression / drift coordinate). Exact: same
     * quantized centered lanes, same integer dot. */

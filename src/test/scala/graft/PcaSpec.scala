@@ -46,6 +46,15 @@ class PcaSpec extends SparkSpec {
     math.abs(projs.values.sum) should be < (4L * 256 * 256 * 128)
   }
 
+  test("variance explained: dominant-axis cloud carries most variance") {
+    val ve = Pca.varianceExplainedPpm(cloud, $"embedding", dim = 4)
+      .as[(Long, Long)].head()
+    ve._1 shouldBe 128L
+    // lane 0 holds ~16x the per-lane variance of the noise lanes
+    ve._2 should be > 900000L
+    ve._2 should be <= 1000000L
+  }
+
   test("degenerate input fails loudly (zero matrix)") {
     val z = Seq((1L, Array(0.0f, 0.0f)), (2L, Array(0.0f, 0.0f)))
       .toDF("vec_id", "embedding")
