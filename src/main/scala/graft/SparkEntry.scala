@@ -2824,6 +2824,26 @@ object SparkEntry {
       Funnel.ordered(Tables(s, dir, "events"), col("user_id"),
         col("event_type"), col("ts"), Seq("signup", "click", "purchase"))
     },
+    // CMS AS STREAM STATE: CountMin.sketch is itself a streaming
+    // aggregation — the depth x width counter matrix is the state,
+    // bounded at 4096 rows no matter the stream volume, and counter
+    // sums are order-associative so micro-batch slicing is invisible
+    // by construction. Candidates (exact top-50 users, batch side)
+    // estimate against the final snapshot — the live "who is hammering
+    // the pipeline" board. Exact oracle: the whole CMS replays in SQL.
+    "events_stream_heavy_users" -> { (s, dir) =>
+      import graft.functions.CountMin
+      val sk = EventStream.runToCompletion(
+        CountMin.sketch(
+          Tables.eventsStream(s, dir).select(col("user_id").as("term")),
+          col("term"), depth = 4, width = 1024),
+        "stream_cms_out")
+      val exact = Tables(s, dir, "events").groupBy(col("user_id"))
+        .agg(count(lit(1)).as("exact_cnt"))
+        .orderBy(col("exact_cnt").desc, col("user_id")).limit(50)
+      CountMin.estimate(sk, exact, col("user_id"),
+        depth = 4, width = 1024)
+    },
     // STREAMING twin of the ordered funnel: per-user stage-time arrays
     // are the stream's aggregation state (collect_list per stage type
     // — a real stateful micro-batch plan), and the order-sensitive
@@ -4193,6 +4213,29 @@ object SparkEntry {
         |CROSS JOIN (SELECT unnest(range(0,4)) AS d) ds
         |LEFT JOIN cells c ON c.d = ds.d AND c.cell =
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.term),1,8))::BIGINT
+        |    % 1024
+        |GROUP BY 1, 2""".stripMargin,
+    // streaming CMS replay: identical md5 cells over events/user_id;
+    // counter sums are order-associative so the stream state equals
+    // this batch SQL exactly
+    "events_stream_heavy_users" ->
+      """WITH exact AS (
+        |  SELECT user_id, CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, user_id LIMIT 50),
+        |cells AS (
+        |  SELECT d,
+        |    ('0x'||substr(md5(CAST(d AS VARCHAR)||':'||user_id),1,8))::BIGINT
+        |      % 1024 AS cell,
+        |    CAST(count(*) AS BIGINT) AS cnt
+        |  FROM events CROSS JOIN (SELECT unnest(range(0,4)) AS d)
+        |  GROUP BY 1, 2)
+        |SELECT e.user_id, e.exact_cnt,
+        |  CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cms_count
+        |FROM exact e
+        |CROSS JOIN (SELECT unnest(range(0,4)) AS d) ds
+        |LEFT JOIN cells c ON c.d = ds.d AND c.cell =
+        |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.user_id),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
     // winsorize replay: binned-cut quartiles with the round-2

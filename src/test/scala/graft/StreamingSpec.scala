@@ -402,6 +402,27 @@ class StreamingSpec extends SparkSpec {
     stream shouldBe batch
   }
 
+  test("streaming CMS heavy-users equals the batch sketch exactly") {
+    import graft.functions.CountMin
+    // batch twin assembled from the same primitives
+    val events = Tables(spark, sf0001, "events")
+    val sk = CountMin.sketch(events.select($"user_id".as("term")),
+      $"term", depth = 4, width = 1024)
+    val exact = events.groupBy($"user_id")
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy($"exact_cnt".desc, $"user_id").limit(50)
+    val batch = CountMin.estimate(sk, exact, $"user_id",
+        depth = 4, width = 1024)
+      .as[(Long, Long, Long)].collect().sorted
+    val stream = SparkEntry.queries("events_stream_heavy_users")(
+      spark, sf0001).as[(Long, Long, Long)].collect().sorted
+    batch.length should be > 0
+    // CMS counters sum associatively -> micro-batch slicing invisible
+    stream shouldBe batch
+    // and the sketch never undercounts its candidates
+    stream.foreach { case (_, ex, est) => est should be >= ex }
+  }
+
   test("streaming funnel lands on the batch summary exactly") {
     val batch = SparkEntry.queries("events_funnel_ordered")(
       spark, sf0001).collect().toSeq
