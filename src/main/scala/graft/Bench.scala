@@ -90,21 +90,27 @@ object Bench {
     val ratios = results.toSeq.flatMap { case (k, v) =>
       prior.get(k).filter(_ >= 0.3).map(p => (k, v / p))
     }
+    // Locale.ROOT: f"" uses the JVM default locale, and a comma-decimal
+    // locale (de_DE) would render 0,95 and corrupt the JSON artifact.
+    def num(v: Double, digits: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${digits}f",
+        java.lang.Double.valueOf(v))
     val ratioJson =
       if (ratios.isEmpty) "null"
       else {
         val sortedR = ratios.map(_._2).sorted
         val median = sortedR(sortedR.length / 2)
         val top = ratios.sortBy(-_._2).take(8)
-          .map { case (k, r) => f""""$k":$r%.2f""" }.mkString("{", ",", "}")
-        f"""{"n":${ratios.length},"median":$median%.3f,"top":$top}"""
+          .map { case (k, r) => s""""$k":${num(r, 2)}""" }
+          .mkString("{", ",", "}")
+        s"""{"n":${ratios.length},"median":${num(median, 3)},"top":$top}"""
       }
     val fullLine =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ratios_vs_prior":$ratioJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), fullLine + "\n")
     val medianStr =
       if (ratios.isEmpty) "null"
-      else f"${ratios.map(_._2).sorted.apply(ratios.length / 2)}%.3f"
+      else num(ratios.map(_._2).sorted.apply(ratios.length / 2), 3)
     val shortLine =
       s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"ratio_median":$medianStr,"sf":"$sfDir"}"""
     println(shortLine)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, DatasetCard, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Png, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -219,46 +219,17 @@ object SparkEntry {
     // small aggregate; the near-dup pair count rides the standard
     // candidate pipeline, never a corpus self-join.
     "dataset_card_documents" -> { (s, dir) =>
-      val docs = Tables(s, dir, "documents")
-      val total = docs.count()
-      val volume = docs.agg(
-        count(lit(1)).as("n_docs"),
-        sum(TextAnalysis.tokenCount(col("text"))).as("n_tokens"))
-        .select(explode(array(
-          struct(lit("corpus").as("section"), lit("n_docs").as("metric"),
-            col("n_docs").as("value")),
-          struct(lit("corpus").as("section"),
-            lit("n_tokens").as("metric"),
-            col("n_tokens").as("value")))))
-        .select(col("col.*"))
-      val langShares = docs.groupBy(col("lang"))
-        .agg(count(lit(1)).as("n"))
-        .select(lit("lang_share_ppm").as("section"),
-          col("lang").as("metric"),
-          expr(s"n * 1000000 DIV $total").as("value"))
-      val srcShares = docs.groupBy(col("source"))
-        .agg(count(lit(1)).as("n"))
-        .select(lit("source_share_ppm").as("section"),
-          col("source").as("metric"),
-          expr(s"n * 1000000 DIV $total").as("value"))
-      val exactDups = docs
-        .select(TextAnalysis.fingerprint(col("text")).as("fp"))
-        .agg((count(lit(1)) - countDistinct(col("fp"))).as("v"))
-        .select(lit("dedup").as("section"),
-          lit("exact_dup_docs").as("metric"), col("v").as("value"))
-      val nearPairs = Dedup.ngramJaccardPairs(docs,
-          col("text"), col("doc_id"), n = 3, threshold = 0.8)
-        .agg(count(lit(1)).as("v"))
-        .select(lit("dedup").as("section"),
-          lit("neardup_pairs").as("metric"), col("v").as("value"))
-      val quality = graft.functions.Gopher.stats(docs,
-          col("doc_id"), col("text"))
-        .agg(sum(when(col("gopher_pass"), 1L).otherwise(0L)).as("p"))
-        .select(lit("quality").as("section"),
-          lit("gopher_pass_ppm").as("metric"),
-          expr(s"p * 1000000 DIV $total").as("value"))
-      volume.union(langShares).union(srcShares)
-        .union(exactDups).union(nearPairs).union(quality)
+      DatasetCard.card(Tables(s, dir, "documents"), fuseScans = false)
+    },
+    // The same card through the SINGLE-SCAN plan (`fuseScans = true`):
+    // one derived projection computes every per-doc signal, grouping
+    // sets cover global/per-lang/per-source in one aggregation, and the
+    // corpus is read ONCE — the shape that wins when the scan dominates
+    // (cluster scale), kept behind a knob because at local sf0.1 the
+    // six-way job-parallel shape measured faster (SURVEY §21). Shares
+    // the brute-shape oracle verbatim: both plans, one semantics.
+    "dataset_card_fused" -> { (s, dir) =>
+      DatasetCard.card(Tables(s, dir, "documents"), fuseScans = true)
     },
 
     // ----------------------------------------------------- text analysis
@@ -406,6 +377,27 @@ object SparkEntry {
           emb.filter(col("vec_id") === 0), emb, 20,
           col("vec_id"), col("embedding"), col("vec_id"),
           col("embedding"))
+        .select(col("neighbor_id").as("doc_id"), col("rank"))
+      graft.functions.Search.rrfFusion(lex, dense, kRrf = 60, topN = 10)
+    },
+    // Hybrid RRF with the dense leg on the COMPRESSED INDEX: candidates
+    // come off the PQ/ADC 8-byte code rows (the 100 TB shape — the dense
+    // leg never scans exact vectors), ranked ascending ADC distance;
+    // fusion is rank-only so the two legs compose unchanged. The
+    // brute-force declaration above stays as the verification twin.
+    "search_hybrid_rrf_indexed" -> { (s, dir) =>
+      val docs = Tables(s, dir, "documents")
+      val emb = Tables(s, dir, "embeddings")
+      val lex = graft.functions.Search.booleanAnd(docs,
+          col("doc_id"), col("text"),
+          terms = Seq("dup", "join", "window"), k = 20)
+        .select(col("doc_id"), col("rank"))
+      val books = Pq.fitAnchored(emb, col("vec_id"), col("embedding"),
+        m = 8, k = 16)
+      val codes = Pq.encode(emb, col("vec_id"), col("embedding"), books)
+        .select(col("vec_id").as("neighbor_id"), col("codes"))
+      val dense = Pq.adcTopK(emb.filter(col("vec_id") === 0), codes, books,
+          k = 20, col("vec_id"), col("embedding"))
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.functions.Search.rrfFusion(lex, dense, kRrf = 60, topN = 10)
     },
@@ -2310,6 +2302,16 @@ object SparkEntry {
       graft.functions.Pca.topComponentTable(Tables(s, dir, "embeddings"),
         col("embedding"), dim = 64)
     },
+    // SECOND principal direction by integer deflation: the component-1
+    // projection is subtracted per lane with a truncating division by
+    // |v1|^2 (the shrink step that keeps the quantization budget), and
+    // the deflated power steps accumulate as DECIMAL(38,0) — every
+    // integer replays in the oracle's unrolled CTEs. Completes the
+    // rank-2 PCA family (drift PLANE, 2-D corpus maps).
+    "embedding_second_component" -> { (s, dir) =>
+      graft.functions.Pca.secondComponentTable(
+        Tables(s, dir, "embeddings"), col("embedding"), dim = 64)
+    },
     // The APPLY step: every vector's exact integer projection onto the
     // trained direction — the rank-1 compression / drift coordinate.
     // Any error anywhere in the 3 training steps moves projections, so
@@ -3266,6 +3268,44 @@ object SparkEntry {
           .select(col("doc_id"), concat(lit(hdr), pcm).as("payload")),
         col("doc_id"), col("payload")).toDF()
     },
+    // REAL COMPRESSED image decode: md5-derived 8x8 rasters are encoded
+    // as actual PNGs (zlib DEFLATE via the JDK, scanline filters
+    // rotating through all 5 types) and decoded by the full parser —
+    // CRC-verified chunk walk, inflate (adler checked), 5-branch
+    // defilter. Dimensions come from IHDR, stats from the RECONSTRUCTED
+    // raster; the oracle replays the same pixel bytes hex-wise, so any
+    // filter/inflate bug breaks the hash.
+    "multimodal_decode_png" -> { (s, dir) =>
+      val px = concat((0 until 4).map(i =>
+        unhex(md5(concat(lit(s"pg$i:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Png.encodeColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), px.as("px")),
+        col("doc_id"), col("px"), w = 8, h = 8)
+      Png.decodeColumn(enc, col("media_id"), col("payload")).toDF()
+    },
+    // The compressed path through the LaneCodec boundary: PNG payloads
+    // -> Png.PngLanes inside decodeFeatures — lane sums over DECODED
+    // pixels, exact. (n_bytes is excluded: compressed size depends on
+    // the deflate implementation and is not engine-replayable.)
+    "multimodal_png_features" -> { (s, dir) =>
+      import s.implicits._
+      val px = concat((0 until 4).map(i =>
+        unhex(md5(concat(lit(s"pg$i:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Png.encodeColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), px.as("px")),
+        col("doc_id"), col("px"), w = 8, h = 8)
+      val media = enc.select(col("media_id"), lit("image").as("kind"),
+        col("payload"), lit(8).as("width"), lit(8).as("height"),
+        lit("png").as("format")).as[Multimodal.Media]
+      Multimodal.decodeFeatures(media.repartition(8), dim = 8,
+          codec = Png.PngLanes).toDF()
+        .select(col("media_id"), col("kind"),
+          md5(concat_ws(",",
+            transform(col("lane_sums"), v => v.cast("string"))))
+            .as("lane_digest"))
+    },
     // §2.6 consumer pipeline: per-group tokenize -> concat -> fixed
     // 128-token blocks (the reference's training-data chunking).
     "group_chunked_blocks" -> { (s, dir) =>
@@ -3593,33 +3633,51 @@ object SparkEntry {
     * BigInt division). Expects CTEs qv (vec_id, q), lanes (j), mv
     * (marr) in scope. */
   private def pcaStepSql(k: Int, prev: String): String =
-    s"""dots$k AS (
+    s"""dots$k AS MATERIALIZED (
        |  SELECT q.vec_id,
        |    list_sum([(q.q[j] - m.marr[j]) * p.varr[j]
        |      FOR j IN range(1, 65)]) AS d
        |  FROM qv q CROSS JOIN mv m CROSS JOIN $prev p),
-       |w$k AS (
+       |w$k AS MATERIALIZED (
        |  SELECT l.j, sum((q.q[l.j] - m.marr[l.j]) * d.d) AS w
        |  FROM qv q JOIN dots$k d USING (vec_id)
        |  CROSS JOIN lanes l CROSS JOIN mv m
        |  GROUP BY l.j),
-       |v$k AS (
+       |v$k AS MATERIALIZED (
        |  SELECT list(CAST(w * 256 // (SELECT max(abs(w)) FROM w$k)
        |    AS BIGINT) ORDER BY j) AS varr
        |  FROM w$k)""".stripMargin
 
+  /** One integer power step over the DEFLATED lanes (CTE `dl` with the
+    * per-row deflated array `c` in scope) — the second-component
+    * oracle's twin of [[pcaStepSql]]. */
+  private def pcaDeflStepSql(k: Int, prev: String): String =
+    s"""ddots$k AS MATERIALIZED (
+       |  SELECT d.vec_id,
+       |    list_sum([d.c[j] * p.varr[j] FOR j IN range(1, 65)]) AS d2
+       |  FROM dl d CROSS JOIN $prev p),
+       |dw$k AS MATERIALIZED (
+       |  SELECT l.j, sum(d.c[l.j] * t.d2) AS w
+       |  FROM dl d JOIN ddots$k t USING (vec_id)
+       |  CROSS JOIN lanes l
+       |  GROUP BY l.j),
+       |u$k AS MATERIALIZED (
+       |  SELECT list(CAST(w * 256 // (SELECT max(abs(w)) FROM dw$k)
+       |    AS BIGINT) ORDER BY j) AS varr
+       |  FROM dw$k)""".stripMargin
+
   /** Shared preamble for the PCA oracles: quantized lanes, lane means,
     * the all-ones seed, and the 3 unrolled power steps ending at v3. */
   private lazy val pcaTrainSql: String =
-    s"""WITH qv AS (SELECT vec_id,
+    s"""WITH qv AS MATERIALIZED (SELECT vec_id,
        |  [CAST(floor(CAST(x AS DOUBLE) * 256) AS BIGINT)
        |   FOR x IN embedding] AS q
        |  FROM embeddings),
        |lanes AS (SELECT unnest(range(1, 65)) AS j),
-       |mean AS (SELECT l.j AS j, sum(q.q[l.j]) // count(*) AS m
+       |mean AS MATERIALIZED (SELECT l.j AS j, sum(q.q[l.j]) // count(*) AS m
        |         FROM qv q CROSS JOIN lanes l GROUP BY l.j),
-       |mv AS (SELECT list(m ORDER BY j) AS marr FROM mean),
-       |v0 AS (SELECT [CAST(256 AS BIGINT)
+       |mv AS MATERIALIZED (SELECT list(m ORDER BY j) AS marr FROM mean),
+       |v0 AS MATERIALIZED (SELECT [CAST(256 AS BIGINT)
        |               FOR i IN range(1, 65)] AS varr),
        |${pcaStepSql(1, "v0")},
        |${pcaStepSql(2, "v1")},
@@ -4017,6 +4075,47 @@ object SparkEntry {
          |        FOR i IN range(1, len(q.e) + 1)]), 6) DESC, c.vec_id)
          |        AS rk
          |    FROM v q JOIN v c ON q.vec_id = 0 AND c.vec_id <> 0)
+         |  WHERE rk <= 20),
+         |fused AS (
+         |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
+         |    l.lex_rank, d.dense_rank,
+         |    CAST(coalesce(1000000 // (60 + l.lex_rank), 0) +
+         |      coalesce(1000000 // (60 + d.dense_rank), 0) AS BIGINT)
+         |      AS rrf_e6
+         |  FROM lex l FULL OUTER JOIN dense d ON l.doc_id = d.doc_id)
+         |SELECT doc_id, lex_rank, dense_rank, rrf_e6, rank FROM (
+         |  SELECT *, CAST(row_number() OVER
+         |    (ORDER BY rrf_e6 DESC, doc_id) AS INT) AS rank FROM fused)
+         |WHERE rank <= 10""".stripMargin
+    },
+    // indexed-hybrid replay: the dense leg re-derives the PQ codebook,
+    // codes, and per-query ADC sums (the similarity_pq_adc chain pinned
+    // to query vec 0, top-20 ascending distance), then the same
+    // rank-only RRF fuse as the brute-force twin
+    "search_hybrid_rrf_indexed" -> {
+      val lexQ = graft.functions.Search.Sql.query(
+        terms = Seq("dup", "join", "window"), k = 20)
+      s"""$pqDistsSql,
+         |lex AS (
+         |  SELECT doc_id, CAST(rank AS INT) AS lex_rank FROM ($lexQ)),
+         |qcodes AS (
+         |  SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dists)
+         |  WHERE rnk = 1),
+         |qpairs AS (
+         |  SELECT d.vec_id AS query_id, n.vec_id AS neighbor_id, n.j, d.d
+         |  FROM qcodes n
+         |  JOIN dists d ON d.j = n.j AND d.ci = n.code
+         |  WHERE d.vec_id = 0 AND n.vec_id <> d.vec_id),
+         |adc AS (
+         |  SELECT query_id, neighbor_id,
+         |    round(list_sum(list(d ORDER BY j)), 6) AS adc_dist
+         |  FROM qpairs GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT neighbor_id AS doc_id, CAST(rk AS INT) AS dense_rank
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+         |          ORDER BY adc_dist ASC, neighbor_id) AS rk FROM adc)
          |  WHERE rk <= 20),
          |fused AS (
          |  SELECT coalesce(l.doc_id, d.doc_id) AS doc_id,
@@ -5056,6 +5155,41 @@ object SparkEntry {
     // pairs reuse the exact pair CTEs; gopher pass rate reuses the
     // full signal battery as a subquery
     "dataset_card_documents" -> {
+      val gq = graft.functions.Gopher.Sql.query
+      s"""WITH $NgramPairsCtes
+         |SELECT 'corpus' AS section, 'n_docs' AS metric,
+         |  CAST(count(*) AS BIGINT) AS value FROM documents
+         |UNION ALL
+         |SELECT 'corpus', 'n_tokens',
+         |  CAST(sum(${TextAnalysis.Sql.tokenCount("text")}) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'lang_share_ppm', lang,
+         |  CAST(count(*) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM documents GROUP BY lang
+         |UNION ALL
+         |SELECT 'source_share_ppm', source,
+         |  CAST(count(*) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM documents GROUP BY source
+         |UNION ALL
+         |SELECT 'dedup', 'exact_dup_docs',
+         |  CAST(count(*) - count(DISTINCT
+         |    ${TextAnalysis.Sql.fingerprint("text")}) AS BIGINT)
+         |FROM documents
+         |UNION ALL
+         |SELECT 'dedup', 'neardup_pairs', CAST(count(*) AS BIGINT)
+         |FROM pairs
+         |UNION ALL
+         |SELECT 'quality', 'gopher_pass_ppm',
+         |  CAST(count(*) FILTER (WHERE gopher_pass) * 1000000 //
+         |    (SELECT count(*) FROM documents) AS BIGINT)
+         |FROM ($gq)""".stripMargin
+    },
+    // the fused plan shares the brute-shape oracle verbatim: same
+    // sections, same integers — only the Spark plan geometry differs
+    "dataset_card_fused" -> {
       val gq = graft.functions.Gopher.Sql.query
       s"""WITH $NgramPairsCtes
          |SELECT 'corpus' AS section, 'n_docs' AS metric,
@@ -6553,6 +6687,29 @@ object SparkEntry {
       s"""$pcaTrainSql
          |SELECT CAST(l.j - 1 AS INT) AS lane, v.varr[l.j] AS v
          |FROM lanes l CROSS JOIN v3 v""".stripMargin,
+    // deflation replay: component-1 dots, per-lane truncating shrink by
+    // |v1|^2, then 3 unrolled power steps over the DEFLATED lanes
+    "embedding_second_component" ->
+      s"""$pcaTrainSql,
+         |vq AS MATERIALIZED (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3),
+         |d1 AS MATERIALIZED (
+         |  SELECT q.vec_id,
+         |    list_sum([(q.q[j] - m.marr[j]) * v.varr[j]
+         |      FOR j IN range(1, 65)]) AS d
+         |  FROM qv q CROSS JOIN mv m CROSS JOIN v3 v),
+         |dl AS MATERIALIZED (
+         |  SELECT q.vec_id,
+         |    [(q.q[j] - m.marr[j]) - (v.varr[j] * d1.d) // vq.vsq
+         |     FOR j IN range(1, 65)] AS c
+         |  FROM qv q JOIN d1 USING (vec_id)
+         |  CROSS JOIN mv m CROSS JOIN v3 v CROSS JOIN vq),
+         |u0 AS MATERIALIZED (SELECT [CAST(256 AS BIGINT)
+         |               FOR i IN range(1, 65)] AS varr),
+         |${pcaDeflStepSql(1, "u0")},
+         |${pcaDeflStepSql(2, "u1")},
+         |${pcaDeflStepSql(3, "u2")}
+         |SELECT CAST(l.j - 1 AS INT) AS lane, u.varr[l.j] AS v
+         |FROM lanes l CROSS JOIN u3 u""".stripMargin,
     // variance-share replay: dots vs the final v3, HUGEINT square
     // sums, one truncating division
     "embedding_pca_variance" ->
@@ -6568,7 +6725,7 @@ object SparkEntry {
          |  SELECT sum(list_sum([(q.q[j] - m.marr[j])
          |    * (q.q[j] - m.marr[j]) FOR j IN range(1, 65)])) AS den
          |  FROM qv q CROSS JOIN mv m),
-         |vq AS (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3)
+         |vq AS MATERIALIZED (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3)
          |SELECT CAST(s4.n AS BIGINT) AS n_rows,
          |  CAST(s4.num * 1000000 // (c4.den * vq.vsq) AS BIGINT)
          |    AS ve_ppm
@@ -7457,6 +7614,45 @@ object SparkEntry {
         |  CAST(list_min(s) AS INT) AS sample_min,
         |  CAST(list_max(s) AS INT) AS sample_max
         |FROM sm""".stripMargin,
+    // png replay: the oracle never parses the container — it recomputes
+    // the md5-derived RASTER bytes and their stats; the Spark side must
+    // reconstruct the identical raster through deflate+filter+defilter
+    "multimodal_decode_png" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    unhex(md5('pg0:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg1:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg2:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg3:' || CAST(doc_id AS VARCHAR))) AS p
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        [('0x' || substr(hex(p), i*2+1, 2))::BIGINT
+        |         FOR i IN range(0, 64)] AS v
+        |      FROM px)
+        |SELECT doc_id AS media_id, 'png' AS format,
+        |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+        |  CAST(255 AS INT) AS maxval, CAST(64 AS BIGINT) AS n_pixels,
+        |  CAST(list_sum(v) AS BIGINT) AS pixel_sum,
+        |  CAST(list_min(v) AS INT) AS pixel_min,
+        |  CAST(list_max(v) AS INT) AS pixel_max
+        |FROM b""".stripMargin,
+    "multimodal_png_features" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    unhex(md5('pg0:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg1:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg2:' || CAST(doc_id AS VARCHAR)))
+        |    || unhex(md5('pg3:' || CAST(doc_id AS VARCHAR))) AS p
+        |  FROM documents),
+        |b AS (SELECT doc_id,
+        |        [('0x' || substr(hex(p), i*2+1, 2))::BIGINT
+        |         FOR i IN range(0, 64)] AS v
+        |      FROM px)
+        |SELECT doc_id AS media_id, 'image' AS kind,
+        |  md5(array_to_string(list_transform(range(0, 8), j ->
+        |    CAST(list_sum(list_transform(range(0, 8),
+        |      k -> v[k*8 + j + 1])) AS BIGINT)), ',')) AS lane_digest
+        |FROM b""".stripMargin,
     "multimodal_decode_features" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END AS kind,
@@ -7639,7 +7835,7 @@ object SparkEntry {
        |        % 2 = 1
        |      THEN 1 ELSE -1 END FOR i IN range(1, 65)] AS s
        |  FROM range(0, $nTables) tt(t), range(0, $nBits) bb(b)),
-       |qv AS (
+       |qv AS MATERIALIZED (
        |  SELECT vec_id,
        |    [CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)
        |     FOR x IN embedding] AS q

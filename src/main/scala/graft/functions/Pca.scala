@@ -176,4 +176,76 @@ object Pca {
                  scale: Int = 256): DataFrame =
     df.select(idCol.as("vec_id"),
       dotConst(vecCol, mean.length, scale, mean, v).as("proj"))
+
+  /** Truncating integer division as a Column (toward zero — matches
+    * Scala Long `/`, BigInt `/`, Spark DIV and DuckDB `//`): the
+    * numerator minus its remainder is exactly divisible, and the
+    * double divide is exact below 2^53. */
+  private def divT(x: Column, d: Long): Column =
+    ((x - (x % lit(d))) / lit(d)).cast("long")
+
+  /** SECOND principal direction by integer DEFLATION. The naive
+    * deflation c' = c*|v1|^2 - v1*(c.v1) overflows the quantization
+    * budget (|c'| <= 2*scale * dim * scale^2 ~ 2^31 per LANE, and the
+    * power step then squares it); the shrink step that keeps
+    * everything replayable is a per-lane truncating division by
+    * |v1|^2:
+    *
+    *   d_ij = c_ij - (v1_j * (c_i . v1)) // |v1|^2
+    *
+    * — i.e. subtract the component-1 projection rounded toward zero.
+    * |d| <= |c_ij| + |c_i|_2 (Cauchy-Schwarz on the subtracted term),
+    * ~2^13 at the defaults, so the second power iteration's per-row
+    * products stay <= ~2^40; the lane aggregation accumulates them as
+    * DECIMAL(38,0) (HUGEINT in DuckDB), making the step scale-safe to
+    * ~2^86 rows. Truncated deflation is not exactly orthogonal —
+    * determinism and exact replay are the contract, and the residual
+    * parallel component is O(1/|v1|) of a lane unit.
+    *
+    * Same plan shape as [[topComponentInt]], with the component-1 dot
+    * staged as an attribute BELOW the dot-2 projection and the
+    * Generate (both the CollapseProject multi-reference rule and the
+    * Generate boundary keep the 64-term dots from inlining per lane).
+    */
+  def secondComponentInt(df: DataFrame, vecCol: Column, dim: Int,
+                         scale: Int = 256, iters: Int = 3): Array[Long] = {
+    require(iters >= 1 && dim >= 1 && scale >= 2)
+    val mean = laneMeans(df, vecCol, dim, scale)
+    val v1 = topComponentInt(df, vecCol, dim, scale, iters)
+    val vsq = v1.map(x => x * x).sum // <= dim * scale^2, ~2^22
+    val q = df.select(vecCol.as("q"))
+    val dot1 = dotConst(col("q"), dim, scale, mean, v1)
+    def deflLane(j: Int): Column =
+      qcLane(col("q"), j, scale, mean(j)) -
+        divT(lit(v1(j)) * col("d1"), vsq)
+    val deflArr = array((0 until dim).map(deflLane): _*)
+    var v2 = Array.fill(dim)(scale.toLong)
+    for (_ <- 1 to iters) {
+      val dot2 = (0 until dim).map(j => deflLane(j) * lit(v2(j)))
+        .reduce(_ + _)
+      val w = q.select(dot1.as("d1"), col("q"))
+        .select(dot2.as("d2"), col("d1"), col("q"))
+        .select(col("d2"), posexplode(deflArr))
+        .groupBy(col("pos"))
+        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
+        .orderBy(col("pos")).collect()
+        .map(r => BigInt(r.getDecimal(1).toBigInteger))
+      require(w.length == dim)
+      val maxAbs = w.map(_.abs).max
+      require(maxAbs > 0,
+        "deflated power iteration collapsed to the zero vector")
+      v2 = w.map(x => ((x * scale) / maxAbs).toLong)
+    }
+    v2
+  }
+
+  /** Declared-query surface for the second component: (lane, v) rows. */
+  def secondComponentTable(df: DataFrame, vecCol: Column, dim: Int,
+                           scale: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    secondComponentInt(df, vecCol, dim, scale, iters)
+      .zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("lane", "v")
+  }
 }

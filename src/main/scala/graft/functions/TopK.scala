@@ -123,6 +123,60 @@ object TopK {
         col("col.score").as("score"))
   }
 
+  /** Ascending string-key twin: the k entries with the SMALLEST
+    * (sort_key, id) per group — the roster-draw shape (rank by a hash,
+    * keep the first k) without a per-group window sort. Same bounded
+    * compaction discipline as [[TopKAggregator]]: map-side partials
+    * reduce each input partition to <= k entries before the shuffle, so
+    * a million-group roster never sorts |roster| rows per round. */
+  final case class KeyedEntry(sort_key: String, id: String, payload: Long)
+
+  private val keyedOrd: Ordering[KeyedEntry] =
+    Ordering.by((e: KeyedEntry) => (e.sort_key, e.id))
+
+  final class MinKAggregator(k: Int)
+      extends Aggregator[KeyedEntry, ArrayBuffer[KeyedEntry], Seq[KeyedEntry]] {
+    require(k > 0, "k must be positive")
+    private val cap = 4 * k
+
+    private def compact(b: ArrayBuffer[KeyedEntry]): ArrayBuffer[KeyedEntry] = {
+      if (b.length > k) {
+        val kept = b.sorted(keyedOrd).take(k)
+        b.clear()
+        b ++= kept
+      }
+      b
+    }
+
+    override def zero: ArrayBuffer[KeyedEntry] = ArrayBuffer.empty[KeyedEntry]
+    override def reduce(b: ArrayBuffer[KeyedEntry], e: KeyedEntry): ArrayBuffer[KeyedEntry] = {
+      b += e
+      if (b.length >= cap) compact(b) else b
+    }
+    override def merge(a: ArrayBuffer[KeyedEntry], b: ArrayBuffer[KeyedEntry]): ArrayBuffer[KeyedEntry] =
+      compact(a ++= b)
+    override def finish(b: ArrayBuffer[KeyedEntry]): Seq[KeyedEntry] =
+      b.sorted(keyedOrd).take(k).toSeq
+    override def bufferEncoder: Encoder[ArrayBuffer[KeyedEntry]] =
+      implicitly[Encoder[ArrayBuffer[KeyedEntry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+    override def outputEncoder: Encoder[Seq[KeyedEntry]] =
+      implicitly[Encoder[Seq[KeyedEntry]]](
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder())
+  }
+
+  /** The k smallest (sort_key, id) rows per group, with the payload
+    * carried through. Input columns: group, sort_key, id, payload;
+    * output (group, id, payload). */
+  def perGroupMinK(df: DataFrame, k: Int): DataFrame = {
+    val agg = udaf(new MinKAggregator(k))
+    df.groupBy(col("group"))
+      .agg(agg(col("sort_key"), col("id"), col("payload")).as("top"))
+      .select(col("group"), explode(col("top")).as("e"))
+      .select(col("group"), col("e.id").as("id"),
+        col("e.payload").as("payload"))
+  }
+
   /** Rank `scored` (columns query_id, neighbor_id, score) down to the
     * top k per query_id, emitting (query_id, neighbor_id, rank, score)
     * with rank 1..k by (score desc, neighbor_id) — drop-in for the

@@ -1,7 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Per-round cohort selection over a group-partitioned dataset — the
@@ -18,10 +17,11 @@ import org.apache.spark.sql.functions._
   * seeded-shuffle cohort draw of the reference made partition-stable.
   *
   * Scale shape: the ranking operates on the GROUP ROSTER (one row per
-  * group), never corpus rows — the per-round window is |groups| rows,
-  * and the roster itself comes from one linear aggregate. With millions
-  * of groups and many rounds, partitionBy(round) keeps each window a
-  * single roster copy per reducer.
+  * group), never corpus rows, and the per-round draw is a BOUNDED
+  * min-k aggregation ([[graft.functions.TopK.MinKAggregator]]) rather
+  * than a window sort — map-side partials reduce each partition's
+  * roster slice to <= cohortSize candidates before the shuffle, so a
+  * 15M-group roster x many rounds never sorts |roster| rows per round.
   */
 object Cohorts {
 
@@ -34,12 +34,15 @@ object Cohorts {
       .agg(count(lit(1)).as("n_examples"))
     val spark = df.sparkSession
     val r = spark.range(rounds).select(col("id").as("round"))
-    val byRound = Window.partitionBy(col("round"))
-      .orderBy(md5(concat_ws("|", col("round").cast("string"),
-        col("group_id"))))
-    r.crossJoin(roster)
-      .withColumn("__rk", row_number().over(byRound))
-      .filter(col("__rk") <= cohortSize)
-      .drop("__rk")
+    graft.functions.TopK.perGroupMinK(
+      r.crossJoin(roster).select(
+        col("round").as("group"),
+        md5(concat_ws("|", col("round").cast("string"),
+          col("group_id"))).as("sort_key"),
+        col("group_id").as("id"),
+        col("n_examples").as("payload")),
+      cohortSize)
+      .select(col("group").as("round"), col("id").as("group_id"),
+        col("payload").as("n_examples"))
   }
 }

@@ -476,18 +476,31 @@ object EventStream {
       import scala.concurrent.ExecutionContext.Implicits.global
       import scala.concurrent.duration.Duration
       val jobs = slices.zipWithIndex.map { case (sl, i) => Future {
-        staged.filter(col("__slice") === sl)
+        val sliceDf = staged.filter(col("__slice") === sl)
           .select(col("__ts"), col("event_type"))
-          .repartition(p).write.mode("overwrite")
+        // Deterministic p-way spread: round-robin repartition(p) picks a
+        // random start offset per input partition, so a slice whose >= p
+        // rows sit one-per-input-partition can collide into < p output
+        // partitions (empty tasks emit no file) and spuriously trip the
+        // exactly-p require below. zipWithIndex + exact modulo
+        // partitioning provably fills all p partitions whenever the
+        // slice has >= p rows (guaranteed by the clamp above).
+        val spread = sliceDf.rdd.zipWithIndex()
+          .map { case (r, idx) => (idx % p, r) }
+          .partitionBy(new org.apache.spark.HashPartitioner(p))
+          .values
+        spark.createDataFrame(spread, sliceDf.schema)
+          .write.mode("overwrite")
           .parquet(f"$scratch/s$i%04d")
       }}
       Await.result(Future.sequence(jobs.toSeq), Duration.Inf)
     }
     // strictly ascending mod-times in slice order: the file stream
-    // source orders pending files by timestamp. All P files of a slice
-    // share the slice's mod-time; paths sort slice-major, so the
-    // per-file minute offsets below keep slice i's files strictly
-    // earlier than slice i+1's.
+    // source orders pending files by timestamp. Each FILE gets its own
+    // strictly increasing mod-time (global index * 1 minute) in
+    // slice-major path order — the invariant the batching relies on is
+    // only that every file of slice i is strictly earlier than every
+    // file of slice i+1, which the slice-major ordering guarantees.
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     val files = fs.globStatus(
@@ -531,23 +544,27 @@ object EventStream {
     val progCap = slices.length + 64
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set(progKey, progCap.toString)
+    // shuffle.partitions is captured at query creation, so it can be
+    // restored right after start(); the progress-retention cap is read
+    // DYNAMICALLY by ProgressReporter on every progress update, so it
+    // must stay raised until the query terminates or the ring buffer
+    // trims at the default mid-run while `progress.length < progCap`
+    // passes vacuously.
     val q =
       try agg.writeStream.format("memory")
         .queryName("wm_drop_live")
         .outputMode(OutputMode.Append())
         .trigger(Trigger.AvailableNow())
         .start()
-      finally {
-        spark.conf.set("spark.sql.shuffle.partitions", prev)
-        spark.conf.set(progKey, prevProg)
-      }
-    q.awaitTermination()
-    val progress = q.recentProgress.toSeq
+      finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+    val progress =
+      try { q.awaitTermination(); q.recentProgress.toSeq }
+      finally spark.conf.set(progKey, prevProg)
     require(progress.length < progCap,
       s"progress buffer filled (${progress.length} >= cap $progCap): " +
         "earliest batches may have scrolled off; raise filesPerSlice " +
         "retention sizing")
-    val rows = q.recentProgress.toSeq
+    val rows = progress
       .filter(_.numInputRows > 0)
       .map { pr =>
         (pr.batchId, pr.numInputRows,

@@ -61,13 +61,54 @@ object BenchIsolated {
       }
       val cold = times.head
       val warm = times.tail.min
-      System.err.println(f"[isolated] $name cold=$cold%.2f warm=$warm%.2f")
-      f"""  "$name": {"cold": $cold%.3f, "warm": $warm%.3f}"""
+      System.err.println(s"[isolated] $name cold=${num(cold)} warm=${num(warm)}")
+      s"""    "$name": {"cold": ${num(cold)}, "warm": ${num(warm)}}"""
     }
+    // Append-keyed by round label + HEAD (never overwrite): prior
+    // rounds' cold/warm history must survive in the committed artifact
+    // so adjudication of older bench runs doesn't require re-deriving
+    // the isolation pairs at a later HEAD.
+    val key = sys.env.getOrElse("BENCH_ISOLATED_KEY",
+      s"r@${gitHead()}")
+    val entry = rows.mkString(
+      s"""  "$key": {\n    "sf": "$dir", "cpus": $cpus,\n""",
+      ",\n", "\n  }")
+    val prior = priorEntries(out)
     Files.writeString(Paths.get(out),
-      rows.mkString(s"""{\n  "sf": "$dir", "cpus": $cpus,\n""", ",\n", "\n}\n"))
+      (prior :+ entry).mkString("{\n", ",\n", "\n}\n"))
     spark.stop()
   }
+
+  /** Locale-independent fixed-point (a comma-decimal default locale
+    * would corrupt the JSON artifact). */
+  private def num(v: Double): String =
+    String.format(java.util.Locale.ROOT, "%.3f", java.lang.Double.valueOf(v))
+
+  private def gitHead(): String =
+    try scala.sys.process.Process(Seq("git", "rev-parse", "--short", "HEAD"))
+      .!!.trim
+    catch { case _: Throwable => "unknown" }
+
+  /** Existing round entries as rendered JSON fragments. A legacy flat
+    * artifact (pre-append format: top-level sf/cpus/queries) is wrapped
+    * whole under a "legacy" key so its history is kept. */
+  private def priorEntries(path: String): Seq[String] =
+    try {
+      import org.json4s._
+      val txt = Files.readString(Paths.get(path))
+      jackson.JsonMethods.parse(txt) match {
+        case JObject(fs) if fs.nonEmpty =>
+          val isKeyed = fs.forall { case (_, v) => v.isInstanceOf[JObject] }
+          if (isKeyed)
+            fs.map { case (k, v) =>
+              s"""  "$k": ${jackson.JsonMethods.compact(
+                jackson.JsonMethods.render(v))}"""
+            }
+          else Seq(s"""  "legacy": ${jackson.JsonMethods.compact(
+            jackson.JsonMethods.render(JObject(fs)))}""")
+        case _ => Seq.empty
+      }
+    } catch { case _: Throwable => Seq.empty }
 
   /** The outlier list embedded by Bench: every ratios_vs_prior.top
     * entry with ratio > 2.5, or (if none cross the bar) the single

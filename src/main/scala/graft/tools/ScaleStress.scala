@@ -82,6 +82,24 @@ object ScaleStress {
     time("exact dedup") {
       Dedup.exact(docs, col("text"), col("id")).count()
     }
+    // dataset-card shape crossover: the 6-way job-parallel scans vs the
+    // fused single-scan grouping-sets plan (near-dup branch excluded —
+    // identical in both). At sf0.1 the parallel shape wins on job
+    // overlap; the fused shape's advantage grows with the scan cost, so
+    // this case records where the crossover sits on synthetic volume.
+    locally {
+      val cardDocs = docs.select(col("id").as("doc_id"), col("text"),
+        concat(lit("l"), pmod(xxhash64(col("id"), lit(1)), lit(7)))
+          .as("lang"),
+        concat(lit("s"), pmod(xxhash64(col("id"), lit(2)), lit(5)))
+          .as("source"))
+      time("dataset card scans: 6-way parallel") {
+        DatasetCard.scanSections(cardDocs, fuseScans = false).collect()
+      }
+      time("dataset card scans: fused single scan") {
+        DatasetCard.scanSections(cardDocs, fuseScans = true).collect()
+      }
+    }
     time("simhash pairs (hamming<=3)") {
       Dedup.simhashPairs(docs.limit(1000000), col("text"), col("id")).count()
     }

@@ -38,6 +38,9 @@ class PlanAuditSpec extends SparkSpec {
     "embedding_label_noise", // bounded 100-probe broadcast vs corpus
     "similarity_matryoshka_recall", // bounded 16-query broadcast per dim
     "search_hybrid_rrf", // dense leg = single-query broadcast topk
+    // dense leg = single-query LUT broadcast vs the 8-byte code rows
+    // (the similarity_pq_adc shape)
+    "search_hybrid_rrf_indexed",
     "train_triplets_embeddings", // bounded anchor roster broadcast
     // src batch broadcast fwd; bwd queries = the <=|src|*k candidate
     // roster, also broadcast — both sides bounded by contract
@@ -108,6 +111,7 @@ class PlanAuditSpec extends SparkSpec {
       "dedup_incremental_minhash", // same shingleSets prefilter as minhash
       "dedup_containment_documents", // same shingleSets prefilter
       "dataset_card_documents", // composes ngramJaccardPairs
+      "dataset_card_fused", // same ngramJaccardPairs near-dup branch
       "dedup_ngram_documents",
       "profile_source_overlap", // composes ngramJaccardPairs, same prefilter
       "dedup_simhash_documents",
@@ -121,6 +125,20 @@ class PlanAuditSpec extends SparkSpec {
       case _ => None
     }
     withClue(offences.mkString("\n")) { offences shouldBe empty }
+  }
+
+  test("cohort draw ranks through the bounded min-k aggregate, not a window sort") {
+    // Cohorts.select once ranked the full per-round roster with
+    // row_number() — roster-sized, but at 15M groups x many rounds the
+    // per-round sort is the avoidable cost. The bounded aggregator
+    // keeps <= cohortSize state per round; a WindowExec reappearing in
+    // this plan is the regression.
+    val plan = SparkEntry.queries("cohort_rounds_documents")(spark, sf0001)
+      .queryExecution.executedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    withClue(plan.toString) { windows shouldBe empty }
   }
 
   test("column pruning reaches the parquet scan on relational queries") {
