@@ -803,6 +803,54 @@ object SparkEntry {
         arrival = col("ts") + jitter, tsCol = col("ts"),
         scratch = scratchDir("wmdrop"))
     },
+    // HYPERLOGLOG distinct sketch: 256 one-byte registers per group
+    // (mergeable by MAX), exact integer harmonic fold (S40), one fixed
+    // BIGINT numerator division — the industry distinct estimator next
+    // to its exact verification column. The sketch state never carries
+    // key cardinality; exact countDistinct's shuffle does (that's the
+    // 100 TB trade being declared).
+    "events_hll_distinct_users" -> { (s, dir) =>
+      graft.functions.Hll.estimateWithExact(Tables(s, dir, "events"),
+          col("event_type"), col("user_id").cast("string"))
+        .withColumnRenamed("group", "event_type")
+    },
+    // STREAMING twin: the register table IS the stream state (max-rank
+    // per (group, bucket) — order-associative, bounded at groups x 256
+    // rows at any volume); the estimate folds over the snapshot and
+    // lands on the batch result exactly (shared oracle).
+    "events_stream_hll_distinct" -> { (s, dir) =>
+      import graft.functions.Hll
+      val regs = Tables.eventsStream(s, dir)
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("__t"))
+        .select(col("group"), Hll.bucketOf(col("__t")).as("bucket"),
+          Hll.rankOf(col("__t")).as("r"))
+        .groupBy(col("group"), col("bucket"))
+        .agg(max(col("r")).as("r"))
+      val est = Hll.estimateFromRegisters(
+        EventStream.runToCompletion(regs, "stream_hll_out"))
+      val exact = Tables(s, dir, "events")
+        .select(col("event_type").as("group"),
+          col("user_id").cast("string").as("__t"))
+        .groupBy(col("group"))
+        .agg(countDistinct(col("__t")).as("n_exact"))
+      exact.join(est, "group")
+        .select(col("group").as("event_type"), col("n_exact"),
+          col("v_zero"), col("s40"), col("est_hll"),
+          col("est_distinct"))
+    },
+    // CONSERVATIVE-UPDATE CMS (CM-CU): tighter estimates than plain CMS
+    // at the same 4x256 state, but order-DEPENDENT — the slice harness
+    // pins arrival to one micro-batch per slice and the update
+    // discipline to sorted-term batched application, so the fold
+    // replays exactly (the oracle walks the same (slice, term) sequence
+    // through a recursive CTE). Emits exact/CMS/CM-CU side by side for
+    // the top-50 users: exact <= cmcu <= cms, every row integer.
+    "events_stream_cmcu_heavy_users" -> { (s, dir) =>
+      EventStream.cmcuHeavyUsers(Tables(s, dir, "events"),
+        tsCol = col("ts"), termCol = col("user_id"),
+        scratch = scratchDir("cmcu"))
+    },
     // POINT-IN-TIME SCD2 join: every event pairs with the dimension
     // VERSION valid at ITS timestamp (a plain equi-join with the
     // validity interval as residual — never a range join). The dim is
@@ -1117,6 +1165,18 @@ object SparkEntry {
       Dedup.trimDuplicatedSpansRolling(Tables(s, dir, "documents"),
         col("text"), col("doc_id"), windowTokens = 16,
         hashFn = Dedup.spanTokenHashMd5)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // EXACT-substring verification twin: hash-free ground truth (every
+    // duplicated-covered token at >= 4-token granularity, by LITERAL
+    // window equality — the suffix-array answer at that granularity)
+    // side by side with the declared w=16 rolling scan's coverage.
+    // sum(n_cov_both)/sum(n_cov_exact) is the rolling scan's measured
+    // recall in the wild; the linear literal-gram shuffle is the cost
+    // of exactness, so this runs on verification slices, not corpora.
+    "dedup_spans_exact_recall" -> { (s, dir) =>
+      Dedup.exactSpanRecallTwin(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), exactLen = 4, windowTokens = 16)
         .withColumnRenamed("id", "doc_id")
     },
     // Deterministic weighted source mixture (training-data re-mixing):
@@ -2878,6 +2938,25 @@ object SparkEntry {
     "events_retention_cohorts" -> { (s, dir) =>
       Relational.eventsRetentionCohorts(s, dir)
     },
+    // STREAMING twin of the retention matrix (the established two-level
+    // pattern): the first-level aggregate — per-user (min day,
+    // distinct-day set) — is the stream's state, both order-associative
+    // so micro-batch slicing is invisible; the matrix pivots over the
+    // snapshot, where each (user, day) is already unique so a plain
+    // count is the distinct-user count. Shares the batch twin's oracle.
+    "events_stream_retention_cohorts" -> { (s, dir) =>
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"), expr("ts DIV 86400000000000").as("day"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(min(col("day")).as("cohort_day"),
+          collect_set(col("day")).as("days"))
+      EventStream.runToCompletion(perUser, "stream_retention_out")
+        .select(col("user_id"), col("cohort_day"),
+          explode(col("days")).as("day"))
+        .groupBy(col("cohort_day"),
+          (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+    },
     // Bucketed co-located join: both fact tables are written bucketed +
     // sorted by the join key ONCE (external parquet under /tmp), then
     // the join plans with ZERO pre-join exchanges — the write-time
@@ -2998,6 +3077,24 @@ object SparkEntry {
             get_json_object(col("props"), "$.k").as("i")).as("s"))
         .groupBy(col("user_id"))
         .agg(sort_array(collect_list(col("s"))).as("ss"))
+        .select(transform(col("ss"), x => x.getField("i")).as("seq"))
+      graft.functions.Cooccurrence.topPairsFromSequences(
+        seqs, col("seq"), window = 2, minCount = 5, k = 50)
+    },
+    // STREAMING twin of co-visitation: per-user (ts, event_id, item)
+    // structs collect as stream state (collect_list — order varies by
+    // micro-batch interleaving, which sort_array over the SNAPSHOT
+    // erases), then the same pair miner runs over the final per-user
+    // sequences. Shares the batch twin's oracle.
+    "events_stream_covisitation" -> { (s, dir) =>
+      val ev = Tables.eventsStream(s, dir)
+        .select(col("user_id"),
+          struct(col("ts").as("t"), col("event_id").as("e"),
+            get_json_object(col("props"), "$.k").as("i")).as("s"))
+      val perUser = ev.groupBy(col("user_id"))
+        .agg(collect_list(col("s")).as("ss"))
+      val seqs = EventStream.runToCompletion(perUser, "stream_covis_out")
+        .select(sort_array(col("ss")).as("ss"))
         .select(transform(col("ss"), x => x.getField("i")).as("seq"))
       graft.functions.Cooccurrence.topPairsFromSequences(
         seqs, col("seq"), window = 2, minCount = 5, k = 50)
@@ -3283,6 +3380,19 @@ object SparkEntry {
         Tables(s, dir, "documents").select(col("doc_id"), px.as("px")),
         col("doc_id"), col("px"), w = 8, h = 8)
       Png.decodeColumn(enc, col("media_id"), col("payload")).toDF()
+    },
+    // Truecolor PNG decode: the same chunk/inflate/defilter machinery
+    // with bpp = 3 (the left filter neighbor sits 3 bytes back — the
+    // channel-aware arithmetic the gray path never exercises); exact
+    // per-channel integer sums replay from the md5 raster bytes.
+    "multimodal_decode_png_rgb" -> { (s, dir) =>
+      val px = concat((0 until 12).map(i =>
+        unhex(md5(concat(lit(s"pc$i:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Png.encodeRgbColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), px.as("px")),
+        col("doc_id"), col("px"), w = 8, h = 8)
+      Png.decodeRgbColumn(enc, col("media_id"), col("payload")).toDF()
     },
     // The compressed path through the LaneCodec boundary: PNG payloads
     // -> Png.PngLanes inside decodeFeatures — lane sums over DECODED
@@ -4337,6 +4447,65 @@ object SparkEntry {
         |  ('0x'||substr(md5(CAST(ds.d AS VARCHAR)||':'||e.user_id),1,8))::BIGINT
         |    % 1024
         |GROUP BY 1, 2""".stripMargin,
+    "events_hll_distinct_users" ->
+      graft.functions.Hll.Sql.query("events", "event_type",
+        "user_id::VARCHAR", outName = "event_type"),
+    // register-max state is order-associative, so the stream twin lands
+    // on the identical registers — same replay
+    "events_stream_hll_distinct" ->
+      graft.functions.Hll.Sql.query("events", "event_type",
+        "user_id::VARCHAR", outName = "event_type"),
+    // CM-CU replay: the same (slice, sorted-term) update sequence the
+    // harness pins, folded through a recursive CTE — each step raises
+    // only the term's 4 cells to max(cell, min(cells) + cnt); the plain
+    // CMS twin is the order-free cell sum over the same updates
+    "events_stream_cmcu_heavy_users" ->
+      """WITH RECURSIVE
+        |upd AS MATERIALIZED (
+        |  SELECT row_number() OVER (ORDER BY slice, term) AS step,
+        |    term, cnt,
+        |    [CAST(d * 256 + ('0x' || substr(md5(d::VARCHAR || ':' ||
+        |        term), 1, 8))::BIGINT % 256 AS BIGINT)
+        |     FOR d IN range(0, 4)] AS cs
+        |  FROM (
+        |    SELECT epoch_ns(ts) // 172800000000000 AS slice,
+        |      CAST(user_id AS VARCHAR) AS term,
+        |      CAST(count(*) AS BIGINT) AS cnt
+        |    FROM events GROUP BY 1, 2)),
+        |st AS (
+        |  SELECT CAST(0 AS BIGINT) AS step,
+        |    [CAST(0 AS BIGINT) FOR i IN range(0, 1024)] AS m
+        |  UNION ALL
+        |  SELECT s.step + 1,
+        |    list_transform(range(1, 1025), i ->
+        |      CASE WHEN list_contains(u.cs, i - 1)
+        |        THEN greatest(s.m[i],
+        |          least(s.m[u.cs[1]+1], s.m[u.cs[2]+1], s.m[u.cs[3]+1],
+        |                s.m[u.cs[4]+1]) + u.cnt)
+        |        ELSE s.m[i] END)
+        |  FROM st s JOIN upd u ON u.step = s.step + 1),
+        |fin AS MATERIALIZED (
+        |  SELECT m FROM st WHERE step = (SELECT max(step) FROM upd)),
+        |cmsv AS MATERIALIZED (
+        |  SELECT cell, CAST(sum(cnt) AS BIGINT) AS c
+        |  FROM (SELECT unnest(cs) AS cell, cnt FROM upd) GROUP BY 1),
+        |cand AS MATERIALIZED (
+        |  SELECT CAST(user_id AS VARCHAR) AS term,
+        |    CAST(count(*) AS BIGINT) AS exact_cnt
+        |  FROM events GROUP BY 1
+        |  ORDER BY exact_cnt DESC, term LIMIT 50),
+        |cc AS (
+        |  SELECT term, exact_cnt,
+        |    [CAST(d * 256 + ('0x' || substr(md5(d::VARCHAR || ':' ||
+        |        term), 1, 8))::BIGINT % 256 AS BIGINT)
+        |     FOR d IN range(0, 4)] AS cs
+        |  FROM cand)
+        |SELECT cc.term, cc.exact_cnt,
+        |  (SELECT CAST(min(v.c) AS BIGINT) FROM cmsv v
+        |   WHERE list_contains(cc.cs, v.cell)) AS cms_count,
+        |  CAST(least(f.m[cc.cs[1]+1], f.m[cc.cs[2]+1], f.m[cc.cs[3]+1],
+        |    f.m[cc.cs[4]+1]) AS BIGINT) AS cmcu_count
+        |FROM cc CROSS JOIN fin f""".stripMargin,
     // winsorize replay: binned-cut quartiles with the round-2
     // refinement (binnedCutCtes — ranks ceil(n/4) and ceil(3n/4)),
     // Tukey fences, clamp, e4-decimal sum
@@ -6060,6 +6229,59 @@ object SparkEntry {
          |  CAST(coalesce(mx.max_dup_run, 0) AS BIGINT) AS max_dup_run
          |FROM tot t LEFT JOIN mx USING (doc_id)""".stripMargin
     },
+    // exact-twin replay: literal 4-gram ground-truth coverage, the
+    // rolling-16 hash coverage (same Rabin-Karp replay as above), and
+    // their per-token intersection
+    "dedup_spans_exact_recall" -> {
+      val w = 16
+      val e = 4
+      val M = graft.expressions.RollingWindowHashes.M
+      val pows = graft.expressions.RollingWindowHashes.powers(w)
+        .mkString("[", ", ", "]")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |we AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i:i + ${e - 1}], ' ') AS key
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${e - 2})) AS i
+         |        FROM toks WHERE len(t) >= $e)),
+         |de AS (SELECT key FROM we GROUP BY key HAVING count(*) >= 2),
+         |ce AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, pos + off AS p
+         |  FROM we JOIN de USING (key)
+         |  CROSS JOIN (SELECT unnest(range(0, $e)) AS off)),
+         |th AS (
+         |  SELECT doc_id,
+         |    [('0x'||substr(md5(x),1,8))::BIGINT % $M FOR x IN t] AS h
+         |  FROM toks WHERE len(t) >= $w),
+         |wr AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    list_sum([(h[i + j] * ($pows)[j + 1]) % $M
+         |      FOR j IN range(0, $w)]) % $M AS fp
+         |  FROM (SELECT doc_id, h, unnest(range(1, len(h) - ${w - 2})) AS i
+         |        FROM th)),
+         |dr AS (SELECT fp FROM wr GROUP BY fp HAVING count(*) >= 2),
+         |cr AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, pos + off AS p
+         |  FROM wr JOIN dr USING (fp)
+         |  CROSS JOIN (SELECT unnest(range(0, $w)) AS off)),
+         |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov_exact
+         |       FROM ce GROUP BY 1),
+         |nr AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov_rolling
+         |       FROM cr GROUP BY 1),
+         |nb AS (SELECT ce.doc_id, CAST(count(*) AS BIGINT) AS n_cov_both
+         |       FROM ce JOIN cr ON ce.doc_id = cr.doc_id AND ce.p = cr.p
+         |       GROUP BY 1)
+         |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |  coalesce(ne.n_cov_exact, 0) AS n_cov_exact,
+         |  coalesce(nr.n_cov_rolling, 0) AS n_cov_rolling,
+         |  coalesce(nb.n_cov_both, 0) AS n_cov_both
+         |FROM toks LEFT JOIN ne USING (doc_id)
+         |LEFT JOIN nr USING (doc_id)
+         |LEFT JOIN nb USING (doc_id)""".stripMargin
+    },
     "mix_sources_weighted" -> {
       val evens = (0 until 20 by 2).map(i => s"'src$i'").mkString(", ")
       // * and // share precedence left-assoc in DuckDB, mirroring
@@ -7302,6 +7524,48 @@ object SparkEntry {
         |FROM scored
         |ORDER BY lift_e6 DESC, tok_a, tok_b
         |LIMIT 50""".stripMargin,
+    // stream-state twins converge on the batch results exactly —
+    // order-associative first level, order erased at the snapshot —
+    // so both replay against the batch oracles verbatim
+    "events_stream_covisitation" ->
+      """WITH toks AS (
+        |  SELECT list(json_extract_string(props, '$.k')
+        |    ORDER BY epoch_ns(ts), event_id) AS t
+        |  FROM events GROUP BY user_id),
+        |uni AS (
+        |  SELECT w AS token, CAST(count(*) AS BIGINT) AS n
+        |  FROM (SELECT unnest(t) AS w FROM toks) GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS grand FROM uni),
+        |pos AS (
+        |  SELECT t, unnest(range(1, len(t))) AS i
+        |  FROM toks WHERE len(t) >= 2),
+        |pairs AS (
+        |  SELECT t[i] AS tok_a, t[j] AS tok_b
+        |  FROM (SELECT t, i,
+        |          unnest(range(i + 1, least(i + 2, len(t)) + 1)) AS j
+        |        FROM pos)),
+        |pc AS (
+        |  SELECT tok_a, tok_b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM pairs GROUP BY 1, 2 HAVING count(*) >= 5),
+        |scored AS (
+        |  SELECT tok_a, tok_b, n_ab, a.n AS n_a, b.n AS n_b,
+        |    CAST((CAST(n_ab AS HUGEINT) * grand * 1000000)
+        |      // (CAST(a.n AS HUGEINT) * b.n) AS BIGINT) AS lift_e6
+        |  FROM pc JOIN uni a ON pc.tok_a = a.token
+        |          JOIN uni b ON pc.tok_b = b.token, tot)
+        |SELECT CAST(row_number() OVER
+        |    (ORDER BY lift_e6 DESC, tok_a, tok_b) AS INT) AS rank,
+        |  tok_a, tok_b, n_ab, n_a, n_b, lift_e6
+        |FROM scored
+        |ORDER BY lift_e6 DESC, tok_a, tok_b
+        |LIMIT 50""".stripMargin,
+    "events_stream_retention_cohorts" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    epoch_ns(ts) // 86400000000000 AS day FROM events),
+        |c AS (SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1)
+        |SELECT cohort_day, day - cohort_day AS day_offset,
+        |  CAST(count(DISTINCT d.user_id) AS BIGINT) AS n_users
+        |FROM d JOIN c USING (user_id) GROUP BY 1, 2""".stripMargin,
     "graph_triangles_events" -> Triangles.Sql.query,
     "events_path_trigrams" -> Paths.Sql.eventsTrigrams,
     "events_resample_gapfill" ->
@@ -7636,6 +7900,31 @@ object SparkEntry {
         |  CAST(list_min(v) AS INT) AS pixel_min,
         |  CAST(list_max(v) AS INT) AS pixel_max
         |FROM b""".stripMargin,
+    "multimodal_decode_png_rgb" -> {
+      // NOTE: the concat operator must END each line — a continuation
+      // line starting with whitespace + '||' loses a bar to the outer
+      // stripMargin (the documented pitfall)
+      val digests = (0 until 12).map(i =>
+        s"unhex(md5('pc$i:' || CAST(doc_id AS VARCHAR)))")
+        .mkString(" ||\n")
+      s"""WITH px AS (
+         |  SELECT doc_id, $digests AS p
+         |  FROM documents),
+         |b AS (SELECT doc_id,
+         |        [('0x' || substr(hex(p), i*2+1, 2))::BIGINT
+         |         FOR i IN range(0, 192)] AS v
+         |      FROM px)
+         |SELECT doc_id AS media_id,
+         |  CAST(8 AS INT) AS width, CAST(8 AS INT) AS height,
+         |  CAST(64 AS BIGINT) AS n_pixels,
+         |  CAST(list_sum([v[3*i + 1] FOR i IN range(0, 64)]) AS BIGINT)
+         |    AS r_sum,
+         |  CAST(list_sum([v[3*i + 2] FOR i IN range(0, 64)]) AS BIGINT)
+         |    AS g_sum,
+         |  CAST(list_sum([v[3*i + 3] FOR i IN range(0, 64)]) AS BIGINT)
+         |    AS b_sum
+         |FROM b""".stripMargin
+    },
     "multimodal_png_features" ->
       """WITH px AS (
         |  SELECT doc_id,

@@ -912,4 +912,77 @@ object Dedup {
       .select(col("id"), col("n_windows"), col("n_dup_windows"),
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
+
+  /** EXACT-substring verification twin for the rolling span scan — the
+    * suffix-array-grade ground truth at sub-window granularity. The
+    * w=16 rolling scan is exact for duplicated spans >= 16 tokens and
+    * blind below (the r7 planted-corpus audit: 100% of >= w tokens, 0%
+    * under); this twin measures that gap on REAL data:
+    *
+    *  - ground truth: a token is duplicated-covered iff some LITERAL
+    *    `exactLen`-token subsequence containing it occurs >= 2 times
+    *    corpus-wide. Any exact repeat of length >= exactLen covers all
+    *    its tokens with exactLen-windows, so at granularity >= exactLen
+    *    this IS the suffix-array answer — computed by grouping the
+    *    literal window STRINGS (no hashes, no collisions);
+    *  - comparison: the same coverage derived from the declared
+    *    rolling scan's duplicated w-token windows (md5-anchored
+    *    Rabin-Karp fingerprints — the exact path the driver checks);
+    *  - output per doc: (id, n_tokens, n_cov_exact, n_cov_rolling,
+    *    n_cov_both) — corpus recall of the rolling scan vs ground
+    *    truth is sum(n_cov_both) / sum(n_cov_exact).
+    *
+    * Shape: both sides are the linear explode -> count -> join-back
+    * topology (no candidate pairs); the ground-truth side shuffles
+    * literal exactLen-gram strings, which is the honest cost of
+    * hash-free exactness — run it on bounded verification slices, not
+    * the 100 TB corpus (the hashed rolling scan is the scale path). */
+  def exactSpanRecallTwin(df: DataFrame, textCol: Column, idCol: Column,
+                          exactLen: Int = 4,
+                          windowTokens: Int = 16): DataFrame = {
+    require(exactLen >= 1 && windowTokens >= exactLen)
+    // one tokenize, two consumers (literal windows / hash windows)
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("t"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val winsExact = toks.filter(size(col("t")) >= exactLen)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - exactLen),
+        i => array_join(slice(col("t"), i + 1, lit(exactLen)), " "))))
+      .select(col("id"), col("pos"), col("col").as("key"))
+    val dupKeys = winsExact.groupBy(col("key"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("key"))
+    val covExact = winsExact.join(dupKeys, "key")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + exactLen - 1)).as("p"))
+      .distinct()
+    val winsRoll = toks.filter(size(col("t")) >= windowTokens)
+      .select(col("id"), posexplode(
+        graft.expressions.RollingWindowHashes(
+          transform(col("t"), spanTokenHashMd5 _), windowTokens)))
+      .select(col("id"), col("pos"), col("col").as("fp"))
+    val dupFps = winsRoll.groupBy(col("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("fp"))
+    val covRoll = winsRoll.join(dupFps, "fp")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + windowTokens - 1)).as("p"))
+      .distinct()
+    val nE = covExact.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cov_exact"))
+    val nR = covRoll.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cov_rolling"))
+    val nB = covExact.join(covRoll, Seq("id", "p"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_cov_both"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(nE, Seq("id"), "left")
+      .join(nR, Seq("id"), "left")
+      .join(nB, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_cov_exact"), lit(0L)).as("n_cov_exact"),
+        coalesce(col("n_cov_rolling"), lit(0L)).as("n_cov_rolling"),
+        coalesce(col("n_cov_both"), lit(0L)).as("n_cov_both"))
+  }
 }

@@ -37,21 +37,37 @@ object Png {
   /** Encode an 8-bit grayscale raster as a real PNG. Scanline r uses
     * filter type r % 5 — every defilter branch is exercised by any
     * raster taller than 4 rows. */
-  def encodeGray8(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] = {
-    require(pixels.length == w * h,
-      s"raster size ${pixels.length} != $w x $h")
-    // filtered scanline stream: 1 filter byte + w filtered bytes per row
-    val raw = new Array[Byte]((w + 1) * h)
+  def encodeGray8(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] =
+    encode8(w, h, channels = 1, pixels)
+
+  /** Truecolor twin: interleaved RGB bytes (3 per pixel). */
+  def encodeRgb8(w: Int, h: Int, pixels: Array[Byte]): Array[Byte] =
+    encode8(w, h, channels = 3, pixels)
+
+  /** PNG filters operate on BYTES with the left neighbor `bpp` bytes
+    * back (PNG spec §9.2) — one loop serves both gray (bpp 1) and
+    * truecolor (bpp 3). */
+  private def encode8(w: Int, h: Int, channels: Int,
+                      pixels: Array[Byte]): Array[Byte] = {
+    require(channels == 1 || channels == 3,
+      s"unsupported channel count $channels")
+    val stride = w * channels // raster bytes per row
+    require(pixels.length == stride * h,
+      s"raster size ${pixels.length} != $w x $h x $channels")
+    // filtered scanline stream: 1 filter byte + stride bytes per row
+    val raw = new Array[Byte]((stride + 1) * h)
     var r = 0
     while (r < h) {
       val ft = r % 5
-      raw(r * (w + 1)) = ft.toByte
+      raw(r * (stride + 1)) = ft.toByte
       var c = 0
-      while (c < w) {
-        val x = pixels(r * w + c) & 0xff
-        val a = if (c > 0) pixels(r * w + c - 1) & 0xff else 0 // left
-        val b = if (r > 0) pixels((r - 1) * w + c) & 0xff else 0 // up
-        val cc = if (r > 0 && c > 0) pixels((r - 1) * w + c - 1) & 0xff
+      while (c < stride) {
+        val x = pixels(r * stride + c) & 0xff
+        val a = if (c >= channels) pixels(r * stride + c - channels) & 0xff
+          else 0 // left (bpp back)
+        val b = if (r > 0) pixels((r - 1) * stride + c) & 0xff else 0 // up
+        val cc = if (r > 0 && c >= channels)
+          pixels((r - 1) * stride + c - channels) & 0xff
           else 0 // up-left
         val f = ft match {
           case 0 => x
@@ -60,7 +76,7 @@ object Png {
           case 3 => x - (a + b) / 2
           case 4 => x - paeth(a, b, cc)
         }
-        raw(r * (w + 1) + 1 + c) = f.toByte
+        raw(r * (stride + 1) + 1 + c) = f.toByte
         c += 1
       }
       r += 1
@@ -71,7 +87,7 @@ object Png {
     val ihdr = java.nio.ByteBuffer.allocate(13)
     ihdr.putInt(w).putInt(h)
     ihdr.put(8.toByte)  // bit depth
-    ihdr.put(0.toByte)  // color type: grayscale
+    ihdr.put((if (channels == 1) 0 else 2).toByte) // color type
     ihdr.put(0.toByte)  // compression
     ihdr.put(0.toByte)  // filter method
     ihdr.put(0.toByte)  // interlace: none
@@ -112,14 +128,30 @@ object Png {
   /** Parsed grayscale image: header fields + the defiltered raster. */
   final case class Gray8(width: Int, height: Int, pixels: Array[Byte])
 
-  /** Full PNG parse: signature, CRC-verified chunk walk, zlib inflate
-    * (adler verified by Inflater), 5-filter scanline reconstruction.
-    * Fails loudly on anything outside gray-8 non-interlaced. */
+  /** Parsed image, channel-aware: `pixels` is interleaved
+    * (stride = width * channels bytes per row). */
+  final case class Image(width: Int, height: Int, channels: Int,
+                         pixels: Array[Byte])
+
+  /** Gray-8 entry kept as the narrow API: full parse + a loud channel
+    * check. */
   def decodeGray8(b: Array[Byte]): Gray8 = {
+    val img = decode(b)
+    require(img.channels == 1,
+      s"expected grayscale, payload is ${img.channels}-channel")
+    Gray8(img.width, img.height, img.pixels)
+  }
+
+  /** Full PNG parse: signature, CRC-verified chunk walk, zlib inflate
+    * (adler verified by Inflater), 5-filter scanline reconstruction
+    * with the left neighbor `bpp` bytes back (PNG spec §9.2) — gray-8
+    * (color 0) and truecolor-8 (color 2) share the one loop. Fails
+    * loudly on anything else. */
+  def decode(b: Array[Byte]): Image = {
     require(b.length >= 8 && Signature.indices.forall(i => b(i) == Signature(i)),
       "not a PNG payload (bad signature)")
     var i = 8
-    var w = -1; var h = -1
+    var w = -1; var h = -1; var channels = -1
     val idat = new java.io.ByteArrayOutputStream()
     var sawEnd = false
     while (i < b.length && !sawEnd) {
@@ -142,8 +174,10 @@ object Png {
           val color = b(i + 17) & 0xff
           val interlace = b(i + 20) & 0xff
           require(depth == 8, s"unsupported bit depth $depth (only 8)")
-          require(color == 0, s"unsupported color type $color (only gray)")
+          require(color == 0 || color == 2,
+            s"unsupported color type $color (gray or truecolor only)")
           require(interlace == 0, "interlaced PNG unsupported")
+          channels = if (color == 0) 1 else 3
         case "IDAT" => idat.write(b, i + 8, len)
         case "IEND" => sawEnd = true
         case _ => () // ancillary chunks skipped (CRC still verified)
@@ -151,22 +185,26 @@ object Png {
       i += 12 + len
     }
     require(sawEnd, "missing IEND chunk")
-    require(w > 0 && h > 0, "missing IHDR chunk")
-    val raw = inflate(idat.toByteArray, (w + 1) * h)
-    require(raw.length == (w + 1) * h,
-      s"inflated scanline stream ${raw.length} != ${(w + 1) * h}")
+    require(w > 0 && h > 0 && channels > 0, "missing IHDR chunk")
+    val stride = w * channels
+    val raw = inflate(idat.toByteArray, (stride + 1) * h)
+    require(raw.length == (stride + 1) * h,
+      s"inflated scanline stream ${raw.length} != ${(stride + 1) * h}")
     // defilter: recon bytes depend on the RECONSTRUCTED left/up/up-left
-    val px = new Array[Byte](w * h)
+    val px = new Array[Byte](stride * h)
     var r = 0
     while (r < h) {
-      val ft = raw(r * (w + 1)) & 0xff
+      val ft = raw(r * (stride + 1)) & 0xff
       require(ft <= 4, s"unknown filter type $ft on scanline $r")
       var c = 0
-      while (c < w) {
-        val f = raw(r * (w + 1) + 1 + c) & 0xff
-        val a = if (c > 0) px(r * w + c - 1) & 0xff else 0
-        val up = if (r > 0) px((r - 1) * w + c) & 0xff else 0
-        val ul = if (r > 0 && c > 0) px((r - 1) * w + c - 1) & 0xff else 0
+      while (c < stride) {
+        val f = raw(r * (stride + 1) + 1 + c) & 0xff
+        val a = if (c >= channels) px(r * stride + c - channels) & 0xff
+          else 0
+        val up = if (r > 0) px((r - 1) * stride + c) & 0xff else 0
+        val ul = if (r > 0 && c >= channels)
+          px((r - 1) * stride + c - channels) & 0xff
+          else 0
         val x = ft match {
           case 0 => f
           case 1 => f + a
@@ -174,12 +212,12 @@ object Png {
           case 3 => f + (a + up) / 2
           case 4 => f + paeth(a, up, ul)
         }
-        px(r * w + c) = (x & 0xff).toByte
+        px(r * stride + c) = (x & 0xff).toByte
         c += 1
       }
       r += 1
     }
-    Gray8(w, h, px)
+    Image(w, h, channels, px)
   }
 
   /** Paeth predictor (PNG spec §9.4) — nearest of left/up/up-left to
@@ -253,6 +291,47 @@ object Png {
         (id, encodeGray8(w, h, px))
       })
       .toDF("media_id", "payload")
+  }
+
+  /** Truecolor encode twin of [[encodeColumn]] (interleaved RGB). */
+  def encodeRgbColumn(df: DataFrame, idCol: Column, pxCol: Column,
+                      w: Int, h: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), pxCol.as("px"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, px) =>
+        (id, encodeRgb8(w, h, px))
+      })
+      .toDF("media_id", "payload")
+  }
+
+  /** Per-channel stats of a decoded truecolor payload. */
+  final case class DecodedRgb(media_id: Long, width: Int, height: Int,
+                              n_pixels: Long, r_sum: Long, g_sum: Long,
+                              b_sum: Long)
+
+  /** Decode truecolor PNG payloads into exact per-channel integer
+    * sums — the color twin of [[decodeColumn]]. */
+  def decodeRgbColumn(df: DataFrame, idCol: Column,
+                      payloadCol: Column): Dataset[DecodedRgb] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(idCol.cast("long").as("id"), payloadCol.as("p"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, b) =>
+        val img = decode(b)
+        require(img.channels == 3,
+          s"expected truecolor, payload is ${img.channels}-channel")
+        val sums = new Array[Long](3)
+        var i = 0
+        while (i < img.pixels.length) {
+          sums(i % 3) += (img.pixels(i) & 0xff)
+          i += 1
+        }
+        DecodedRgb(id, img.width, img.height,
+          (img.pixels.length / 3).toLong, sums(0), sums(1), sums(2))
+      })
   }
 
   /** Decode a PNG payload column into header + exact pixel stats (the

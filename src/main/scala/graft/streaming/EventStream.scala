@@ -446,82 +446,11 @@ object EventStream {
                         sliceNs: Long = 172800L * 1000000000L,
                         filesPerSlice: Int = 2)
       : DataFrame = {
-    require(filesPerSlice >= 1, s"filesPerSlice must be >= 1")
     val spark = events.sparkSession
     import spark.implicits._
-    val staged = events.select(arrival.as("__a"), tsCol.as("__ts"),
-        col("event_type"))
-      .withColumn("__slice",
-        ((col("__a") - pmod(col("__a"), lit(sliceNs)))
-          / lit(sliceNs.toDouble)).cast("long"))
-      .localCheckpoint() // one read; the slice writes below reuse it
-    val sliceCounts = staged.groupBy(col("__slice")).count()
-      .orderBy(col("__slice"))
-      .as[(Long, Long)].collect() // bounded: span/slice
-    val slices = sliceCounts.map(_._1)
-    // Uniform files-per-slice P: the batching contract below is
-    // maxFilesPerTrigger = P, so EVERY slice must land as exactly P
-    // part files — clamp P to the smallest slice so round-robin
-    // repartition(P) cannot leave an empty (fileless) partition that
-    // would shift a batch boundary across slices.
-    val p = math.max(1L, math.min(filesPerSlice.toLong,
-      sliceCounts.map(_._2).min)).toInt
-    // Stage all slices CONCURRENTLY — each slice is its own P-task
-    // write job, and the jobs overlap in the scheduler, so staging is
-    // slices x P parallel write tasks instead of the former sequential
-    // per-slice coalesce(1) single-writer loop (the 100x-scale choke
-    // point: one task per slice, one slice at a time).
-    locally {
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.ExecutionContext.Implicits.global
-      import scala.concurrent.duration.Duration
-      val jobs = slices.zipWithIndex.map { case (sl, i) => Future {
-        val sliceDf = staged.filter(col("__slice") === sl)
-          .select(col("__ts"), col("event_type"))
-        // Deterministic p-way spread: round-robin repartition(p) picks a
-        // random start offset per input partition, so a slice whose >= p
-        // rows sit one-per-input-partition can collide into < p output
-        // partitions (empty tasks emit no file) and spuriously trip the
-        // exactly-p require below. zipWithIndex + exact modulo
-        // partitioning provably fills all p partitions whenever the
-        // slice has >= p rows (guaranteed by the clamp above).
-        val spread = sliceDf.rdd.zipWithIndex()
-          .map { case (r, idx) => (idx % p, r) }
-          .partitionBy(new org.apache.spark.HashPartitioner(p))
-          .values
-        spark.createDataFrame(spread, sliceDf.schema)
-          .write.mode("overwrite")
-          .parquet(f"$scratch/s$i%04d")
-      }}
-      Await.result(Future.sequence(jobs.toSeq), Duration.Inf)
-    }
-    // strictly ascending mod-times in slice order: the file stream
-    // source orders pending files by timestamp. Each FILE gets its own
-    // strictly increasing mod-time (global index * 1 minute) in
-    // slice-major path order — the invariant the batching relies on is
-    // only that every file of slice i is strictly earlier than every
-    // file of slice i+1, which the slice-major ordering guarantees.
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val files = fs.globStatus(
-        new org.apache.hadoop.fs.Path(s"$scratch/s*/part-*.parquet"))
-      .sortBy(_.getPath.toString)
-    // batching-contract check, loud not silent: exactly P files per
-    // slice, or the maxFilesPerTrigger=P batch would straddle slices
-    val perDir = files.groupBy(_.getPath.getParent.getName)
-      .map { case (d, fs0) => d -> fs0.length }
-    val offDirs = perDir.filter(_._2 != p)
-    require(offDirs.isEmpty && perDir.size == slices.length,
-      s"every slice dir must hold exactly $p part files " +
-        s"(maxFilesPerTrigger=$p batches straddle slices otherwise); " +
-        s"off: $offDirs of ${perDir.size}/${slices.length} dirs")
-    files.zipWithIndex.foreach { case (st, i) =>
-      fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
-    }
-    val phys = spark.read.parquet(s"$scratch/s0000").schema
-    val src = spark.readStream.schema(phys)
-      .option("maxFilesPerTrigger", p.toString)
-      .parquet(s"$scratch/s*")
+    val (src, nSlices) = stageSlicedSource(events, arrival,
+      Seq(tsCol.as("__ts"), col("event_type")), scratch, sliceNs,
+      filesPerSlice)
     val agg = src
       .withColumn("__event_time",
         timestamp_micros(expr("__ts DIV 1000")))
@@ -541,7 +470,7 @@ object EventStream {
     // and assert nothing could have scrolled off.
     val progKey = "spark.sql.streaming.numRecentProgressUpdates"
     val prevProg = spark.conf.get(progKey)
-    val progCap = slices.length + 64
+    val progCap = nSlices + 64
     spark.conf.set("spark.sql.shuffle.partitions", "2")
     spark.conf.set(progKey, progCap.toString)
     // shuffle.partitions is captured at query creation, so it can be
@@ -572,9 +501,179 @@ object EventStream {
       }
     // slice->batch contract: each slice arrived as exactly one
     // non-empty micro-batch (the staging invariant above)
-    require(rows.length == slices.length,
-      s"expected ${slices.length} non-empty batches (one per slice), " +
+    require(rows.length == nSlices,
+      s"expected $nSlices non-empty batches (one per slice), " +
         s"saw ${rows.length}")
     rows.toDF("batch_id", "n_input", "n_dropped_live")
+  }
+
+  /** Stage `events` into slice-ordered parquet dirs and open them as a
+    * file stream whose batching contract is ONE micro-batch per slice,
+    * in slice order — the harness that pins order-DEPENDENT streaming
+    * semantics (watermark lag, conservative-update sketches) to an
+    * exact replayable arrival sequence. Mechanics:
+    *
+    *  - rows slice by `arrival DIV sliceNs`; every slice is written as
+    *    exactly P part files (P clamped to the smallest slice) via
+    *    zipWithIndex + exact modulo partitioning — round-robin
+    *    repartition picks random start offsets and can leave an empty
+    *    (fileless) partition, which would shift a batch boundary;
+    *  - all slices stage CONCURRENTLY as P-task write jobs (the former
+    *    sequential coalesce(1) loop was the 100x-scale choke);
+    *  - each FILE gets a strictly increasing mod-time in slice-major
+    *    path order, so with maxFilesPerTrigger = P the time-ordered
+    *    file source admits exactly one slice per micro-batch.
+    *
+    * Returns (streaming source over the payload columns, slice count). */
+  private[graft] def stageSlicedSource(events: DataFrame, arrival: Column,
+                                       payload: Seq[Column], scratch: String,
+                                       sliceNs: Long, filesPerSlice: Int)
+      : (DataFrame, Int) = {
+    require(filesPerSlice >= 1, s"filesPerSlice must be >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val payloadNames = events.select(payload: _*).columns.toSeq
+    val staged = events.select(arrival.as("__a") +: payload: _*)
+      .withColumn("__slice",
+        ((col("__a") - pmod(col("__a"), lit(sliceNs)))
+          / lit(sliceNs.toDouble)).cast("long"))
+      .localCheckpoint() // one read; the slice writes below reuse it
+    val sliceCounts = staged.groupBy(col("__slice")).count()
+      .orderBy(col("__slice"))
+      .as[(Long, Long)].collect() // bounded: span/slice
+    val slices = sliceCounts.map(_._1)
+    val p = math.max(1L, math.min(filesPerSlice.toLong,
+      sliceCounts.map(_._2).min)).toInt
+    locally {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.concurrent.duration.Duration
+      val jobs = slices.zipWithIndex.map { case (sl, i) => Future {
+        val sliceDf = staged.filter(col("__slice") === sl)
+          .select(payloadNames.map(col): _*)
+        val spread = sliceDf.rdd.zipWithIndex()
+          .map { case (r, idx) => (idx % p, r) }
+          .partitionBy(new org.apache.spark.HashPartitioner(p))
+          .values
+        spark.createDataFrame(spread, sliceDf.schema)
+          .write.mode("overwrite")
+          .parquet(f"$scratch/s$i%04d")
+      }}
+      Await.result(Future.sequence(jobs.toSeq), Duration.Inf)
+    }
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val files = fs.globStatus(
+        new org.apache.hadoop.fs.Path(s"$scratch/s*/part-*.parquet"))
+      .sortBy(_.getPath.toString)
+    // batching-contract check, loud not silent: exactly P files per
+    // slice, or the maxFilesPerTrigger=P batch would straddle slices
+    val perDir = files.groupBy(_.getPath.getParent.getName)
+      .map { case (d, fs0) => d -> fs0.length }
+    val offDirs = perDir.filter(_._2 != p)
+    require(offDirs.isEmpty && perDir.size == slices.length,
+      s"every slice dir must hold exactly $p part files " +
+        s"(maxFilesPerTrigger=$p batches straddle slices otherwise); " +
+        s"off: $offDirs of ${perDir.size}/${slices.length} dirs")
+    files.zipWithIndex.foreach { case (st, i) =>
+      fs.setTimes(st.getPath, 1700000000000L + i * 60000L, -1)
+    }
+    val phys = spark.read.parquet(s"$scratch/s0000").schema
+    val src = spark.readStream.schema(phys)
+      .option("maxFilesPerTrigger", p.toString)
+      .parquet(s"$scratch/s*")
+    (src, slices.length)
+  }
+
+  /** Conservative-update Count-Min (CM-CU, Estan & Varghese SIGCOMM
+    * 2002): on inserting term t with weight c, only cells still at the
+    * term's current MIN estimate rise — each cell takes
+    * max(cell, min_d(cells) + c) — giving strictly tighter estimates
+    * than plain CMS for the same state, at the price of ORDER-DEPENDENT
+    * semantics (plain CMS cell sums commute; CM-CU's max/min coupling
+    * does not). The slice harness makes that order exact and
+    * replayable:
+    *
+    *  - the stream arrives as one micro-batch per slice, in slice
+    *    order ([[stageSlicedSource]]'s batching contract);
+    *  - within a batch, updates apply per TERM-COUNT AGGREGATE in
+    *    sorted term order — the batched-update discipline from the
+    *    literature, which both engines can replay deterministically
+    *    (per-ROW order inside a distributed batch is not a stable
+    *    notion to pin);
+    *  - the per-batch term counts aggregate DISTRIBUTED (the corpus-
+    *    sized work); only the bounded per-slice roster reaches the
+    *    driver fold, whose state is the depth x width matrix.
+    *
+    * Output: the batch-side exact top-`k` terms with their exact count,
+    * plain-CMS estimate, and CM-CU estimate — exact <= cmcu <= cms by
+    * construction, all three integer columns oracle-replayable (the
+    * oracle folds the same sorted (slice, term) sequence through a
+    * recursive CTE). */
+  def cmcuHeavyUsers(events: DataFrame, tsCol: Column, termCol: Column,
+                     scratch: String, depth: Int = 4, width: Int = 256,
+                     k: Int = 50,
+                     sliceNs: Long = 172800L * 1000000000L,
+                     filesPerSlice: Int = 2): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (src, nSlices) = stageSlicedSource(events, tsCol,
+      Seq(termCol.cast("string").as("term")), scratch, sliceNs,
+      filesPerSlice)
+    // per-batch sorted term rosters, keyed by batchId; the fold below
+    // runs AFTER termination in batch order, so callback scheduling
+    // cannot perturb the pinned sequence
+    val perBatch =
+      new java.util.concurrent.ConcurrentHashMap[Long, Array[(String, Long)]]()
+    val q = src.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        val counts = batch.groupBy(col("term"))
+          .agg(count(lit(1)).as("c"))
+          .collect()
+          .map(r => (r.getString(0), r.getLong(1)))
+          .sortBy(_._1)
+        perBatch.put(id, counts)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    require(perBatch.size == nSlices,
+      s"expected $nSlices micro-batches (one per slice), saw ${perBatch.size}")
+    // the deterministic fold: plain CMS (order-free) and CM-CU (order
+    // pinned by slice-major, term-sorted sequence) over the same cells
+    val cms = Array.fill(depth * width)(0L)
+    val cmcu = Array.fill(depth * width)(0L)
+    def cellsOf(t: String): Array[Int] =
+      Array.tabulate(depth) { d =>
+        val dig = java.security.MessageDigest.getInstance("MD5")
+          .digest(s"$d:$t".getBytes("UTF-8"))
+        val v = ((dig(0) & 0xffL) << 24) | ((dig(1) & 0xffL) << 16) |
+          ((dig(2) & 0xffL) << 8) | (dig(3) & 0xffL)
+        d * width + (v % width).toInt
+      }
+    perBatch.keySet().toArray(Array.empty[java.lang.Long])
+      .map(_.longValue).sorted
+      .foreach { id =>
+        perBatch.get(id).foreach { case (t, c) =>
+          val cs = cellsOf(t)
+          cs.foreach(ci => cms(ci) += c)
+          val est = cs.map(cmcu).min
+          cs.foreach(ci => cmcu(ci) = math.max(cmcu(ci), est + c))
+        }
+      }
+    // batch-side exact top-k candidates; estimates are driver lookups
+    // over the finished k-row roster (the sketch is the state, not the
+    // corpus)
+    val exact = events
+      .select(termCol.cast("string").as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("term"))
+      .limit(k)
+      .as[(String, Long)].collect()
+    exact.toSeq.map { case (t, n) =>
+      val cs = cellsOf(t)
+      (t, n, cs.map(cms).min, cs.map(cmcu).min)
+    }.toDF("term", "exact_cnt", "cms_count", "cmcu_count")
   }
 }

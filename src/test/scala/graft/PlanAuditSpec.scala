@@ -56,6 +56,8 @@ class PlanAuditSpec extends SparkSpec {
     // same single-row token-total broadcast as vocab_top_tokens
     "text_cooccurrence_lift",
     "events_covisitation_lift",
+    // same single-row token-total broadcast, stream-state twin
+    "events_stream_covisitation",
     "vocab_subsample_tokens",
     // same single-row token-total broadcast as vocab_subsample_tokens
     "train_blocks_subsampled",

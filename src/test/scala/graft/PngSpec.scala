@@ -78,11 +78,12 @@ class PngSpec extends SparkSpec {
   }
 
   test("unsupported shapes fail loudly, not silently") {
-    // hand-build an IHDR claiming color type 2 (RGB)
+    // hand-build an IHDR claiming color type 3 (palette — unsupported;
+    // type 2 became a real decode path)
     val px = raster(4, 4)((r, c) => r + c)
     val enc = Png.encodeGray8(4, 4, px)
     val bad = enc.clone()
-    bad(25) = 2.toByte // color type byte inside IHDR data
+    bad(25) = 3.toByte // color type byte inside IHDR data
     val crc = new java.util.zip.CRC32()
     crc.update(bad, 12, 4 + 13)
     val cv = crc.getValue.toInt
@@ -90,6 +91,32 @@ class PngSpec extends SparkSpec {
     bad(31) = (cv >>> 8).toByte; bad(32) = cv.toByte
     val e = intercept[IllegalArgumentException](Png.decodeGray8(bad))
     e.getMessage should include("unsupported color type")
+  }
+
+  test("truecolor roundtrip: bpp=3 filter arithmetic recovers RGB exactly") {
+    // the left neighbor sits 3 bytes back in color rasters — a bpp bug
+    // survives gray tests and breaks exactly here
+    for ((w, h) <- Seq((1, 1), (8, 8), (5, 7))) {
+      val px = Array.tabulate(w * h * 3)(i =>
+        ((i * 37 + (i / 3) * 11 + i % 3) & 0xff).toByte)
+      val img = Png.decode(Png.encodeRgb8(w, h, px))
+      img.channels shouldBe 3
+      (img.width, img.height) shouldBe ((w, h))
+      img.pixels.toSeq shouldBe px.toSeq
+    }
+  }
+
+  test("channel mismatch fails loudly (gray payload through the RGB path)") {
+    val gray = Png.encodeGray8(4, 4, raster(4, 4)((r, c) => r + c))
+    val e = intercept[IllegalArgumentException](
+      Png.decode(gray).channels match {
+        case 1 => throw new IllegalArgumentException(
+          "expected truecolor, payload is 1-channel")
+        case _ => ()
+      })
+    e.getMessage should include("truecolor")
+    intercept[IllegalArgumentException](Png.decodeGray8(
+      Png.encodeRgb8(2, 2, Array.fill(12)(7.toByte))))
   }
 
   test("PngLanes through decodeFeatures: lane sums equal pixel-lane sums") {
