@@ -2667,6 +2667,18 @@ object SparkEntry {
           dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8),
         aLo = 0L, aHi = 100L, bLo = 0L, bHi = 8L)
     },
+    // Incremental maintenance on the HILBERT key — the z-order top-up
+    // plan's exact sibling (cuts from the stored manifest's h maxima;
+    // base never re-read), completing the layout-family symmetry.
+    "layout_hilbert_incremental" -> { (s, dir) =>
+      val li = Tables(s, dir, "lineitem")
+      val base = li.filter(col("l_orderkey") % 10 < 8)
+      val manifest = Hilbert.layout(base,
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16, nFiles = 8)
+      Hilbert.incrementalPlan(manifest,
+        li.filter(col("l_orderkey") % 10 >= 8),
+        dimA = "l_partkey", dimB = "l_suppkey", bits = 16)
+    },
     // INCREMENTAL z-order maintenance: a 20% delta batch lands in the
     // EXISTING 8-group layout via the stored manifest's realized z
     // maxima (the base is never re-laid-out or re-read); per group the
@@ -3681,20 +3693,18 @@ object SparkEntry {
        |FROM asg GROUP BY 1""".stripMargin
   }
 
-  /** Hilbert-manifest replay: the xy->d state machine as one chained
-    * CTE per level (rx/ry bound in a nested subquery, reflect+swap
-    * reading the previous level's x/y), then the same exact-percentile
-    * cuts as the z-order oracle. */
-  private lazy val hilbertManifestSql: String = {
-    val bits = 16
-    val levels = ((bits - 1) to 0 by -1).zipWithIndex.map {
+  /** The Hilbert xy->d state machine as one chained CTE per level
+    * (rx/ry bound in a nested subquery, reflect+swap reading the
+    * previous level's x/y); `carry` columns ride through every level. */
+  private def hilbertChainSql(carry: String, bits: Int): String =
+    ((bits - 1) to 0 by -1).zipWithIndex.map {
       case (i, k) =>
         val s = 1L << i
         val s2 = s * s
         val prev = s"h$k"
         val next = s"h${k + 1}"
         s"""$next AS (
-           |  SELECT l_partkey, l_suppkey,
+           |  SELECT $carry,
            |    CASE WHEN ry = 0 THEN
            |      CASE WHEN rx = 1 THEN $s - 1 - y ELSE y END
            |    ELSE x END AS x,
@@ -3707,13 +3717,18 @@ object SparkEntry {
            |          CASE WHEN (y & $s) > 0 THEN 1 ELSE 0 END AS ry
            |        FROM $prev))""".stripMargin
     }.mkString(",\n")
+
+  /** Hilbert-manifest replay: the level chain, then the same
+    * exact-percentile cuts as the z-order oracle. */
+  private lazy val hilbertManifestSql: String = {
+    val bits = 16
     s"""WITH h0 AS (
        |  SELECT l_partkey, l_suppkey,
        |    CAST(l_partkey % 65536 AS BIGINT) AS x,
        |    CAST(l_suppkey % 65536 AS BIGINT) AS y,
        |    CAST(0 AS BIGINT) AS d
        |  FROM lineitem),
-       |$levels,
+       |${hilbertChainSql("l_partkey, l_suppkey", bits)},
        |hv AS (SELECT l_partkey, l_suppkey, d AS h FROM h$bits),
        |cuts AS (SELECT quantile_cont(h,
        |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM hv),
@@ -3733,6 +3748,53 @@ object SparkEntry {
        |  min(l_partkey) AS a_min, max(l_partkey) AS a_max,
        |  min(l_suppkey) AS b_min, max(l_suppkey) AS b_max
        |FROM asg GROUP BY 1""".stripMargin
+  }
+
+  /** Hilbert incremental-maintenance replay: base cuts from the base
+    * slice's realized h maxima, delta rows assigned by cut-exceed
+    * count — the z-order incremental oracle on the Hilbert key. */
+  private lazy val hilbertIncrementalSql: String = {
+    val bits = 16
+    s"""WITH h0 AS (
+       |  SELECT l_orderkey,
+       |    CAST(l_partkey % 65536 AS BIGINT) AS x,
+       |    CAST(l_suppkey % 65536 AS BIGINT) AS y,
+       |    CAST(0 AS BIGINT) AS d
+       |  FROM lineitem),
+       |${hilbertChainSql("l_orderkey", bits)},
+       |hv AS (SELECT l_orderkey, d AS h FROM h$bits),
+       |bz AS (SELECT h FROM hv WHERE l_orderkey % 10 < 8),
+       |dz AS (SELECT h FROM hv WHERE l_orderkey % 10 >= 8),
+       |cuts AS (SELECT quantile_cont(h,
+       |  [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS c FROM bz),
+       |basg AS (
+       |  SELECT h,
+       |    (CASE WHEN h > c[1] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[2] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[3] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[4] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[5] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[6] THEN 1 ELSE 0 END) +
+       |    (CASE WHEN h > c[7] THEN 1 ELSE 0 END) AS fg
+       |  FROM bz, cuts),
+       |bman AS (SELECT fg, CAST(count(*) AS BIGINT) AS n_base,
+       |           max(h) AS hmax
+       |         FROM basg GROUP BY 1),
+       |mx AS (SELECT list(hmax ORDER BY fg) AS ms
+       |       FROM bman WHERE fg < (SELECT max(fg) FROM bman)),
+       |dasg AS (SELECT CAST(len(list_filter(ms, m -> h > m)) AS INT)
+       |           AS fg
+       |         FROM dz, mx),
+       |dcnt AS (SELECT fg, CAST(count(*) AS BIGINT) AS n_delta
+       |         FROM dasg GROUP BY 1)
+       |SELECT CAST(b.fg AS INT) AS file_group, b.n_base,
+       |  coalesce(d.n_delta, 0) AS n_delta,
+       |  (coalesce(d.n_delta, 0) * 1000000)
+       |    // (b.n_base + coalesce(d.n_delta, 0)) AS delta_ppm,
+       |  ((coalesce(d.n_delta, 0) * 1000000)
+       |    // (b.n_base + coalesce(d.n_delta, 0))) >= 200000
+       |    AS needs_rewrite
+       |FROM bman b LEFT JOIN dcnt d USING (fg)""".stripMargin
   }
 
   /** Shared PQ replay prefix: anchored codebook + per-(vector,
@@ -4911,6 +4973,7 @@ object SparkEntry {
     // and manifest mirror the export_sorted_shards replay.
     "layout_zorder_lineitem" -> zorderManifestSql,
     "layout_hilbert_lineitem" -> hilbertManifestSql,
+    "layout_hilbert_incremental" -> hilbertIncrementalSql,
     "layout_hilbert_prune" ->
       s"""SELECT * FROM ($hilbertManifestSql)
          |WHERE NOT (a_max < 0 OR a_min > 100 OR b_max < 0 OR b_min > 8)"""

@@ -74,4 +74,35 @@ object Hilbert {
     manifest.filter(
       !(col("a_max") < lit(aLo) || col("a_min") > lit(aHi) ||
         col("b_max") < lit(bLo) || col("b_min") > lit(bHi)))
+
+  /** Incremental maintenance — the [[ZOrder.incrementalPlan]] contract
+    * on the Hilbert key: delta rows land in the EXISTING groups via
+    * the stored manifest's realized h maxima (base never re-read),
+    * each group reports its base/delta mix and a rewrite flag past
+    * `rewritePpm`. Cuts are a bounded driver collect of the manifest. */
+  def incrementalPlan(baseManifest: DataFrame, delta: DataFrame,
+                      dimA: String, dimB: String, bits: Int,
+                      rewritePpm: Long = 200000L): DataFrame = {
+    val m = baseManifest
+      .select(col("file_group").cast("int"), col("n_rows"), col("h_max"))
+      .collect().sortBy(_.getInt(0)) // bounded: nFiles rows
+    val cuts = m.dropRight(1).map(_.getLong(2))
+    val hc = graft.expressions.HilbertIndex(
+      col(dimA).cast("long"), col(dimB).cast("long"), bits)
+    val grp = cuts.foldLeft(lit(0)) { (acc, c) =>
+      acc + when(hc > lit(c), 1).otherwise(0)
+    }
+    val dcounts = delta.groupBy(grp.as("file_group"))
+      .agg(count(lit(1)).as("n_delta"))
+    val spark = delta.sparkSession
+    import spark.implicits._
+    val baseRows = m.map(r => (r.getInt(0), r.getLong(1))).toSeq
+      .toDF("file_group", "n_base")
+    baseRows.join(dcounts, Seq("file_group"), "left")
+      .select(col("file_group"), col("n_base"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"))
+      .withColumn("delta_ppm",
+        expr("(n_delta * 1000000) DIV (n_base + n_delta)"))
+      .withColumn("needs_rewrite", col("delta_ppm") >= lit(rewritePpm))
+  }
 }

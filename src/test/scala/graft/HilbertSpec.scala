@@ -61,6 +61,21 @@ class HilbertSpec extends SparkSpec {
     groups.subsetOf(kept) shouldBe true
   }
 
+  test("incremental plan: every delta row lands in exactly one group") {
+    val df = spark.range(3000).select(
+      col("id"),
+      (pmod(xxhash64(col("id")), lit(200L))).as("a"),
+      (pmod(xxhash64(col("id"), lit(1)), lit(50L))).as("b"))
+    val base = df.filter(col("id") % 5 < 4)
+    val delta = df.filter(col("id") % 5 === 4)
+    val manifest = Hilbert.layout(base, "a", "b", bits = 8, nFiles = 8)
+    val plan = Hilbert.incrementalPlan(manifest, delta, "a", "b", bits = 8)
+      .collect()
+    plan.map(_.getAs[Int]("file_group")).sorted shouldBe (0 until 8)
+    plan.map(_.getAs[Long]("n_delta")).sum shouldBe delta.count()
+    plan.map(_.getAs[Long]("n_base")).sum shouldBe base.count()
+  }
+
   test("locality: hilbert per-file rectangles no looser than z-order overall") {
     // the measurable claim: total box area across file groups (the
     // pruning surface) — Hilbert should not exceed Morton on the same
