@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.{Redact, TextAnalysis, Vectors}
-import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, DatasetCard, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, Hilbert, IncrementalAgg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Png, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
+import graft.operators.{Cdc, Chunker, Cohorts, Compaction, CorpusDiff, DatasetCard, Decontaminate, Dedup, EntityMatch, Funnel, GroupConsumer, GroupCounts, Grouper, Hilbert, IncrementalAgg, Jpeg, Multimodal, Pack, PageRank, PartitionedDataset, Paths, Png, Pq, Privacy, Relational, Rendezvous, Resample, Retention, RetrievalEval, Similarity, SortedExport, Splits, Triangles, Validation, ZOrder}
 import graft.streaming.EventStream
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -1187,6 +1187,27 @@ object SparkEntry {
     "dedup_spans_exact_recall" -> { (s, dir) =>
       Dedup.exactSpanRecallTwin(Tables(s, dir, "documents"),
         col("text"), col("doc_id"), exactLen = 4, windowTokens = 16)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // Multi-resolution rolling scan — closes the measured w=16 recall
+    // gap (0.48 on real sf0.01 data: half the duplicated-span mass is
+    // under 16 tokens) by adding a fine w=4 tier while KEEPING the
+    // high-precision w=16 tier separable: per-resolution + union
+    // coverage per doc, still one (w, fp) fingerprint shuffle, no
+    // candidate pairs.
+    "dedup_spans_multires_documents" -> { (s, dir) =>
+      Dedup.duplicatedSpansMultiRes(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), windows = Seq(4, 16),
+        hashFn = Dedup.spanTokenHashMd5)
+        .withColumnRenamed("id", "doc_id")
+    },
+    // Recall harness for the multi-res scan vs the hash-free literal
+    // 4-gram ground truth: with min(windows) = exactLen = 4 recall is
+    // 1.0 by construction (acting on the r8 measurement), so the
+    // reported tradeoff is precision = n_cov_both / n_cov_scan.
+    "dedup_spans_multires_recall" -> { (s, dir) =>
+      Dedup.exactSpanRecallMulti(Tables(s, dir, "documents"),
+        col("text"), col("doc_id"), exactLen = 4, windows = Seq(4, 16))
         .withColumnRenamed("id", "doc_id")
     },
     // Deterministic weighted source mixture (training-data re-mixing):
@@ -3462,6 +3483,57 @@ object SparkEntry {
             transform(col("lane_sums"), v => v.cast("string"))))
             .as("lane_digest"))
     },
+    // Baseline-DCT JPEG, the compressed format PNG couldn't stand in
+    // for: md5-derived QUANTIZED COEFFICIENTS (the deterministic side
+    // of a lossy codec) are huffman-encoded into a real JPEG stream
+    // (DQT/DHT/SOF0/SOS, byte stuffing, DC prediction, RLE/EOB/ZRL)
+    // and the full decoder — canonical huffman per Annex C/F, dequant,
+    // pinned fixed-point IDCT — must recover them bit-exactly; the
+    // oracle replays coefficients->pixels with the SAME integer tables
+    // interpolated as literals. 16x16 = 4 blocks, so DC prediction
+    // chains across blocks.
+    "multimodal_decode_jpeg" -> { (s, dir) =>
+      val blob = concat((for (b <- 0 until 4; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"jg${b}x$k:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Jpeg.encodeGrayColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+        col("doc_id"), col("blob"), w = 16, h = 16)
+      Jpeg.decodeColumn(enc, col("media_id"), col("payload")).toDF()
+    },
+    // Color twin: 16x8 4:4:4 YCbCr (2 MCUs, interleaved Y/Cb/Cr blocks,
+    // per-component DC predictors, separate chroma quant table) with
+    // the pinned Q16 integer YCbCr->RGB as part of the decode contract.
+    "multimodal_decode_jpeg_rgb" -> { (s, dir) =>
+      val blob = concat((for (b <- 0 until 6; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"jc${b}x$k:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Jpeg.encodeYccColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+        col("doc_id"), col("blob"), w = 16, h = 8)
+      Jpeg.decodeRgbColumn(enc, col("media_id"), col("payload")).toDF()
+    },
+    // JPEG through the LaneCodec boundary: Jpeg.JpegLanes inside
+    // decodeFeatures — lane sums over DECODED pixels, exact (the PNG
+    // twin's contract, now for the second compressed format).
+    "multimodal_jpeg_features" -> { (s, dir) =>
+      import s.implicits._
+      val blob = concat((for (b <- 0 until 4; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"jg${b}x$k:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Jpeg.encodeGrayColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+        col("doc_id"), col("blob"), w = 16, h = 16)
+      val media = enc.select(col("media_id"), lit("image").as("kind"),
+        col("payload"), lit(16).as("width"), lit(16).as("height"),
+        lit("jpeg").as("format")).as[Multimodal.Media]
+      Multimodal.decodeFeatures(media.repartition(8), dim = 8,
+          codec = Jpeg.JpegLanes).toDF()
+        .select(col("media_id"), col("kind"),
+          md5(concat_ws(",",
+            transform(col("lane_sums"), v => v.cast("string"))))
+            .as("lane_digest"))
+    },
     // §2.6 consumer pipeline: per-group tokenize -> concat -> fixed
     // 128-token blocks (the reference's training-data chunking).
     "group_chunked_blocks" -> { (s, dir) =>
@@ -4157,6 +4229,61 @@ object SparkEntry {
          |SELECT group_id, CAST(example_id AS BIGINT) AS example_id,
          |  input_digest, target_digest, n_weight1
          |FROM outb WHERE nb = 129""".stripMargin
+
+  /** JPEG replay pipeline: md5-derived zigzag coefficients ->
+    * dequantize -> the pinned fixed-point separable IDCT -> clamped
+    * pixels, per (doc, block). The integer tables (Q20 IDCT basis,
+    * zigzag inverse, quant) are interpolated from [[Jpeg]]'s Scala
+    * values, so both engines share literally the same numbers — the
+    * pinned-literal discipline, never runtime libm twice. The oracle
+    * never parses the JPEG container: the Spark side must reach the
+    * same coefficients through real Huffman/marker decode. `tabs` and
+    * `px` are multiply-referenced -> AS MATERIALIZED (the documented
+    * DuckDB CTE re-expansion lesson). Returns CTEs ending at `px`;
+    * callers append their SELECT (or further CTEs starting ",\n"). */
+  private def jpegCoefPipeline(tag: String, nBlocks: Int,
+                               color: Boolean): String = {
+    val w = Jpeg.IdctW.mkString("[", ", ", "]")
+    val zzinv = Jpeg.ZigZagInv.mkString("[", ", ", "]")
+    val qt0 = Jpeg.QtLuma.mkString("[", ", ", "]")
+    val qt1 = Jpeg.QtChroma.mkString("[", ", ", "]")
+    val blist = (0 until nBlocks).mkString("[", ", ", "]")
+    val digest = (0 until 4).map(k =>
+      s"md5('$tag' || CAST(bb.b AS VARCHAR) || 'x$k:' || CAST(doc_id AS VARCHAR))")
+      .mkString(" ||\n")
+    val qtExpr =
+      if (color) "(CASE WHEN b % 3 = 0 THEN qt0[n + 1] ELSE qt1[n + 1] END)"
+      else "qt0[n + 1]"
+    s"""WITH tabs AS MATERIALIZED (
+       |  SELECT $w AS w, $zzinv AS zzinv, $qt0 AS qt0, $qt1 AS qt1),
+       |blk AS (
+       |  SELECT doc_id, bb.b AS b,
+       |    $digest AS hx
+       |  FROM documents CROSS JOIN (SELECT unnest($blist) AS b) bb),
+       |cz AS (
+       |  SELECT doc_id, b, list_transform(range(0, 64), i -> CASE
+       |    WHEN i = 0 THEN (('0x' || substr(hx, 1, 2))::BIGINT % 64) - 32
+       |    WHEN ('0x' || substr(hx, i*2 + 1, 2))::BIGINT % 4 = 0
+       |    THEN ((('0x' || substr(hx, i*2 + 1, 2))::BIGINT // 4) % 31) - 15
+       |    ELSE 0 END) AS cz
+       |  FROM blk),
+       |dq AS (
+       |  SELECT doc_id, b, list_transform(range(0, 64),
+       |    n -> cz[zzinv[n + 1] + 1] * $qtExpr) AS dq
+       |  FROM cz CROSS JOIN tabs),
+       |r1 AS (
+       |  SELECT doc_id, b, list_transform(range(0, 64), j ->
+       |    (CAST(list_sum(list_transform(range(0, 8),
+       |      v -> dq[(j // 8) * 8 + v + 1] * w[v * 8 + (j % 8) + 1]))
+       |      AS BIGINT) + 512) // 1024) AS r1
+       |  FROM dq CROSS JOIN tabs),
+       |px AS MATERIALIZED (
+       |  SELECT doc_id, b, list_transform(range(0, 64), j ->
+       |    least(greatest((CAST(list_sum(list_transform(range(0, 8),
+       |      u -> w[u * 8 + (j // 8) + 1] * r1[u * 8 + (j % 8) + 1]))
+       |      AS BIGINT) + 536870912) // 1073741824 + 128, 0), 255)) AS px
+       |  FROM r1 CROSS JOIN tabs)""".stripMargin
+  }
 
   def oracleSql: Map[String, String] = Map(
     "group_counts_documents" ->
@@ -6443,6 +6570,109 @@ object SparkEntry {
          |LEFT JOIN nr USING (doc_id)
          |LEFT JOIN nb USING (doc_id)""".stripMargin
     },
+    // multi-res replay: the same Rabin-Karp polynomial per resolution
+    // (per-w positional weight lists), one (w, fp) duplicate roster,
+    // per-resolution and union distinct-token coverage
+    "dedup_spans_multires_documents" -> {
+      val M = graft.expressions.RollingWindowHashes.M
+      val ws = Seq(4, 16)
+      val winsSql = ws.map { w =>
+        val pows = graft.expressions.RollingWindowHashes.powers(w)
+          .mkString("[", ", ", "]")
+        s"""  SELECT doc_id, $w AS w, i - 1 AS pos,
+           |    list_sum([(h[i + j] * ($pows)[j + 1]) % $M
+           |      FOR j IN range(0, $w)]) % $M AS fp
+           |  FROM (SELECT doc_id, h, unnest(range(1, len(h) - ${w - 2})) AS i
+           |        FROM th)"""
+      }.mkString("\n  UNION ALL\n")
+      val perW = ws.map { w =>
+        s"""c$w AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+           |  AS n_cov_w$w FROM cov WHERE w = $w GROUP BY 1),"""
+      }.mkString("\n")
+      val joins = ws.map(w => s"LEFT JOIN c$w USING (doc_id)").mkString(" ")
+      val cols = ws.map(w =>
+        s"  coalesce(c$w.n_cov_w$w, 0) AS n_cov_w$w,").mkString("\n")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |th AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    [('0x'||substr(md5(x),1,8))::BIGINT % $M FOR x IN t] AS h
+         |  FROM toks),
+         |wins AS MATERIALIZED (
+         |$winsSql),
+         |dup AS (SELECT w, fp FROM wins GROUP BY w, fp HAVING count(*) >= 2),
+         |cov AS MATERIALIZED (
+         |  SELECT wins.doc_id, wins.w, wins.pos + off.o AS p
+         |  FROM wins JOIN dup USING (w, fp)
+         |  CROSS JOIN (SELECT unnest(range(0, ${ws.max})) AS o) off
+         |  WHERE off.o < wins.w),
+         |$perW
+         |cu AS (SELECT doc_id, CAST(count(DISTINCT p) AS BIGINT)
+         |  AS n_cov_union FROM cov GROUP BY 1)
+         |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |$cols
+         |  coalesce(cu.n_cov_union, 0) AS n_cov_union
+         |FROM toks $joins LEFT JOIN cu USING (doc_id)""".stripMargin
+    },
+    // multi-res recall twin replay: literal 4-gram ground truth (as in
+    // dedup_spans_exact_recall) vs the union coverage of the w in
+    // {4, 16} scan
+    "dedup_spans_multires_recall" -> {
+      val M = graft.expressions.RollingWindowHashes.M
+      val e = 4
+      val ws = Seq(4, 16)
+      val winsSql = ws.map { w =>
+        val pows = graft.expressions.RollingWindowHashes.powers(w)
+          .mkString("[", ", ", "]")
+        s"""  SELECT doc_id, $w AS w, i - 1 AS pos,
+           |    list_sum([(h[i + j] * ($pows)[j + 1]) % $M
+           |      FOR j IN range(0, $w)]) % $M AS fp
+           |  FROM (SELECT doc_id, h, unnest(range(1, len(h) - ${w - 2})) AS i
+           |        FROM th)"""
+      }.mkString("\n  UNION ALL\n")
+      s"""WITH toks AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+         |  FROM documents),
+         |we AS MATERIALIZED (
+         |  SELECT doc_id, i - 1 AS pos,
+         |    array_to_string(t[i:i + ${e - 1}], ' ') AS key
+         |  FROM (SELECT doc_id, t, unnest(range(1, len(t) - ${e - 2})) AS i
+         |        FROM toks WHERE len(t) >= $e)),
+         |de AS (SELECT key FROM we GROUP BY key HAVING count(*) >= 2),
+         |ce AS MATERIALIZED (
+         |  SELECT DISTINCT doc_id, pos + off AS p
+         |  FROM we JOIN de USING (key)
+         |  CROSS JOIN (SELECT unnest(range(0, $e)) AS off)),
+         |th AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    [('0x'||substr(md5(x),1,8))::BIGINT % $M FOR x IN t] AS h
+         |  FROM toks),
+         |wins AS MATERIALIZED (
+         |$winsSql),
+         |dup AS (SELECT w, fp FROM wins GROUP BY w, fp HAVING count(*) >= 2),
+         |cs AS MATERIALIZED (
+         |  SELECT DISTINCT wins.doc_id, wins.pos + off.o AS p
+         |  FROM wins JOIN dup USING (w, fp)
+         |  CROSS JOIN (SELECT unnest(range(0, ${ws.max})) AS o) off
+         |  WHERE off.o < wins.w),
+         |ne AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov_exact
+         |       FROM ce GROUP BY 1),
+         |ns AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_cov_scan
+         |       FROM cs GROUP BY 1),
+         |nb AS (SELECT ce.doc_id, CAST(count(*) AS BIGINT) AS n_cov_both
+         |       FROM ce JOIN cs ON ce.doc_id = cs.doc_id AND ce.p = cs.p
+         |       GROUP BY 1)
+         |SELECT toks.doc_id, CAST(len(toks.t) AS BIGINT) AS n_tokens,
+         |  coalesce(ne.n_cov_exact, 0) AS n_cov_exact,
+         |  coalesce(ns.n_cov_scan, 0) AS n_cov_scan,
+         |  coalesce(nb.n_cov_both, 0) AS n_cov_both
+         |FROM toks LEFT JOIN ne USING (doc_id)
+         |LEFT JOIN ns USING (doc_id)
+         |LEFT JOIN nb USING (doc_id)""".stripMargin
+    },
     "mix_sources_weighted" -> {
       val evens = (0 until 20 by 2).map(i => s"'src$i'").mkString(", ")
       // * and // share precedence left-assoc in DuckDB, mirroring
@@ -8113,6 +8343,60 @@ object SparkEntry {
         |      i -> ord(substr(text, CAST(i AS BIGINT), 1)))), 0) AS BIGINT)),
         |    ',')) AS lane_digest
         |FROM documents""".stripMargin,
+    // jpeg replay: coefficients -> pinned integer IDCT -> pixel stats;
+    // the container (huffman/markers) is the Spark side's burden
+    "multimodal_decode_jpeg" ->
+      (jpegCoefPipeline("jg", 4, color = false) + "\n" +
+        """SELECT doc_id AS media_id, 'jpeg' AS format,
+          |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(255 AS INT) AS maxval, CAST(256 AS BIGINT) AS n_pixels,
+          |  CAST(sum(CAST(list_sum(px) AS BIGINT)) AS BIGINT) AS pixel_sum,
+          |  CAST(min(list_min(px)) AS INT) AS pixel_min,
+          |  CAST(max(list_max(px)) AS INT) AS pixel_max
+          |FROM px GROUP BY doc_id""".stripMargin),
+    "multimodal_decode_jpeg_rgb" ->
+      (jpegCoefPipeline("jc", 6, color = true) + ",\n" +
+        """y AS (SELECT doc_id, b // 3 AS m, px AS py FROM px WHERE b % 3 = 0),
+          |cbt AS (SELECT doc_id, b // 3 AS m, px AS pcb FROM px WHERE b % 3 = 1),
+          |crt AS (SELECT doc_id, b // 3 AS m, px AS pcr FROM px WHERE b % 3 = 2),
+          |rgb AS (
+          |  SELECT y.doc_id AS doc_id,
+          |    list_transform(range(0, 64), i -> least(greatest(py[i + 1] +
+          |      (91881 * (pcr[i + 1] - 128) + 32768) // 65536, 0), 255)) AS rl,
+          |    list_transform(range(0, 64), i -> least(greatest(py[i + 1] -
+          |      (22554 * (pcb[i + 1] - 128) + 46802 * (pcr[i + 1] - 128)
+          |       + 32768) // 65536, 0), 255)) AS gl,
+          |    list_transform(range(0, 64), i -> least(greatest(py[i + 1] +
+          |      (116130 * (pcb[i + 1] - 128) + 32768) // 65536, 0), 255)) AS bl
+          |  FROM y
+          |  JOIN cbt ON y.doc_id = cbt.doc_id AND y.m = cbt.m
+          |  JOIN crt ON y.doc_id = crt.doc_id AND y.m = crt.m)
+          |SELECT doc_id AS media_id,
+          |  CAST(16 AS INT) AS width, CAST(8 AS INT) AS height,
+          |  CAST(128 AS BIGINT) AS n_pixels,
+          |  CAST(sum(CAST(list_sum(rl) AS BIGINT)) AS BIGINT) AS r_sum,
+          |  CAST(sum(CAST(list_sum(gl) AS BIGINT)) AS BIGINT) AS g_sum,
+          |  CAST(sum(CAST(list_sum(bl) AS BIGINT)) AS BIGINT) AS b_sum
+          |FROM rgb GROUP BY doc_id""".stripMargin),
+    // lane j of a 16-wide raster with dim 8 is column j of each block:
+    // raster_idx % 8 = x-in-block whenever width % 8 = 0
+    "multimodal_jpeg_features" ->
+      (jpegCoefPipeline("jg", 4, color = false) + ",\n" +
+        """lanes AS (
+          |  SELECT doc_id, b, list_transform(range(0, 8), j ->
+          |    CAST(list_sum(list_transform(range(0, 8), y -> px[y * 8 + j + 1]))
+          |      AS BIGINT)) AS l
+          |  FROM px),
+          |lx AS (
+          |  SELECT doc_id,
+          |    unnest([{'j': j, 'v': l[j + 1]} FOR j IN range(0, 8)]) AS u
+          |  FROM lanes),
+          |g AS (
+          |  SELECT doc_id, u.j AS j, CAST(sum(u.v) AS BIGINT) AS s
+          |  FROM lx GROUP BY doc_id, u.j)
+          |SELECT doc_id AS media_id, 'image' AS kind,
+          |  md5(string_agg(CAST(s AS VARCHAR), ',' ORDER BY j)) AS lane_digest
+          |FROM g GROUP BY doc_id""".stripMargin),
     "group_chunked_blocks" ->
       """WITH toks AS (
         |  SELECT lang, doc_id,

@@ -106,16 +106,22 @@ object AhoCorasick {
   }
 
   /** DuckDB replay: positional overlap-inclusive occurrence counting
-    * per (doc, pattern). */
+    * per (doc, pattern). Contract: BMP-only text/patterns — the Spark
+    * matcher walks UTF-16 code units while DuckDB's length()/substr()
+    * count codepoints; the two coincide exactly on the Basic
+    * Multilingual Plane (no surrogate pairs), which the synthetic
+    * corpus satisfies. Pattern literals are quote-escaped, so
+    * apostrophes in patterns are safe. */
   object Sql {
     def query(patterns: Seq[String]): String = {
-      val lst = patterns.map(p => s"'$p'").mkString("[", ", ", "]")
+      val lst = patterns
+        .map(p => s"'${p.replace("'", "''")}'").mkString("[", ", ", "]")
       s"""WITH pats AS (SELECT unnest($lst) AS p),
          |m AS (
          |  SELECT d.doc_id, pats.p AS pattern,
          |    CAST(len([i FOR i IN range(1,
-         |        strlen(d.text) - strlen(pats.p) + 2)
-         |      IF substr(d.text, CAST(i AS BIGINT), strlen(pats.p))
+         |        length(d.text) - length(pats.p) + 2)
+         |      IF substr(d.text, CAST(i AS BIGINT), length(pats.p))
          |         = pats.p]) AS BIGINT) AS n_matches
          |  FROM documents d CROSS JOIN pats)
          |SELECT doc_id, pattern, n_matches FROM m

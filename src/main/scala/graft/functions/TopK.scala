@@ -167,8 +167,22 @@ object TopK {
 
   /** The k smallest (sort_key, id) rows per group, with the payload
     * carried through. Input columns: group, sort_key, id, payload;
-    * output (group, id, payload). */
+    * output (group, id, payload).
+    *
+    * STRING-TYPED CONTRACT: sort_key and id ride through String
+    * fields of [[KeyedEntry]], so ordering is lexicographic and the
+    * output id column is a string. A numeric id would be silently
+    * upcast and re-ordered — callers must pre-format numeric keys
+    * (zero-pad) or cast explicitly; enforced below rather than
+    * silently coerced. */
   def perGroupMinK(df: DataFrame, k: Int): DataFrame = {
+    Seq("sort_key", "id").foreach { c =>
+      require(df.schema(c).dataType ==
+        org.apache.spark.sql.types.StringType,
+        s"perGroupMinK requires string-typed '$c' (got " +
+          s"${df.schema(c).dataType}); cast/format upstream — implicit " +
+          "upcast would change output type and ordering")
+    }
     val agg = udaf(new MinKAggregator(k))
     df.groupBy(col("group"))
       .agg(agg(col("sort_key"), col("id"), col("payload")).as("top"))

@@ -913,6 +913,121 @@ object Dedup {
         coalesce(col("max_dup_run"), lit(0L)).as("max_dup_run"))
   }
 
+  /** MULTI-RESOLUTION rolling span scan — the answer to the measured
+    * w=16 recall of 0.48 on real data (r8 `dedup_spans_exact_recall`:
+    * half the duplicated-span mass sits below 16 tokens). One
+    * tokenize, one Rabin-Karp pass PER RESOLUTION (each O(n) — the
+    * rolling update is O(1) per window), one union, ONE fingerprint
+    * shuffle keyed (w, fp), one join back, one distinct-coverage
+    * aggregation. Never candidate pairs. The finest window closes the
+    * recall gap at its granularity (a duplicated e-gram always equals
+    * its own w=e window fingerprint); the coarser windows keep the
+    * HIGH-PRECISION signal (long verbatim passages) separable from
+    * short-phrase noise — that's why coverage is reported per
+    * resolution AND as the union, not collapsed.
+    *
+    * Output per doc: (id, n_tokens, n_cov_w<w1>, ..., n_cov_union) —
+    * token counts covered by >= 1 corpus-duplicated window of that
+    * resolution (union = any resolution). Trim policies act on the
+    * fine tier only inside coarse-tier runs, or threshold per tier. */
+  def duplicatedSpansMultiRes(df: DataFrame, textCol: Column, idCol: Column,
+                              windows: Seq[Int] = Seq(4, 16),
+                              hashFn: Column => Column = spanTokenHashXx): DataFrame = {
+    require(windows.nonEmpty && windows.distinct.size == windows.size,
+      s"windows must be distinct and non-empty: $windows")
+    // one tokenize, k window-resolution consumers: checkpoint so the
+    // tokenizer doesn't re-run per resolution (CollapseProject would
+    // otherwise inline it into every explode)
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("t"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val wins = windows.map { w =>
+      toks.filter(size(col("t")) >= w)
+        .select(col("id"), lit(w).as("w"), posexplode(
+          graft.expressions.RollingWindowHashes(
+            transform(col("t"), hashFn), w)))
+        .select(col("id"), col("w"), col("pos"), col("col").as("fp"))
+    }.reduce(_ unionByName _)
+    val dup = wins.groupBy(col("w"), col("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("w"), col("fp"))
+    val cov = wins.join(dup, Seq("w", "fp"))
+      .select(col("id"), col("w"),
+        explode(sequence(col("pos"), col("pos") + col("w") - 1)).as("p"))
+    val perW = windows.map { w =>
+      cov.filter(col("w") === w).select(col("id"), col("p")).distinct()
+        .groupBy(col("id")).agg(count(lit(1)).as(s"n_cov_w$w"))
+    }
+    val union = cov.select(col("id"), col("p")).distinct()
+      .groupBy(col("id")).agg(count(lit(1)).as("n_cov_union"))
+    val base = toks.select(col("id"),
+      size(col("t")).cast("long").as("n_tokens"))
+    val joined = (perW :+ union).foldLeft(base)(
+      (acc, d) => acc.join(d, Seq("id"), "left"))
+    joined.select(col("id") +: col("n_tokens") +:
+      (windows.map(w => coalesce(col(s"n_cov_w$w"), lit(0L)).as(s"n_cov_w$w")) :+
+        coalesce(col("n_cov_union"), lit(0L)).as("n_cov_union")): _*)
+  }
+
+  /** Recall harness for [[duplicatedSpansMultiRes]] — the exact twin
+    * generalized to a window SET: ground truth stays the hash-free
+    * literal `exactLen`-gram coverage; the scan side is the union
+    * coverage of all resolutions. With min(windows) == exactLen the
+    * scan's recall is 1.0 BY CONSTRUCTION (equal literal windows hash
+    * equal; collisions only add coverage) — the number that matters
+    * then is PRECISION (n_cov_both / n_cov_scan), the cost the finer
+    * tier pays for closing the w=16 recall gap. */
+  def exactSpanRecallMulti(df: DataFrame, textCol: Column, idCol: Column,
+                           exactLen: Int = 4,
+                           windows: Seq[Int] = Seq(4, 16)): DataFrame = {
+    require(exactLen >= 1 && windows.nonEmpty && windows.min >= exactLen)
+    val toks = df.select(idCol.as("id"),
+        TextAnalysis.tokens(textCol).as("t"))
+      .repartition(col("id"))
+      .localCheckpoint()
+    val winsExact = toks.filter(size(col("t")) >= exactLen)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("t")) - exactLen),
+        i => array_join(slice(col("t"), i + 1, lit(exactLen)), " "))))
+      .select(col("id"), col("pos"), col("col").as("key"))
+    val dupKeys = winsExact.groupBy(col("key"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("key"))
+    val covExact = winsExact.join(dupKeys, "key")
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + exactLen - 1)).as("p"))
+      .distinct()
+    val winsScan = windows.map { w =>
+      toks.filter(size(col("t")) >= w)
+        .select(col("id"), lit(w).as("w"), posexplode(
+          graft.expressions.RollingWindowHashes(
+            transform(col("t"), spanTokenHashMd5 _), w)))
+        .select(col("id"), col("w"), col("pos"), col("col").as("fp"))
+    }.reduce(_ unionByName _)
+    val dupFps = winsScan.groupBy(col("w"), col("fp"))
+      .agg(count(lit(1)).as("c")).filter(col("c") >= 2)
+      .select(col("w"), col("fp"))
+    val covScan = winsScan.join(dupFps, Seq("w", "fp"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + col("w") - 1)).as("p"))
+      .distinct()
+    val nE = covExact.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cov_exact"))
+    val nS = covScan.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_cov_scan"))
+    val nB = covExact.join(covScan, Seq("id", "p"))
+      .groupBy(col("id")).agg(count(lit(1)).as("n_cov_both"))
+    toks.select(col("id"), size(col("t")).cast("long").as("n_tokens"))
+      .join(nE, Seq("id"), "left")
+      .join(nS, Seq("id"), "left")
+      .join(nB, Seq("id"), "left")
+      .select(col("id"), col("n_tokens"),
+        coalesce(col("n_cov_exact"), lit(0L)).as("n_cov_exact"),
+        coalesce(col("n_cov_scan"), lit(0L)).as("n_cov_scan"),
+        coalesce(col("n_cov_both"), lit(0L)).as("n_cov_both"))
+  }
+
   /** EXACT-substring verification twin for the rolling span scan — the
     * suffix-array-grade ground truth at sub-window granularity. The
     * w=16 rolling scan is exact for duplicated spans >= 16 tokens and

@@ -627,11 +627,18 @@ object EventStream {
       new java.util.concurrent.ConcurrentHashMap[Long, Array[(String, Long)]]()
     val q = src.writeStream
       .foreachBatch { (batch: DataFrame, id: Long) =>
+        // sort terms by UTF-8 unsigned-byte sequence (= codepoint
+        // order = DuckDB's binary collation), not Scala's UTF-16
+        // code-unit order — the two diverge on supplementary-plane
+        // terms, and the oracle's ORDER BY term is the UTF-8 one
         val counts = batch.groupBy(col("term"))
           .agg(count(lit(1)).as("c"))
           .collect()
           .map(r => (r.getString(0), r.getLong(1)))
-          .sortBy(_._1)
+          .sortWith { (a, b) =>
+            java.util.Arrays.compareUnsigned(
+              a._1.getBytes("UTF-8"), b._1.getBytes("UTF-8")) < 0
+          }
         perBatch.put(id, counts)
         ()
       }

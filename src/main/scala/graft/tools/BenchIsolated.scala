@@ -70,10 +70,20 @@ object BenchIsolated {
     // the isolation pairs at a later HEAD.
     val key = sys.env.getOrElse("BENCH_ISOLATED_KEY",
       s"r@${gitHead()}")
-    val entry = rows.mkString(
-      s"""  "$key": {\n    "sf": "$dir", "cpus": $cpus,\n""",
-      ",\n", "\n  }")
     val prior = priorEntries(out)
+    // duplicate-key JSON silently loses an entry on the next parse, so
+    // a re-run under the same key (same round label + short HEAD) must
+    // not collide: pick the first free "<key>", "<key>-2", ... suffix
+    val taken = prior.flatMap(_.linesIterator.toSeq.headOption)
+      .flatMap { l =>
+        val i = l.indexOf('"'); val j = l.indexOf('"', i + 1)
+        if (i >= 0 && j > i) Some(l.substring(i + 1, j)) else None
+      }.toSet
+    val freeKey = (Iterator(key) ++
+      Iterator.from(2).map(n => s"$key-$n")).find(!taken(_)).get
+    val entry = rows.mkString(
+      s"""  "$freeKey": {\n    "sf": "$dir", "cpus": $cpus,\n""",
+      ",\n", "\n  }")
     Files.writeString(Paths.get(out),
       (prior :+ entry).mkString("{\n", ",\n", "\n}\n"))
     spark.stop()

@@ -505,6 +505,45 @@ class TextDedupSpec extends SparkSpec {
     }
   }
 
+  test("multi-res span scan: fine tier catches sub-w16 spans, coarse " +
+      "tier stays separable, union == exact ground truth at e=4") {
+    // planted corpus as in the recall audit: per L, two docs share an
+    // L-token passage at different offsets; filler unique -> ground
+    // truth known by construction
+    val lens = Seq(4, 6, 8, 12, 16, 24)
+    val docs = lens.flatMap { len =>
+      val span = (0 until len).map(i => s"p${len}t$i")
+      def doc(id: Long, tag: String, offset: Int) = {
+        val filler = (0 until 40).map(i => s"f$tag$i")
+        (id, (filler.take(offset) ++ span ++ filler.drop(offset))
+          .mkString(" "))
+      }
+      Seq(doc(len * 10L, s"a$len", 7), doc(len * 10L + 1, s"b$len", 19))
+    }.toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpansMultiRes(docs, $"text", $"doc_id",
+        windows = Seq(4, 16))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    lens.foreach { len =>
+      Seq(len * 10L, len * 10L + 1).foreach { id =>
+        val (w4, w16, union) = out(id)
+        w4 shouldBe len.toLong            // every planted span >= 4 fully covered
+        w16 shouldBe (if (len >= 16) len.toLong else 0L) // r8's measured gap
+        union shouldBe len.toLong         // union = the exact answer here
+      }
+    }
+    // the recall harness reports the same story corpus-wide:
+    // recall(union vs literal-4-gram truth) = 1.0 on this plant
+    val rec = Dedup.exactSpanRecallMulti(docs, $"text", $"doc_id",
+        exactLen = 4, windows = Seq(4, 16))
+      .agg(sum($"n_cov_exact"), sum($"n_cov_scan"), sum($"n_cov_both"))
+      .collect().head
+    val (e, s, b) = (rec.getLong(0), rec.getLong(1), rec.getLong(2))
+    e shouldBe lens.map(_.toLong * 2).sum
+    b shouldBe e   // recall 1.0 by construction
+    s shouldBe e   // no collision false-positives on this plant
+  }
+
   test("trimDuplicatedSpansRolling: md5 and xxhash paths agree here") {
     val docs = Seq(
       (1L, "c1 c2 c3 c4 c5 u1"),
