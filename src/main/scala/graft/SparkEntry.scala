@@ -2403,6 +2403,16 @@ object SparkEntry {
       graft.functions.Pca.secondComponentTable(
         Tables(s, dir, "embeddings"), col("embedding"), dim = 64)
     },
+    // THIRD principal direction: the truncating deflation applied
+    // twice (each shrink is a per-lane integer division by the prior
+    // |v|^2), power iteration over the doubly-deflated lanes — the
+    // k-component deflation loop demonstrated at depth 2, every
+    // integer oracle-replayable; accumulated truncation drift vs an
+    // exactly-orthogonalized double reference is bounded in PcaSpec.
+    "embedding_third_component" -> { (s, dir) =>
+      graft.functions.Pca.thirdComponentTable(
+        Tables(s, dir, "embeddings"), col("embedding"), dim = 64)
+    },
     // The APPLY step: every vector's exact integer projection onto the
     // trained direction — the rank-1 compression / drift coordinate.
     // Any error anywhere in the 3 training steps moves projections, so
@@ -2497,6 +2507,28 @@ object SparkEntry {
       Pq.ivfAdcTopKInt(emb.filter(col("vec_id") < 10), emb, books, k = 5,
         col("vec_id"), col("embedding"), col("vec_id"), col("embedding"),
         nCells = 16, nProbe = 4)
+    },
+    // IVF-PQ codebook MAINTENANCE (the incremental-index discipline
+    // applied to the quantizer): base-fitted book b0 vs a refreshed
+    // book b1 fitted on a drifted train slice (base head + delta
+    // head). One fused zero-shuffle scan computes both code batteries
+    // per row; the report is the per-subspace centroid drift (integer
+    // squared L2, the refresh trigger) and the EXACT re-encode write
+    // set (rows whose code changed) — base codes are rewritten only
+    // where they changed, never wholesale. Both Lloyd fits replay in
+    // integer CTEs, so the whole maintenance decision is oracle-exact.
+    "similarity_ivfpq_incremental" -> { (s, dir) =>
+      val emb = Tables(s, dir, "embeddings")
+      val base = emb.filter(col("vec_id") < 4000)
+      val delta = emb.filter(col("vec_id") >= 4000)
+      val b0 = Pq.fitLloydQuantized(base, col("vec_id"),
+        col("embedding"), m = 8, k = 16, trainN = 128, iters = 1)
+      val refreshSlice = emb.filter(col("vec_id") < 64 ||
+        (col("vec_id") >= 4000 && col("vec_id") < 4064))
+      val b1 = Pq.fitLloydQuantized(refreshSlice, col("vec_id"),
+        col("embedding"), m = 8, k = 16, trainN = 128, iters = 1)
+      Pq.maintenanceReport(base, delta, col("vec_id"), col("embedding"),
+        b0, b1)
     },
 
     // Composed retrieval pipeline (the RAG shape): anchored ANN top-3
@@ -3980,23 +4012,25 @@ object SparkEntry {
        |    AS BIGINT) ORDER BY j) AS varr
        |  FROM w$k)""".stripMargin
 
-  /** One integer power step over the DEFLATED lanes (CTE `dl` with the
-    * per-row deflated array `c` in scope) — the second-component
-    * oracle's twin of [[pcaStepSql]]. */
-  private def pcaDeflStepSql(k: Int, prev: String): String =
-    s"""ddots$k AS MATERIALIZED (
+  /** One integer power step over DEFLATED lanes (CTE `src` with the
+    * per-row deflated array `c` in scope) — the second/third-component
+    * oracles' twin of [[pcaStepSql]]; `out` prefixes the emitted CTE
+    * names so two deflation depths can unroll side by side. */
+  private def pcaDeflStepSql(k: Int, prev: String, src: String = "dl",
+                             out: String = "u"): String =
+    s"""${out}dots$k AS MATERIALIZED (
        |  SELECT d.vec_id,
        |    list_sum([d.c[j] * p.varr[j] FOR j IN range(1, 65)]) AS d2
-       |  FROM dl d CROSS JOIN $prev p),
-       |dw$k AS MATERIALIZED (
+       |  FROM $src d CROSS JOIN $prev p),
+       |${out}w$k AS MATERIALIZED (
        |  SELECT l.j, sum(d.c[l.j] * t.d2) AS w
-       |  FROM dl d JOIN ddots$k t USING (vec_id)
+       |  FROM $src d JOIN ${out}dots$k t USING (vec_id)
        |  CROSS JOIN lanes l
        |  GROUP BY l.j),
-       |u$k AS MATERIALIZED (
-       |  SELECT list(CAST(w * 256 // (SELECT max(abs(w)) FROM dw$k)
+       |$out$k AS MATERIALIZED (
+       |  SELECT list(CAST(w * 256 // (SELECT max(abs(w)) FROM ${out}w$k)
        |    AS BIGINT) ORDER BY j) AS varr
-       |  FROM dw$k)""".stripMargin
+       |  FROM ${out}w$k)""".stripMargin
 
   /** Shared preamble for the PCA oracles: quantized lanes, lane means,
     * the all-ones seed, and the 3 unrolled power steps ending at v3. */
@@ -4014,6 +4048,32 @@ object SparkEntry {
        |${pcaStepSql(1, "v0")},
        |${pcaStepSql(2, "v1")},
        |${pcaStepSql(3, "v2")}""".stripMargin
+
+  /** [[pcaTrainSql]] extended through the FIRST deflation: |v1|^2,
+    * component-1 dots, deflated lanes `dl`, and the 3 power steps
+    * ending at u3 (= v2) — shared by the second- and third-component
+    * oracles. Every multiply-referenced CTE is MATERIALIZED (the r8
+    * EXPLAIN-hang lesson: DuckDB re-expands plain CTEs per reference,
+    * exponentially on deflation chains). */
+  private lazy val pcaSecondSql: String =
+    s"""$pcaTrainSql,
+       |vq AS MATERIALIZED (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3),
+       |d1 AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    list_sum([(q.q[j] - m.marr[j]) * v.varr[j]
+       |      FOR j IN range(1, 65)]) AS d
+       |  FROM qv q CROSS JOIN mv m CROSS JOIN v3 v),
+       |dl AS MATERIALIZED (
+       |  SELECT q.vec_id,
+       |    [(q.q[j] - m.marr[j]) - (v.varr[j] * d1.d) // vq.vsq
+       |     FOR j IN range(1, 65)] AS c
+       |  FROM qv q JOIN d1 USING (vec_id)
+       |  CROSS JOIN mv m CROSS JOIN v3 v CROSS JOIN vq),
+       |u0 AS MATERIALIZED (SELECT [CAST(256 AS BIGINT)
+       |               FOR i IN range(1, 65)] AS varr),
+       |${pcaDeflStepSql(1, "u0")},
+       |${pcaDeflStepSql(2, "u1")},
+       |${pcaDeflStepSql(3, "u2")}""".stripMargin
 
   private lazy val pqDistsSql: String =
     """WITH cb AS (
@@ -4138,26 +4198,33 @@ object SparkEntry {
     * ties to the lower index), floor-mean each non-empty centroid;
     * empty centroids keep their position. Expects `train` (vec_id,
     * q = quantized lanes) in scope; centroids carry (j, ci, c). */
-  private def pqLloydRoundSql(prev: String, next: String): String =
+  private def pqLloydRoundSql(prev: String, next: String,
+                              trainCte: String = "train",
+                              materialized: Boolean = false): String = {
+    // multiply-referenced final books (drift + code batteries) must be
+    // MATERIALIZED — DuckDB re-expands plain CTEs per reference and
+    // the Lloyd chain is deep (the documented r8 lesson)
+    val mat = if (materialized) "MATERIALIZED " else ""
     s"""a$next AS (
        |  SELECT t.vec_id, c.j, c.ci,
        |    row_number() OVER (PARTITION BY t.vec_id, c.j
        |      ORDER BY list_sum([(t.q[c.j*8 + i] - c.c[i])
        |        * (t.q[c.j*8 + i] - c.c[i]) FOR i IN range(1, 9)]),
        |        c.ci) AS rnk
-       |  FROM train t CROSS JOIN $prev c),
+       |  FROM $trainCte t CROSS JOIN $prev c),
        |m$next AS (
        |  SELECT a.j, a.ci, r.i,
        |    CAST(floor(CAST(sum(t.q[a.j*8 + r.i]) AS DOUBLE) / count(*))
        |      AS BIGINT) AS cv
-       |  FROM a$next a, train t, range(1, 9) r(i)
+       |  FROM a$next a, $trainCte t, range(1, 9) r(i)
        |  WHERE t.vec_id = a.vec_id AND a.rnk = 1
        |  GROUP BY 1, 2, 3),
-       |$next AS (
+       |$next AS $mat(
        |  SELECT p.j, p.ci, coalesce(n.c, p.c) AS c
        |  FROM $prev p LEFT JOIN (SELECT j, ci, list(cv ORDER BY i) AS c
        |                          FROM m$next GROUP BY 1, 2) n
        |    USING (j, ci))""".stripMargin
+  }
 
   /** Shared CDC replay prefix: the changeset, latest-per-key pick, and
     * merged v2 snapshot — `cdc_apply_documents` and
@@ -7303,26 +7370,32 @@ object SparkEntry {
     // deflation replay: component-1 dots, per-lane truncating shrink by
     // |v1|^2, then 3 unrolled power steps over the DEFLATED lanes
     "embedding_second_component" ->
-      s"""$pcaTrainSql,
-         |vq AS MATERIALIZED (SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM v3),
-         |d1 AS MATERIALIZED (
-         |  SELECT q.vec_id,
-         |    list_sum([(q.q[j] - m.marr[j]) * v.varr[j]
-         |      FOR j IN range(1, 65)]) AS d
-         |  FROM qv q CROSS JOIN mv m CROSS JOIN v3 v),
-         |dl AS MATERIALIZED (
-         |  SELECT q.vec_id,
-         |    [(q.q[j] - m.marr[j]) - (v.varr[j] * d1.d) // vq.vsq
-         |     FOR j IN range(1, 65)] AS c
-         |  FROM qv q JOIN d1 USING (vec_id)
-         |  CROSS JOIN mv m CROSS JOIN v3 v CROSS JOIN vq),
-         |u0 AS MATERIALIZED (SELECT [CAST(256 AS BIGINT)
-         |               FOR i IN range(1, 65)] AS varr),
-         |${pcaDeflStepSql(1, "u0")},
-         |${pcaDeflStepSql(2, "u1")},
-         |${pcaDeflStepSql(3, "u2")}
+      s"""$pcaSecondSql
          |SELECT CAST(l.j - 1 AS INT) AS lane, u.varr[l.j] AS v
          |FROM lanes l CROSS JOIN u3 u""".stripMargin,
+    // third-component replay: the same deflation applied to the
+    // DEFLATED lanes (shrink by |v2|^2), 3 more unrolled power steps
+    "embedding_third_component" ->
+      s"""$pcaSecondSql,
+         |vq2 AS MATERIALIZED (
+         |  SELECT list_sum([x * x FOR x IN varr]) AS vsq FROM u3),
+         |d2 AS MATERIALIZED (
+         |  SELECT d.vec_id,
+         |    list_sum([d.c[j] * u.varr[j] FOR j IN range(1, 65)]) AS d
+         |  FROM dl d CROSS JOIN u3 u),
+         |dl2 AS MATERIALIZED (
+         |  SELECT d.vec_id,
+         |    [d.c[j] - (u.varr[j] * d2.d) // vq2.vsq
+         |     FOR j IN range(1, 65)] AS c
+         |  FROM dl d JOIN d2 USING (vec_id)
+         |  CROSS JOIN u3 u CROSS JOIN vq2),
+         |t0 AS MATERIALIZED (SELECT [CAST(256 AS BIGINT)
+         |               FOR i IN range(1, 65)] AS varr),
+         |${pcaDeflStepSql(1, "t0", "dl2", "t")},
+         |${pcaDeflStepSql(2, "t1", "dl2", "t")},
+         |${pcaDeflStepSql(3, "t2", "dl2", "t")}
+         |SELECT CAST(l.j - 1 AS INT) AS lane, t.varr[l.j] AS v
+         |FROM lanes l CROSS JOIN t3 t""".stripMargin,
     // variance-share replay: dots vs the final v3, HUGEINT square
     // sums, one truncating division
     "embedding_pca_variance" ->
@@ -7529,6 +7602,65 @@ object SparkEntry {
          |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
          |        ORDER BY adc_dist ASC, neighbor_id) AS rank FROM adc)
          |WHERE rank <= 5""".stripMargin,
+    // codebook-maintenance replay: both 1-round Lloyd fits unrolled
+    // (base train head vs drifted base+delta head), per-row code
+    // batteries under both books, per-subspace drift + changed counts
+    "similarity_ivfpq_incremental" ->
+      s"""WITH qv AS MATERIALIZED (
+         |  SELECT vec_id,
+         |    [CAST(floor(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)
+         |     FOR x IN embedding] AS q
+         |  FROM embeddings),
+         |train AS (SELECT vec_id, q FROM qv WHERE vec_id < 4000
+         |          ORDER BY vec_id LIMIT 128),
+         |train2 AS (SELECT vec_id, q FROM qv
+         |           WHERE vec_id < 64 OR (vec_id >= 4000 AND vec_id < 4064)
+         |           ORDER BY vec_id LIMIT 128),
+         |c0 AS (
+         |  SELECT s.j, t.ci, [t.q[s.j*8 + i] FOR i IN range(1, 9)] AS c
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, q
+         |        FROM train ORDER BY vec_id LIMIT 16) t
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s),
+         |${pqLloydRoundSql("c0", "b0", "train", materialized = true)},
+         |d0 AS (
+         |  SELECT s.j, t.ci, [t.q[s.j*8 + i] FOR i IN range(1, 9)] AS c
+         |  FROM (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS ci, q
+         |        FROM train2 ORDER BY vec_id LIMIT 16) t
+         |  CROSS JOIN (SELECT unnest(range(0, 8)) AS j) s),
+         |${pqLloydRoundSql("d0", "b1", "train2", materialized = true)},
+         |dist0 AS (
+         |  SELECT e.vec_id, c.j, c.ci,
+         |    list_sum([(e.q[c.j*8 + i] - c.c[i])
+         |      * (e.q[c.j*8 + i] - c.c[i]) FOR i IN range(1, 9)]) AS d
+         |  FROM qv e CROSS JOIN b0 c),
+         |code0 AS (SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dist0) WHERE rnk = 1),
+         |dist1 AS (
+         |  SELECT e.vec_id, c.j, c.ci,
+         |    list_sum([(e.q[c.j*8 + i] - c.c[i])
+         |      * (e.q[c.j*8 + i] - c.c[i]) FOR i IN range(1, 9)]) AS d
+         |  FROM qv e CROSS JOIN b1 c),
+         |code1 AS (SELECT vec_id, j, ci AS code
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY vec_id, j
+         |          ORDER BY d, ci) AS rnk FROM dist1) WHERE rnk = 1),
+         |ch AS (
+         |  SELECT a.vec_id, a.j, (a.code <> z.code) AS changed
+         |  FROM code0 a JOIN code1 z ON a.vec_id = z.vec_id AND a.j = z.j),
+         |drift AS (
+         |  SELECT p.j, CAST(sum(list_sum([(n.c[i] - p.c[i])
+         |    * (n.c[i] - p.c[i]) FOR i IN range(1, 9)])) AS BIGINT) AS drift
+         |  FROM b0 p JOIN b1 n ON p.j = n.j AND p.ci = n.ci GROUP BY 1)
+         |SELECT CAST(ch.j AS INT) AS subspace, drift.drift AS drift,
+         |  CAST(count(*) FILTER (WHERE changed AND vec_id < 4000)
+         |    AS BIGINT) AS n_changed_base,
+         |  CAST(count(*) FILTER (WHERE changed AND vec_id >= 4000)
+         |    AS BIGINT) AS n_changed_delta,
+         |  CAST(count(*) FILTER (WHERE vec_id < 4000) AS BIGINT) AS n_base,
+         |  CAST(count(*) FILTER (WHERE vec_id >= 4000) AS BIGINT)
+         |    AS n_delta
+         |FROM ch JOIN drift ON drift.j = ch.j
+         |GROUP BY ch.j, drift.drift""".stripMargin,
     "similarity_topk_embeddings" ->
       s"""WITH v AS (SELECT vec_id,
          |  [CAST(x AS DOUBLE) / sqrt(list_sum([CAST(y AS DOUBLE) * y

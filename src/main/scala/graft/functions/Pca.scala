@@ -256,4 +256,95 @@ object Pca {
       .zipWithIndex.map { case (x, i) => (i, x) }.toSeq
       .toDF("lane", "v")
   }
+
+  /** THIRD principal direction: the [[secondComponentInt]] truncating
+    * deflation applied TWICE —
+    *
+    *   d_ij = c_ij - (v1_j * (c_i . v1)) // |v1|^2     (first shrink)
+    *   e_ij = d_ij - (v2_j * (d_i . v2)) // |v2|^2     (second shrink)
+    *
+    * then power iteration over e. Magnitudes stay replayable:
+    * |e| <= |d| + |d|_2 <= (1 + sqrt(dim)) * |d| (Cauchy-Schwarz on
+    * the subtracted projection), ~2^16.5 per lane at the defaults, so
+    * the third power step's per-row products are <= ~2^47 and the
+    * DECIMAL(38,0) lane accumulation stays scale-safe past 2^70 rows.
+    * Each truncating shrink leaves an O(1/|v|) residual along the
+    * deflated-out direction; the accumulated drift across BOTH
+    * deflations is measured against an exactly-orthogonalized double
+    * reference in PcaSpec (the bound, not a hope). All dots are staged
+    * as attributes below the Generate, one staging select per
+    * deflation depth — the CollapseProject lesson. */
+  def thirdComponentInt(df: DataFrame, vecCol: Column, dim: Int,
+                        scale: Int = 256, iters: Int = 3): Array[Long] = {
+    require(iters >= 1 && dim >= 1 && scale >= 2)
+    val mean = laneMeans(df, vecCol, dim, scale)
+    val v1 = topComponentWithMean(df, vecCol, dim, scale, iters, mean)
+    val vsq1 = v1.map(x => x * x).sum
+    val q = df.select(vecCol.as("q"))
+    val dot1 = dotConst(col("q"), dim, scale, mean, v1)
+    def dLane(j: Int): Column =
+      qcLane(col("q"), j, scale, mean(j)) -
+        divT(lit(v1(j)) * col("d1"), vsq1)
+    // --- second component (same loop as secondComponentInt) ---
+    var v2 = Array.fill(dim)(scale.toLong)
+    for (_ <- 1 to iters) {
+      val dot2 = (0 until dim).map(j => dLane(j) * lit(v2(j)))
+        .reduce(_ + _)
+      val w = q.select(dot1.as("d1"), col("q"))
+        .select(dot2.as("d2"), col("d1"), col("q"))
+        .select(col("d2"), posexplode(array((0 until dim).map(dLane): _*)))
+        .groupBy(col("pos"))
+        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
+        .orderBy(col("pos")).collect()
+        .map(r => BigInt(r.getDecimal(1).toBigInteger))
+      require(w.length == dim)
+      val maxAbs = w.map(_.abs).max
+      require(maxAbs > 0,
+        "deflated power iteration collapsed to the zero vector")
+      v2 = w.map(x => ((x * scale) / maxAbs).toLong)
+    }
+    // --- second deflation + third power loop ---
+    // the once-deflated lanes are staged as an ARRAY attribute ("dc"):
+    // inlining dLane per e-lane term doubled the generated consume
+    // method past Janino's 64KB limit and dropped the Generate out of
+    // codegen; element_at over the staged array keeps every stage
+    // compiled (and CollapseProject won't re-inline a 64-term array
+    // referenced 64x)
+    val vsq2 = v2.map(x => x * x).sum
+    def eLaneA(j: Int): Column =
+      element_at(col("dc"), j + 1) - divT(lit(v2(j)) * col("d2a"), vsq2)
+    var v3 = Array.fill(dim)(scale.toLong)
+    for (_ <- 1 to iters) {
+      val dot2a = (0 until dim)
+        .map(j => element_at(col("dc"), j + 1) * lit(v2(j)))
+        .reduce(_ + _)
+      val dot3 = (0 until dim).map(j => eLaneA(j) * lit(v3(j)))
+        .reduce(_ + _)
+      val w = q.select(dot1.as("d1"), col("q"))
+        .select(array((0 until dim).map(dLane): _*).as("dc"))
+        .select(dot2a.as("d2a"), col("dc"))
+        .select(dot3.as("d3"), col("d2a"), col("dc"))
+        .select(col("d3"), posexplode(array((0 until dim).map(eLaneA): _*)))
+        .groupBy(col("pos"))
+        .agg(sum((col("col") * col("d3")).cast("decimal(38,0)")).as("w"))
+        .orderBy(col("pos")).collect()
+        .map(r => BigInt(r.getDecimal(1).toBigInteger))
+      require(w.length == dim)
+      val maxAbs = w.map(_.abs).max
+      require(maxAbs > 0,
+        "doubly-deflated power iteration collapsed to the zero vector")
+      v3 = w.map(x => ((x * scale) / maxAbs).toLong)
+    }
+    v3
+  }
+
+  /** Declared-query surface for the third component: (lane, v) rows. */
+  def thirdComponentTable(df: DataFrame, vecCol: Column, dim: Int,
+                          scale: Int = 256, iters: Int = 3): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    thirdComponentInt(df, vecCol, dim, scale, iters)
+      .zipWithIndex.map { case (x, i) => (i, x) }.toSeq
+      .toDF("lane", "v")
+  }
 }

@@ -348,4 +348,75 @@ object Pq {
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         (-col("score")).as("adc_dist"))
   }
+
+  /** [[encode]] over the INT codebook: (vec_id, codes array<int>) —
+    * one codegen'd scan, zero shuffles; the persisted-code artifact
+    * the maintenance path keeps valid. */
+  def encodeInt(df: DataFrame, id: Column, vec: Column,
+                books: IntCodebook): DataFrame = {
+    val best = books.indices.map(j => bestOfInt(vec, j, books(j)))
+    df.select(id.as("vec_id"),
+      array(best.map(_.getField("i")): _*).as("codes"))
+  }
+
+  /** Integer centroid drift between two codebooks, per subspace:
+    * sum over centroids of squared L2 between old and new lanes —
+    * the driver-side signal that decides WHEN a refresh is worth the
+    * re-encode write. Pure integer, both books are driver values. */
+  def codebookDrift(oldBooks: IntCodebook, newBooks: IntCodebook): Seq[Long] = {
+    require(oldBooks.length == newBooks.length,
+      "codebooks have different subspace counts")
+    oldBooks.indices.map { j =>
+      require(oldBooks(j).length == newBooks(j).length,
+        s"subspace $j centroid counts differ")
+      (oldBooks(j) lazyZip newBooks(j)).map { (a, b) =>
+        (a lazyZip b).map { (x, y) => val d = x - y; d * d }.sum
+      }.sum
+    }
+  }
+
+  /** CODEBOOK MAINTENANCE report — the IVF-PQ answer to drifting data
+    * (the `similarity_ivf_incremental` discipline applied to the PQ
+    * quantizer): when a refreshed codebook `newBooks` is fitted, the
+    * persisted code rows must not all be rewritten — the write set is
+    * exactly the rows whose nearest centroid CHANGED in >= 1 subspace.
+    * This measures that set in ONE fused zero-shuffle scan (both code
+    * batteries side by side per row; the only exchange is the m-row
+    * final aggregation) plus the driver-side [[codebookDrift]] signal.
+    *
+    * Output per subspace: (subspace, drift, n_changed_base,
+    * n_changed_delta, n_base, n_delta) — at 100 TB the scan
+    * parallelizes per partition, the re-encode write is
+    * `sum(changed)` rows instead of |corpus|, and base is never
+    * shuffled. */
+  def maintenanceReport(base: DataFrame, delta: DataFrame,
+                        id: Column, vec: Column,
+                        oldBooks: IntCodebook,
+                        newBooks: IntCodebook): DataFrame = {
+    val m = oldBooks.length
+    require(newBooks.length == m, "codebooks have different subspace counts")
+    val all = base.select(lit("base").as("side"), id.as("vec_id"),
+        vec.as("__v"))
+      .unionByName(delta.select(lit("delta").as("side"), id.as("vec_id"),
+        vec.as("__v")))
+    val changed = (0 until m).map { j =>
+      (bestOfInt(col("__v"), j, oldBooks(j)).getField("i") =!=
+        bestOfInt(col("__v"), j, newBooks(j)).getField("i"))
+        .cast("long")
+    }
+    val drift = codebookDrift(oldBooks, newBooks)
+    all.select(col("side"), posexplode(array(changed: _*)))
+      .groupBy(col("pos").cast("int").as("subspace"))
+      .agg(
+        sum(when(col("side") === "base", col("col")).otherwise(0L))
+          .as("n_changed_base"),
+        sum(when(col("side") === "delta", col("col")).otherwise(0L))
+          .as("n_changed_delta"),
+        sum(when(col("side") === "base", 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("side") === "delta", 1L).otherwise(0L)).as("n_delta"))
+      .withColumn("drift",
+        element_at(typedLit(drift), col("subspace") + 1))
+      .select(col("subspace"), col("drift"), col("n_changed_base"),
+        col("n_changed_delta"), col("n_base"), col("n_delta"))
+  }
 }

@@ -192,4 +192,51 @@ class PqSpec extends SparkSpec {
     ds(2) should be <= ds(1)
     ds(2) should be < ds(0) // genuinely refined, not a no-op
   }
+
+  test("maintenanceReport stability: identical books -> zero drift, " +
+      "zero re-encode; drifted books -> counts equal the encode diff") {
+    val emb = Tables(spark, sf001, "embeddings")
+    val base = emb.filter($"vec_id" < 300)
+    val delta = emb.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    val b0 = Pq.fitLloydQuantized(base, $"vec_id", $"embedding",
+      m = 8, k = 16, trainN = 64, iters = 1)
+    // stability: refreshing with the SAME book is a no-op — no drift,
+    // no changed codes, so no write amplification on a quiet corpus
+    val stable = Pq.maintenanceReport(base, delta, $"vec_id",
+        $"embedding", b0, b0).collect()
+    stable.length shouldBe 8
+    stable.foreach { r =>
+      r.getAs[Long]("drift") shouldBe 0L
+      r.getAs[Long]("n_changed_base") shouldBe 0L
+      r.getAs[Long]("n_changed_delta") shouldBe 0L
+    }
+    // drifted refresh: report counts must equal the literal diff of
+    // the two encodeInt outputs (the write set is exactly what the
+    // report claims — no over- or under-write)
+    val refresh = emb.filter($"vec_id" < 32 ||
+      ($"vec_id" >= 300 && $"vec_id" < 332))
+    val b1 = Pq.fitLloydQuantized(refresh, $"vec_id", $"embedding",
+      m = 8, k = 16, trainN = 64, iters = 1)
+    val report = Pq.maintenanceReport(base, delta, $"vec_id",
+        $"embedding", b0, b1).collect()
+      .map(r => r.getAs[Int]("subspace") ->
+        ((r.getAs[Long]("n_changed_base"), r.getAs[Long]("n_changed_delta"),
+          r.getAs[Long]("drift")))).toMap
+    val all = base.unionByName(delta)
+    val c0 = Pq.encodeInt(all, $"vec_id", $"embedding", b0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    val c1 = Pq.encodeInt(all, $"vec_id", $"embedding", b1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    (0 until 8).foreach { j =>
+      val wantBase = c0.keys.count(id => id < 300 && c0(id)(j) != c1(id)(j))
+      val wantDelta = c0.keys.count(id => id >= 300 && c0(id)(j) != c1(id)(j))
+      report(j)._1 shouldBe wantBase.toLong
+      report(j)._2 shouldBe wantDelta.toLong
+    }
+    // drift matches the driver-side definition and is nonzero for a
+    // genuinely different book
+    val drift = Pq.codebookDrift(b0, b1)
+    (0 until 8).foreach(j => report(j)._3 shouldBe drift(j))
+    drift.sum should be > 0L
+  }
 }
