@@ -411,6 +411,16 @@ object SparkEntry {
         Tables(s, dir, "documents"), col("doc_id"), col("text"),
         patterns = Seq("query", "small query", "dup", "window", "in"))
     },
+    // The SAME scan through the dense-table automaton (flat full-DFA
+    // next-move array, char classes, broadcast once per executor) —
+    // the >10k-pattern shape where the map-per-node trie's probe and
+    // per-task closure ship become the cost; identical match
+    // semantics, identical oracle.
+    "text_blocklist_scan_dense" -> { (s, dir) =>
+      graft.functions.AhoCorasick.scanCountsDense(
+        Tables(s, dir, "documents"), col("doc_id"), col("text"),
+        patterns = Seq("query", "small query", "dup", "window", "in"))
+    },
     // Exact PHRASE retrieval through positional postings: term i must
     // sit at anchor + i. The postings stream is |phrase|-sparse (term
     // filter rides before the explode); alignment is two equi-joins on
@@ -4513,6 +4523,9 @@ object SparkEntry {
     // positional overlap-inclusive recount per (doc, pattern) — nested
     // matches land naturally because every start offset is tested
     "text_blocklist_scan" ->
+      graft.functions.AhoCorasick.Sql.query(
+        Seq("query", "small query", "dup", "window", "in")),
+    "text_blocklist_scan_dense" ->
       graft.functions.AhoCorasick.Sql.query(
         Seq("query", "small query", "dup", "window", "in")),
     // RRF replay: the boolean-search oracle as a subquery, the dense

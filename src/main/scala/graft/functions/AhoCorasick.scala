@@ -87,6 +87,123 @@ object AhoCorasick {
     }
   }
 
+  /** DENSE-TABLE automaton — the >10k-pattern shape. The map-per-node
+    * trie above is right for hand-sized blocklists (tiny build, tiny
+    * closure); at 10k-100k patterns the per-char map probe and the
+    * per-task closure ship both become the cost. This variant
+    * compiles the classic flat next-move DFA:
+    *
+    *  - characters collapse to DENSE CLASSES (distinct pattern chars
+    *    + 1 "other" class; a 64Ki int table maps any BMP char);
+    *  - next(state * nClasses + cls) is the full delta function
+    *    (goto-or-fail precomputed by BFS), so the matcher inner loop
+    *    is ONE array read per input char — no fail-chain walk, no map
+    *    probe, no boxing;
+    *  - matches emit via the output-link chain (nearest suffix state
+    *    that terminates a pattern), identical overlap/nesting
+    *    semantics to [[Automaton]] (differential-fuzz-pinned).
+    *
+    * Ship as a BROADCAST, not a closure: the table is
+    * states x classes ints (~50 MB at 100k patterns) and must cross
+    * the wire once per executor, not once per task —
+    * [[scanCountsDense]] does this. */
+  final class DenseAutomaton(val patterns: Seq[String]) extends Serializable {
+    require(patterns.nonEmpty && patterns.forall(_.nonEmpty),
+      "patterns must be non-empty strings")
+    require(patterns.distinct.length == patterns.length,
+      "duplicate patterns (dedupe the blocklist first)")
+
+    /** char -> dense class (0 = not in any pattern). */
+    val charCls: Array[Int] = {
+      val t = new Array[Int](65536)
+      var next = 0
+      patterns.foreach(_.foreach { ch =>
+        if (t(ch) == 0) { next += 1; t(ch) = next }
+      })
+      t
+    }
+    val nClasses: Int = charCls.max + 1
+
+    val (next: Array[Int], outPat: Array[Int], outLink: Array[Int]) = {
+      // trie keyed by class id
+      val children = mutable.ArrayBuffer(mutable.Map.empty[Int, Int])
+      val pat = mutable.ArrayBuffer(-1)
+      patterns.zipWithIndex.foreach { case (p, pi) =>
+        var s = 0
+        p.foreach { ch =>
+          s = children(s).getOrElseUpdate(charCls(ch), {
+            children += mutable.Map.empty[Int, Int]
+            pat += -1
+            children.length - 1
+          })
+        }
+        pat(s) = pi
+      }
+      val n = children.length
+      val nc = nClasses
+      val nxt = new Array[Int](n * nc)
+      val fail = new Array[Int](n)
+      val link = Array.fill(n)(-1)
+      val q = mutable.Queue.empty[Int]
+      children(0).foreach { case (c, v) => nxt(c) = v; q.enqueue(v) }
+      while (q.nonEmpty) {
+        val u = q.dequeue()
+        val fu = fail(u)
+        link(u) = if (pat(fu) >= 0) fu else link(fu)
+        // full delta row: child where present, delta(fail(u), c) else
+        var c = 0
+        while (c < nc) {
+          children(u).get(c) match {
+            case Some(v) => fail(v) = nxt(fu * nc + c); nxt(u * nc + c) = v
+              q.enqueue(v)
+            case None => nxt(u * nc + c) = nxt(fu * nc + c)
+          }
+          c += 1
+        }
+      }
+      (nxt, pat.toArray, link)
+    }
+
+    /** Array view of the pattern list — `patterns(pi)` on a linked
+      * Seq would be O(n) per emitted match. */
+    val patternsArr: Array[String] = patterns.toArray
+
+    /** Same counting contract as [[Automaton.countMatches]]: every
+      * occurrence of every pattern, overlaps and nesting included. */
+    def countMatches(text: String): Array[Long] = {
+      val counts = new Array[Long](patterns.length)
+      val touched = new Array[Int](patterns.length)
+      countInto(text, counts, touched)
+      counts
+    }
+
+    /** Sparse-emit matcher for the DISTRIBUTED scan: accumulate into a
+      * caller-owned `counts` buffer (all zeros on entry), recording
+      * each first-touched pattern index in `touched`; returns the
+      * touch count. Per-row work is O(chars + matches) — a fresh
+      * 100k-long counts array per document (800 KB x rows) was the
+      * measured 10x scan blowup at 100k patterns, not the automaton. */
+    def countInto(text: String, counts: Array[Long],
+                  touched: Array[Int]): Int = {
+      val nc = nClasses
+      var nT = 0
+      var s = 0
+      var i = 0
+      while (i < text.length) {
+        s = next(s * nc + charCls(text.charAt(i)))
+        var t = if (outPat(s) >= 0) s else outLink(s)
+        while (t >= 0) {
+          val pi = outPat(t)
+          if (counts(pi) == 0L) { touched(nT) = pi; nT += 1 }
+          counts(pi) += 1L
+          t = outLink(t)
+        }
+        i += 1
+      }
+      nT
+    }
+  }
+
   /** Scan `textCol` for every pattern: one automaton pass per row,
     * emitting (id, pattern, n_matches) for patterns with >= 1 match. */
   def scanCounts(df: DataFrame, idCol: Column, textCol: Column,
@@ -102,6 +219,39 @@ object AhoCorasick {
           case pi if c(pi) > 0 => (id, auto.patterns(pi), c(pi))
         }
       })
+      .toDF("doc_id", "pattern", "n_matches")
+  }
+
+  /** [[scanCounts]] over the dense-table automaton, broadcast once
+    * per executor (the table is tens of MB at 100k patterns — a task
+    * closure would re-ship it per task). Same output and the same
+    * oracle as the sparse path. */
+  def scanCountsDense(df: DataFrame, idCol: Column, textCol: Column,
+                      patterns: Seq[String]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val auto = spark.sparkContext.broadcast(new DenseAutomaton(patterns))
+    df.select(idCol.cast("long").as("id"), textCol.as("t"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val a = auto.value
+        // one counts buffer per PARTITION, reset sparsely per row via
+        // the touched list — O(matches) per doc, never O(patterns)
+        val counts = new Array[Long](a.patternsArr.length)
+        val touched = new Array[Int](a.patternsArr.length)
+        it.flatMap { case (id, t) =>
+          val nT = a.countInto(if (t == null) "" else t, counts, touched)
+          val out = new Array[(Long, String, Long)](nT)
+          var x = 0
+          while (x < nT) {
+            val pi = touched(x)
+            out(x) = (id, a.patternsArr(pi), counts(pi))
+            counts(pi) = 0L
+            x += 1
+          }
+          out
+        }
+      }
       .toDF("doc_id", "pattern", "n_matches")
   }
 

@@ -607,11 +607,14 @@ object Dedup {
     * [[incremental]] (same exact oracle), only the anti-join shuffle
     * shrinks from |base| to ~fpp·|base| rows.
     *
-    * The probe is a broadcast-variable lookup and thus a (documented)
-    * UDF — there is no public builtin for probing a driver-built
-    * `util.sketch.BloomFilter`; the O(1) probe is dwarfed by the md5
-    * fingerprint computed beside it. Driver/broadcast memory is the
-    * filter bitmap, sized by the DELTA roster (`fpp` at `n_delta`
+    * The probe is the codegen'd [[graft.functions.BloomMd5]] bitmap
+    * expression (stateless shift/mask over a literal long array) — no
+    * per-row Scala UDF anywhere on the path, and the same hash family
+    * the streaming bloom twin replays. The result cannot depend on
+    * which filter is used (a Bloom has no false negatives; positives
+    * only admit extra rows into the exact anti-join), so swapping the
+    * probe leaves the oracle untouched. Driver/broadcast memory is
+    * the bitmap, sized by the DELTA roster (`fpp` at `n_delta`
     * items — ~1.2 MB per million delta fingerprints at 1%), never by
     * the base. The delta roster is localCheckpoint-ed once: it feeds
     * the bloom build, and reusing it keeps the fingerprint scan from
@@ -625,15 +628,22 @@ object Dedup {
       .groupBy(col("fp"))
       .agg(min(col("id")).as("id"), count(lit(1)).as("n_delta_copies"))
       .localCheckpoint()
-    val nDelta = deltaRoster.count()
-    val bloom = deltaRoster.stat
-      .bloomFilter("fp", math.max(nDelta, 1L), fpp)
-    val bc = base.sparkSession.sparkContext.broadcast(bloom)
-    val mightOverlap =
-      udf((s: String) => s != null && bc.value.mightContainString(s))
-    val baseCandidates = base
-      .select(TextAnalysis.fingerprint(textCol).as("fp"))
-      .filter(mightOverlap(col("fp")))
+    val nDelta = math.max(deltaRoster.count(), 1L)
+    // standard Bloom sizing: m = n ln(1/fpp) / ln(2)^2 bits (rounded
+    // up to whole words), k = (m/n) ln 2 hash rows
+    val mBits = {
+      val raw = math.ceil(
+        nDelta * math.log(1.0 / fpp) / (math.log(2.0) * math.log(2.0))).toLong
+      (((raw + 63) / 64) * 64).toInt.max(64)
+    }
+    val kHashes = math.max(1,
+      math.round(mBits.toDouble / nDelta * math.log(2.0)).toInt)
+    val words = graft.functions.BloomMd5.build(
+      deltaRoster, col("fp"), mBits, kHashes)
+    val baseCandidates = graft.functions.BloomMd5.markPositive(
+        base.select(TextAnalysis.fingerprint(textCol).as("fp")),
+        col("fp"), words, mBits, kHashes, "__pos")
+      .filter(col("__pos")).drop("__pos")
       .distinct()
     deltaRoster.join(baseCandidates, Seq("fp"), "left_anti")
   }

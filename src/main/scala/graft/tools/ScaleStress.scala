@@ -628,6 +628,37 @@ object ScaleStress {
         docs.filter(col("id") < 1000000L), col("text"),
         window = 3, minCount = 50, k = 50).count()
     }
+
+    // Aho-Corasick at blocklist scale: two-token phrases over the doc
+    // vocabulary (all distinct, real matches occur). Build time is
+    // DRIVER time; scan is the distributed pass over 1M docs.
+    def acPatterns(n: Int): Seq[String] =
+      (0 until n).map(i => s"w${i % 1000} w${i / 1000}")
+    Seq(10000, 100000).foreach { np =>
+      val pats = acPatterns(np)
+      time(f"ac sparse automaton build ($np%6d patterns, driver)") {
+        new graft.functions.AhoCorasick.Automaton(pats)
+      }
+      time(f"ac dense automaton build ($np%6d patterns, driver)") {
+        new graft.functions.AhoCorasick.DenseAutomaton(pats)
+      }
+      time(f"ac dense scan ($np%6d patterns, 1M docs)") {
+        graft.functions.AhoCorasick.scanCountsDense(
+          docs.filter(col("id") < 1000000L), col("id"), col("text"), pats)
+          .groupBy(col("pattern")).agg(sum(col("n_matches")))
+          .count()
+      }
+    }
+    // the hand-sized sparse path at 10k as the comparison line (the
+    // 100k sparse scan is the shape the dense table replaces — run it
+    // once at 10k only; its per-char map probe is the measured cost)
+    time("ac sparse scan ( 10000 patterns, 1M docs)") {
+      graft.functions.AhoCorasick.scanCounts(
+        docs.filter(col("id") < 1000000L), col("id"), col("text"),
+        acPatterns(10000))
+        .groupBy(col("pattern")).agg(sum(col("n_matches")))
+        .count()
+    }
     spark.stop()
   }
 }

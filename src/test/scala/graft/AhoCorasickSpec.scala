@@ -40,6 +40,59 @@ class AhoCorasickSpec extends SparkSpec {
     }
   }
 
+  test("DenseAutomaton == Automaton on the classic cases") {
+    for (pats <- Seq(
+        Seq("he", "she", "his", "hers"),
+        Seq("aa", "aaa"),
+        Seq("window", "in", "do"))) {
+      val sparse = new AhoCorasick.Automaton(pats)
+      val dense = new AhoCorasick.DenseAutomaton(pats)
+      for (t <- Seq("ushers", "aaaa", "window window", "", "zzz"))
+        dense.countMatches(t).toSeq shouldBe sparse.countMatches(t).toSeq
+    }
+  }
+
+  test("DenseAutomaton differential fuzz: random pattern sets, random " +
+      "texts, chars outside the pattern alphabet") {
+    (0 until 50).foreach { seed =>
+      val rnd = new scala.util.Random(seed)
+      val alpha = "abc"
+      val pats = (0 until 3 + rnd.nextInt(8)).map(_ =>
+        (0 until 1 + rnd.nextInt(5))
+          .map(_ => alpha(rnd.nextInt(alpha.length))).mkString)
+        .distinct.filter(_.nonEmpty)
+      if (pats.nonEmpty) {
+        val sparse = new AhoCorasick.Automaton(pats)
+        val dense = new AhoCorasick.DenseAutomaton(pats)
+        // text over a WIDER alphabet than the patterns: the "other"
+        // char class must reset correctly mid-match
+        val t = (0 until 60).map(_ => "abcxy"(rnd.nextInt(5))).mkString
+        val got = dense.countMatches(t)
+        got.toSeq shouldBe sparse.countMatches(t).toSeq
+        got.toSeq shouldBe pats.map(brute(t, _))
+      }
+    }
+  }
+
+  test("DenseAutomaton rejects duplicate patterns loudly") {
+    intercept[IllegalArgumentException](
+      new AhoCorasick.DenseAutomaton(Seq("ab", "ab")))
+      .getMessage should include("duplicate")
+  }
+
+  test("scanCountsDense == scanCounts on a toy corpus") {
+    val pats = Seq("lo", "hello", "ll")
+    val docs = Seq((1L, "hello hello"), (2L, "lollol"), (3L, "xyz"))
+      .toDF("doc_id", "text")
+    val sparse = AhoCorasick.scanCounts(docs, col("doc_id"), col("text"),
+        pats).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toSet
+    val dense = AhoCorasick.scanCountsDense(docs, col("doc_id"),
+        col("text"), pats).collect()
+      .map(r => ((r.getLong(0), r.getString(1)), r.getLong(2))).toSet
+    dense shouldBe sparse
+  }
+
   test("scanCounts: distributed scan matches per-row brute force") {
     val pats = Seq("lo", "hello", "ll")
     val docs = Seq((1L, "hello hello"), (2L, "lollol"), (3L, "xyz"))
