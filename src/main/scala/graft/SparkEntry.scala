@@ -4873,7 +4873,8 @@ object SparkEntry {
     // Tukey fences, clamp, e4-decimal sum
     "profile_winsorize_lineitem" ->
       Seq("l_quantity", "l_extendedprice", "l_discount").map { c =>
-        s"""(WITH v AS (SELECT CAST($c AS DOUBLE) AS v FROM lineitem
+        s"""(WITH v AS MATERIALIZED (
+           |            SELECT CAST($c AS DOUBLE) AS v FROM lineitem
            |            WHERE $c IS NOT NULL),
            |mm AS (SELECT min(v) AS lo, max(v) AS hi,
            |         CAST(count(*) AS BIGINT) AS n FROM v),

@@ -629,6 +629,37 @@ object ScaleStress {
         window = 3, minCount = 50, k = 50).count()
     }
 
+    // Hybrid-retrieval dense-leg crossover: where does the PQ/ADC
+    // indexed leg (search_hybrid_rrf_indexed's geometry) overtake the
+    // brute cosine leg? Steady state is what the serving path pays —
+    // the encode is ONE-TIME index maintenance, measured separately.
+    Seq(50000L, 250000L, 1000000L).filter(_ <= vecRows).foreach { n =>
+      val sub = vecs.filter(col("vec_id") < n)
+      val q20 = vecs.filter(col("vec_id") < 20)
+      time(f"hybrid dense BRUTE    (20 q, $n%7d vecs)") {
+        Similarity.bruteForceTopK(q20, sub, 20,
+          col("vec_id"), col("embedding"), col("vec_id"), col("embedding"))
+          .count()
+      }
+      val books = graft.operators.Pq.fitAnchored(vecs,
+        col("vec_id"), col("embedding"), m = 8, k = 16)
+      var codes: org.apache.spark.sql.DataFrame = null
+      // keepStorage: the INDEXED case queries the checkpointed codes —
+      // the default per-case unpersist would truncate their lineage
+      time(f"hybrid dense ENCODE 1x (fit+codes, $n%7d vecs)",
+          keepStorage = true) {
+        codes = graft.operators.Pq.encode(sub, col("vec_id"),
+          col("embedding"), books)
+          .select(col("vec_id").as("neighbor_id"), col("codes"))
+          .localCheckpoint()
+        codes.count()
+      }
+      time(f"hybrid dense INDEXED  (20 q, $n%7d codes)") {
+        graft.operators.Pq.adcTopK(q20, codes, books, k = 20,
+          col("vec_id"), col("embedding")).count()
+      }
+    }
+
     // Aho-Corasick at blocklist scale: two-token phrases over the doc
     // vocabulary (all distinct, real matches occur). Build time is
     // DRIVER time; scan is the distributed pass over 1M docs.

@@ -77,8 +77,53 @@ for t in ["region","nation","customer","supplier","part","orders",
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+
+def _cte_expansion_lint(name, sql, threshold=32):
+    """DuckDB re-expands PLAIN (non-MATERIALIZED) CTEs per reference,
+    MULTIPLICATIVELY down a chain — a deep multiply-referenced chain
+    made r8's PCA-deflation oracle hang in EXPLAIN alone. Estimate each
+    plain CTE's instantiation count topologically (instantiations of a
+    CTE = sum of its referrers' instantiations x reference count;
+    MATERIALIZED CTEs count once) and warn when any estimate crosses
+    `threshold` — the lint that keeps the lesson durable."""
+    import re
+    defs = [(m.group(1), m.group(2) is not None, m.start())
+            for m in re.finditer(r"(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql)]
+    if not defs:
+        return
+    names = [d[0] for d in defs]
+    mat = {d[0]: d[1] for d in defs}
+    pos = {d[0]: d[2] for d in defs}
+    # reference counts of each cte inside each later cte body / final
+    # select (approximate: count word occurrences after the def site,
+    # attributing each to the region of the next def)
+    bounds = sorted(pos.values()) + [len(sql)]
+    region_of = {}
+    for n in names:
+        i = bounds.index(pos[n])
+        region_of[n] = (pos[n], bounds[i + 1] if i + 1 < len(bounds) else len(sql))
+    inst = {}
+    for n in names:  # defs appear in dependency order in WITH chains
+        refs = 0.0
+        for m, (a, b) in region_of.items():
+            if m == n:
+                continue
+            cnt = len(re.findall(r"\b%s\b" % re.escape(n), sql[a:b]))
+            if cnt:
+                refs += cnt * (1.0 if mat.get(m, False) else inst.get(m, 1.0))
+        tail_start = max(b for _, b in region_of.values())
+        refs += len(re.findall(r"\b%s\b" % re.escape(n), sql[tail_start:]))
+        inst[n] = 1.0 if mat[n] else max(refs, 1.0)
+    worst = max(inst.items(), key=lambda kv: kv[1])
+    if worst[1] >= threshold:
+        print(f"LINT {name}: plain CTE '{worst[0]}' expands ~{worst[1]:.0f}x "
+              f"(chain re-expansion) — mark it AS MATERIALIZED")
+
+
 fail = 0
 for name, sql in sorted(oracle.items()):
+    _cte_expansion_lint(name, sql)
     spark_dir = pathlib.Path(outdir) / name
     files = list(spark_dir.glob("*.parquet"))
     if not files:
