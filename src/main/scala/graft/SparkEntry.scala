@@ -3555,6 +3555,20 @@ object SparkEntry {
         col("doc_id"), col("blob"), w = 16, h = 8)
       Jpeg.decodeRgbColumn(enc, col("media_id"), col("payload")).toDF()
     },
+    // 4:2:0 — the sampling real-world JPEGs actually ship: MCU =
+    // 16x16 = [Y00 Y01 Y10 Y11 Cb Cr] (luma 2x2, chroma 1x1), luma DC
+    // prediction chaining WITHIN the MCU, pinned replicate chroma
+    // upsampling as part of the decode contract. Exact per-channel
+    // integer sums, same coefficient-replay oracle family.
+    "multimodal_decode_jpeg_420" -> { (s, dir) =>
+      val blob = concat((for (b <- 0 until 6; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"j4${b}x$k:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Jpeg.encodeYcc420Column(
+        Tables(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+        col("doc_id"), col("blob"), w = 16, h = 16)
+      Jpeg.decodeRgbColumn(enc, col("media_id"), col("payload")).toDF()
+    },
     // JPEG through the LaneCodec boundary: Jpeg.JpegLanes inside
     // decodeFeatures — lane sums over DECODED pixels, exact (the PNG
     // twin's contract, now for the second compressed format).
@@ -4319,7 +4333,7 @@ object SparkEntry {
     * DuckDB CTE re-expansion lesson). Returns CTEs ending at `px`;
     * callers append their SELECT (or further CTEs starting ",\n"). */
   private def jpegCoefPipeline(tag: String, nBlocks: Int,
-                               color: Boolean): String = {
+                               qtExpr: String = "qt0[n + 1]"): String = {
     val w = Jpeg.IdctW.mkString("[", ", ", "]")
     val zzinv = Jpeg.ZigZagInv.mkString("[", ", ", "]")
     val qt0 = Jpeg.QtLuma.mkString("[", ", ", "]")
@@ -4328,9 +4342,6 @@ object SparkEntry {
     val digest = (0 until 4).map(k =>
       s"md5('$tag' || CAST(bb.b AS VARCHAR) || 'x$k:' || CAST(doc_id AS VARCHAR))")
       .mkString(" ||\n")
-    val qtExpr =
-      if (color) "(CASE WHEN b % 3 = 0 THEN qt0[n + 1] ELSE qt1[n + 1] END)"
-      else "qt0[n + 1]"
     s"""WITH tabs AS MATERIALIZED (
        |  SELECT $w AS w, $zzinv AS zzinv, $qt0 AS qt0, $qt1 AS qt1),
        |blk AS (
@@ -8492,7 +8503,7 @@ object SparkEntry {
     // jpeg replay: coefficients -> pinned integer IDCT -> pixel stats;
     // the container (huffman/markers) is the Spark side's burden
     "multimodal_decode_jpeg" ->
-      (jpegCoefPipeline("jg", 4, color = false) + "\n" +
+      (jpegCoefPipeline("jg", 4) + "\n" +
         """SELECT doc_id AS media_id, 'jpeg' AS format,
           |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
           |  CAST(255 AS INT) AS maxval, CAST(256 AS BIGINT) AS n_pixels,
@@ -8501,7 +8512,8 @@ object SparkEntry {
           |  CAST(max(list_max(px)) AS INT) AS pixel_max
           |FROM px GROUP BY doc_id""".stripMargin),
     "multimodal_decode_jpeg_rgb" ->
-      (jpegCoefPipeline("jc", 6, color = true) + ",\n" +
+      (jpegCoefPipeline("jc", 6,
+        "(CASE WHEN b % 3 = 0 THEN qt0[n + 1] ELSE qt1[n + 1] END)") + ",\n" +
         """y AS (SELECT doc_id, b // 3 AS m, px AS py FROM px WHERE b % 3 = 0),
           |cbt AS (SELECT doc_id, b // 3 AS m, px AS pcb FROM px WHERE b % 3 = 1),
           |crt AS (SELECT doc_id, b // 3 AS m, px AS pcr FROM px WHERE b % 3 = 2),
@@ -8524,10 +8536,42 @@ object SparkEntry {
           |  CAST(sum(CAST(list_sum(gl) AS BIGINT)) AS BIGINT) AS g_sum,
           |  CAST(sum(CAST(list_sum(bl) AS BIGINT)) AS BIGINT) AS b_sum
           |FROM rgb GROUP BY doc_id""".stripMargin),
+    // 4:2:0 replay: the 6 per-MCU block rasters pivot into one
+    // list-of-lists row per doc (ll[1..4] = Y quadrants, ll[5]/ll[6] =
+    // Cb/Cr); pixel (py, px) reads Y from quadrant (py//8)*2 + px//8
+    // and chroma from (py//2, px//2) — the pinned replicate upsample —
+    // then the same Q16 conversion
+    "multimodal_decode_jpeg_420" -> {
+      val yAt = "ll[(i // 16 // 8) * 2 + (i % 16 // 8) + 1]" +
+        "[(i // 16 % 8) * 8 + i % 16 % 8 + 1]"
+      val cbAt = "ll[5][(i // 16 // 2) * 8 + (i % 16 // 2) + 1]"
+      val crAt = "ll[6][(i // 16 // 2) * 8 + (i % 16 // 2) + 1]"
+      jpegCoefPipeline("j4", 6,
+        "(CASE WHEN b < 4 THEN qt0[n + 1] ELSE qt1[n + 1] END)") + ",\n" +
+        s"""piv AS (SELECT doc_id, list(px ORDER BY b) AS ll
+           |        FROM px GROUP BY doc_id),
+           |rgb AS (
+           |  SELECT doc_id,
+           |    list_transform(range(0, 256), i -> least(greatest($yAt +
+           |      (91881 * ($crAt - 128) + 32768) // 65536, 0), 255)) AS rl,
+           |    list_transform(range(0, 256), i -> least(greatest($yAt -
+           |      (22554 * ($cbAt - 128) + 46802 * ($crAt - 128)
+           |       + 32768) // 65536, 0), 255)) AS gl,
+           |    list_transform(range(0, 256), i -> least(greatest($yAt +
+           |      (116130 * ($cbAt - 128) + 32768) // 65536, 0), 255)) AS bl
+           |  FROM piv)
+           |SELECT doc_id AS media_id,
+           |  CAST(16 AS INT) AS width, CAST(16 AS INT) AS height,
+           |  CAST(256 AS BIGINT) AS n_pixels,
+           |  CAST(CAST(list_sum(rl) AS BIGINT) AS BIGINT) AS r_sum,
+           |  CAST(CAST(list_sum(gl) AS BIGINT) AS BIGINT) AS g_sum,
+           |  CAST(CAST(list_sum(bl) AS BIGINT) AS BIGINT) AS b_sum
+           |FROM rgb""".stripMargin
+    },
     // lane j of a 16-wide raster with dim 8 is column j of each block:
     // raster_idx % 8 = x-in-block whenever width % 8 = 0
     "multimodal_jpeg_features" ->
-      (jpegCoefPipeline("jg", 4, color = false) + ",\n" +
+      (jpegCoefPipeline("jg", 4) + ",\n" +
         """lanes AS (
           |  SELECT doc_id, b, list_transform(range(0, 8), j ->
           |    CAST(list_sum(list_transform(range(0, 8), y -> px[y * 8 + j + 1]))

@@ -654,10 +654,32 @@ object ScaleStress {
           .localCheckpoint()
         codes.count()
       }
-      time(f"hybrid dense INDEXED  (20 q, $n%7d codes)") {
+      // every case in this block keeps storage (they all read the
+      // checkpointed `codes`); the explicit unpersist below ends the
+      // iteration so code sets don't pile across corpus sizes
+      time(f"hybrid dense INDEXED  (20 q, $n%7d codes)",
+          keepStorage = true) {
         graft.operators.Pq.adcTopK(q20, codes, books, k = 20,
           col("vec_id"), col("embedding")).count()
       }
+      // the gap scales with query volume (per-candidate cost: m=8 LUT
+      // reads vs 64 float mults; 8-byte codes vs 256-byte vectors)
+      if (n == 1000000L) {
+        val q200 = vecs.filter(col("vec_id") < 200)
+        time(f"hybrid dense BRUTE    (200 q, $n%7d vecs)",
+            keepStorage = true) {
+          Similarity.bruteForceTopK(q200, sub, 20,
+            col("vec_id"), col("embedding"), col("vec_id"),
+            col("embedding")).count()
+        }
+        time(f"hybrid dense INDEXED  (200 q, $n%7d codes)",
+            keepStorage = true) {
+          graft.operators.Pq.adcTopK(q200, codes, books, k = 20,
+            col("vec_id"), col("embedding")).count()
+        }
+      }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
 
     // Aho-Corasick at blocklist scale: two-token phrases over the doc

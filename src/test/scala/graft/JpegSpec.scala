@@ -151,6 +151,59 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("4:2:0 roundtrip: 2x2 luma MCUs, replicate chroma upsample, " +
+      "per-MCU and cross-MCU DC chains") {
+    val rnd = new Random(23)
+    // 32x16: two 16x16 MCUs -> luma DC chains across 8 Y blocks,
+    // chroma across 2 blocks each
+    val (w, h) = (32, 16)
+    val nMcu = 2
+    val blocks = IndexedSeq.fill(nMcu * 6)(randCoefs(rnd))
+    val enc = Jpeg.encode(w, h, Seq((1, 0), (2, 1), (3, 1)), blocks,
+      sampling = Seq((2, 2), (1, 1), (1, 1)))
+    val img = Jpeg.decode(enc)
+    (img.width, img.height, img.channels) shouldBe ((w, h, 3))
+    // reference: per-component planes through the pinned IDCT, then
+    // replicate upsample + Q16 conversion replayed independently
+    def blockPx(zz: Array[Int], qt: Array[Int]): Array[Int] = {
+      val dq = new Array[Long](64)
+      for (i <- 0 until 64) { val n = Jpeg.ZigZag(i); dq(n) = zz(i).toLong * qt(n) }
+      Jpeg.idct(dq)
+    }
+    // Y plane 32x16: MCU m, quadrant q at rows (q/2)*8, cols m*16+(q%2)*8
+    val yp = new Array[Int](w * h)
+    for (m <- 0 until nMcu; qd <- 0 until 4) {
+      val px = blockPx(blocks(m * 6 + qd), Jpeg.QtLuma)
+      for (r <- 0 until 8; c <- 0 until 8)
+        yp(((qd / 2) * 8 + r) * w + m * 16 + (qd % 2) * 8 + c) = px(r * 8 + c)
+    }
+    // chroma planes 16x8 (one 8x8 block per MCU)
+    val cbp = new Array[Int](16 * 8); val crp = new Array[Int](16 * 8)
+    for (m <- 0 until nMcu) {
+      val cb = blockPx(blocks(m * 6 + 4), Jpeg.QtChroma)
+      val cr = blockPx(blocks(m * 6 + 5), Jpeg.QtChroma)
+      for (r <- 0 until 8; c <- 0 until 8) {
+        cbp(r * 16 + m * 8 + c) = cb(r * 8 + c)
+        crp(r * 16 + m * 8 + c) = cr(r * 8 + c)
+      }
+    }
+    def rdiv(x: Long, d: Long): Long = (x + d / 2) / d
+    def cl(v: Long): Int = if (v < 0) 0 else if (v > 255) 255 else v.toInt
+    for (y <- 0 until h; x <- 0 until w) {
+      val yy = yp(y * w + x).toLong
+      val cb = cbp((y / 2) * 16 + x / 2).toLong - 128
+      val cr = crp((y / 2) * 16 + x / 2).toLong - 128
+      withClue(s"pixel ($y,$x):") {
+        (img.pixels((y * w + x) * 3) & 0xff) shouldBe
+          cl(yy + rdiv(91881L * cr, 65536))
+        (img.pixels((y * w + x) * 3 + 1) & 0xff) shouldBe
+          cl(yy - rdiv(22554L * cb + 46802L * cr, 65536))
+        (img.pixels((y * w + x) * 3 + 2) & 0xff) shouldBe
+          cl(yy + rdiv(116130L * cb, 65536))
+      }
+    }
+  }
+
   test("APPn and COM segments are skipped (JFIF-shaped streams decode)") {
     val zz = new Array[Int](64); zz(0) = 10; zz(5) = -7
     val enc = Jpeg.encode(8, 8, Seq((1, 0)), IndexedSeq(zz))
