@@ -217,8 +217,12 @@ object Pq {
         cId.as("neighbor_id"),
         array(best.map(_.getField("i")): _*).as("codes"))
       .repartition(col("cell"))
-    val lut = array(books.indices.map { j =>
-      array(subDistsInt(qVec, j, books(j)): _*)
+    // FLAT subspace-major LUT (j*k + code): the nested element_at
+    // chain's two indirections per subspace per PAIR were the measured
+    // ADC hot-path limiter (STRESS_HYBRID_r09.txt); AdcLookup is one
+    // codegen'd primitive loop over this layout
+    val lut = array(books.indices.flatMap { j =>
+      subDistsInt(qVec, j, books(j))
     }: _*)
     val q = queries
       .select(qId.as("query_id"), lut.as("lut"),
@@ -228,10 +232,9 @@ object Pq {
       .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
       .select(col("query_id"), col("lut"),
         coalesce(col("cell"), lit(-2)).as("cell"))
-    val adc = (0 until m).map { j =>
-      expr(s"element_at(element_at(lut, ${j + 1})," +
-        s" element_at(codes, ${j + 1}) + 1)")
-    }.reduce(_ + _)
+    val adc =
+      graft.expressions.AdcLookup(col("codes"), col("lut")) // same
+      // ascending-j summation order as the chain it replaces
     val scored0 = codes.join(broadcast(q), Seq("cell"))
       .withColumn("score", -adc) // exact integers: no rounding needed
     val scored =
@@ -253,16 +256,15 @@ object Pq {
               k: Int, qId: Column, qVec: Column,
               excludeSelf: Boolean = true): DataFrame = {
     val m = books.length
-    val lut = array(books.indices.map { j =>
-      array(subDists(qVec, j, books(j)): _*)
+    val lut = array(books.indices.flatMap { j =>
+      subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
     }: _*)
     val q = queries
       .select(qId.as("query_id"), lut.as("lut"))
       .repartition(col("query_id"))
-    val adc = (0 until m).map { j =>
-      expr(s"element_at(element_at(lut, ${j + 1})," +
-        s" element_at(codes, ${j + 1}) + 1)")
-    }.reduce(_ + _)
+    val adc =
+      graft.expressions.AdcLookup(col("codes"), col("lut")) // same
+      // ascending-j summation order as the chain it replaces
     // exchange barrier between the caller's encode battery and the
     // join: fused, the per-corpus-row code battery + the per-PAIR ADC
     // sum share one generated method, which blows Janino's limit and
@@ -318,8 +320,8 @@ object Pq {
         cId.as("neighbor_id"),
         array(best.map(_.getField("i")): _*).as("codes"))
       .repartition(col("cell"))
-    val lut = array(books.indices.map { j =>
-      array(subDists(qVec, j, books(j)): _*)
+    val lut = array(books.indices.flatMap { j =>
+      subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
     }: _*)
     // exchange barrier before the explode: CollapseProject would
     // otherwise re-inline the LUT battery per probe row (the adcTopK
@@ -333,10 +335,9 @@ object Pq {
       .select(col("query_id"), col("lut"), explode(col("cells")).as("cell"))
       .select(col("query_id"), col("lut"),
         coalesce(col("cell"), lit(-2)).as("cell"))
-    val adc = (0 until m).map { j =>
-      expr(s"element_at(element_at(lut, ${j + 1})," +
-        s" element_at(codes, ${j + 1}) + 1)")
-    }.reduce(_ + _)
+    val adc =
+      graft.expressions.AdcLookup(col("codes"), col("lut")) // same
+      // ascending-j summation order as the chain it replaces
     // negate AFTER rounding (exact) so TopK's score-DESC contract ranks
     // ascending distance; ties fall to its neighbor_id-ASC tiebreak
     val scored0 = codes.join(broadcast(q), Seq("cell"))

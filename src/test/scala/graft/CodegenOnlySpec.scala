@@ -39,6 +39,20 @@ class CodegenOnlySpec extends AnyFunSuite with Matchers {
       out.length shouldBe 2
       out(0).getDouble(0) shouldBe 14.0
       out(0).getAs[Seq[Long]]("sig").length shouldBe 16
+      // AdcLookup: flat subspace-major LUT, ascending-j sum; same
+      // values as the nested element_at chain it replaced
+      val adc = Seq((Seq(1, 0), Seq(10.0, 20.0, 30.0, 40.0)))
+        .toDF("codes", "lut")
+        .select(graft.expressions.AdcLookup($"codes", $"lut").as("s"))
+        .collect()
+      adc(0).getDouble(0) shouldBe (20.0 + 30.0) // lut[0*2+1] + lut[1*2+0]
+      // out-of-range code fails loudly, not silently
+      val bad = intercept[Exception] {
+        Seq((Seq(2, 0), Seq(10.0, 20.0, 30.0, 40.0))).toDF("codes", "lut")
+          .select(graft.expressions.AdcLookup($"codes", $"lut").as("s"))
+          .collect()
+      }
+      bad.getMessage should include("out of range")
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
