@@ -3555,6 +3555,22 @@ object SparkEntry {
         col("doc_id"), col("blob"), w = 16, h = 8)
       Jpeg.decodeRgbColumn(enc, col("media_id"), col("payload")).toDF()
     },
+    // DRI/RSTn restart intervals (what camera JPEGs ship for error
+    // resilience): 24x16 gray = 6 MCUs, interval 2 -> byte-aligned
+    // RST0/RST1 markers inside the entropy stream, DC predictor RESET
+    // per interval. The oracle is the plain coefficient replay — the
+    // restart machinery is pure container; getting any of it wrong
+    // (marker sequence, bit re-alignment, predictor reset) breaks the
+    // recovered coefficients and the hash.
+    "multimodal_decode_jpeg_rst" -> { (s, dir) =>
+      val blob = concat((for (b <- 0 until 6; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"jr${b}x$k:"),
+          col("doc_id").cast("string"))))): _*)
+      val enc = Jpeg.encodeGrayColumn(
+        Tables(s, dir, "documents").select(col("doc_id"), blob.as("blob")),
+        col("doc_id"), col("blob"), w = 24, h = 16, restartInterval = 2)
+      Jpeg.decodeColumn(enc, col("media_id"), col("payload")).toDF()
+    },
     // 4:2:0 — the sampling real-world JPEGs actually ship: MCU =
     // 16x16 = [Y00 Y01 Y10 Y11 Cb Cr] (luma 2x2, chroma 1x1), luma DC
     // prediction chaining WITHIN the MCU, pinned replicate chroma
@@ -8536,6 +8552,17 @@ object SparkEntry {
           |  CAST(sum(CAST(list_sum(gl) AS BIGINT)) AS BIGINT) AS g_sum,
           |  CAST(sum(CAST(list_sum(bl) AS BIGINT)) AS BIGINT) AS b_sum
           |FROM rgb GROUP BY doc_id""".stripMargin),
+    // restart replay: identical coefficient pipeline (the restart
+    // machinery is container-only); 6 blocks, 24x16
+    "multimodal_decode_jpeg_rst" ->
+      (jpegCoefPipeline("jr", 6) + "\n" +
+        """SELECT doc_id AS media_id, 'jpeg' AS format,
+          |  CAST(24 AS INT) AS width, CAST(16 AS INT) AS height,
+          |  CAST(255 AS INT) AS maxval, CAST(384 AS BIGINT) AS n_pixels,
+          |  CAST(sum(CAST(list_sum(px) AS BIGINT)) AS BIGINT) AS pixel_sum,
+          |  CAST(min(list_min(px)) AS INT) AS pixel_min,
+          |  CAST(max(list_max(px)) AS INT) AS pixel_max
+          |FROM px GROUP BY doc_id""".stripMargin),
     // 4:2:0 replay: the 6 per-MCU block rasters pivot into one
     // list-of-lists row per doc (ll[1..4] = Y quadrants, ll[5]/ll[6] =
     // Cb/Cr); pixel (py, px) reads Y from quadrant (py//8)*2 + px//8

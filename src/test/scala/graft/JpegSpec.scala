@@ -204,6 +204,33 @@ class JpegSpec extends SparkSpec {
     }
   }
 
+  test("restart intervals: markers cycle, DC predictors reset, pixels " +
+      "identical to the marker-free stream") {
+    val rnd = new Random(31)
+    for (interval <- Seq(1, 2, 3, 5)) {
+      val (w, h) = (32, 16) // 8 MCUs
+      val blocks = IndexedSeq.fill(8)(randCoefs(rnd))
+      val plain = Jpeg.encode(w, h, Seq((1, 0)), blocks)
+      val rst = Jpeg.encode(w, h, Seq((1, 0)), blocks,
+        restartInterval = interval)
+      // restart machinery is container-only: decoded rasters identical
+      Jpeg.decode(rst).pixels.toSeq shouldBe Jpeg.decode(plain).pixels.toSeq
+      // the stream genuinely carries RSTn markers (not stuffed FF00)
+      val nMarkers = rst.sliding(2).count(p =>
+        (p(0) & 0xff) == 0xff && (p(1) & 0xf8) == 0xd0 &&
+          (p(1) & 0xff) != 0xd8 /* not SOI */)
+      nMarkers shouldBe (8 - 1) / interval
+    }
+    // corrupted restart sequence fails loudly: swap RST0 -> RST2
+    val blocks = IndexedSeq.fill(8)(randCoefs(new Random(37)))
+    val rst = Jpeg.encode(32, 16, Seq((1, 0)), blocks, restartInterval = 4)
+    val at = rst.indices.find(i =>
+      (rst(i) & 0xff) == 0xff && (rst(i + 1) & 0xff) == 0xd0).get
+    val bad = rst.clone(); bad(at + 1) = 0xd2.toByte
+    intercept[IllegalArgumentException](Jpeg.decode(bad))
+      .getMessage should include("restart marker")
+  }
+
   test("APPn and COM segments are skipped (JFIF-shaped streams decode)") {
     val zz = new Array[Int](64); zz(0) = 10; zz(5) = -7
     val enc = Jpeg.encode(8, 8, Seq((1, 0)), IndexedSeq(zz))
@@ -234,11 +261,12 @@ class JpegSpec extends SparkSpec {
     prog(sofAt + 1) = 0xC2.toByte
     intercept[IllegalArgumentException](Jpeg.decode(prog))
       .getMessage should include("progressive")
-    // nonzero restart interval rejected
-    val dri = Array[Int](0xff, 0xdd, 0x00, 0x04, 0x00, 0x08).map(_.toByte)
+    // DRI declares interval 1 but the stream carries no RST markers:
+    // the decoder must demand one after the first MCU, loudly
+    val dri = Array[Int](0xff, 0xdd, 0x00, 0x04, 0x00, 0x01).map(_.toByte)
     val withDri = enc.take(2) ++ dri ++ enc.drop(2)
     intercept[IllegalArgumentException](Jpeg.decode(withDri))
-      .getMessage should include("restart")
+      .getMessage should include("restart marker")
     // segment length overrunning the payload
     val bad = enc.clone()
     bad(4) = 0x7f // DQT length MSB -> overrun
