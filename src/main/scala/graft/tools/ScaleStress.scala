@@ -682,6 +682,27 @@ object ScaleStress {
         .foreach(_.unpersist(blocking = false))
     }
 
+    // Multi-resolution span scan: same linear explode->count->join
+    // topology as the single-w scan, k=2 resolutions — the evidence
+    // it stays linear where the pair-free claim matters
+    time("multires span scan w={4,16} (1M docs)") {
+      graft.operators.Dedup.duplicatedSpansMultiRes(
+        docs.filter(col("id") < 1000000L), col("text"), col("id"),
+        windows = Seq(4, 16)).count()
+    }
+
+    // JPEG decode throughput: 1M real 16x16 baseline streams decoded
+    // per partition (marker walk + huffman + dequant + IDCT per row)
+    time("jpeg decode (1M 16x16 gray payloads)") {
+      val blob = concat((for (b <- 0 until 4; k <- 0 until 4) yield
+        unhex(md5(concat(lit(s"sg${b}x$k:"), col("id").cast("string"))))): _*)
+      val enc = graft.operators.Jpeg.encodeGrayColumn(
+        docs.filter(col("id") < 1000000L).select(col("id"), blob.as("blob")),
+        col("id"), col("blob"), w = 16, h = 16)
+      graft.operators.Jpeg.decodeColumn(enc, col("media_id"), col("payload"))
+        .toDF().agg(sum(col("pixel_sum"))).collect()
+    }
+
     // Aho-Corasick at blocklist scale: two-token phrases over the doc
     // vocabulary (all distinct, real matches occur). Build time is
     // DRIVER time; scan is the distributed pass over 1M docs.
