@@ -4194,7 +4194,7 @@ object SparkEntry {
     val zExpr = (0 until 16).map(i =>
       s"((((a >> $i) & 1) << ${2 * i + 1}) | (((b >> $i) & 1) << ${2 * i}))")
       .mkString(" | ")
-    s"""WITH z AS (
+    s"""WITH z AS MATERIALIZED (
        |  SELECT l_orderkey, CAST($zExpr AS BIGINT) AS z
        |  FROM (SELECT l_orderkey, l_partkey % 65536 AS a,
        |          l_suppkey % 65536 AS b FROM lineitem)),
@@ -4903,7 +4903,7 @@ object SparkEntry {
         s"""(WITH v AS MATERIALIZED (
            |            SELECT CAST($c AS DOUBLE) AS v FROM lineitem
            |            WHERE $c IS NOT NULL),
-           |mm AS (SELECT min(v) AS lo, max(v) AS hi,
+           |mm AS MATERIALIZED (SELECT min(v) AS lo, max(v) AS hi,
            |         CAST(count(*) AS BIGINT) AS n FROM v),
            |h1 AS (SELECT least(CAST(floor((v - lo) / (hi - lo) * 4096.0)
            |          AS BIGINT), 4095) AS b,
@@ -8778,7 +8778,7 @@ object SparkEntry {
     // NOTE: this text is re-interpolated into strings that apply their
     // own stripMargin — no line here may start with (whitespace +) '|',
     // or the outer stripMargin eats one bar of a '||' concat operator
-    s"""hp AS (
+    s"""hp AS MATERIALIZED (
        |  SELECT t, b,
        |    [CASE WHEN (strpos('0123456789abcdef',
        |        md5(t::VARCHAR || ':' || b::VARCHAR || ':' ||

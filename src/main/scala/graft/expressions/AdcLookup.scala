@@ -44,6 +44,10 @@ case class AdcLookup(left: Expression, right: Expression)
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
     val m = codes.numElements()
+    if (m == 0 || lut.numElements() % m != 0)
+      throw new IllegalArgumentException(
+        s"adc_lookup shape: ${lut.numElements()}-entry LUT is not a " +
+          s"positive multiple of $m codes")
     val k = lut.numElements() / m
     var s = 0.0
     var j = 0
@@ -68,6 +72,11 @@ case class AdcLookup(left: Expression, right: Expression)
       val s = ctx.freshName("s")
       s"""
          |int $m = $a.numElements();
+         |if ($m == 0 || $b.numElements() % $m != 0) {
+         |  throw new IllegalArgumentException(
+         |    "adc_lookup shape: " + $b.numElements() +
+         |    "-entry LUT is not a positive multiple of " + $m + " codes");
+         |}
          |int $k = $b.numElements() / $m;
          |double $s = 0.0;
          |for (int $j = 0; $j < $m; $j++) {

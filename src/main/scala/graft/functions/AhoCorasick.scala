@@ -141,6 +141,12 @@ object AhoCorasick {
       }
       val n = children.length
       val nc = nClasses
+      // unchecked Int multiply would wrap on huge pattern sets over
+      // wide alphabets (e.g. 100k CJK patterns: ~400k states x ~6k
+      // classes) and die with a bare NegativeArraySizeException
+      require(n.toLong * nc <= Int.MaxValue,
+        s"dense table $n states x $nc char classes exceeds a JVM array " +
+          "— shard the pattern list or use the sparse Automaton")
       val nxt = new Array[Int](n * nc)
       val fail = new Array[Int](n)
       val link = Array.fill(n)(-1)

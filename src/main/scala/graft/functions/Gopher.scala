@@ -148,7 +148,7 @@ object Gopher {
     /** Full oracle query over `documents(doc_id, text)`. */
     def query: String = {
       val stops = RequiredStops.map(s => s"'$s'").mkString("[", ",", "]")
-      s"""WITH t AS (
+      s"""WITH t AS MATERIALIZED (
          |  SELECT doc_id, ${TextAnalysis.Sql.tokens("text")} AS l,
          |    strlen(text) AS total_chars
          |  FROM documents),

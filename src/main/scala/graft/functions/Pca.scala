@@ -215,6 +215,38 @@ object Pca {
     * Generate (both the CollapseProject multi-reference rule and the
     * Generate boundary keep the 64-term dots from inlining per lane).
     */
+  /** The ONE deflated power loop shared by the second- and
+    * third-component trains (both must produce identical v2 for the
+    * chained oracle to replay — a divergence between two copies was
+    * exactly the maintenance hazard, so there is one copy): `iters`
+    * rounds of (dot with the current direction, staged as attribute
+    * "d2" below the Generate; DECIMAL(38,0) lane accumulation;
+    * max-abs renormalization to [-scale, scale]). `lane(j)` is the
+    * deflated lane expression; it may reference attributes the caller
+    * stages in `q` (e.g. the component-1 dot "d1"). */
+  private def deflatedPower(q: DataFrame, dim: Int, scale: Int,
+                            iters: Int, lane: Int => Column,
+                            label: String): Array[Long] = {
+    var v = Array.fill(dim)(scale.toLong)
+    for (_ <- 1 to iters) {
+      val dot2 = (0 until dim).map(j => lane(j) * lit(v(j)))
+        .reduce(_ + _)
+      val w = q
+        .select(dot2.as("d2"), col("*"))
+        .select(col("d2"), posexplode(array((0 until dim).map(lane): _*)))
+        .groupBy(col("pos"))
+        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
+        .orderBy(col("pos")).collect()
+        .map(r => BigInt(r.getDecimal(1).toBigInteger))
+      require(w.length == dim)
+      val maxAbs = w.map(_.abs).max
+      require(maxAbs > 0,
+        s"$label power iteration collapsed to the zero vector")
+      v = w.map(x => ((x * scale) / maxAbs).toLong)
+    }
+    v
+  }
+
   def secondComponentInt(df: DataFrame, vecCol: Column, dim: Int,
                          scale: Int = 256, iters: Int = 3): Array[Long] = {
     require(iters >= 1 && dim >= 1 && scale >= 2)
@@ -226,25 +258,8 @@ object Pca {
     def deflLane(j: Int): Column =
       qcLane(col("q"), j, scale, mean(j)) -
         divT(lit(v1(j)) * col("d1"), vsq)
-    val deflArr = array((0 until dim).map(deflLane): _*)
-    var v2 = Array.fill(dim)(scale.toLong)
-    for (_ <- 1 to iters) {
-      val dot2 = (0 until dim).map(j => deflLane(j) * lit(v2(j)))
-        .reduce(_ + _)
-      val w = q.select(dot1.as("d1"), col("q"))
-        .select(dot2.as("d2"), col("d1"), col("q"))
-        .select(col("d2"), posexplode(deflArr))
-        .groupBy(col("pos"))
-        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
-        .orderBy(col("pos")).collect()
-        .map(r => BigInt(r.getDecimal(1).toBigInteger))
-      require(w.length == dim)
-      val maxAbs = w.map(_.abs).max
-      require(maxAbs > 0,
-        "deflated power iteration collapsed to the zero vector")
-      v2 = w.map(x => ((x * scale) / maxAbs).toLong)
-    }
-    v2
+    deflatedPower(q.select(dot1.as("d1"), col("q")), dim, scale, iters,
+      deflLane, "deflated")
   }
 
   /** Declared-query surface for the second component: (lane, v) rows. */
@@ -285,24 +300,10 @@ object Pca {
     def dLane(j: Int): Column =
       qcLane(col("q"), j, scale, mean(j)) -
         divT(lit(v1(j)) * col("d1"), vsq1)
-    // --- second component (same loop as secondComponentInt) ---
-    var v2 = Array.fill(dim)(scale.toLong)
-    for (_ <- 1 to iters) {
-      val dot2 = (0 until dim).map(j => dLane(j) * lit(v2(j)))
-        .reduce(_ + _)
-      val w = q.select(dot1.as("d1"), col("q"))
-        .select(dot2.as("d2"), col("d1"), col("q"))
-        .select(col("d2"), posexplode(array((0 until dim).map(dLane): _*)))
-        .groupBy(col("pos"))
-        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
-        .orderBy(col("pos")).collect()
-        .map(r => BigInt(r.getDecimal(1).toBigInteger))
-      require(w.length == dim)
-      val maxAbs = w.map(_.abs).max
-      require(maxAbs > 0,
-        "deflated power iteration collapsed to the zero vector")
-      v2 = w.map(x => ((x * scale) / maxAbs).toLong)
-    }
+    // --- second component: the SAME shared loop secondComponentInt
+    // runs (it must be — the chained oracle replays u3 = v2) ---
+    val v2 = deflatedPower(q.select(dot1.as("d1"), col("q")), dim, scale,
+      iters, dLane, "deflated")
     // --- second deflation + third power loop ---
     // the once-deflated lanes are staged as an ARRAY attribute ("dc"):
     // inlining dLane per e-lane term doubled the generated consume

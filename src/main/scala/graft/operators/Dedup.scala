@@ -630,11 +630,21 @@ object Dedup {
       .localCheckpoint()
     val nDelta = math.max(deltaRoster.count(), 1L)
     // standard Bloom sizing: m = n ln(1/fpp) / ln(2)^2 bits (rounded
-    // up to whole words), k = (m/n) ln 2 hash rows
+    // up to whole words), k = (m/n) ln 2 hash rows. Sized in LONG and
+    // checked: a silent Int wrap past ~224M delta fingerprints (at 1%)
+    // would collapse the filter to 64 bits and defeat the prefilter
+    // invisibly (results stay correct — only the base-scan reduction
+    // vanishes). A >256MB literal bitmap is also past this design's
+    // broadcast shape, so fail loudly with the actual remedy.
     val mBits = {
       val raw = math.ceil(
         nDelta * math.log(1.0 / fpp) / (math.log(2.0) * math.log(2.0))).toLong
-      (((raw + 63) / 64) * 64).toInt.max(64)
+      val words = ((raw + 63) / 64).max(1L)
+      require(words * 64 <= (1L << 31),
+        s"delta roster ($nDelta fingerprints at fpp=$fpp) needs ${words * 64} " +
+          "bloom bits — past the literal-bitmap design; split the delta " +
+          "by date/shard or raise fpp")
+      (words * 64).toInt
     }
     val kHashes = math.max(1,
       math.round(mBits.toDouble / nDelta * math.log(2.0)).toInt)

@@ -101,7 +101,7 @@ object Triangles {
          |  SELECT item AS src, lead(item) OVER (
          |    PARTITION BY user_id ORDER BY ts, event_id) AS dst
          |  FROM ev),
-         |und AS (
+         |und AS MATERIALIZED (
          |  SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
          |  FROM tr WHERE dst IS NOT NULL AND src <> dst),
          |deg AS (

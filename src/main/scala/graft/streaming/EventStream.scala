@@ -634,11 +634,11 @@ object EventStream {
         val counts = batch.groupBy(col("term"))
           .agg(count(lit(1)).as("c"))
           .collect()
-          .map(r => (r.getString(0), r.getLong(1)))
-          .sortWith { (a, b) =>
-            java.util.Arrays.compareUnsigned(
-              a._1.getBytes("UTF-8"), b._1.getBytes("UTF-8")) < 0
-          }
+          .map(r => (r.getString(0), r.getLong(1),
+            r.getString(0).getBytes("UTF-8"))) // encode ONCE, not per compare
+          .sortWith((a, b) =>
+            java.util.Arrays.compareUnsigned(a._3, b._3) < 0)
+          .map(t => (t._1, t._2))
         perBatch.put(id, counts)
         ()
       }

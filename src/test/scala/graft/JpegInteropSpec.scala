@@ -34,9 +34,14 @@ class JpegInteropSpec extends AnyFunSuite with Matchers {
 
   test("ImageIO reads our gray streams: dims exact, pixels within the " +
       "IDCT accuracy envelope") {
-    val rnd = new Random(41)
     for (seed <- 0 until 10) {
-      val blocks = IndexedSeq.fill(4)(randCoefs(new Random(seed)))
+      // ONE generator per seed shared across the 4 fills: a fresh
+      // Random per element made every block identical, so all DC
+      // diffs were zero and the cross-block prediction chain went
+      // unexercised
+      val r = new Random(seed)
+      val blocks = IndexedSeq.fill(4)(randCoefs(r))
+      blocks.map(_(0)).distinct.length should be > 1 // chains are live
       val enc = Jpeg.encode(16, 16, Seq((1, 0)), blocks)
       val img = ImageIO.read(new ByteArrayInputStream(enc))
       img should not be null
@@ -52,11 +57,11 @@ class JpegInteropSpec extends AnyFunSuite with Matchers {
         maxDiff should be <= 2 // two conforming IDCTs, no color path
       }
     }
-    rnd.nextInt() // keep rnd used
   }
 
   test("ImageIO reads our restart-interval and 4:2:0 streams") {
-    val blocks = IndexedSeq.fill(8)(randCoefs(new Random(43)))
+    val r43 = new Random(43)
+    val blocks = IndexedSeq.fill(8)(randCoefs(r43))
     val rst = Jpeg.encode(32, 16, Seq((1, 0)), blocks, restartInterval = 2)
     val i1 = ImageIO.read(new ByteArrayInputStream(rst))
     i1 should not be null

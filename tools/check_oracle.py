@@ -86,7 +86,14 @@ def _cte_expansion_lint(name, sql, threshold=32):
     plain CTE's instantiation count topologically (instantiations of a
     CTE = sum of its referrers' instantiations x reference count;
     MATERIALIZED CTEs count once) and warn when any estimate crosses
-    `threshold` — the lint that keeps the lesson durable."""
+    `threshold` — the lint that keeps the lesson durable.
+
+    ADVISORY, not a gate: materializing also BLOCKS predicate/filter
+    pushdown into the CTE, which can be far worse than re-expansion
+    when the CTE feeds filtered pairwise joins (select_kcenter's
+    normalized-vector CTE: inlined+pushed plain form beats the
+    materialized full cross product). A/B-time before applying; a
+    reviewed-and-declined flag is a valid resolution."""
     import re
     defs = [(m.group(1), m.group(2) is not None, m.start())
             for m in re.finditer(r"(\w+)\s+AS\s+(MATERIALIZED\s+)?\(", sql)]
@@ -104,7 +111,12 @@ def _cte_expansion_lint(name, sql, threshold=32):
         i = bounds.index(pos[n])
         region_of[n] = (pos[n], bounds[i + 1] if i + 1 < len(bounds) else len(sql))
     inst = {}
-    for n in names:  # defs appear in dependency order in WITH chains
+    # REVERSE order: a CTE's referrers appear later in the WITH chain,
+    # so their instantiation counts must exist before the referee's —
+    # forward iteration always read the 1.0 default and the
+    # multiplicative chain (the exact exponential case this lint is
+    # for) never propagated
+    for n in reversed(names):
         refs = 0.0
         for m, (a, b) in region_of.items():
             if m == n:
