@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Top-principal-direction extraction by INTEGER power iteration — the
   * PCA/whitening family's workhorse (embedding decorrelation, drift
@@ -104,32 +105,84 @@ object Pca {
                                           dim: Int, scale: Int, iters: Int,
                                           mean: Array[Long]): Array[Long] = {
     require(iters >= 1 && dim >= 1 && scale >= 2)
-    val q = df.select(vecCol.as("q"))
+    val qc = centeredPersisted(df, vecCol, dim, scale, mean)
+    try powerLoopPersisted(qc, dim, scale, iters, decimalAcc = false, "")
+    finally qc.unpersist(blocking = false)
+  }
+
+  /** The quantized centered lane ARRAY, staged once and PERSISTED
+    * (MEMORY_AND_DISK): every power step used to re-derive the lanes
+    * from the raw vectors — iters scans of the base table per
+    * component, each re-evaluating the floor/center chain per lane —
+    * where one corpus-sized materialization serves all of them (at
+    * 100 TB: one write per train instead of `iters` full re-reads;
+    * locally: the per-step plan collapses from the 64-term qcLane
+    * battery to `element_at` over a cached attribute). Values are
+    * identical integers, so every trained direction replays
+    * bit-for-bit as before. Callers MUST unpersist. */
+  private def centeredPersisted(df: DataFrame, vecCol: Column, dim: Int,
+                                scale: Int, mean: Array[Long]): DataFrame =
+    df.select(centeredArr(vecCol, dim, scale, mean).as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+  /** `iters` integer power steps over a persisted lane-array column
+    * "c": dot with the current direction staged as an attribute below
+    * the Generate (the CollapseProject lesson — aliasing it in the
+    * posexplode's own select re-evaluates it per exploded lane,
+    * measured 166us/row at dim 64), posexplode of the array itself,
+    * map-side-combined aggregation onto `dim` keys, driver-side
+    * truncating renormalization (BigInt `/` truncates toward zero —
+    * exactly DuckDB's `//` and Spark's DIV). `decimalAcc` keeps each
+    * caller's historical accumulator type: LONG for the top-component
+    * loop, DECIMAL(38,0) for the deflated loops — bit-compatible with
+    * the pre-persist implementations. */
+  private def powerLoopPersisted(src: DataFrame, dim: Int, scale: Int,
+                                 iters: Int, decimalAcc: Boolean,
+                                 label: String): Array[Long] = {
     var v = Array.fill(dim)(scale.toLong) // deterministic all-ones seed
     for (_ <- 1 to iters) {
-      val c = centeredArr(col("q"), dim, scale, mean)
-      val dot = dotConst(col("q"), dim, scale, mean, v)
-      // TWO selects: dot must become an ATTRIBUTE of the Generate's
-      // child projection. Aliasing it in the same select as the
-      // posexplode plants it in the projection ABOVE the Generate,
-      // where it re-evaluates per exploded lane — O(dim^2) per row
-      // (measured 166us/row at dim 64). Generate passes the child
-      // attribute through; CollapseProject cannot merge across it.
-      val w = q.select(dot.as("d"), col("q"))
-        .select(col("d"), posexplode(c))
+      val dot = (0 until dim)
+        .map(j => element_at(col("c"), j + 1) * lit(v(j)))
+        .reduce(_ + _)
+      val grouped = src.select(dot.as("d"), col("c"))
+        .select(col("d"), posexplode(col("c")))
         .groupBy(col("pos"))
-        .agg(sum(col("col") * col("d")).as("w"))
-        .orderBy(col("pos")).collect()
-        .map(_.getAs[Long]("w"))
+      val agg =
+        if (decimalAcc)
+          grouped.agg(sum((col("col") * col("d")).cast("decimal(38,0)"))
+            .as("w"))
+        else grouped.agg(sum(col("col") * col("d")).as("w"))
+      val rows = agg.orderBy(col("pos")).collect()
+      val w: Array[BigInt] =
+        if (decimalAcc) rows.map(r => BigInt(r.getDecimal(1).toBigInteger))
+        else rows.map(r => BigInt(r.getAs[Long]("w")))
       require(w.length == dim)
-      val maxAbs = w.map(x => if (x < 0) -BigInt(x) else BigInt(x)).max
-      require(maxAbs > 0, "power iteration collapsed to the zero vector")
-      // BigInt `/` truncates toward zero — exactly DuckDB's `//` (and
-      // Spark's DIV): -7 // 2 = -3 in both, verified, so the oracle's
-      // renormalization replays this integer-for-integer
-      v = w.map(x => ((BigInt(x) * scale) / maxAbs).toLong)
+      val maxAbs = w.map(_.abs).max
+      require(maxAbs > 0,
+        s"${label}power iteration collapsed to the zero vector")
+      v = w.map(x => ((x * scale) / maxAbs).toLong)
     }
     v
+  }
+
+  /** One truncating deflation over a persisted lane-array column "c"
+    * (d_j = c_j - (v_j * (c . v)) // |v|^2), returned as a NEW
+    * persisted lane-array DataFrame (same column name, so the power
+    * loop and further deflations compose) — the k-component deflation
+    * step. The projection dot is staged as an attribute so
+    * CollapseProject cannot re-inline the dim-term sum per lane.
+    * Caller unpersists. */
+  private def deflatedPersisted(src: DataFrame, dim: Int,
+                                v: Array[Long]): DataFrame = {
+    val vsq = v.map(x => x * x).sum
+    val dot = (0 until dim)
+      .map(j => element_at(col("c"), j + 1) * lit(v(j)))
+      .reduce(_ + _)
+    src.select(dot.as("d"), col("c"))
+      .select(array((0 until dim).map(j =>
+        element_at(col("c"), j + 1) - divT(lit(v(j)) * col("d"), vsq)): _*)
+        .as("c"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
   }
 
   /** The declared-query surface: (lane, v) rows of the trained
@@ -210,57 +263,46 @@ object Pca {
     * determinism and exact replay are the contract, and the residual
     * parallel component is O(1/|v1|) of a lane unit.
     *
-    * Same plan shape as [[topComponentInt]], with the component-1 dot
-    * staged as an attribute BELOW the dot-2 projection and the
-    * Generate (both the CollapseProject multi-reference rule and the
-    * Generate boundary keep the 64-term dots from inlining per lane).
+    * The deflated lane array is persisted once per depth (see
+    * [[deflationChain]]) — the power steps re-read the persisted
+    * integers instead of re-deriving the lane chain per step.
     */
-  /** The ONE deflated power loop shared by the second- and
-    * third-component trains (both must produce identical v2 for the
-    * chained oracle to replay — a divergence between two copies was
-    * exactly the maintenance hazard, so there is one copy): `iters`
-    * rounds of (dot with the current direction, staged as attribute
-    * "d2" below the Generate; DECIMAL(38,0) lane accumulation;
-    * max-abs renormalization to [-scale, scale]). `lane(j)` is the
-    * deflated lane expression; it may reference attributes the caller
-    * stages in `q` (e.g. the component-1 dot "d1"). */
-  private def deflatedPower(q: DataFrame, dim: Int, scale: Int,
-                            iters: Int, lane: Int => Column,
-                            label: String): Array[Long] = {
-    var v = Array.fill(dim)(scale.toLong)
-    for (_ <- 1 to iters) {
-      val dot2 = (0 until dim).map(j => lane(j) * lit(v(j)))
-        .reduce(_ + _)
-      val w = q
-        .select(dot2.as("d2"), col("*"))
-        .select(col("d2"), posexplode(array((0 until dim).map(lane): _*)))
-        .groupBy(col("pos"))
-        .agg(sum((col("col") * col("d2")).cast("decimal(38,0)")).as("w"))
-        .orderBy(col("pos")).collect()
-        .map(r => BigInt(r.getDecimal(1).toBigInteger))
-      require(w.length == dim)
-      val maxAbs = w.map(_.abs).max
-      require(maxAbs > 0,
-        s"$label power iteration collapsed to the zero vector")
-      v = w.map(x => ((x * scale) / maxAbs).toLong)
-    }
-    v
+  /** The shared deflation chain: persisted centered lanes -> v1 ->
+    * persisted once-deflated lanes -> v2 [-> persisted twice-deflated
+    * lanes -> v3]. ONE code path trains every depth (the second- and
+    * third-component trains must produce identical v2 for the chained
+    * oracle to replay — a divergence between two copies was exactly
+    * the maintenance hazard), and each deflation depth persists its
+    * lane array ONCE instead of re-deriving it per power step. The
+    * parent level stays persisted until the child level has
+    * materialized (the child's first power step), so no step ever
+    * falls back to recomputing from the base table. */
+  private def deflationChain(df: DataFrame, vecCol: Column, dim: Int,
+                             scale: Int, iters: Int,
+                             depth: Int): Array[Long] = {
+    require(iters >= 1 && dim >= 1 && scale >= 2 && depth >= 1)
+    val mean = laneMeans(df, vecCol, dim, scale)
+    var lanes = centeredPersisted(df, vecCol, dim, scale, mean)
+    try {
+      var v = powerLoopPersisted(lanes, dim, scale, iters,
+        decimalAcc = false, "")
+      for (d <- 2 to depth) {
+        val next = deflatedPersisted(lanes, dim, v)
+        val label = if (d == 2) "deflated " else "doubly-deflated "
+        // the first step over `next` materializes it while the parent
+        // is still cached; only then drop the parent
+        v = powerLoopPersisted(next, dim, scale, iters,
+          decimalAcc = true, label)
+        lanes.unpersist(blocking = false)
+        lanes = next
+      }
+      v
+    } finally lanes.unpersist(blocking = false)
   }
 
   def secondComponentInt(df: DataFrame, vecCol: Column, dim: Int,
-                         scale: Int = 256, iters: Int = 3): Array[Long] = {
-    require(iters >= 1 && dim >= 1 && scale >= 2)
-    val mean = laneMeans(df, vecCol, dim, scale)
-    val v1 = topComponentWithMean(df, vecCol, dim, scale, iters, mean)
-    val vsq = v1.map(x => x * x).sum // <= dim * scale^2, ~2^22
-    val q = df.select(vecCol.as("q"))
-    val dot1 = dotConst(col("q"), dim, scale, mean, v1)
-    def deflLane(j: Int): Column =
-      qcLane(col("q"), j, scale, mean(j)) -
-        divT(lit(v1(j)) * col("d1"), vsq)
-    deflatedPower(q.select(dot1.as("d1"), col("q")), dim, scale, iters,
-      deflLane, "deflated")
-  }
+                         scale: Int = 256, iters: Int = 3): Array[Long] =
+    deflationChain(df, vecCol, dim, scale, iters, depth = 2)
 
   /** Declared-query surface for the second component: (lane, v) rows. */
   def secondComponentTable(df: DataFrame, vecCol: Column, dim: Int,
@@ -286,58 +328,13 @@ object Pca {
     * Each truncating shrink leaves an O(1/|v|) residual along the
     * deflated-out direction; the accumulated drift across BOTH
     * deflations is measured against an exactly-orthogonalized double
-    * reference in PcaSpec (the bound, not a hope). All dots are staged
-    * as attributes below the Generate, one staging select per
-    * deflation depth — the CollapseProject lesson. */
+    * reference in PcaSpec (the bound, not a hope). Each deflation
+    * depth persists its lane array once ([[deflationChain]]); dots are
+    * staged as attributes below the Generate — the CollapseProject
+    * lesson. */
   def thirdComponentInt(df: DataFrame, vecCol: Column, dim: Int,
-                        scale: Int = 256, iters: Int = 3): Array[Long] = {
-    require(iters >= 1 && dim >= 1 && scale >= 2)
-    val mean = laneMeans(df, vecCol, dim, scale)
-    val v1 = topComponentWithMean(df, vecCol, dim, scale, iters, mean)
-    val vsq1 = v1.map(x => x * x).sum
-    val q = df.select(vecCol.as("q"))
-    val dot1 = dotConst(col("q"), dim, scale, mean, v1)
-    def dLane(j: Int): Column =
-      qcLane(col("q"), j, scale, mean(j)) -
-        divT(lit(v1(j)) * col("d1"), vsq1)
-    // --- second component: the SAME shared loop secondComponentInt
-    // runs (it must be — the chained oracle replays u3 = v2) ---
-    val v2 = deflatedPower(q.select(dot1.as("d1"), col("q")), dim, scale,
-      iters, dLane, "deflated")
-    // --- second deflation + third power loop ---
-    // the once-deflated lanes are staged as an ARRAY attribute ("dc"):
-    // inlining dLane per e-lane term doubled the generated consume
-    // method past Janino's 64KB limit and dropped the Generate out of
-    // codegen; element_at over the staged array keeps every stage
-    // compiled (and CollapseProject won't re-inline a 64-term array
-    // referenced 64x)
-    val vsq2 = v2.map(x => x * x).sum
-    def eLaneA(j: Int): Column =
-      element_at(col("dc"), j + 1) - divT(lit(v2(j)) * col("d2a"), vsq2)
-    var v3 = Array.fill(dim)(scale.toLong)
-    for (_ <- 1 to iters) {
-      val dot2a = (0 until dim)
-        .map(j => element_at(col("dc"), j + 1) * lit(v2(j)))
-        .reduce(_ + _)
-      val dot3 = (0 until dim).map(j => eLaneA(j) * lit(v3(j)))
-        .reduce(_ + _)
-      val w = q.select(dot1.as("d1"), col("q"))
-        .select(array((0 until dim).map(dLane): _*).as("dc"))
-        .select(dot2a.as("d2a"), col("dc"))
-        .select(dot3.as("d3"), col("d2a"), col("dc"))
-        .select(col("d3"), posexplode(array((0 until dim).map(eLaneA): _*)))
-        .groupBy(col("pos"))
-        .agg(sum((col("col") * col("d3")).cast("decimal(38,0)")).as("w"))
-        .orderBy(col("pos")).collect()
-        .map(r => BigInt(r.getDecimal(1).toBigInteger))
-      require(w.length == dim)
-      val maxAbs = w.map(_.abs).max
-      require(maxAbs > 0,
-        "doubly-deflated power iteration collapsed to the zero vector")
-      v3 = w.map(x => ((x * scale) / maxAbs).toLong)
-    }
-    v3
-  }
+                        scale: Int = 256, iters: Int = 3): Array[Long] =
+    deflationChain(df, vecCol, dim, scale, iters, depth = 3)
 
   /** Declared-query surface for the third component: (lane, v) rows. */
   def thirdComponentTable(df: DataFrame, vecCol: Column, dim: Int,

@@ -640,7 +640,10 @@ object Dedup {
       val raw = math.ceil(
         nDelta * math.log(1.0 / fpp) / (math.log(2.0) * math.log(2.0))).toLong
       val words = ((raw + 63) / 64).max(1L)
-      require(words * 64 <= (1L << 31),
+      // strict bound: words * 64 == 2^31 would wrap (words * 64).toInt
+      // to Int.MinValue and surface as BloomMd5's misleading "m must be
+      // positive" instead of this remedy message (ADVICE r9)
+      require(words * 64 < (1L << 31),
         s"delta roster ($nDelta fingerprints at fpp=$fpp) needs ${words * 64} " +
           "bloom bits — past the literal-bitmap design; split the delta " +
           "by date/shard or raise fpp")

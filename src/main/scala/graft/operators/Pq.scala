@@ -82,28 +82,71 @@ object Pq {
     }
   }
 
-  /** struct(d, i) of the nearest centroid of subspace j: `least` over
-    * (distance, index) structs — lexicographic, so exact distance ties
-    * go to the lower centroid index, same as the oracle's ORDER BY.
-    * (`least` is codegen'd; an array_sort formulation is a higher-order
-    * fallback that drops the whole corpus projection out of codegen.) */
-  private def bestOf(vec: Column, j: Int,
-                     cents: IndexedSeq[IndexedSeq[Double]]): Column = {
-    val scored = subDists(vec, j, cents).zipWithIndex.map {
-      case (d, i) => struct(d.as("d"), lit(i).as("i"))
-    }
-    least(scored: _*)
+  /** Every flat subspace-major layout (PqBest batteries, AdcLookup
+    * LUTs) assumes a UNIFORM per-subspace centroid count: a ragged
+    * codebook whose total happens to divide evenly would silently
+    * read the wrong entries (ADVICE r9). The in-repo fitters always
+    * produce uniform k (empty centroids keep position); fail loudly
+    * on anything else. */
+  private def requireUniform(ks: Seq[Int]): Unit =
+    require(ks.distinct.size == 1,
+      s"ragged codebook (per-subspace centroid counts ${ks.mkString(",")}) " +
+        "— flat subspace-major layouts need uniform k")
+
+  /** Flat PqBest inputs for a FLOAT codebook: the subspace-major lane
+    * array ((j*k + i)*sub + l) and the per-centroid squared norms
+    * (j*k + i, folded left-to-right like [[subDists]]' `cc`). */
+  private def flatBooks(books: Codebook): (Column, Column) = {
+    requireUniform(books.map(_.length))
+    (typedLit(books.flatMap(_.flatMap(identity))),
+      typedLit(books.flatMap(_.map(_.foldLeft(0.0)((a, x) => a + x * x)))))
+  }
+
+  /** [[flatBooks]] for an INT codebook — lanes and norms converted to
+    * exact-integer-valued doubles exactly like [[subDistsInt]]. */
+  private def flatBooksInt(books: IntCodebook): (Column, Column) = {
+    requireUniform(books.map(_.length))
+    (typedLit(books.flatMap(_.flatMap(_.map(_.toDouble)))),
+      typedLit(books.flatMap(_.map(
+        _.foldLeft(0.0)((a, x) => a + x.toDouble * x.toDouble)))))
+  }
+
+  /** Per-subspace nearest-centroid codes as ONE generated loop
+    * ([[graft.expressions.PqBest]]) — replaces the m*k
+    * `least(struct(dist, i))` expression battery (same distances, same
+    * ties-to-lower-index argmin, bit-identical codes; the AdcLookup
+    * lesson applied to the encode side). */
+  private def codesOf(vec: Column, books: Codebook): Column = {
+    val (fb, fc) = flatBooks(books)
+    graft.expressions.PqBest.codes(vec.cast("array<double>"), fb, fc,
+      books.length, quantize = false)
+  }
+
+  private def codesOfInt(vec: Column, books: IntCodebook): Column = {
+    val (fb, fc) = flatBooksInt(books)
+    graft.expressions.PqBest.codes(vec.cast("array<double>"), fb, fc,
+      books.length, quantize = true)
   }
 
   /** (vec_id, codes array<int>, qerrs array<double>): per-subspace
     * nearest-centroid index and round-6 quantization error. One
-    * codegen'd scan, zero shuffles. */
+    * codegen'd scan, zero shuffles; codes and best distances each one
+    * generated loop. The rounded qerrs derive from the staged
+    * best-distance array in a SECOND projection (the non-cheap "__d"
+    * is referenced m times, so CollapseProject keeps the stage and the
+    * loop runs once per row); callers that only keep `codes` prune the
+    * distance loop away entirely. */
   def encode(df: DataFrame, id: Column, vec: Column,
              books: Codebook): DataFrame = {
-    val best = books.indices.map(j => bestOf(vec, j, books(j)))
+    val m = books.length
+    val (fb, fc) = flatBooks(books)
     df.select(id.as("vec_id"),
-      array(best.map(_.getField("i")): _*).as("codes"),
-      array(best.map(b => round(b.getField("d"), 6)): _*).as("qerrs"))
+        codesOf(vec, books).as("codes"),
+        graft.expressions.PqBest.dists(vec.cast("array<double>"), fb, fc,
+          m, quantize = false).as("__d"))
+      .select(col("vec_id"), col("codes"),
+        array((0 until m).map(j =>
+          round(element_at(col("__d"), j + 1), 6)): _*).as("qerrs"))
   }
 
   /** Lane quantization (floor(x * 2^20), kept as exact-integer-valued
@@ -190,14 +233,6 @@ object Pq {
     }
   }
 
-  private def bestOfInt(vec: Column, j: Int,
-                        cents: IndexedSeq[IndexedSeq[Long]]): Column = {
-    val scored = subDistsInt(vec, j, cents).zipWithIndex.map {
-      case (d, i) => struct(d.as("d"), lit(i).as("i"))
-    }
-    least(scored: _*)
-  }
-
   /** [[ivfAdcTopK]] with the Lloyd-refined INT codebook: same plan
     * shape (one corpus scan fusing cell + code batteries, one cell
     * shuffle, broadcast query LUTs, bounded TopK), integer ADC
@@ -208,14 +243,14 @@ object Pq {
                     nCells: Int = 16, nProbe: Int = 4,
                     excludeSelf: Boolean = true): DataFrame = {
     val m = books.length
+    requireUniform(books.map(_.length))
     val cents = Similarity.anchoredUnitCentroids(corpus, cId, cVec, nCells)
-    val best = books.indices.map(j => bestOfInt(cVec, j, books(j)))
     val codes = corpus
       .select(
         coalesce(element_at(Similarity.cellsByAffinity(cents, cVec), 1),
           lit(-1)).as("cell"),
         cId.as("neighbor_id"),
-        array(best.map(_.getField("i")): _*).as("codes"))
+        codesOfInt(cVec, books).as("codes"))
       .repartition(col("cell"))
     // FLAT subspace-major LUT (j*k + code): the nested element_at
     // chain's two indirections per subspace per PAIR were the measured
@@ -256,6 +291,7 @@ object Pq {
               k: Int, qId: Column, qVec: Column,
               excludeSelf: Boolean = true): DataFrame = {
     val m = books.length
+    requireUniform(books.map(_.length))
     val lut = array(books.indices.flatMap { j =>
       subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
     }: _*)
@@ -311,14 +347,14 @@ object Pq {
                  nCells: Int = 16, nProbe: Int = 4,
                  excludeSelf: Boolean = true): DataFrame = {
     val m = books.length
+    requireUniform(books.map(_.length))
     val cents = Similarity.anchoredUnitCentroids(corpus, cId, cVec, nCells)
-    val best = books.indices.map(j => bestOf(cVec, j, books(j)))
     val codes = corpus
       .select(
         coalesce(element_at(Similarity.cellsByAffinity(cents, cVec), 1),
           lit(-1)).as("cell"),
         cId.as("neighbor_id"),
-        array(best.map(_.getField("i")): _*).as("codes"))
+        codesOf(cVec, books).as("codes"))
       .repartition(col("cell"))
     val lut = array(books.indices.flatMap { j =>
       subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
@@ -354,11 +390,8 @@ object Pq {
     * one codegen'd scan, zero shuffles; the persisted-code artifact
     * the maintenance path keeps valid. */
   def encodeInt(df: DataFrame, id: Column, vec: Column,
-                books: IntCodebook): DataFrame = {
-    val best = books.indices.map(j => bestOfInt(vec, j, books(j)))
-    df.select(id.as("vec_id"),
-      array(best.map(_.getField("i")): _*).as("codes"))
-  }
+                books: IntCodebook): DataFrame =
+    df.select(id.as("vec_id"), codesOfInt(vec, books).as("codes"))
 
   /** Integer centroid drift between two codebooks, per subspace:
     * sum over centroids of squared L2 between old and new lanes —
@@ -400,13 +433,18 @@ object Pq {
         vec.as("__v"))
       .unionByName(delta.select(lit("delta").as("side"), id.as("vec_id"),
         vec.as("__v")))
+    // both code batteries as ONE generated loop each (PqBest), staged
+    // as array attributes below the Generate — the per-subspace change
+    // flags then compare two ints instead of re-evaluating 2*k
+    // distance expressions per subspace
     val changed = (0 until m).map { j =>
-      (bestOfInt(col("__v"), j, oldBooks(j)).getField("i") =!=
-        bestOfInt(col("__v"), j, newBooks(j)).getField("i"))
+      (element_at(col("__oc"), j + 1) =!= element_at(col("__nc"), j + 1))
         .cast("long")
     }
     val drift = codebookDrift(oldBooks, newBooks)
-    all.select(col("side"), posexplode(array(changed: _*)))
+    all.select(col("side"), codesOfInt(col("__v"), oldBooks).as("__oc"),
+        codesOfInt(col("__v"), newBooks).as("__nc"))
+      .select(col("side"), posexplode(array(changed: _*)))
       .groupBy(col("pos").cast("int").as("subspace"))
       .agg(
         sum(when(col("side") === "base", col("col")).otherwise(0L))
