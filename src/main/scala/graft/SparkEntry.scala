@@ -2914,10 +2914,18 @@ object SparkEntry {
         .withColumn("seq", lit(3L)).withColumn("op", lit("I"))
       val v2 = Cdc.applyChangeset(docs,
         upd.unionByName(del).unionByName(ins), "doc_id", "seq", "op")
-      val enriched = v2.repartition(col("doc_id")).select(
-        col("doc_id"), col("lang"),
-        TextAnalysis.fingerprint(col("text")).as("fp"),
-        graft.functions.HashedLinear.weightSum(col("text")).as("w_sum"))
+      // tokens staged as an attribute BEFORE the weight fold: inlined,
+      // the interpreted fold re-evaluates the tokenizer per reference
+      // (quadratic in doc length — the HashedLinear.weightSumOfTokens
+      // doc); staged, the fold reads the array once. Same integers.
+      val enriched = v2.repartition(col("doc_id"))
+        .select(col("doc_id"), col("lang"), col("text"),
+          TextAnalysis.tokens(lower(col("text"))).as("__t"))
+        .select(
+          col("doc_id"), col("lang"),
+          TextAnalysis.fingerprint(col("text")).as("fp"),
+          graft.functions.HashedLinear.weightSumOfTokens(col("__t"))
+            .as("w_sum"))
       val perFp = enriched.groupBy(col("fp"))
         .agg(
           min(when(col("w_sum") >= 0,

@@ -42,6 +42,28 @@ object Tables {
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
 
+  /** Parallelism FLOOR ahead of per-row-expensive work (guide §2.5,
+    * "input skew: one huge unsplittable file — repartition immediately
+    * after the read"): a single-row-group parquet file (this driver's
+    * testdata), a gzip text shard, or a handful of tiny files yields a
+    * scan with fewer partitions than the session has cores, and every
+    * hash/tokenize/distance battery downstream of it runs effectively
+    * single-threaded while the other 31 cores idle. When — and only
+    * when — the plan currently yields fewer partitions than
+    * `defaultParallelism`, redistribute round-robin (deterministic
+    * under retry: sort-before-repartition, SPARK-23207). At production
+    * scale a corpus scan already carries >= parallelism partitions and
+    * this adds NO exchange, so the 100 TB plan shape is unchanged —
+    * this is scale-adaptive, not a local[32] constant. Callers must be
+    * partition-layout-INSENSITIVE (global or keyed aggregations,
+    * per-row projections consumed as sets); the positional-split /
+    * shard-order operators (Splits, PartitionedDataset loaders) must
+    * never route through this. */
+  def parallelismFloor(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   /** Rewrite a timestamp-typed `ts` column to epoch-nanos long (no-op
     * when the column is already a long or absent). */
   def normalizeTs(df: DataFrame): DataFrame =

@@ -33,9 +33,8 @@ object BloomMd5 {
   /** Cell index of `key` for hash row i — the [[CountMin]] cell
     * formula with the Bloom's bit space as the width. */
   private def cellOf(i: Int, key: Column, m: Int): Column =
-    pmod(conv(substring(md5(
-      concat(lit(i.toString), lit(":"), key)), 1, 8), 16, 10)
-      .cast("long"), lit(m.toLong))
+    pmod(graft.expressions.Md5Hex.u32(
+      concat(lit(i.toString), lit(":"), key)), lit(m.toLong))
 
   /** Build the m-bit bitmap from `keys`: m/64 longs, bit b of word w
     * = cell 64w+b. */

@@ -30,9 +30,8 @@ object CountMin {
   /** The sketch cell of `term` on hash row `d` (both engines replay
     * this formula exactly). */
   private def cellOf(d: Column, term: Column, width: Int): Column =
-    pmod(conv(substring(md5(
-      concat(d.cast("string"), lit(":"), term)), 1, 8), 16, 10)
-      .cast("long"), lit(width.toLong))
+    pmod(graft.expressions.Md5Hex.u32(
+      concat(d.cast("string"), lit(":"), term)), lit(width.toLong))
 
   /** Build the sketch from one-row-per-occurrence `terms`: returns
     * (d, cell, cnt) with at most depth*width rows. Absent cells are

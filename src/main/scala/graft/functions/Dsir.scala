@@ -45,7 +45,7 @@ object Dsir {
       .select(col("id"), col("__tgt"), explode_outer(col("__grams")).as("g"))
       .filter(col("g").isNotNull)
       .select(col("id"), col("__tgt"),
-        (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long")
+        (graft.expressions.Md5Hex.u32(col("g"))
           % nBuckets).as("bucket"))
     // materialized once: docBucket feeds BOTH the weight table and the
     // scoring join. ReuseExchange USUALLY dedups the two subtrees, but

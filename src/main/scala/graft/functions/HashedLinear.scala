@@ -43,7 +43,7 @@ object HashedLinear {
   /** u32(md5(tag || v)) — the deterministic hash both engines replay:
     * DuckDB `('0x' || substr(md5(tag || v), 1, 8))::BIGINT`. */
   private def u32(tag: String, v: Column): Column =
-    conv(substring(md5(concat(lit(tag), v)), 1, 8), 16, 10).cast("long")
+    graft.expressions.Md5Hex.u32(concat(lit(tag), v))
 
   /** Unigrams + adjacent bigrams of a token array. */
   private def featsOf(t: Column): Column = {
@@ -65,10 +65,22 @@ object HashedLinear {
     * refresh pipeline computes fingerprint + w_sum in one pass behind
     * one barrier). Gate on `weightSum >= 0`: pure integers, no float
     * anywhere. */
-  def weightSum(text: Column, buckets: Int = 4096): Column = {
+  def weightSum(text: Column, buckets: Int = 4096): Column =
+    weightSumOfTokens(TextAnalysis.tokens(lower(text)), buckets)
+
+  /** [[weightSum]] over an already-staged TOKEN column. Callers should
+    * stage the token array as an attribute (a separate select) and
+    * pass it here: with the tokenizer inlined, the interpreted
+    * `aggregate`/`transform` lambdas re-evaluate the token expression
+    * at every reference — including `element_at(t, i+2)` inside the
+    * bigram lambda, i.e. once PER TOKEN — turning the fold quadratic
+    * in document length (measured 5.5s vs 2.0s over 5k docs at
+    * sf0.1). Same fold, same integers: results are unchanged, only
+    * re-evaluation is removed. */
+  def weightSumOfTokens(tokens: Column, buckets: Int = 4096): Column = {
     require(buckets > 0, "buckets must be positive")
-    val feats = featsOf(TextAnalysis.tokens(lower(text)))
-    aggregate(feats, lit(0L), (acc, f) => acc + weightOf(f, buckets))
+    aggregate(featsOf(tokens), lit(0L),
+      (acc, f) => acc + weightOf(f, buckets))
   }
 
   /** (doc_id, n_feats, w_sum, score, label): the exact-integer weight
@@ -80,8 +92,14 @@ object HashedLinear {
     val feats = featsOf(col("__t"))
     val wsum = aggregate(feats, lit(0L),
       (acc, f) => acc + weightOf(f, buckets))
-    df.select(id.as("doc_id"),
-        TextAnalysis.tokens(lower(text)).as("__t"))
+    // parallelism floor BEFORE the tokenizer (guide §2.5): the whole
+    // tokenize+hash+fold battery otherwise runs on however few
+    // partitions the scan produced; per-doc output rows are a set, so
+    // redistribution cannot change results
+    graft.Tables.parallelismFloor(
+        df.select(id.as("doc_id"), text.as("__text")))
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("__text"))).as("__t"))
       .select(col("doc_id"),
         size(feats).as("n_feats"),
         wsum.as("w_sum"),

@@ -67,10 +67,10 @@ object Hll {
 
   /** (bucket, rank) columns for a term. */
   def bucketOf(term: Column): Column =
-    conv(substring(md5(term), 1, 2), 16, 10).cast("long")
+    graft.expressions.Md5Hex(term, 1, 2)
 
   def rankOf(term: Column): Column = {
-    val v = conv(substring(md5(term), 3, 8), 16, 10).cast("long")
+    val v = graft.expressions.Md5Hex(term, 3, 8)
     when(v === 0, lit(MaxRank))
       .otherwise(lit(MaxRank) - length(bin(v)).cast("long"))
   }

@@ -37,7 +37,7 @@ object Kmv {
     * ANCHORED variant — any engine replays it — but costs ~1us/value;
     * [[u32Xx]] is the fast library default. */
   def u32(rendered: Column): Column =
-    conv(substring(md5(rendered.cast("string")), 1, 8), 16, 10).cast("long")
+    graft.expressions.Md5Hex.u32(rendered.cast("string"))
 
   /** Fast-path u32: xxhash64 folded into [0, 2^32) (codegen'd, no hex
     * round-trip). Spark-only — no cross-engine twin — so the declared

@@ -63,17 +63,23 @@ object Profiler {
   def profile(df: DataFrame, cols: Seq[String], k: Int = 1024,
               hashFn: Column => Column = Kmv.u32Xx): DataFrame = {
     val kmv = udaf(new Kmv.KmvAggregator(k))
+    // project to the profiled columns, then FLOOR the parallelism
+    // (guide §2.5): the per-row hash/sketch battery below is exactly
+    // the work a single-row-group input would otherwise run on one
+    // core; an aggregation is partition-layout-insensitive, so the
+    // round-robin redistribute cannot change any output value
+    val src = graft.Tables.parallelismFloor(df.select(cols.map(col): _*))
     val aggs = cols.flatMap { c =>
       Seq(
         sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}__nulls"),
-        min(renderedCol(df, c)).cast("string").as(s"${c}__min"),
-        max(renderedCol(df, c)).cast("string").as(s"${c}__max"),
+        min(renderedCol(src, c)).cast("string").as(s"${c}__min"),
+        max(renderedCol(src, c)).cast("string").as(s"${c}__max"),
         // -1 = null sentinel skipped by the sketch (count(DISTINCT)
         // ignores nulls); real hashes are u32 >= 0
-        kmv(coalesce(hashFn(renderedCol(df, c)), lit(-1L)))
+        kmv(coalesce(hashFn(renderedCol(src, c)), lit(-1L)))
           .as(s"${c}__nd"))
     }
-    df.agg(aggs.head, aggs.tail: _*)
+    src.agg(aggs.head, aggs.tail: _*)
       .select(explode(array(cols.map { c =>
         struct(lit(c).as("col_name"),
           col(s"${c}__nulls").cast("long").as("n_nulls"),

@@ -879,7 +879,7 @@ object Dedup {
   /** md5-anchored twin: first 8 md5 hex chars mod M — bit-replicable in
     * any engine with md5, so the declared query has an exact oracle. */
   def spanTokenHashMd5(t: Column): Column =
-    pmod(conv(substring(md5(t), 1, 8), 16, 10).cast("long"),
+    pmod(graft.expressions.Md5Hex.u32(t),
       lit(graft.expressions.RollingWindowHashes.M))
 
   /** Rolling-hash duplicated-span scan with OVERLAPPING windows — the

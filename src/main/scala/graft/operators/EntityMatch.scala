@@ -311,17 +311,27 @@ object EntityMatch {
       .select(col("id"), col("name"), col("blk"),
         posexplode(segArr).as(Seq("seg", "segval")))
       .repartition(col("blk"), col("seg"), col("segval"))
+    // The edit distance runs ONCE per joined row in a codegen'd
+    // projection, BANDED at maxDist (threshold levenshtein returns the
+    // exact distance when <= maxDist, -1 past the band — the kept rows
+    // and their distances are identical to the unbanded form), and the
+    // filter is Opaque-wrapped: un-wrapped, the optimizer pushed the
+    // predicate INTO the join as a residual condition, re-evaluating
+    // the full-matrix levenshtein per hash-bucket CANDIDATE (measured
+    // ~5.6s isolated -> ~2s for this query at sf0.1). The distinct
+    // then dedups the few SURVIVING pairs instead of every seg match
+    // (name_dist is functionally dependent on the id pair, so
+    // distinct-after-project equals the old distinct-on-names).
     segged.as("a")
       .join(segged.as("b"),
         col("a.blk") === col("b.blk") && col("a.seg") === col("b.seg") &&
           col("a.segval") === col("b.segval") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.blk").as("block"),
-        col("a.name").as("__na"), col("b.name").as("__nb"))
+        levenshtein(col("a.name"), col("b.name"), maxDist)
+          .cast("long").as("name_dist"))
+      .filter(graft.expressions.Opaque(
+        col("name_dist") >= 0 && col("name_dist") <= maxDist))
       .distinct()
-      .withColumn("name_dist",
-        levenshtein(col("__na"), col("__nb")).cast("long"))
-      .filter(col("name_dist") <= maxDist)
-      .drop("__na", "__nb")
   }
 }

@@ -68,8 +68,21 @@ class HashedLinearSpec extends SparkSpec {
       col("n_feats") =!= col("n_tok") * 2 - 1).count() shouldBe 0L
     joined.filter(col("n_tok") === 0 && col("n_feats") =!= 0)
       .count() shouldBe 0L
-    // inference is one scan: no exchange anywhere in the plan
+    // inference stays one scan. The single allowed exchange is the
+    // r10 parallelism FLOOR (round-robin, fires only because this
+    // single-row-group fixture scans into fewer partitions than the
+    // session has cores — Tables.parallelismFloor doc); the scorer
+    // itself must add no aggregation/join exchange.
     val plan = scored.queryExecution.executedPlan.toString
-    plan should not include "Exchange"
+    "Exchange [a-zA-Z]*".r.findAllIn(plan).toSeq shouldBe
+      Seq("Exchange RoundRobinPartitioning")
+    // over an input that is already at session parallelism the floor
+    // is a no-op and the plan has NO exchange beyond the explicit one
+    val wide = HashedLinear.score(
+      docs.repartition(spark.sparkContext.defaultParallelism * 2),
+      col("doc_id"), col("text"))
+    "Exchange [a-zA-Z]*".r.findAllIn(
+      wide.queryExecution.executedPlan.toString).toSeq shouldBe
+      Seq("Exchange RoundRobinPartitioning") // only the test's own repartition
   }
 }
