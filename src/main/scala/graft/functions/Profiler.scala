@@ -486,7 +486,14 @@ object Profiler {
                  depth: Int = 4, width: Int = 65536): DataFrame = {
     def counts(df: DataFrame, k: Column) =
       df.groupBy(k.cast("string").as("k")).agg(count(lit(1)).as("c"))
-        .localCheckpoint() // feeds the stats row AND the sketch
+        // feeds the stats row AND the sketch. persist, not
+        // localCheckpoint: checkpointing materialized each side
+        // EAGERLY at construction — six sequential blocking jobs per
+        // 3-advice query before the real one — where a lazy persist
+        // computes each counts subtree once inside the single final
+        // job and shares it between both consumers (r10; values
+        // identical either way)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val lc = counts(left, lKey)
     val rc = counts(right, rKey)
     def stats(c: DataFrame, tag: String) =

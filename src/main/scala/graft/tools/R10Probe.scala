@@ -198,6 +198,25 @@ object R10Probe {
         "dedup_containment_documents")(spark, dir))
     }
 
+    if (on("semantic")) {
+      val emb = Tables(spark, dir, "embeddings")
+      val pairs = graft.operators.Similarity.cosinePairsLshAnchored(emb,
+        col("vec_id"), col("embedding"), threshold = 0.45,
+        dim = 64, nBits = 6, nTables = 8)
+      t("semantic: pairs only")(pairs)
+      t("semantic: clusters")(graft.operators.Dedup.clusters(
+        emb, col("vec_id"), pairs))
+      t("semantic: full")(graft.SparkEntry.queries(
+        "dedup_semantic_embeddings")(spark, dir))
+    }
+
+    if (on("advisor")) {
+      t("advisor: full")(graft.SparkEntry.queries(
+        "profile_join_advisor")(spark, dir))
+      t("advisor: cardinality")(graft.SparkEntry.queries(
+        "profile_join_cardinality")(spark, dir))
+    }
+
     if (on("card")) {
       t("card: fused")(graft.operators.DatasetCard.card(
         Tables(spark, dir, "documents"), fuseScans = true))
