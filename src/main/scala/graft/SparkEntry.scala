@@ -721,7 +721,7 @@ object SparkEntry {
     // batch twin — the stream must land on identical sketches.
     "events_stream_distinct_users" -> { (s, dir) =>
       import graft.functions.Kmv
-      val kagg = udaf(new Kmv.KmvSketchAggregator(64))
+      def kagg(c: Column) = graft.expressions.KmvAgg.sketch(c, 64)
       val day = 86400L * 1000000000L
       val perDay = Tables.eventsStream(s, dir)
         .select(
@@ -2602,7 +2602,7 @@ object SparkEntry {
     // exact twin: the bounded-state answer to "distinct users per
     // event type" whose shuffle carries <=k longs per group per task.
     "profile_group_distinct" -> { (s, dir) =>
-      val kmv = udaf(new graft.functions.Kmv.KmvAggregator(16))
+      def kmv(c: Column) = graft.expressions.KmvAgg.estimate(c, 16)
       Tables(s, dir, "events")
         .select(col("event_type"), col("user_id"))
         .groupBy(col("event_type"))

@@ -165,7 +165,9 @@ object Kmv {
                               bucketNs: Long): org.apache.spark.sql.DataFrame = {
     require(k > 0 && windowBuckets > 0 && bucketNs > 0,
       "k, windowBuckets, bucketNs must be positive")
-    val agg = udaf(new KmvSketchAggregator(k))
+    // native typed-imperative sketch (r11): bit-identical sketches,
+    // no per-value encoder boxing (VERDICT item 1)
+    def agg(c: Column) = graft.expressions.KmvAgg.sketch(c, k)
     val bucketed = df.select(
       ((tsCol - pmod(tsCol, lit(bucketNs))) / lit(bucketNs.toDouble))
         .cast("long").as("bucket"),
@@ -216,7 +218,7 @@ object Kmv {
   def sketchUnionEstimate(df: org.apache.spark.sql.DataFrame,
                           hash: Column, inA: Column, inB: Column,
                           k: Int): org.apache.spark.sql.DataFrame = {
-    val agg = udaf(new KmvSketchAggregator(k))
+    def agg(c: Column) = graft.expressions.KmvAgg.sketch(c, k)
     df.select(
         when(inA, hash).otherwise(lit(-1L)).as("__ha"),
         when(inB, hash).otherwise(lit(-1L)).as("__hb"))

@@ -111,10 +111,13 @@ object TopK {
     * shape as [[perQuery]] for string-keyed payloads. Input columns:
     * group, term, score; output (group, term, rank, score). */
   def perGroupTerms(scored: DataFrame, k: Int): DataFrame = {
-    val agg = udaf(new TopTermsAggregator(k))
     scored
       .groupBy(col("group"))
-      .agg(agg(col("term"), col("score")).as("top"))
+      // native typed-imperative twin (r11): same ordering/compaction
+      // bit-for-bit, no per-row encoder boxing (VERDICT item 3); the
+      // Aggregator stays for the differential spec
+      .agg(graft.expressions.TopTermsAgg(
+        col("term"), col("score"), k).as("top"))
       .select(col("group"), posexplode(col("top")))
       .select(
         col("group"),
@@ -183,9 +186,9 @@ object TopK {
           s"${df.schema(c).dataType}); cast/format upstream — implicit " +
           "upcast would change output type and ordering")
     }
-    val agg = udaf(new MinKAggregator(k))
     df.groupBy(col("group"))
-      .agg(agg(col("sort_key"), col("id"), col("payload")).as("top"))
+      .agg(graft.expressions.MinKAgg(
+        col("sort_key"), col("id"), col("payload"), k).as("top"))
       .select(col("group"), explode(col("top")).as("e"))
       .select(col("group"), col("e.id").as("id"),
         col("e.payload").as("payload"))
@@ -196,10 +199,10 @@ object TopK {
     * with rank 1..k by (score desc, neighbor_id) — drop-in for the
     * window+row_number formulation with map-side partials. */
   def perQuery(scored: DataFrame, k: Int): DataFrame = {
-    val agg = udaf(new TopKAggregator(k))
     scored
       .groupBy(col("query_id"))
-      .agg(agg(col("neighbor_id"), col("score")).as("top"))
+      .agg(graft.expressions.TopKAgg(
+        col("neighbor_id"), col("score"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(
         col("query_id"),
