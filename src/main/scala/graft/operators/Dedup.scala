@@ -64,10 +64,22 @@ object Dedup {
       // consumer (freq, inverted index, both verification joins) reuses
       // the materialized arrays instead of re-running the expression
       .repartition(col("id"))
-    // global shingle frequencies -> per-doc rarest-first ordering
+    // global shingle frequencies -> per-doc rarest-first ordering.
+    // Only the f >= 2 tail joins back (guide §2.3/§2.4): a unique
+    // shingle's frequency is 1 BY DEFINITION, so the left-join +
+    // coalesce(f, 1) reproduces every frequency exactly while the
+    // join's right side shrinks from |distinct shingles| to the
+    // duplicated tail — small enough that AQE converts the join to
+    // broadcast at runtime, which also removes the g-exchange of the
+    // exploded stream AND (exploded stays partitioned by id from the
+    // sets barrier) the groupBy(id) exchange below (r10 VERDICT
+    // item 4, kept scale-adaptive: a huge duplicated tail just keeps
+    // the shuffled join).
     val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
-    val ordered = exploded.join(freq, "g")
+    val dupFreq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2)
+    val ordered = exploded.join(dupFreq, Seq("g"), "left")
+      .select(col("id"), col("g"), coalesce(col("f"), lit(1L)).as("f"))
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("f"), col("g")))),
@@ -282,8 +294,12 @@ object Dedup {
                             n: Int, threshold: Double): DataFrame = {
     val sets = shingleSets(df, textCol, idCol, n)
     val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
-    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
-    val ordered = exploded.join(freq, "g")
+    // f >= 2 tail only + left join/coalesce(1) — identical frequencies,
+    // broadcast-sized right side (the ngramJaccardPairs rationale)
+    val dupFreq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+      .filter(col("f") >= 2)
+    val ordered = exploded.join(dupFreq, Seq("g"), "left")
+      .select(col("id"), col("g"), coalesce(col("f"), lit(1L)).as("f"))
       .groupBy(col("id"))
       .agg(transform(
         array_sort(collect_list(struct(col("f"), col("g")))),
@@ -774,8 +790,15 @@ object Dedup {
     val chunks = df.select(idCol.as("id"), textCol.as("__text"))
       .repartition(col("id"))
       .select(col("id"), explode(chunkFps(col("__text"))).as("fp"))
+    // only duplicated fingerprints join back (LEFT join: c is null for
+    // unique chunks, and `when(null >= 2)` falls to the 0 branch like
+    // c = 1 did) — the join's right side shrinks to the duplicated
+    // tail, AQE broadcasts it, and both the fp-exchange of the chunk
+    // stream and the groupBy(id) exchange disappear (chunks stay
+    // partitioned by id). Values identical.
     val counts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-    chunks.join(counts, "fp")
+      .filter(col("c") >= 2)
+    chunks.join(counts, Seq("fp"), "left")
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_chunks"))
@@ -813,8 +836,13 @@ object Dedup {
       .select(col("id"), posexplode(chunksOf(col("__text"))))
       .select(col("id"), col("pos"), col("col").as("chunk"))
       .withColumn("fp", md5(col("chunk")))
+    // duplicated tail only (the duplicatedSpans rationale); a chunk
+    // missing from the tail had c = 1 exactly, so coalesce(c, 1)
+    // reproduces every count and the kept-set is identical
     val counts = chunks.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-    chunks.join(counts, "fp")
+      .filter(col("c") >= 2)
+    chunks.join(counts, Seq("fp"), "left")
+      .withColumn("c", coalesce(col("c"), lit(1L)))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_chunks"),
         sum(when(col("c") < 2, 1L).otherwise(0L)).as("n_kept"),
@@ -857,8 +885,11 @@ object Dedup {
         graft.expressions.RollingWindowHashes(
           transform(col("__toks"), hashFn), windowTokens)))
       .select(col("id"), col("pos"), col("col").as("fp"))
-    val counts = wins.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-    val dupStarts = wins.join(counts, "fp").filter(col("c") >= 2)
+    // inner join against the duplicated tail directly (same rows the
+    // join+filter kept); AQE broadcasts the small tail
+    val dupFps = wins.groupBy(col("fp")).agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select(col("fp"))
+    val dupStarts = wins.join(dupFps, "fp")
       .groupBy(col("id"))
       .agg(sort_array(collect_list(col("pos"))).as("__starts"))
     val kept = when(col("__starts").isNull, col("__toks"))
@@ -919,9 +950,13 @@ object Dedup {
           transform(TextAnalysis.tokens(col("__text")), hashFn),
           windowTokens)))
       .select(col("id"), col("pos"), col("col").as("fp"))
+    // duplicated tail only: after the LEFT join, c is non-null exactly
+    // when the window's fingerprint recurs (c >= 2 before), so `dup`
+    // keeps identical true/false values row for row
     val counts = wins.groupBy(col("fp")).agg(count(lit(1)).as("c"))
-    val marked = wins.join(counts, "fp")
-      .select(col("id"), col("pos"), (col("c") >= 2).as("dup"))
+      .filter(col("c") >= 2)
+    val marked = wins.join(counts, Seq("fp"), "left")
+      .select(col("id"), col("pos"), col("c").isNotNull.as("dup"))
     val tot = marked.groupBy(col("id"))
       .agg(count(lit(1)).as("n_windows"),
         sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_windows"))
