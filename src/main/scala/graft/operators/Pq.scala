@@ -71,8 +71,10 @@ object Pq {
     * left-to-right — the same IEEE op sequence as the oracle's
     * `list_sum`, so every distance double is bit-identical
     * cross-engine. */
-  private def subDists(vec: Column, j: Int,
-                       cents: IndexedSeq[IndexedSeq[Double]]): Seq[Column] = {
+  // kept (unused in queries since the r11 PqLut swap) for the
+  // battery-vs-loop differential spec, like Dedup.shinglesHof
+  private[graft] def subDists(vec: Column, j: Int,
+                              cents: IndexedSeq[IndexedSeq[Double]]): Seq[Column] = {
     val sub = cents.head.length
     val xs = slice(vec, j * sub + 1, sub)
     val xx = Vectors.dot(xs, xs)
@@ -125,6 +127,20 @@ object Pq {
   private def codesOfInt(vec: Column, books: IntCodebook): Column = {
     val (fb, fc) = flatBooksInt(books)
     graft.expressions.PqBest.codes(vec.cast("array<double>"), fb, fc,
+      books.length, quantize = true)
+  }
+
+  /** Query-side flat ADC LUT as one generated loop (r11 PqLut; the
+    * subDists battery twin, bit-identical per entry). */
+  private[graft] def lutOf(vec: Column, books: Codebook): Column = {
+    val (fb, fc) = flatBooks(books)
+    graft.expressions.PqLut(vec.cast("array<double>"), fb, fc,
+      books.length, quantize = false)
+  }
+
+  private[graft] def lutOfInt(vec: Column, books: IntCodebook): Column = {
+    val (fb, fc) = flatBooksInt(books)
+    graft.expressions.PqLut(vec.cast("array<double>"), fb, fc,
       books.length, quantize = true)
   }
 
@@ -221,8 +237,9 @@ object Pq {
     * integer centroids, same decomposition — every term an
     * exact-integer-valued double (< 2^48), so the value equals
     * DuckDB's direct BIGINT Σ(x-c)^2 bit-for-bit. */
-  private def subDistsInt(vec: Column, j: Int,
-                          cents: IndexedSeq[IndexedSeq[Long]]): Seq[Column] = {
+  // kept for the battery-vs-loop differential spec (r11 PqLut swap)
+  private[graft] def subDistsInt(vec: Column, j: Int,
+                                 cents: IndexedSeq[IndexedSeq[Long]]): Seq[Column] = {
     val sub = cents.head.length
     val xs = slice(quantizedD(vec), j * sub + 1, sub)
     val xx = Vectors.dot(xs, xs)
@@ -255,10 +272,10 @@ object Pq {
     // FLAT subspace-major LUT (j*k + code): the nested element_at
     // chain's two indirections per subspace per PAIR were the measured
     // ADC hot-path limiter (STRESS_HYBRID_r09.txt); AdcLookup is one
-    // codegen'd primitive loop over this layout
-    val lut = array(books.indices.flatMap { j =>
-      subDistsInt(qVec, j, books(j))
-    }: _*)
+    // codegen'd primitive loop over this layout. The LUT itself is ONE
+    // generated loop too (r11: PqLut replaces the m*k subDistsInt
+    // expression forest — same IEEE op order, bit-identical doubles)
+    val lut = lutOfInt(qVec, books)
     val q = queries
       .select(qId.as("query_id"), lut.as("lut"),
         slice(Similarity.cellsByAffinity(cents, qVec), 1, nProbe)
@@ -292,9 +309,9 @@ object Pq {
               excludeSelf: Boolean = true): DataFrame = {
     val m = books.length
     requireUniform(books.map(_.length))
-    val lut = array(books.indices.flatMap { j =>
-      subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
-    }: _*)
+    // flat subspace-major LUT as ONE generated loop (r11 PqLut; was an
+    // m*k subDists expression forest — bit-identical doubles)
+    val lut = lutOf(qVec, books)
     val q = queries
       .select(qId.as("query_id"), lut.as("lut"))
       .repartition(col("query_id"))
@@ -356,9 +373,9 @@ object Pq {
         cId.as("neighbor_id"),
         codesOf(cVec, books).as("codes"))
       .repartition(col("cell"))
-    val lut = array(books.indices.flatMap { j =>
-      subDists(qVec, j, books(j)) // flat subspace-major, AdcLookup layout
-    }: _*)
+    // flat subspace-major LUT as ONE generated loop (r11 PqLut; was an
+    // m*k subDists expression forest — bit-identical doubles)
+    val lut = lutOf(qVec, books)
     // exchange barrier before the explode: CollapseProject would
     // otherwise re-inline the LUT battery per probe row (the adcTopK
     // rationale); explode AFTER it so each probe row reuses the
