@@ -887,9 +887,8 @@ object SparkEntry {
           when(col("v") < 2, lit(t0) + (col("v") + 1) * tenDays)
             .cast("long").as("valid_to"),
           concat(lit("tier"),
-            pmod(conv(substring(md5(concat(col("uid").cast("string"),
-              lit(":"), col("v").cast("string"))), 1, 8), 16, 10)
-              .cast("long"), lit(3L))).as("tier"))
+            pmod(graft.expressions.Md5Hex.u32(concat(col("uid").cast("string"),
+              lit(":"), col("v").cast("string"))), lit(3L))).as("tier"))
       Cdc.pointInTime(ev, col("user_id"), col("ts"),
           dim, col("uid"), col("valid_from"), col("valid_to"))
         .groupBy(col("tier"), col("v"))
@@ -2676,8 +2675,7 @@ object SparkEntry {
         dir.replaceAll("[^A-Za-z0-9]", "_")
       SortedExport.write(Tables(s, dir, "orders"),
         key = "o_totalprice", id = "o_orderkey", nShards = 8, path = out)
-      val u32 = conv(substring(md5(col("o_orderkey").cast("string")),
-        1, 8), 16, 10).cast("long")
+      val u32 = graft.expressions.Md5Hex.u32(col("o_orderkey").cast("string"))
       s.read.parquet(out)
         .groupBy(col("shard").cast("int").as("shard"))
         .agg(count(lit(1)).as("n_rows"),

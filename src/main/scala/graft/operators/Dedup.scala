@@ -413,7 +413,7 @@ object Dedup {
   def simhashMd5(textCol: Column): Column =
     graft.expressions.SimHash64(
       transform(TextAnalysis.tokens(textCol),
-        t => conv(substr(md5(t), lit(1), lit(15)), 16, 10).cast("long")))
+        t => graft.expressions.Md5Hex(t, 1, 15)))
 
   private[graft] def simhashHof(textCol: Column): Column = {
     val counts = aggregate(

@@ -75,7 +75,7 @@ object Grouper {
   def byMd5Mod(numGroups: Int, idCols: Column*): Grouper = {
     val rendered = concat_ws("|", idCols.map(_.cast("string")): _*)
     val bucket = pmod(
-      conv(substring(md5(rendered), 1, 8), 16, 10).cast("long"),
+      graft.expressions.Md5Hex.u32(rendered),
       lit(numGroups.toLong))
     Grouper(concat(lit("group_"), bucket.cast("string")))
   }
@@ -175,7 +175,7 @@ object Grouper {
   def byDirichletMd5(labelCol: Column, idCol: Column, labels: Seq[Int],
                      numGroups: Int, alpha: Double, seed: Long): Grouper = {
     val probs = dirichletProbs(labels, numGroups, alpha, seed)
-    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+    val u = graft.expressions.Md5Hex.u32(idCol.cast("string"))
       .cast("double") / 4294967296.0
     dirichletAssign(u, labelCol, probs, numGroups)
   }

@@ -79,8 +79,7 @@ object PartitionedDataset {
         SequenceExampleCodec.encode(ex)
     }
     val shard = pmod(
-      conv(substring(md5(col("group_id").cast("string")), 1, 8), 16, 10)
-        .cast("long"),
+      graft.expressions.Md5Hex.u32(col("group_id").cast("string")),
       lit(nShards.toLong))
     val pairs = packed
       .select(shard.as("__shard"),

@@ -23,8 +23,8 @@ object Rendezvous {
     require(nShards > 0, "nShards must be positive")
     val scored = array((0 until nShards).map { sh =>
       struct(
-        (-conv(substring(md5(concat(lit(s"$sh:"), id.cast("string"))),
-          1, 8), 16, 10).cast("long")).as("negw"),
+        (-graft.expressions.Md5Hex.u32(
+          concat(lit(s"$sh:"), id.cast("string")))).as("negw"),
         lit(sh.toLong).as("sh"))
     }: _*)
     element_at(transform(array_sort(scored), x => x.getField("sh")), 1)
@@ -45,8 +45,8 @@ object Rendezvous {
     val scored = array(weights.zipWithIndex.flatMap { case (w, sh) =>
       (0 until w).map { r =>
         struct(
-          (-conv(substring(md5(concat(lit(s"$sh#$r:"),
-            id.cast("string"))), 1, 8), 16, 10).cast("long")).as("negw"),
+          (-graft.expressions.Md5Hex.u32(
+            concat(lit(s"$sh#$r:"), id.cast("string")))).as("negw"),
           lit(sh.toLong).as("sh"))
       }
     }: _*)

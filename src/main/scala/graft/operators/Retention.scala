@@ -32,8 +32,7 @@ object Retention {
       .select(group.as("group"), key.as("__k"))
       .join(broadcast(deletes.select(key.as("__k"),
         lit(true).as("__del"))), Seq("__k"), "left_outer")
-    val u32 = conv(substring(md5(col("__k").cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.expressions.Md5Hex.u32(col("__k").cast("string"))
     marked.groupBy(col("group"))
       .agg(
         count(when(col("__del").isNull, 1)).as("n_kept"),

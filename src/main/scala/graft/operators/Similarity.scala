@@ -664,8 +664,8 @@ object Similarity {
     val ranked = TopK.perQuery(
       candidates.select(col("anchor_id").as("query_id"),
         col("cand_id").as("neighbor_id"),
-        (-conv(substring(md5(concat(col("anchor_id").cast("string"),
-          lit(":"), col("cand_id").cast("string"))), 1, 8), 16, 10)
+        (-graft.expressions.Md5Hex.u32(concat(col("anchor_id").cast("string"),
+          lit(":"), col("cand_id").cast("string")))
           .cast("double")).as("score")),
       // +2 spare slots: anchor itself and the positive are filtered out
       nNegatives + 2)

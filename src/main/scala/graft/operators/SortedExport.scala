@@ -69,8 +69,7 @@ object SortedExport {
     * MEMBERSHIP exactly without collecting or sorting anything). */
   def manifest(df: DataFrame, key: String, id: String,
                nShards: Int): DataFrame = {
-    val u32 = conv(substring(md5(col(id).cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.expressions.Md5Hex.u32(col(id).cast("string"))
     assignShards(df, key, nShards)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_rows"),

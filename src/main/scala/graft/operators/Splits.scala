@@ -52,7 +52,7 @@ object Splits {
   def stratifiedSample(df: DataFrame, idCol: Column, strataCol: Column,
                        rates: Map[String, Double],
                        defaultRate: Double): DataFrame = {
-    val u = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+    val u = graft.expressions.Md5Hex.u32(idCol.cast("string"))
       .cast("double") / 4294967296.0
     val rate = rates.foldLeft(lit(defaultRate)) { case (acc, (k, v)) =>
       when(strataCol === lit(k), lit(v)).otherwise(acc)
@@ -68,7 +68,7 @@ object Splits {
     * [[stratifiedSample]], keyed by the group value, so membership is
     * deterministic, engine-exact, and monotone in the rate. */
   def holdOutGroups(df: DataFrame, groupCol: Column, rate: Double): DataFrame = {
-    val u = conv(substring(md5(groupCol.cast("string")), 1, 8), 16, 10)
+    val u = graft.expressions.Md5Hex.u32(groupCol.cast("string"))
       .cast("double") / 4294967296.0
     df.filter(u < lit(rate))
   }
@@ -95,8 +95,7 @@ object Splits {
     // u32·100 < 2^39 and nonnegative, so >> 32 IS floor division by
     // 2^32 (a double-divide-then-cast could misround at bucket edges)
     val b = shiftright(
-      conv(substring(md5(clusterCol.cast("string")), 1, 8), 16, 10)
-        .cast("long") * 100L, 32)
+      graft.expressions.Md5Hex.u32(clusterCol.cast("string")) * 100L, 32)
     assignments.select(idCol.as("id"), clusterCol.as("cluster_id"),
       when(b < trainPercent, "train")
         .when(b < trainPercent + valPercent, "val")
@@ -245,8 +244,7 @@ object Splits {
         least(
           expr(s"__total * $targetNum DIV $targetDen * __w DIV __sumw"),
           col("__n")).as("__t"))
-    val u32 = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.expressions.Md5Hex.u32(idCol.cast("string"))
     df.join(broadcast(rates), sourceCol === col("__src"))
       .filter(u32 * col("__n") < col("__t") * lit(4294967296L))
       .drop("__src", "__n", "__t")
@@ -319,8 +317,7 @@ object Splits {
     val spark = df.sparkSession
     val base = df.select(idCol.cast("long").as("id"),
       sourceCol.cast("string").as("source"),
-      conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-        .cast("long").as("__u"))
+      graft.expressions.Md5Hex.u32(idCol.cast("string")).as("__u"))
     val parts = base
       .repartitionByRange(col("source"), col("__u"), col("id"))
       .sortWithinPartitions(col("source"), col("__u"), col("id"))
@@ -373,7 +370,7 @@ object Splits {
     graft.functions.TopK.perQuery(
       df.select(groupCol.as("query_id"),
         idCol.cast("long").as("neighbor_id"),
-        (-conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+        (-graft.expressions.Md5Hex.u32(idCol.cast("string"))
           .cast("double")).as("score")), k)
       .select(col("query_id").as("group"),
         col("neighbor_id").as("id"), col("rank"))
@@ -418,8 +415,7 @@ object Splits {
   def sampleWeighted(df: DataFrame, idCol: Column, weightCol: Column,
                      k: Int): DataFrame = {
     require(k > 0, "k must be positive")
-    val u32 = conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
-      .cast("long")
+    val u32 = graft.expressions.Md5Hex.u32(idCol.cast("string"))
     val w = weightCol.cast("long")
     val wGuarded = when(w <= 0L || w >= 2147483648L,
       raise_error(concat(lit("sampleWeighted: weight "), w.cast("string"),
