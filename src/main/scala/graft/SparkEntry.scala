@@ -600,15 +600,26 @@ object SparkEntry {
     // advice — the planner table consulted before running anything.
     "profile_join_advisor" -> { (s, dir) =>
       val p = graft.functions.Profiler
-      p.joinAdvice("lineitem_orders",
+      // the three advice rows are independent and each materializes
+      // eagerly inside joinAdvice (r11 persist hygiene), so OVERLAP
+      // them (guide §2.6): three driver threads submit the jobs
+      // concurrently and the scheduler back-fills idle cores; the
+      // result rows and their union order are unchanged.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val advices = Seq(
+        Future(p.joinAdvice("lineitem_orders",
           Tables(s, dir, "lineitem"), col("l_orderkey"),
-          Tables(s, dir, "orders"), col("o_orderkey"))
-        .union(p.joinAdvice("customer_nation",
+          Tables(s, dir, "orders"), col("o_orderkey"))),
+        Future(p.joinAdvice("customer_nation",
           Tables(s, dir, "customer"), col("c_nationkey"),
-          Tables(s, dir, "nation"), col("n_nationkey")))
-        .union(p.joinAdvice("orders_events",
+          Tables(s, dir, "nation"), col("n_nationkey"))),
+        Future(p.joinAdvice("orders_events",
           Tables(s, dir, "orders"), col("o_custkey"),
-          Tables(s, dir, "events"), col("user_id")))
+          Tables(s, dir, "events"), col("user_id"))))
+        .map(Await.result(_, Duration.Inf))
+      advices.reduce(_ union _)
     },
     // PARTITION-SIZING advisor: exact row/byte totals folded into the
     // submit-time config — shuffle partition count at the 128 MiB

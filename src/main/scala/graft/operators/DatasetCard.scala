@@ -91,13 +91,14 @@ object DatasetCard {
   /** One corpus scan -> grouping sets; sections assemble from the
     * checkpointed slice-bounded aggregate. */
   private def fused(docs0: DataFrame): DataFrame = {
-    // parallelism floor (guide §2.5): the whole per-doc signal battery
-    // below lives in ONE projection on the scan stage, so a
-    // single-row-group input would run it on one core; the downstream
-    // aggregation is layout-insensitive. No-op at production split
-    // counts. (The `parallel` shape needs no floor — its heavy section
-    // barriers inside Gopher.stats.)
-    val docs = graft.Tables.parallelismFloor(docs0)
+    // r10 added a parallelism floor here on mechanism alone (honestly
+    // declared unmeasured); r11's same-window A/B (tools/R11Probe
+    // card-floor vs card-nofloor, both orders) found no confirmed
+    // delta — warm means ~5.2s vs ~5.0s, inside noise — so per the
+    // keep-only-with-a-confirmed-delta rule the floor is REVERTED to
+    // keep the plan minimal. (The `parallel` shape never had one —
+    // its heavy section barriers inside Gopher.stats.)
+    val docs = docs0
     // every per-doc signal in one projection; the repartition barrier
     // materializes __toks as an attribute so CollapseProject cannot
     // inline the tokenize subtree into each gopher signal (the

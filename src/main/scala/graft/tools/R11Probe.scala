@@ -57,6 +57,35 @@ object R11Probe {
     }
   }
 
+  /** ngram rarest-first ordering A/B: (old) inner join against the
+    * full frequency table vs (tail) left join against the f >= 2 tail
+    * with coalesce(f, 1) — the r11 Dedup.ngramJaccardPairs change,
+    * isolated to the ordered-prefix stage. */
+  def ngramVariant(spark: SparkSession, dir: String, variant: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val df = Tables(spark, dir, "documents")
+    val sets = df.select(col("doc_id").as("id"), col("text").as("__text"))
+      .repartition(col("id"))
+      .filter(size(TextAnalysis.tokens(col("__text"))) >= n)
+      .select(col("id"), graft.operators.Dedup.shingles(col("__text"), n).as("sh"))
+      .repartition(col("id"))
+    val exploded = sets.select(col("id"), explode(col("sh")).as("g"))
+    val freq = exploded.groupBy("g").agg(count(lit(1)).as("f"))
+    val joined = variant match {
+      case "old" => exploded.join(freq, "g")
+      case "tail" => exploded.join(freq.filter(col("f") >= 2), Seq("g"), "left")
+        .select(col("id"), col("g"), coalesce(col("f"), lit(1L)).as("f"))
+      case other => sys.error(s"unknown variant $other")
+    }
+    joined.groupBy(col("id"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("f"), col("g")))),
+        x => x.getField("g")).as("osh"))
+      .withColumn("n_sh", size(col("osh")).cast("long"))
+      .withColumn("plen",
+        (floor(size(col("osh")) * lit(1.0 - threshold) + lit(1e-9)) + 2).cast("int"))
+  }
+
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val variants =
@@ -71,15 +100,39 @@ object R11Probe {
     spark.sparkContext.setLogLevel("ERROR")
     // warm-up
     try Tables(spark, dir, "region").count() catch { case _: Throwable => () }
-    variants.foreach { v =>
-      val df = spansVariant(spark, dir, v)
-      spark.sparkContext.setJobDescription(s"spans:$v cold")
-      time(s"spans $v cold")(noop(df))
-      spark.sparkContext.setJobDescription(s"spans:$v warm")
-      time(s"spans $v warm")(noop(spansVariant(spark, dir, v)))
-      time(s"spans $v warm2")(noop(spansVariant(spark, dir, v)))
-      println(s"=== spans $v FINAL ADAPTIVE PLAN ===")
-      println(df.queryExecution.executedPlan.toString.take(6000))
+    variants.foreach {
+      case v @ ("old" | "tail" | "tailx") =>
+        val df = spansVariant(spark, dir, v)
+        spark.sparkContext.setJobDescription(s"spans:$v cold")
+        time(s"spans $v cold")(noop(df))
+        spark.sparkContext.setJobDescription(s"spans:$v warm")
+        time(s"spans $v warm")(noop(spansVariant(spark, dir, v)))
+        time(s"spans $v warm2")(noop(spansVariant(spark, dir, v)))
+        println(s"=== spans $v FINAL ADAPTIVE PLAN ===")
+        println(df.queryExecution.executedPlan.toString.take(6000))
+      case v @ ("ngram-old" | "ngram-tail") =>
+        val variant = v.stripPrefix("ngram-")
+        val df = ngramVariant(spark, dir, variant)
+        spark.sparkContext.setJobDescription(s"$v cold")
+        time(s"$v cold")(noop(df))
+        time(s"$v warm")(noop(ngramVariant(spark, dir, variant)))
+        time(s"$v warm2")(noop(ngramVariant(spark, dir, variant)))
+        println(s"=== $v FINAL ADAPTIVE PLAN (joins/exchanges) ===")
+        println(df.queryExecution.executedPlan.toString.linesIterator
+          .filter(l => l.contains("Join") || l.contains("Exchange") ||
+            l.contains("Aggregate"))
+          .mkString("\n"))
+      case v @ ("card-floor" | "card-nofloor") =>
+        val docs = Tables(spark, dir, "documents")
+        val in = if (v == "card-floor") docs else docs.coalesce(1)
+        spark.sparkContext.setJobDescription(s"$v cold")
+        time(s"$v cold")(noop(
+          graft.operators.DatasetCard.card(in, fuseScans = true)))
+        time(s"$v warm")(noop(
+          graft.operators.DatasetCard.card(in, fuseScans = true)))
+        time(s"$v warm2")(noop(
+          graft.operators.DatasetCard.card(in, fuseScans = true)))
+      case other => sys.error(s"unknown variant $other")
     }
     spark.stop()
   }
