@@ -201,6 +201,27 @@ class OptimizationR11Spec extends SparkSpec {
       nM.collect().sortBy(_.getInt(0)).map(_.toString).toSeq)
   }
 
+  test("native TopKAgg survives the ObjectHashAggregate sort-based fallback") {
+    import org.apache.spark.sql.functions.udaf
+    import spark.implicits._
+    // > spark.sql.objectHashAggregate.sortBased.fallbackThreshold (128)
+    // distinct groups per task forces the serialize-into-sort path;
+    // equality with the udaf pins serialize/deserialize + sorted merge
+    val rows = (1 to 40000).map { i =>
+      ((i % 1500).toLong, (i % 37).toLong, ((i * 31) % 101).toDouble / 7.0)
+    }
+    val df = rows.toDF("query_id", "neighbor_id", "score").repartition(3)
+    val legacy = udaf(new graft.functions.TopK.TopKAggregator(5))
+    val o = df.groupBy(col("query_id"))
+      .agg(legacy(col("neighbor_id"), col("score")).as("top"))
+      .collect().sortBy(_.getLong(0)).map(_.toString).toSeq
+    val n = df.groupBy(col("query_id"))
+      .agg(graft.expressions.TopKAgg(col("neighbor_id"), col("score"), 5)
+        .as("top"))
+      .collect().sortBy(_.getLong(0)).map(_.toString).toSeq
+    assert(o == n)
+  }
+
   // ------------------------------------ PqLut vs the subDists battery
 
   test("PqLut equals the m*k subDists expression battery bit-for-bit") {
